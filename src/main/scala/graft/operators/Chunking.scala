@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.GraftConfig
+
+/** Equi-depth chunk planning — the reference's most sophisticated computation
+  * (SURVEY.md §2.3): the chunk-boundary window query (`HanaToBQ.java:57`)
+  *
+  * {{{
+  * SELECT t.TS FROM
+  *   (SELECT TS, ROW_NUMBER() OVER (ORDER BY TS) AS rownum
+  *    FROM TBL WHERE TS > :start) AS t
+  * WHERE MOD(rownum, :chunkSize) = 0 AND t.TS > :start
+  * ORDER BY t.TS
+  * }}}
+  *
+  * plus the driver-side interval zip with start seed and sentinel close
+  * (`HanaToBQ.java:150-172`, sentinel `2000000000` at `:166`).
+  *
+  * Two implementations:
+  *   - [[boundaries]]: literal parity — one global unpartitioned window.
+  *     Exactly the reference's semantics AND its scalability hazard (the
+  *     whole filtered table funnels through one task). Kept for parity tests.
+  *   - [[boundariesDistributed]]: the 100 TB formulation. Range-repartition on
+  *     the (totally ordered) sort key, compute per-partition row counts once
+  *     (a tiny O(#partitions) aggregate), broadcast the cumulative offsets
+  *     back, and derive the global row number as partition-local row_number +
+  *     offset. No single-task funnel; shuffle is one range exchange, identical
+  *     to what a global sort would need anyway. With a total order (tie-broken
+  *     by unique keys) the output is bit-identical to [[boundaries]] no matter
+  *     where the range partitioner cuts.
+  */
+object Chunking {
+
+  /** Ordered projection of the timestamp column with a deterministic global
+    * row number, parity version (single-partition window — the plan Spark
+    * itself warns about, matching the reference's own funnel). */
+  def boundaries(df: DataFrame, ts: String, tieBreak: Seq[String],
+                 chunkSize: Long, start: Long): DataFrame = {
+    val ord: Seq[Column] = col(ts) +: tieBreak.map(col)
+    val w = Window.orderBy(ord: _*)
+    df.filter(col(ts) > lit(start))
+      .withColumn("rownum", row_number().over(w).cast("long"))
+      .filter(col("rownum") % lit(chunkSize) === 0 && col(ts) > lit(start))
+      .select(col(ts))
+      .orderBy(col(ts) +: tieBreak.map(col): _*)
+  }
+
+  /** Scale-path equivalent of [[boundaries]]: distributed global row_number
+    * via range partitioning + per-partition offsets. Output is identical
+    * given a total order (ts + unique tiebreak). */
+  def boundariesDistributed(df: DataFrame, ts: String, tieBreak: Seq[String],
+                            chunkSize: Long, start: Long,
+                            numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val ord: Seq[Column] = (col(ts) +: tieBreak.map(col)).map(_.asc)
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+
+    val filtered = df.filter(col(ts) > lit(start))
+    val ranged = filtered
+      .repartitionByRange(n, ord: _*)
+      .sortWithinPartitions(ord: _*)
+      .withColumn("__pid", spark_partition_id())
+
+    // Tiny metadata aggregate: #rows per range partition -> cumulative offset.
+    // O(#partitions) rows on the driver — the same cardinality the reference
+    // materializes for its boundary list, and broadcast-joined back.
+    val counts = ranged.groupBy("__pid").count()
+    val wOff = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__offset", coalesce(sum("count").over(wOff), lit(0L)))
+      .select("__pid", "__offset")
+
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(ord: _*)
+    ranged
+      .withColumn("__local_rn", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), "__pid")
+      .withColumn("rownum", col("__local_rn") + col("__offset"))
+      .filter(col("rownum") % lit(chunkSize) === 0)
+      .select(col(ts))
+      .orderBy(col(ts) +: tieBreak.map(col): _*)
+  }
+
+  /** Interval zip (`agg_interval_zip`, SURVEY.md §2.3): consecutive boundary
+    * values become half-open `[lo, hi)` chunk intervals, seeded with `start`
+    * and closed with the sentinel — the reference's driver-side loop
+    * (`HanaToBQ.java:161-166`) re-expressed as a `lead` window so it never
+    * leaves the cluster. Boundary cardinality is ~rowcount/chunkSize, so the
+    * window's single partition holds only the (small) boundary set.
+    */
+  def intervals(bounds: DataFrame, ts: String, start: Long,
+                sentinel: Long = GraftConfig.Sentinel): DataFrame = {
+    val spark = bounds.sparkSession
+    import spark.implicits._
+    val seeded = bounds.select(col(ts).cast("long").as("b"))
+      .unionAll(Seq(start).toDF("b"))
+    val w = Window.orderBy(col("b"))
+    seeded
+      .withColumn("chunk_id", (row_number().over(w) - 1).cast("long"))
+      .withColumn("lo", col("b"))
+      .withColumn("hi", lead(col("b"), 1, sentinel).over(w))
+      .select("chunk_id", "lo", "hi")
+      .orderBy("chunk_id")
+  }
+
+  /** End-to-end chunk plan from a config, over an epoch-seconds column. */
+  def plan(df: DataFrame, cfg: GraftConfig, tieBreak: Seq[String]): DataFrame = {
+    val b = boundariesDistributed(df, cfg.timestampColumn, tieBreak,
+      cfg.chunkSize, cfg.startTime)
+    intervals(b, cfg.timestampColumn, cfg.startTime, cfg.effectiveEnd)
+  }
+
+  /** Chunk intervals -> JDBC partition predicates, the exact fan-out shape of
+    * the reference's chunk strings (`"lo,hi"` at `HanaToBQ.java:162`, bound as
+    * `ts >= ? AND ts < ?` at `HanaToDBRow.java:103-111`). Feed to
+    * `spark.read.jdbc(url, table, predicates, props)` — one Spark partition
+    * per predicate, the reference's chunk-per-worker model. */
+  def toPredicates(intervals: Seq[(Long, Long)], ts: String): Array[String] =
+    intervals.map { case (lo, hi) => s"$ts >= $lo AND $ts < $hi" }.toArray
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.core.GraftConfig
+import graft.sources.Tables
+
+class ChunkingSpec extends SparkSpec {
+
+  def li = Tables.lineitem(spark, sf)
+    .withColumn("ts_epoch", col("l_shipdate").cast("timestamp").cast("long"))
+  val tie = Seq("l_orderkey", "l_linenumber")
+  val start = 788918400L
+
+  test("parity and distributed boundary computations are identical") {
+    val a = Chunking.boundaries(li, "ts_epoch", tie, 100L, start)
+      .collect().map(_.getLong(0)).toSeq
+    val b = Chunking.boundariesDistributed(li, "ts_epoch", tie, 100L, start, 7)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+    assert(a == a.sorted)
+  }
+
+  test("intervals partition [start, sentinel): seeded, contiguous, half-open, sentinel-closed (HanaToBQ.java:150-172)") {
+    val b = Chunking.boundaries(li, "ts_epoch", tie, 100L, start)
+    val iv = Chunking.intervals(b, "ts_epoch", start)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(iv.head._2 == start)                        // seeded with startTime
+    assert(iv.last._3 == GraftConfig.Sentinel)         // closed with sentinel
+    iv.sliding(2).foreach { case Seq((_, _, hi1), (_, lo2, _)) =>
+      assert(hi1 == lo2)                               // contiguous, no gap/overlap
+    case _ => ()
+    }
+    iv.foreach { case (_, lo, hi) => assert(lo < hi) }
+    assert(iv.map(_._1) == iv.indices.map(_.toLong))   // chunk_id dense from 0
+  }
+
+  test("every row lands in exactly one interval (half-open [lo,hi))") {
+    val n = li.filter(col("ts_epoch") > start).count()
+    val b = Chunking.boundaries(li, "ts_epoch", tie, 100L, start)
+    val iv = Chunking.intervals(b, "ts_epoch", start)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val counted = iv.map { case (lo, hi) =>
+      // strict > on the seed interval's lo matches the ref's ts > start scan filter
+      li.filter(col("ts_epoch") > start && col("ts_epoch") >= lo && col("ts_epoch") < hi).count()
+    }.sum
+    assert(counted == n)
+  }
+
+  test("toPredicates emits the reference's per-chunk WHERE shape (HanaToDBRow.java:103-111)") {
+    val p = Chunking.toPredicates(Seq((10L, 20L), (20L, 30L)), "ts")
+    assert(p.toSeq == Seq("ts >= 10 AND ts < 20", "ts >= 20 AND ts < 30"))
+  }
+
+  test("boundary count ~ rows/chunkSize") {
+    val rows = li.filter(col("ts_epoch") > start).count()
+    val k = Chunking.boundaries(li, "ts_epoch", tie, 100L, start).count()
+    assert(k == rows / 100)
+  }
+}
