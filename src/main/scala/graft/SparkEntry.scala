@@ -96,6 +96,16 @@ object SparkEntry {
       AppendSink.readBack(s, out).orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // ---- §2.5 relational algebra (absent in ref, table stakes here) ----
+    "q1_pricing_summary"   -> ((s, dir) => Relational.pricingSummary(s, dir)),
+    "q3_shipping_priority" -> ((s, dir) => Relational.shippingPriority(s, dir)),
+    "q5_local_supplier"    -> ((s, dir) => Relational.localSupplierVolume(s, dir)),
+    "q_topk_per_group"     -> ((s, dir) => Relational.topKPerGroup(s, dir)),
+    "q_setops"             -> ((s, dir) => Relational.setOps(s, dir)),
+    "q_semi_anti"          -> ((s, dir) => Relational.semiAnti(s, dir)),
+    "q_distinct_agg"       -> ((s, dir) => Relational.distinctAgg(s, dir)),
+    "q_rollup"             -> ((s, dir) => Relational.rollupCounts(s, dir)),
+
     // ---- §2.4 equi-depth partition assignment (part_equidepth) ----
     "q_part_equidepth" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -163,6 +173,69 @@ object SparkEntry {
       "q_append_sink" ->
         """SELECT l_orderkey, l_linenumber, l_returnflag
           |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      "q1_pricing_summary" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+          |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS sum_disc_price,
+          |  count(*) AS count_order,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      "q3_shipping_priority" ->
+        """SELECT l_orderkey, o_orderdate, o_orderpriority,
+          |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1998-03-15'
+          |  AND l_shipdate > TIMESTAMP '1995-03-15'
+          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+      "q5_local_supplier" ->
+        """SELECT n_name,
+          |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS revenue
+          |FROM lineitem
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1998-01-01'
+          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+      "q_topk_per_group" ->
+        """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+          |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+          |         CAST(rank() OVER (PARTITION BY o_orderpriority
+          |                           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+          |  FROM orders
+          |) t WHERE rk <= 3 ORDER BY o_orderpriority, rk, o_orderkey""".stripMargin,
+      "q_setops" ->
+        """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          | UNION
+          | SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+          |EXCEPT
+          |SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+          |ORDER BY c_custkey""".stripMargin,
+      "q_semi_anti" ->
+        """SELECT c_custkey, true AS has_orders FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          |UNION ALL
+          |SELECT c_custkey, false AS has_orders FROM customer c
+          |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          |ORDER BY c_custkey""".stripMargin,
+      "q_distinct_agg" ->
+        """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+          |       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "q_rollup" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
       "q_part_equidepth" ->
         """SELECT bucket, count(*) AS n_rows, min(ts_epoch) AS lo, max(ts_epoch) AS hi
           |FROM (

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Analytic operators over the star schema — the standard relational algebra
+  * the reference delegates entirely to HANA/BigQuery (SURVEY.md §2.5 records
+  * these categories as absent from the reference; they are table stakes for a
+  * replacement engine and the bench headline set).
+  *
+  * Scale notes (100 TB design):
+  *   - every dimension join below broadcasts the small side explicitly —
+  *     region/nation/supplier/customer are classic broadcast dims; the only
+  *     shuffles left are the aggregations' own partial->final exchanges;
+  *   - aggregates use partial (map-side) combine by construction (groupBy.agg);
+  *   - sums over doubles go through DECIMAL casts: exact, order-insensitive,
+  *     so results are reproducible regardless of partitioning/AQE decisions.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: scan-heavy group-aggregate.
+    * One shuffle (2 groups); decimal sums are associativity-safe. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(28,10)")).cast("decimal(38,10)").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty").cast("double") / col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q3-style shipping priority: 3-way join, group, top-10.
+    * customer is a broadcast dim; orders⨝lineitem is the one real shuffle
+    * join (both sides large at scale — sort-merge on orderkey, co-partitioned
+    * by the join key so the groupBy on o_orderkey reuses the partitioning). */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp_ntz"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp_ntz"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(28,10)")).cast("decimal(38,10)").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style local-supplier revenue: 6-table star join with every
+    * dimension broadcast; the fact table never shuffles for the joins. */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+    val out = li
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+    out.groupBy("n_name")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(28,10)")).cast("decimal(38,10)").as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** Per-group top-k via ranking window — partitioned (scales: one shuffle on
+    * the partition key, no global funnel). */
+  def topKPerGroup(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rk", rank().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "rk", "o_orderkey")
+  }
+
+  /** Set operations: UNION (distinct) then EXCEPT (distinct) — semantics
+    * matching SQL UNION/EXCEPT. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val rich = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+    val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
+    building.union(rich).distinct().except(auto).orderBy("c_custkey")
+  }
+
+  /** Semi/anti joins: customers with / without orders, one row each way. */
+  def semiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey")
+    val o = Tables.orders(spark, dir).select("o_custkey")
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .withColumn("has_orders", lit(true))
+    val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .withColumn("has_orders", lit(false))
+    withOrders.unionAll(withoutOrders).orderBy("c_custkey")
+  }
+
+  /** Distinct aggregation per group. */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("n_parts"),
+           countDistinct("l_suppkey").as("n_supps"),
+           count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** ROLLUP hierarchy totals. */
+  def rollupCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+           sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+}

@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.{GraftConfig, HanaTypes}
+import graft.operators.Chunking
+
+/** `src_jdbc_partitioned` + `src_catalog_introspect` (SURVEY.md §2.1): the
+  * reference's parallel range-partitioned JDBC read (`HanaToDBRow.java:80-112`)
+  * re-expressed on Spark's JDBC source.
+  *
+  * The reference's model: one worker query per chunk element, parameters bound
+  * from `"lo,hi"` strings (`HanaToDBRow.java:103-111`). Spark's
+  * `read.jdbc(url, table, predicates, props)` is the same physical plan —
+  * `JDBCRDD.compute` opens a connection per partition and executes one
+  * statement per predicate — with two strict improvements:
+  *   - schema comes from the driver's `resolveTable` (authoritative), not a
+  *     side-channel column list fetched by name (`HanaToDBRow.java:96-97`);
+  *   - bounds are typed literals in the predicate, not strings relying on
+  *     implicit DB coercion (`setString` at `HanaToDBRow.java:108-109`).
+  *
+  * Offline note: the sandbox has no live database; this module is exercised by
+  * unit tests of the option/predicate assembly, and parquet stands in for the
+  * scan in the e2e harness (SURVEY.md §7.4).
+  */
+object JdbcPartitionedSource {
+
+  /** Assemble the JDBC connection properties from the config surface
+    * (`HanaToBQ.java:175-224`). */
+  def connectionProperties(cfg: GraftConfig): java.util.Properties = {
+    val p = new java.util.Properties()
+    p.setProperty("user", cfg.username)
+    p.setProperty("password", cfg.password)
+    p.setProperty("driver", cfg.driver)
+    // one remote statement per partition, chunk-sized fetches
+    p.setProperty("fetchsize", "10000")
+    p
+  }
+
+  /** Partition predicates for the chunk plan — the fan-out the reference
+    * builds at `HanaToBQ.java:247` + `HanaToDBRow.java:88`. */
+  def predicates(cfg: GraftConfig, intervals: Seq[(Long, Long)]): Array[String] =
+    Chunking.toPredicates(intervals, cfg.timestampColumn)
+
+  /** Parallel partitioned read: one Spark partition per `[lo,hi)` chunk. */
+  def read(spark: SparkSession, cfg: GraftConfig,
+           intervals: Seq[(Long, Long)]): DataFrame =
+    spark.read.jdbc(cfg.connectionString, cfg.tableName,
+      predicates(cfg, intervals), connectionProperties(cfg))
+
+  /** `src_catalog_introspect` (`HanaToBQ.java:56,104-143`): the reference
+    * queries HANA's TABLE_COLUMNS catalog and maps types; Spark's JDBC
+    * relation resolves the schema the same way (driver-side, eager). For an
+    * already-loaded DataFrame the schema IS the catalog. This helper applies
+    * the reference's type-map pass over a discovered (name, hanaType) catalog
+    * listing, aborting on unmapped types exactly like `HanaToBQ.java:129-132`. */
+  def introspect(cols: Seq[(String, String)],
+                 mode: HanaTypes.Mode = HanaTypes.RefCompatible) =
+    HanaTypes.schemaFor(cols, mode)
+}
