@@ -106,6 +106,30 @@ object SparkEntry {
     "q_distinct_agg"       -> ((s, dir) => Relational.distinctAgg(s, dir)),
     "q_rollup"             -> ((s, dir) => Relational.rollupCounts(s, dir)),
 
+    // ---- extension: text analysis (ext_text_*) ----
+    "q_text_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // ---- extension: events / JSON (ext_json_props, ext_window_events) ----
+    "q_json_props" -> ((s, dir) =>
+      JsonOps.extractProps(Tables.events(s, dir)).orderBy("event_id")),
+    "q_window_events" -> ((s, dir) =>
+      JsonOps.windowedCounts(Tables.events(s, dir))),
+    "q_sessionize" -> ((s, dir) =>
+      JsonOps.sessionize(Tables.events(s, dir))),
+
+    // ---- extension: exact dedup (ext_dedup_exact) ----
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactText(Tables.documents(s, dir))),
+    "q_dedup_events" -> ((s, dir) =>
+      Dedup.eventsKeepEarliest(Tables.events(s, dir))),
+
     // ---- §2.4 equi-depth partition assignment (part_equidepth) ----
     "q_part_equidepth" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -236,6 +260,88 @@ object SparkEntry {
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
           |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+      "q_text_tokens" ->
+        """SELECT doc_id,
+          |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+          |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+          |  CAST(length(text) AS BIGINT) AS n_chars_txt
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_text_quality" ->
+        """SELECT doc_id,
+          |  CAST(length(text) AS BIGINT) AS len,
+          |  CAST(length(regexp_replace(text, '[a-z0-9\s]', '', 'g')) AS DOUBLE)
+          |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+          |  CAST(len(list_filter(string_split(text, ' '),
+          |        t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+          |    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS stop_ratio,
+          |  CAST(length(text) AS DOUBLE)
+          |    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS chars_per_token
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_lang_id" ->
+        """WITH s AS (
+          |  SELECT doc_id,
+          |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('der','und','die'))) AS BIGINT) AS s_de,
+          |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','a','and'))) AS BIGINT) AS s_en,
+          |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('el','la','y'))) AS BIGINT) AS s_es,
+          |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('le','et','les'))) AS BIGINT) AS s_fr,
+          |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('de','shi','le'))) AS BIGINT) AS s_zh
+          |  FROM documents)
+          |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+          |  CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+          |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+          |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+          |       WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+          |       ELSE 'zh' END AS pred_lang
+          |FROM s ORDER BY doc_id""".stripMargin,
+      "q_fingerprint" ->
+        """WITH n AS (
+          |  SELECT doc_id,
+          |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+          |  FROM documents)
+          |SELECT doc_id, md5(norm) AS fp_md5,
+          |  list_reduce(
+          |    list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(range(1, length(norm) + 1),
+          |                     i -> CAST(ascii(substr(norm, CAST(i AS INT), 1)) AS BIGINT))),
+          |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
+          |FROM n ORDER BY doc_id""".stripMargin,
+      "q_json_props" ->
+        """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+          |FROM events ORDER BY event_id""".stripMargin,
+      "q_window_events" ->
+        """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+      "q_sessionize" ->
+        """WITH e AS (
+          |  SELECT user_id, event_id,
+          |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+          |         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+          |           (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev_sec
+          |  FROM events),
+          |f AS (
+          |  SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 1800
+          |                 THEN 1 ELSE 0 END AS new_session FROM e),
+          |g AS (
+          |  SELECT *, sum(new_session) OVER
+          |    (PARTITION BY user_id ORDER BY ts_sec, event_id
+          |     ROWS UNBOUNDED PRECEDING) AS session_seq FROM f)
+          |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+          |       count(*) AS n_events, min(ts_sec) AS session_start,
+          |       max(ts_sec) AS session_end
+          |FROM g GROUP BY user_id, session_seq
+          |ORDER BY user_id, session_seq""".stripMargin,
+      "q_dedup_exact" ->
+        """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+          |       min(doc_id) AS survivor_id, count(*) AS n_members
+          |FROM documents GROUP BY fp ORDER BY survivor_id""".stripMargin,
+      "q_dedup_events" ->
+        """SELECT event_id, user_id, event_type FROM (
+          |  SELECT event_id, user_id, event_type,
+          |         row_number() OVER (PARTITION BY user_id, event_type
+          |                            ORDER BY ts, event_id) AS rn
+          |  FROM events) t WHERE rn = 1 ORDER BY event_id""".stripMargin,
       "q_part_equidepth" ->
         """SELECT bucket, count(*) AS n_rows, min(ts_epoch) AS lo, max(ts_epoch) AS hi
           |FROM (

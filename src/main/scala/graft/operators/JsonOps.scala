@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over the `events` table: JSON property extraction,
+  * tumbling-window aggregation (the batch analogue of the streaming path in
+  * graft.streaming), and gap-based sessionization.
+  *
+  * Scale notes: JSON extraction is a narrow map (no shuffle); window agg
+  * shuffles once on (window, type) with partial aggregation; sessionization
+  * shuffles once on user_id — the window within a user is bounded by that
+  * user's event count, so no global funnel.
+  */
+object JsonOps {
+
+  /** `ext_json_props`: pull typed values out of JSON property bags. */
+  def extractProps(df: DataFrame): DataFrame =
+    df.select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+
+  /** Tumbling event-time window aggregation (`ext_window_events`):
+    * 1-hour windows x event_type. */
+  def windowedCounts(df: DataFrame): DataFrame =
+    df.groupBy(
+        date_trunc("hour", col("ts")).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+      .orderBy("hour_start", "event_type")
+
+  /** Gap-based sessionization: a new session starts when a user's inter-event
+    * gap exceeds `gapSeconds`. Classic lag -> boundary flag -> running sum.
+    * Second-granularity gap arithmetic (floored epoch) for cross-engine
+    * determinism. */
+  def sessionize(df: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    val withGap = df
+      .withColumn("ts_sec", col("ts").cast("timestamp").cast("long"))
+      .withColumn("prev_sec", lag("ts_sec", 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > gapSeconds)
+          .cast("long"))
+      .withColumn("session_seq", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    withGap
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+           min("ts_sec").as("session_start"),
+           max("ts_sec").as("session_end"))
+      .orderBy("user_id", "session_seq")
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data-pipeline curation over the
+  * `documents` table (north star in BASELINE.json; FIXTURES.md §B).
+  *
+  * Everything here is built from codegen'd built-in expressions (no UDFs):
+  * higher-order array functions (`filter`, `transform`, `aggregate`) keep the
+  * hot path inside whole-stage codegen, and every op is a narrow map over the
+  * scan — no shuffle at all, embarrassingly parallel at 100 TB.
+  */
+object TextAnalysis {
+
+  /** English-ish function words used as both stopword list and language
+    * markers. Marker sets per language are deliberately tiny — language ID by
+    * function-word counting is the classic cheap heuristic. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  val Markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and"),
+    "de" -> Seq("der", "und", "die"),
+    "fr" -> Seq("le", "et", "les"),
+    "es" -> Seq("el", "la", "y"),
+    "zh" -> Seq("de", "shi", "le"),
+  )
+
+  private def tokens(text: Column): Column = split(text, " ")
+
+  private def countIn(text: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(set, t)))
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    * (letter runs / digit runs / single non-alphanumeric marks). */
+  def tokenCounts(df: DataFrame, text: String = "text", id: String = "doc_id"): DataFrame =
+    df.select(
+      col(id),
+      size(split(trim(col(text)), "\\s+")).cast("long").as("n_ws_tokens"),
+      regexp_count(lower(col(text)), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long")
+        .as("n_bpe_tokens"),
+      length(col(text)).cast("long").as("n_chars_txt"))
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean token
+    * length — the standard cheap filters for pretraining corpora. */
+  def qualityScore(df: DataFrame, text: String = "text", id: String = "doc_id"): DataFrame = {
+    val t = col(text)
+    val nTok = size(split(trim(t), "\\s+")).cast("double")
+    val nChar = length(t).cast("double")
+    df.select(
+      col(id),
+      length(t).cast("long").as("len"),
+      (length(regexp_replace(t, "[a-z0-9\\s]", "")).cast("double") / nChar)
+        .as("punct_ratio"),
+      (countIn(t, Stopwords).cast("double") / nTok).as("stop_ratio"),
+      (nChar / nTok).as("chars_per_token"))
+  }
+
+  /** Language ID: function-word marker counts per language, argmax with a
+    * fixed precedence order (en > de > fr > es > zh) for ties. */
+  def langId(df: DataFrame, text: String = "text", id: String = "doc_id"): DataFrame = {
+    val t = lower(col(text))
+    val scored = df.select(
+      (col(id) +: Markers.toSeq.sortBy(_._1).map { case (l, ws) =>
+        countIn(t, ws).cast("long").as(s"s_$l") }): _*)
+    val langs = Seq("en", "de", "fr", "es", "zh") // precedence order
+    val best = greatest(langs.map(l => col(s"s_$l")): _*)
+    val pred = langs.init.foldRight(lit(langs.last)) { (l, rest) =>
+      when(col(s"s_$l") === best, lit(l)).otherwise(rest)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** Document fingerprinting, two lanes:
+    *  - `fp_md5`: md5 of the normalized text (lower, non-alnum collapsed) —
+    *    the canonical exact-dup key after normalization;
+    *  - `fp_roll`: Karp-Rabin rolling hash (base 31 mod 1e9+7) computed with
+    *    codegen'd higher-order functions — no UDF, no shuffle. */
+  def fingerprints(df: DataFrame, text: String = "text", id: String = "doc_id"): DataFrame = {
+    val norm = trim(regexp_replace(lower(col(text)), "[^a-z0-9]+", " "))
+    val chars = transform(sequence(lit(1), length(norm)),
+      i => ascii(substr(norm, i, lit(1))))
+    val roll = aggregate(chars, lit(0L),
+      (acc, c) => (acc * 31 + c.cast("long")) % 1000000007L)
+    df.select(col(id), md5(norm).as("fp_md5"), roll.as("fp_roll"))
+  }
+}

@@ -18,7 +18,20 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame       = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "region")
-  def events(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "events")
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects. Read nanos as long (legacy conf), then normalize to
+    * TIMESTAMP_NTZ at microsecond precision — the same nanos->micros
+    * truncation DuckDB applies, so both engines see identical values. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(spark, sfDir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000"))
+          .cast("timestamp_ntz"))
+    else raw
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 

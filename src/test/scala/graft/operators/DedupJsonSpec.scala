@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupJsonSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keepFirst keeps exactly the first row per key under the given order") {
+    val df = Seq(
+      (1L, "a", 30L), (2L, "a", 10L), (3L, "a", 20L),
+      (4L, "b", 5L)).toDF("id", "k", "t")
+    val r = Dedup.keepFirst(df, Seq("k"), Seq(col("t").asc, col("id").asc))
+      .orderBy("k").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(2L, 4L))
+  }
+
+  test("exactText groups case/punctuation variants of the same text") {
+    val df = Seq(
+      (10L, "Hello,   World!"), (20L, "hello world"), (30L, "different")
+    ).toDF("doc_id", "text")
+    val r = Dedup.exactText(df).collect()
+    assert(r.length == 2)
+    val grp = r.find(_.getLong(1) == 10L).get
+    assert(grp.getLong(2) == 2L) // both hello-world variants
+  }
+
+  test("sessionize splits on gaps > threshold and numbers sessions per user") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val df = Seq(
+      (1L, 7L, at(0)), (2L, 7L, at(60)),          // session 1
+      (3L, 7L, at(60 + 1801 + 60)),               // gap 1861s > 1800 -> session 2
+      (4L, 8L, at(0))                              // other user -> own session 1
+    ).toDF("event_id", "user_id", "ts")
+    val r = JsonOps.sessionize(df).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSet == Set((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
+  }
+
+  test("boundary gap == threshold stays in the same session (strict >)") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val df = Seq((1L, 7L, at(0)), (2L, 7L, at(1800)))
+      .toDF("event_id", "user_id", "ts")
+    val r = JsonOps.sessionize(df).collect()
+    assert(r.length == 1 && r(0).getLong(2) == 2L)
+  }
+}
