@@ -130,6 +130,24 @@ object SparkEntry {
     "q_dedup_events" -> ((s, dir) =>
       Dedup.eventsKeepEarliest(Tables.events(s, dir))),
 
+    // ---- extension: near-dup dedup (ext_dedup_near) ----
+    "q_dedup_minhash" -> ((s, dir) =>
+      NearDup.minhashPairs(Tables.documents(s, dir), 0.5)),
+    "q_dedup_jaccard" -> ((s, dir) =>
+      NearDup.jaccardJoin(Tables.documents(s, dir), 0.5)),
+    "q_simhash" -> ((s, dir) =>
+      NearDup.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_dedup_simhash" -> ((s, dir) =>
+      NearDup.simhashPairs(Tables.documents(s, dir), 3)),
+
+    // ---- extension: similarity search (ext_topk_similarity) ----
+    "q_sim_topk_brute" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir))),
+    "q_sim_topk_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(Tables.embeddings(s, dir))),
+    "q_dedup_embcos" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.4)),
+
     // ---- §2.4 equi-depth partition assignment (part_equidepth) ----
     "q_part_equidepth" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -142,6 +160,48 @@ object SparkEntry {
         .orderBy("bucket")
     }),
   )
+
+  /** Shared DuckDB CTE fragments for the near-dup / similarity oracles —
+    * mirror graft.operators.NearDup / Similarity expression-for-expression
+    * (same hash seeds, same sequential float->double summation order) so
+    * results are bit-identical, not just approximately equal. */
+  private val shingleCtes =
+    """d AS (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(norm) - 4, 1) + 1),
+      |                 i -> substr(norm, CAST(i AS INT), 5))) AS sh FROM d)""".stripMargin
+  private val sigCtes =
+    s"""$shingleCtes,
+       |sig AS (SELECT doc_id, sh,
+       |  list_transform(range(0, 16), s -> list_min(list_transform(sh,
+       |    x -> md5(CAST(s AS VARCHAR) || '_' || x)))) AS sig FROM sh)""".stripMargin
+  private val simhashCtes =
+    """d AS (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm FROM documents),
+      |th AS (SELECT doc_id, list_transform(string_split(norm, ' '),
+      |         t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th FROM d),
+      |fp AS (SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 32), j ->
+      |    CASE WHEN 2 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                list_transform(th, h -> (h >> CAST(j AS INT)) & 1)), (a, b) -> a + b)
+      |              > len(th)
+      |         THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)), (a, b) -> a + b) AS simhash
+      |  FROM th)""".stripMargin
+  /** double-widened sequential dot product of two DOUBLE-list columns. */
+  private def dotSql(a: String, b: String) =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+       |  i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)])), (x, y) -> x + y)""".stripMargin
+  private def cosSql(a: String, b: String) =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+  /** random-hyperplane bucket key: 8 sign bits from hashed ±1 planes. */
+  private def bucketKeySql(v: String, t: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 8), j ->
+       |  CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(0, 64), i ->
+       |         $v[CAST(i AS INT) + 1] * CAST((CAST(('0x' || substr(md5($t || '_' || j || '_' || i), 1, 1)) AS BIGINT) % 2) * 2 - 1 AS DOUBLE))),
+       |         (x, y) -> x + y) > 0
+       |       THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)), (a, b) -> a + b)""".stripMargin
+  private val sketchCte =
+    s"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       |sk AS (SELECT vec_id, emb, t AS tbl, ${bucketKeySql("emb", "t")} AS key
+       |       FROM v CROSS JOIN range(0, 4) r(t))""".stripMargin
 
   def oracleSql: Map[String, String] = {
     val boundarySql =
@@ -342,6 +402,81 @@ object SparkEntry {
           |         row_number() OVER (PARTITION BY user_id, event_type
           |                            ORDER BY ts, event_id) AS rn
           |  FROM events) t WHERE rn = 1 ORDER BY event_id""".stripMargin,
+      "q_dedup_minhash" ->
+        s"""WITH $sigCtes,
+           |bands AS (SELECT doc_id, b AS band,
+           |    md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '|')) AS key
+           |  FROM sig CROSS JOIN range(0, 4) r(b)),
+           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+           |jac AS (SELECT a_id, b_id,
+           |    CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS BIGINT) AS inter,
+           |    CAST(len(sa.sh) + len(sb.sh) AS BIGINT)
+           |      - CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS BIGINT) AS uni
+           |  FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)
+           |SELECT a_id, b_id, inter, uni,
+           |       CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+           |FROM jac WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5
+           |ORDER BY a_id, b_id""".stripMargin,
+      "q_dedup_jaccard" ->
+        s"""WITH $shingleCtes,
+           |tok AS (SELECT doc_id, unnest(sh) AS tok FROM sh),
+           |n AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+           |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+           |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT a_id, b_id,
+           |  CAST(inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - inter AS DOUBLE) AS jaccard
+           |FROM inter
+           |JOIN n na ON na.doc_id = a_id
+           |JOIN n nb ON nb.doc_id = b_id
+           |WHERE CAST(inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - inter AS DOUBLE) >= 0.5
+           |ORDER BY a_id, b_id""".stripMargin,
+      "q_simhash" ->
+        s"""WITH $simhashCtes
+           |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,
+      "q_dedup_simhash" ->
+        s"""WITH $simhashCtes,
+           |blocks AS (
+           |  SELECT doc_id, simhash, 0 AS blk, simhash & 65535 AS key FROM fp
+           |  UNION ALL
+           |  SELECT doc_id, simhash, 1 AS blk, simhash >> 16 AS key FROM fp),
+           |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |  FROM blocks a JOIN blocks b
+           |    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)
+           |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3
+           |ORDER BY a_id, b_id""".stripMargin,
+      "q_sim_topk_brute" ->
+        s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           |           FROM embeddings),
+           |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           |        ${cosSql("q.emb", "c.emb")} AS cos
+           |      FROM v c CROSS JOIN v q
+           |      WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+           |r AS (SELECT q_id, n_id, cos,
+           |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
+           |      FROM s)
+           |SELECT q_id, rk, n_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+      "q_sim_topk_lsh" ->
+        s"""WITH $sketchCte,
+           |q AS (SELECT vec_id AS q_id, emb AS q_emb, tbl, key FROM sk WHERE vec_id < 8),
+           |c AS (SELECT vec_id AS n_id, emb AS n_emb, tbl, key FROM sk),
+           |cand AS (SELECT DISTINCT q_id, q_emb, n_id, n_emb
+           |  FROM c JOIN q USING (tbl, key) WHERE q_id <> n_id),
+           |s AS (SELECT q_id, n_id, ${cosSql("q_emb", "n_emb")} AS cos FROM cand),
+           |r AS (SELECT q_id, n_id, cos,
+           |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
+           |      FROM s)
+           |SELECT q_id, rk, n_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+      "q_dedup_embcos" ->
+        s"""WITH $sketchCte,
+           |cand AS (SELECT DISTINCT a.vec_id AS a_id, a.emb AS a_emb,
+           |                b.vec_id AS b_id, b.emb AS b_emb
+           |  FROM sk a JOIN sk b ON a.tbl = b.tbl AND a.key = b.key AND a.vec_id < b.vec_id),
+           |s AS (SELECT a_id, b_id, ${cosSql("a_emb", "b_emb")} AS cos FROM cand)
+           |SELECT a_id, b_id, cos FROM s WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin,
       "q_part_equidepth" ->
         """SELECT bucket, count(*) AS n_rows, min(ts_epoch) AS lo, max(ts_epoch) AS hi
           |FROM (

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`ArrayType(FloatType)`,
+  * FIXTURES.md: `embeddings.vec_id/embedding[64]/label`).
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]]: exact cosine top-k — query side broadcast, one
+  *     pass over the corpus per batch of queries, partitioned rank. The
+  *     baseline and the recall oracle.
+  *   - [[lshTopK]]: random-hyperplane LSH bucketing (sign-bit sketches from
+  *     deterministic hashed hyperplanes) — candidates only from matching
+  *     buckets across L tables, then exact cosine re-rank. The 100 TB path:
+  *     the corpus is scanned once to sketch (narrow map), and the join is on
+  *     short bucket keys, never on the n^2 pair space.
+  *
+  * All arithmetic is float->double widened *before* multiplying and summed
+  * sequentially (`aggregate`), so results are bit-identical across engines —
+  * no rounding fudge needed for oracle parity.
+  */
+object Similarity {
+
+  /** Sequential-order dot product of two float vectors, widened to double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact cosine top-k: queries (vec_id < nQueries) against the whole corpus. */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val q = emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .filter(col("q_id") < nQueries)
+    val c = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "n_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+
+  /** Deterministic pseudo-random ±1 hyperplane component for (table, bit,
+    * dim): parity of the first md5 hex char of "t_j_i". Portable to any
+    * engine with md5. */
+  private def planeSign(t: Column, j: Column, i: Column): Column = {
+    val h = conv(substr(md5(concat_ws("_", t, j, i)), lit(1), lit(1)), 16, 10).cast("int")
+    (h % 2) * 2 - 1
+  }
+
+  /** Sign-bit sketch for one table: bits = sign(v . r_j), packed to a long. */
+  private def bucketKey(v: Column, t: Column, nBits: Int): Column =
+    aggregate(sequence(lit(0), lit(nBits - 1)), lit(0L), (acc, j) => {
+      val s = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x.cast("double") * planeSign(t, j, i).cast("double")),
+        lit(0.0), (a, x) => a + x)
+      acc + when(s > 0, pow(lit(2.0), j).cast("long")).otherwise(0L)
+    })
+
+  /** LSH-bucketed ANN top-k: L hash tables of nBits-bit sketches; candidates
+    * are corpus vectors sharing any table's bucket with the query; exact
+    * cosine re-rank on candidates only. */
+  def lshTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
+              nBits: Int = 8, tables: Int = 4): DataFrame = {
+    val keys = transform(sequence(lit(0), lit(tables - 1)),
+      t => struct(t.as("tbl"), bucketKey(col("embedding"), t, nBits).as("key")))
+    val sketched = emb.select(col("vec_id"), col("embedding"), explode(keys).as("bk"))
+      .select(col("vec_id"), col("embedding"),
+        col("bk.tbl").as("tbl"), col("bk.key").as("key"))
+    val q = sketched.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("tbl"), col("key"))
+    val c = sketched
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("tbl"), col("key"))
+    val cand = c.join(broadcast(q), Seq("tbl", "key"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "q_emb", "n_id", "n_emb")
+      .distinct()
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    cand.withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "n_id", "cos")
+      .orderBy("q_id", "rk")
+  }
+
+  /** Embedding-cosine near-dup pairs: all pairs above a cosine threshold,
+    * blocked by LSH buckets (same sketch machinery), verified exactly. */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.95,
+                         nBits: Int = 8, tables: Int = 4): DataFrame = {
+    val keys = transform(sequence(lit(0), lit(tables - 1)),
+      t => struct(t.as("tbl"), bucketKey(col("embedding"), t, nBits).as("key")))
+    val sketched = emb.select(col("vec_id"), col("embedding"), explode(keys).as("bk"))
+      .select(col("vec_id"), col("embedding"),
+        col("bk.tbl").as("tbl"), col("bk.key").as("key"))
+    val a = sketched.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      col("tbl"), col("key"))
+    val b = sketched.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      col("tbl"), col("key"))
+    a.join(b, Seq("tbl", "key")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "a_emb", "b_id", "b_emb").distinct()
+      .withColumn("cos", cosine(col("a_emb"), col("b_emb")))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+      .orderBy("a_id", "b_id")
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.Tables
+
+class NearDupSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash LSH finds an obvious near-dup pair and skips unrelated text") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!!"),
+      (3L, "completely different content about spark catalyst optimizers")
+    ).toDF("doc_id", "text")
+    val pairs = NearDup.minhashPairs(df, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("LSH candidates achieve full recall vs exhaustive jaccard join on the fixture") {
+    val docs = Tables.documents(spark, sf)
+    val exact = NearDup.jaccardJoin(docs, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val lsh = NearDup.minhashPairs(docs, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh == exact) // 16 hashes / 4 bands catches >=0.5 jaccard reliably here
+  }
+
+  test("simhash: identical texts get identical fingerprints; fingerprint is 32-bit") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+                 (3L, "omega psi chi")).toDF("doc_id", "text")
+    val fps = NearDup.simhash(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+    fps.values.foreach(v => assert(v >= 0L && v < (1L << 32)))
+  }
+
+  test("cosine: self-similarity is 1.0, orthogonal is 0.0") {
+    val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 2.0f)),
+                 (3L, Array(3.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, nQueries = 2, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    // query 1 = (1,0): neighbor 3 = (3,0) has cos 1.0; neighbor 2 cos 0.0
+    assert(top.contains((1L, 3L, 1.0)))
+    assert(top.exists { case (q, n, c) => q == 1L && n == 2L && c == 0.0 })
+  }
+
+  test("brute-force top-k returns exactly k neighbors per query, ranked desc") {
+    val emb = Tables.embeddings(spark, sf)
+    val r = Similarity.bruteForceTopK(emb, nQueries = 4, k = 5).collect()
+    assert(r.length == 4 * 5)
+    r.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val cs = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH top-k neighbors are a subset of the corpus with valid cosines") {
+    val emb = Tables.embeddings(spark, sf)
+    val lsh = Similarity.lshTopK(emb, nQueries = 4, k = 5).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      assert(r.getDouble(3) <= 1.0 + 1e-9 && r.getDouble(3) >= -1.0 - 1e-9)
+      assert(r.getLong(0) != r.getLong(2))
+    }
+  }
+}
