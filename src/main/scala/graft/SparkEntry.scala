@@ -148,6 +148,18 @@ object SparkEntry {
     "q_dedup_embcos" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.4)),
 
+    // ---- extension: multimodal binary columns (ext_multimodal) ----
+    "q_mm_metadata" -> ((s, dir) =>
+      Multimodal.asBinary(Tables.documents(s, dir))
+        .select("doc_id", "n_bytes", "magic", "content_type")
+        .orderBy("doc_id")),
+    "q_mm_decode" -> ((s, dir) =>
+      Multimodal.mediaFeatures(Tables.documents(s, dir))),
+    "q_mm_frames" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.asBinary(Tables.documents(s, dir)))
+        .select("doc_id", "n_frames")
+        .orderBy("doc_id")),
+
     // ---- §2.4 equi-depth partition assignment (part_equidepth) ----
     "q_part_equidepth" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -166,9 +178,9 @@ object SparkEntry {
     * (same hash seeds, same sequential float->double summation order) so
     * results are bit-identical, not just approximately equal. */
   private val shingleCtes =
-    """d AS (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm FROM documents),
-      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(norm) - 4, 1) + 1),
-      |                 i -> substr(norm, CAST(i AS INT), 5))) AS sh FROM d)""".stripMargin
+    """d AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+      |                 i -> array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 2), ' '))) AS sh FROM d)""".stripMargin
   private val sigCtes =
     s"""$shingleCtes,
        |sig AS (SELECT doc_id, sh,
@@ -477,6 +489,24 @@ object SparkEntry {
            |  FROM sk a JOIN sk b ON a.tbl = b.tbl AND a.key = b.key AND a.vec_id < b.vec_id),
            |s AS (SELECT a_id, b_id, ${cosSql("a_emb", "b_emb")} AS cos FROM cand)
            |SELECT a_id, b_id, cos FROM s WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin,
+      "q_mm_metadata" ->
+        """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |       lower(hex(encode(substr(text, 1, 4)))) AS magic,
+          |       'application/octet-stream' AS content_type
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_mm_decode" ->
+        """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |       lower(hex(encode(substr(text, 1, 4)))) AS magic,
+          |       'application/octet-stream' AS content_type,
+          |       CAST(ascii(substr(text, 1, 1)) % 64 + 1 AS INT) AS width,
+          |       CAST(ascii(substr(text, 2, 1)) % 64 + 1 AS INT) AS height,
+          |       CAST((ascii(substr(text, 1, 1)) % 64 + 1) AS BIGINT)
+          |         * (ascii(substr(text, 2, 1)) % 64 + 1) AS n_pixels
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_mm_frames" ->
+        """SELECT doc_id,
+          |  CAST(least(8, greatest(octet_length(encode(text)) // 64, 1)) AS BIGINT) AS n_frames
+          |FROM documents ORDER BY doc_id""".stripMargin,
       "q_part_equidepth" ->
         """SELECT bucket, count(*) AS n_rows, min(ts_epoch) AS lo, max(ts_epoch) AS hi
           |FROM (

@@ -1,0 +1,166 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-row sketching expressions for the near-dup hot path.
+  *
+  * The higher-order-function formulations in [[graft.operators.NearDup]]
+  * evaluate one interpreted lambda call per (seed x shingle) / (bit x token)
+  * — ~5k interpreted steps per row. These expressions do the identical
+  * arithmetic inside a single JVM method per row (CodegenFallback is fine:
+  * the per-row call overhead is amortized over thousands of internal ops).
+  *
+  * Parity contract (oracle-enforced): [[MinHashSignature]] returns exactly
+  * `transform(0..k-1, s -> min(md5(s || '_' || shingle)))` — hex strings and
+  * all — and [[SimHash32]] exactly the majority-vote fingerprint over
+  * `conv(substr(md5(token),1,8),16,10)` token hashes.
+  */
+private[graft] object HashUtil {
+  private val tl = ThreadLocal.withInitial[MessageDigest](
+    () => MessageDigest.getInstance("MD5"))
+  def md5(bytes: Array[Byte]*): Array[Byte] = {
+    val d = tl.get(); d.reset()
+    bytes.foreach(d.update)
+    d.digest()
+  }
+  private val hexChars = "0123456789abcdef".toCharArray
+  def hex(b: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(b.length * 2)
+    b.foreach { x => sb.append(hexChars((x >> 4) & 0xf)); sb.append(hexChars(x & 0xf)) }
+    sb.toString
+  }
+  /** hex-string order == unsigned byte order (hex encoding is order-preserving). */
+  def lessUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+}
+
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${child.dataType.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  private lazy val seedPrefixes: Array[Array[Byte]] =
+    (0 until numHashes).map(s => s"${s}_".getBytes("UTF-8")).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = new Array[Array[Byte]](numHashes)
+    var i = 0
+    while (i < n) {
+      val shingle = arr.getUTF8String(i).getBytes
+      var s = 0
+      while (s < numHashes) {
+        val d = HashUtil.md5(seedPrefixes(s), shingle)
+        if (mins(s) == null || HashUtil.lessUnsigned(d, mins(s))) mins(s) = d
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(m =>
+      UTF8String.fromString(if (m == null) "" else HashUtil.hex(m))))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class SimHash32(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${child.dataType.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ones = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      val d = HashUtil.md5(arr.getUTF8String(i).getBytes)
+      // first 8 md5 hex chars == first 4 digest bytes, as unsigned 32-bit
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      var j = 0
+      while (j < 32) {
+        if (((h >> j) & 1L) == 1L) ones(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 32) {
+      if (2 * ones(j) > n) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Karp-Rabin rolling hash (base 31, mod 1e9+7) over a string's code points —
+  * the native form of `aggregate(transform(sequence(1, length(s)),
+  * i -> ascii(substr(s, i, 1))), 0, (acc, c) -> (acc*31 + c) % 1000000007)`,
+  * which costs ~10 interpreted expression evals per CHARACTER. Identical
+  * result (ascii() returns the code point of the first character, exactly
+  * what codePointAt yields). */
+case class RollingHash32(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash32"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextHashFunctions {
+  def rolling_hash32(s: Column): Column =
+    ColumnBridge.column(RollingHash32(ColumnBridge.expression(s)))
+  def minhash_signature(shingles: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), numHashes))
+  def simhash32(tokens: Column): Column =
+    ColumnBridge.column(SimHash32(ColumnBridge.expression(tokens)))
+}

@@ -28,8 +28,14 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  def cosine(a: Column, b: Column): Column =
+  /** Reference formulation via higher-order functions (interpreted lambdas). */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Hot-path cosine: codegen'd native expression, bit-identical accumulation
+    * order to [[cosineHof]] (see graft.functions.CosineSimilarity). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_similarity(a, b)
 
   /** Exact cosine top-k: queries (vec_id < nQueries) against the whole corpus. */
   def bruteForceTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
@@ -48,29 +54,34 @@ object Similarity {
 
   /** Deterministic pseudo-random ±1 hyperplane component for (table, bit,
     * dim): parity of the first md5 hex char of "t_j_i". Portable to any
-    * engine with md5. */
-  private def planeSign(t: Column, j: Column, i: Column): Column = {
-    val h = conv(substr(md5(concat_ws("_", t, j, i)), lit(1), lit(1)), 16, 10).cast("int")
-    (h % 2) * 2 - 1
+    * engine with md5 — the DuckDB oracle recomputes it in SQL; here it is
+    * PRECOMPUTED once on the driver and shipped as literals, because the
+    * value depends only on (t, j, i), never on the row. (The first version
+    * recomputed 2048 md5s per row; this one does zero.) */
+  private[operators] def planeSign(t: Int, j: Int, i: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${t}_${j}_$i".getBytes("UTF-8"))
+    val firstHexDigit = (d(0) >> 4) & 0xf
+    (firstHexDigit % 2) * 2 - 1
   }
 
-  /** Sign-bit sketch for one table: bits = sign(v . r_j), packed to a long. */
-  private def bucketKey(v: Column, t: Column, nBits: Int): Column =
-    aggregate(sequence(lit(0), lit(nBits - 1)), lit(0L), (acc, j) => {
-      val s = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x.cast("double") * planeSign(t, j, i).cast("double")),
+  /** Sign-bit sketch for one table: bits = sign(v . r_j) against the literal
+    * plane matrix, packed to a long. `dim` must match the embedding width. */
+  private def bucketKey(v: Column, t: Int, nBits: Int, dim: Int): Column =
+    (0 until nBits).map { j =>
+      val plane = array((0 until dim).map(i => lit(planeSign(t, j, i).toDouble)): _*)
+      val s = aggregate(zip_with(v, plane, (x, r) => x.cast("double") * r),
         lit(0.0), (a, x) => a + x)
-      acc + when(s > 0, pow(lit(2.0), j).cast("long")).otherwise(0L)
-    })
+      when(s > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
 
   /** LSH-bucketed ANN top-k: L hash tables of nBits-bit sketches; candidates
     * are corpus vectors sharing any table's bucket with the query; exact
     * cosine re-rank on candidates only. */
   def lshTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
-              nBits: Int = 8, tables: Int = 4): DataFrame = {
-    val keys = transform(sequence(lit(0), lit(tables - 1)),
-      t => struct(t.as("tbl"), bucketKey(col("embedding"), t, nBits).as("key")))
+              nBits: Int = 8, tables: Int = 4, dim: Int = 64): DataFrame = {
+    val keys = array((0 until tables).map(t =>
+      struct(lit(t).as("tbl"), bucketKey(col("embedding"), t, nBits, dim).as("key"))): _*)
     val sketched = emb.select(col("vec_id"), col("embedding"), explode(keys).as("bk"))
       .select(col("vec_id"), col("embedding"),
         col("bk.tbl").as("tbl"), col("bk.key").as("key"))
@@ -95,9 +106,9 @@ object Similarity {
   /** Embedding-cosine near-dup pairs: all pairs above a cosine threshold,
     * blocked by LSH buckets (same sketch machinery), verified exactly. */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.95,
-                         nBits: Int = 8, tables: Int = 4): DataFrame = {
-    val keys = transform(sequence(lit(0), lit(tables - 1)),
-      t => struct(t.as("tbl"), bucketKey(col("embedding"), t, nBits).as("key")))
+                         nBits: Int = 8, tables: Int = 4, dim: Int = 64): DataFrame = {
+    val keys = array((0 until tables).map(t =>
+      struct(lit(t).as("tbl"), bucketKey(col("embedding"), t, nBits, dim).as("key"))): _*)
     val sketched = emb.select(col("vec_id"), col("embedding"), explode(keys).as("bk"))
       .select(col("vec_id"), col("embedding"),
         col("bk.tbl").as("tbl"), col("bk.key").as("key"))

@@ -79,10 +79,17 @@ object TextAnalysis {
     *    codegen'd higher-order functions — no UDF, no shuffle. */
   def fingerprints(df: DataFrame, text: String = "text", id: String = "doc_id"): DataFrame = {
     val norm = trim(regexp_replace(lower(col(text)), "[^a-z0-9]+", " "))
+    val roll = graft.functions.TextHashFunctions.rolling_hash32(norm)
+    graft.core.Parallelism.forCompute(df)
+      .select(col(id), md5(norm).as("fp_md5"), roll.as("fp_roll"))
+  }
+
+  /** Higher-order-function form of the rolling hash (interpreted; kept for
+    * cross-checking the native expression in tests). */
+  def rollingHashHof(norm: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val chars = transform(sequence(lit(1), length(norm)),
       i => ascii(substr(norm, i, lit(1))))
-    val roll = aggregate(chars, lit(0L),
+    aggregate(chars, lit(0L),
       (acc, c) => (acc * 31 + c.cast("long")) % 1000000007L)
-    df.select(col(id), md5(norm).as("fp_md5"), roll.as("fp_roll"))
   }
 }

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the event-stream operators. The reference is
+  * batch-only (SURVEY.md §2.5: no streaming anywhere; its pom's pubsub dep is
+  * dead code), so these are the engine's forward path: the SAME logical
+  * transformations as graft.operators.JsonOps, lifted onto an unbounded
+  * source. `StreamingOpsSpec` proves batch/stream agreement by running the
+  * windowed aggregation both ways over identical rows.
+  *
+  * Scale notes: watermark + tumbling window keeps state bounded (one window's
+  * partial aggregate per (window, type) key, dropped `delay` after the
+  * watermark passes); sessionization state is one small case class per active
+  * user, timed out by the watermark clock.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour windowed counts — streaming twin of
+    * `JsonOps.windowedCounts`. Append mode emits each window once the
+    * watermark passes its end. */
+  def windowedCounts(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  case class Event(event_id: Long, user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(sessionSeq: Long, lastSec: Long, nEvents: Long, startSec: Long)
+  case class SessionOut(user_id: Long, session_seq: Long, n_events: Long,
+                        session_start: Long, session_end: Long)
+
+  /** Streaming gap sessionization with explicit state — the
+    * `flatMapGroupsWithState` form of `JsonOps.sessionize`. Emits a session
+    * when a gap closes it; state times out with the event-time watermark. */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.sessionSeq, s.nEvents, s.startSec, s.lastSec))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val sec = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if sec - s.lastSec <= gapSeconds =>
+                  cur = Some(s.copy(lastSec = sec, nEvents = s.nEvents + 1))
+                case Some(s) => // gap: close previous session, open next
+                  out += SessionOut(userId, s.sessionSeq, s.nEvents, s.startSec, s.lastSec)
+                  cur = Some(SessionState(s.sessionSeq + 1, sec, 1L, sec))
+                case None =>
+                  cur = Some(SessionState(1L, sec, 1L, sec))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gapSeconds * 1000)
+            }
+            out.result().iterator
+          }
+        })
+  }
+}

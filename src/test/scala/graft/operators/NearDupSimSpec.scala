@@ -37,6 +37,30 @@ class NearDupSimSpec extends SparkSpec {
     fps.values.foreach(v => assert(v >= 0L && v < (1L << 32)))
   }
 
+  test("native MinHashSignature/SimHash32 expressions match the HOF formulations") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val sh = NearDup.shingles(col("text"))
+    val nativeSig = docs.select(col("doc_id"), NearDup.minhashSig(sh).as("sig"))
+      .orderBy("doc_id").collect().map(_.getSeq[String](1))
+    val hofSig = docs.select(col("doc_id"), NearDup.minhashSigHof(sh).as("sig"))
+      .orderBy("doc_id").collect().map(_.getSeq[String](1))
+    nativeSig.zip(hofSig).foreach { case (a, b) => assert(a == b) }
+
+    val nativeFp = NearDup.simhash(docs).orderBy("doc_id").collect().map(_.getLong(1))
+    val hofFp = NearDup.simhashHof(docs).orderBy("doc_id").collect().map(_.getLong(1))
+    assert(nativeFp.toSeq == hofFp.toSeq)
+  }
+
+  test("sorted_intersect_count equals the naive filter/contains formulation") {
+    val df = Seq(
+      (Seq("a", "b", "c", "d"), Seq("b", "d", "e")),
+      (Seq[String](), Seq("x")),
+      (Seq("q"), Seq("q"))).toDF("a", "b")
+    val got = df.select(graft.functions.VectorFunctions.sorted_intersect_count(
+      sort_array(col("a")), sort_array(col("b")))).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(2L, 0L, 1L))
+  }
+
   test("cosine: self-similarity is 1.0, orthogonal is 0.0") {
     val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 2.0f)),
                  (3L, Array(3.0f, 0.0f))).toDF("vec_id", "embedding")

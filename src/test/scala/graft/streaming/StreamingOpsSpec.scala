@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.JsonOps
+import graft.sources.Tables
+
+class StreamingOpsSpec extends SparkSpec {
+
+  test("streaming windowed counts agree with the batch operator on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val batchDf = Tables.events(spark, sf)
+      .select("event_id", "user_id", "ts", "event_type", "value")
+    val rows = batchDf
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
+      .as[(Long, Long, java.sql.Timestamp, String, Double)]
+      .collect()
+
+    val stream = MemoryStream[(Long, Long, java.sql.Timestamp, String, Double)]
+    stream.addData(rows.toSeq)
+    val streamingDf = stream.toDF()
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+
+    val q = StreamingOps.windowedCounts(streamingDf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("win_out").start()
+    try {
+      q.processAllAvailable()
+      // append mode only emits windows passed by the watermark; send a late
+      // max-ts nudge so every fixture window closes
+      stream.addData(Seq((-1L, -1L,
+        java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), "nudge", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("win_out")
+      .filter(col("event_type") =!= "nudge")
+      .select(col("hour_start").cast("timestamp").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour_start", "event_type")
+      .collect()
+    val batch = JsonOps.windowedCounts(batchDf)
+      .select(col("hour_start").cast("timestamp").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b, s"$s != $b") }
+  }
+
+  test("streaming sessionization closes sessions on gap and emits batch-equal results") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamingOps._
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[Event]
+    stream.addData(Seq(
+      Event(1, 7, ts("2024-01-01 00:00:00"), 1.0),
+      Event(2, 7, ts("2024-01-01 00:10:00"), 1.0),
+      Event(3, 7, ts("2024-01-01 02:00:00"), 1.0), // gap > 30min -> new session
+      Event(4, 8, ts("2024-01-01 00:00:00"), 1.0)))
+
+    val q = sessionize(stream.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(Seq(Event(99, 9, ts("2024-02-01 00:00:00"), 0.0))) // advance watermark
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sess_out")
+      .filter(col("user_id") === 7L)
+      .as[SessionOut].collect().sortBy(_.session_seq)
+    // session 1 of user 7 must be closed by the gap with 2 events
+    assert(got.nonEmpty)
+    assert(got.head.session_seq == 1L && got.head.n_events == 2L)
+    assert(got.head.session_start == ts("2024-01-01 00:00:00").getTime / 1000)
+    assert(got.head.session_end == ts("2024-01-01 00:10:00").getTime / 1000)
+  }
+}
