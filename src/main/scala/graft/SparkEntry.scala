@@ -148,6 +148,10 @@ object SparkEntry {
     "q_dedup_embcos" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.4)),
 
+    // ---- extension: as-of join (time-series point-in-time lookup) ----
+    "q_asof_join" -> ((s, dir) =>
+      AsofJoin.eventsToLatestOrder(Tables.events(s, dir), Tables.orders(s, dir))),
+
     // ---- extension: multimodal binary columns (ext_multimodal) ----
     "q_mm_metadata" -> ((s, dir) =>
       Multimodal.asBinary(Tables.documents(s, dir))
@@ -489,6 +493,23 @@ object SparkEntry {
            |  FROM sk a JOIN sk b ON a.tbl = b.tbl AND a.key = b.key AND a.vec_id < b.vec_id),
            |s AS (SELECT a_id, b_id, ${cosSql("a_emb", "b_emb")} AS cos FROM cand)
            |SELECT a_id, b_id, cos FROM s WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin,
+      "q_asof_join" ->
+        """WITH o AS (
+          |  SELECT user_id, t, o_orderkey, o_totalprice FROM (
+          |    SELECT o_custkey AS user_id,
+          |           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS t,
+          |           o_orderkey, o_totalprice,
+          |           row_number() OVER (PARTITION BY o_custkey,
+          |             CAST(floor(epoch(o_orderdate)) AS BIGINT)
+          |             ORDER BY o_orderkey DESC) AS rn
+          |    FROM orders) x WHERE rn = 1),
+          |e AS (SELECT event_id, user_id,
+          |        CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events)
+          |SELECT e.event_id, e.user_id, e.ts_sec,
+          |       o.o_orderkey AS matched_order, o.o_totalprice AS matched_price
+          |FROM e ASOF LEFT JOIN o
+          |  ON e.user_id = o.user_id AND e.ts_sec >= o.t
+          |ORDER BY e.event_id""".stripMargin,
       "q_mm_metadata" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
           |       lower(hex(encode(substr(text, 1, 4)))) AS magic,

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+import graft.sources.Tables
+
+class AsofSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of join picks the latest right row at or before each event") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, 7L, ts("1995-06-01 00:00:00")),
+      (2L, 7L, ts("1997-01-01 00:00:00")),
+      (3L, 8L, ts("1995-01-01 00:00:00"))   // user with no prior order
+    ).toDF("event_id", "user_id", "ts")
+    val orders = Seq(
+      (100L, 7L, ts("1995-01-01 00:00:00"), 10.0),
+      (200L, 7L, ts("1996-05-05 00:00:00"), 20.0),
+      (300L, 9L, ts("1990-01-01 00:00:00"), 30.0)
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val r = AsofJoin.eventsToLatestOrder(events, orders).collect()
+    assert(r(0).getLong(3) == 100L)          // event 1 -> order of 1995-01-01
+    assert(r(1).getLong(3) == 200L)          // event 2 -> order of 1996-05-05
+    assert(r(2).isNullAt(3))                 // user 8: no order -> null (left)
+  }
+
+  test("as-of tie at equal timestamps matches (<= semantics), dedup keeps max orderkey") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq((1L, 7L, ts("1995-01-01 00:00:00"))).toDF("event_id", "user_id", "ts")
+    val orders = Seq(
+      (100L, 7L, ts("1995-01-01 00:00:00"), 10.0),
+      (101L, 7L, ts("1995-01-01 00:00:00"), 11.0) // same instant: 101 wins
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val r = AsofJoin.eventsToLatestOrder(events, orders).first()
+    assert(r.getLong(3) == 101L)
+  }
+
+  test("salted join result is identical to the plain join") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_orderpriority")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = li.join(o, Seq("l_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
+      .orderBy("o_orderpriority").collect()
+    val saltedJ = SkewJoin.salted(li, o, Seq("l_orderkey"), col("l_orderkey"), 8)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
+      .orderBy("o_orderpriority").collect()
+    assert(plain.toSeq == saltedJ.toSeq)
+  }
+
+  test("GraftExtensions exposes the native expressions as SQL functions") {
+    graft.GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT cosine_similarity(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c,
+        |       sorted_intersect_count(array('a','b'), array('b','c')) AS i,
+        |       simhash32(array('x','y')) AS sh,
+        |       rolling_hash32('ab') AS rh""".stripMargin).first()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getLong(1) == 1L)
+    assert(r.getLong(3) == ('a'.toInt * 31 + 'b'.toInt).toLong)
+  }
+}
