@@ -105,6 +105,10 @@ object SparkEntry {
     "q_semi_anti"          -> ((s, dir) => Relational.semiAnti(s, dir)),
     "q_distinct_agg"       -> ((s, dir) => Relational.distinctAgg(s, dir)),
     "q_rollup"             -> ((s, dir) => Relational.rollupCounts(s, dir)),
+    "q_cube"               -> ((s, dir) => Relational.cubeCounts(s, dir)),
+    "q_pivot"              -> ((s, dir) => Relational.pivotByStatus(s, dir)),
+    "q_quantiles"          -> ((s, dir) => Relational.quantiles(s, dir)),
+    "q_corr_manual"        -> ((s, dir) => Relational.corrManual(s, dir)),
 
     // ---- extension: text analysis (ext_text_*) ----
     "q_text_tokens" -> ((s, dir) =>
@@ -493,6 +497,35 @@ object SparkEntry {
            |  FROM sk a JOIN sk b ON a.tbl = b.tbl AND a.key = b.key AND a.vec_id < b.vec_id),
            |s AS (SELECT a_id, b_id, ${cosSql("a_emb", "b_emb")} AS cos FROM cand)
            |SELECT a_id, b_id, cos FROM s WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin,
+      "q_cube" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n
+          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+      "q_pivot" ->
+        """SELECT l_returnflag,
+          |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS F,
+          |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS O,
+          |  CAST(sum(CASE WHEN l_linestatus = 'P' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS P
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "q_quantiles" ->
+        """SELECT l_returnflag,
+          |  quantile_cont(l_quantity, 0.25) AS q25,
+          |  quantile_cont(l_quantity, 0.5) AS q50,
+          |  quantile_cont(l_quantity, 0.75) AS q75
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "q_corr_manual" ->
+        """WITH m AS (
+          |  SELECT l_returnflag, count(*) AS n,
+          |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+          |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+          |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy,
+          |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+          |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy
+          |  FROM lineitem GROUP BY l_returnflag)
+          |SELECT l_returnflag,
+          |  CAST(n * sxy - sx * sy AS DOUBLE) /
+          |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price
+          |FROM m ORDER BY l_returnflag""".stripMargin,
       "q_asof_join" ->
         """WITH o AS (
           |  SELECT user_id, t, o_orderkey, o_totalprice FROM (

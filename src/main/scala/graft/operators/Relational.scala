@@ -119,6 +119,56 @@ object Relational {
            count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** CUBE totals over both grouping dimensions. */
+  def cubeCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Pivot: quantity totals by return flag, one column per line status. */
+  def pivotByStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O", "P"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)"))
+      .orderBy("l_returnflag")
+
+  /** Exact interpolated quantiles per group (continuous percentile). */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_quantity"), lit(0.25)).as("q25"),
+        percentile(col("l_quantity"), lit(0.5)).as("q50"),
+        percentile(col("l_quantity"), lit(0.75)).as("q75"))
+      .orderBy("l_returnflag")
+
+  /** Pearson correlation computed from DECIMAL-exact moments — the built-in
+    * corr() uses incremental (Welford-style) accumulation whose result
+    * depends on partition order; exact integer/decimal sums make the final
+    * double arithmetic identical across engines and runs. The same pattern
+    * applies to any second-moment statistic at scale. */
+  def corrManual(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,2)")
+    val y = col("l_extendedprice").cast("decimal(18,2)")
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * y).cast("decimal(38,4)")).as("sxy"),
+        sum((x * x).cast("decimal(38,4)")).as("sxx"),
+        sum((y * y).cast("decimal(38,4)")).as("syy"))
+      .select(
+        col("l_returnflag"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** ROLLUP hierarchy totals. */
   def rollupCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
