@@ -109,6 +109,9 @@ object SparkEntry {
     "q_pivot"              -> ((s, dir) => Relational.pivotByStatus(s, dir)),
     "q_quantiles"          -> ((s, dir) => Relational.quantiles(s, dir)),
     "q_corr_manual"        -> ((s, dir) => Relational.corrManual(s, dir)),
+    // no oracle (sketches aren't DuckDB-reproducible): driver rows-only check;
+    // accuracy vs exact is unit-tested in RelationalSketchSpec
+    "q_approx_sketch"      -> ((s, dir) => Relational.approxSketches(s, dir)),
 
     // ---- extension: text analysis (ext_text_*) ----
     "q_text_tokens" -> ((s, dir) =>

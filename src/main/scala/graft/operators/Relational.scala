@@ -169,6 +169,20 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Sketch aggregates: HyperLogLog++ distinct counts and t-digest-style
+    * approximate quantiles — the constant-memory forms for 100 TB cardinality
+    * work. Deterministic for a given input (sketches are
+    * deterministic algorithms), but not DuckDB-reproducible, so the driver
+    * records a rows-only check; accuracy vs exact is unit-tested instead. */
+  def approxSketches(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_median"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
   /** ROLLUP hierarchy totals. */
   def rollupCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)

@@ -30,6 +30,14 @@ object StreamingOps {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup on event_id with watermark-bounded state — the
+    * streaming twin of `Dedup.keepFirst` for at-least-once sources. State for
+    * an id is dropped once the watermark passes it (bounded memory). */
+  def dedupEvents(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicates("event_id")
+
   case class Event(event_id: Long, user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(sessionSeq: Long, lastSec: Long, nEvents: Long, startSec: Long)
   case class SessionOut(user_id: Long, session_seq: Long, n_events: Long,

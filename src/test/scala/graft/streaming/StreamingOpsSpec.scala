@@ -51,6 +51,25 @@ class StreamingOpsSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b, s"$s != $b") }
   }
 
+  test("streaming dedup drops replayed event_ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    stream.addData(Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.0),
+      (2L, ts("2024-01-01 00:01:00"), 2.0),
+      (1L, ts("2024-01-01 00:00:00"), 1.0),   // replay of event 1
+      (2L, ts("2024-01-01 00:01:30"), 2.5)))  // replayed id, later ts
+    val q = StreamingOps.dedupEvents(
+        stream.toDF().toDF("event_id", "ts", "value"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("dedup_out").orderBy("event_id")
+      .as[(Long, java.sql.Timestamp, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 2L)) // each id exactly once
+  }
+
   test("streaming sessionization closes sessions on gap and emits batch-equal results") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
