@@ -159,6 +159,10 @@ object SparkEntry {
     "q_asof_join" -> ((s, dir) =>
       AsofJoin.eventsToLatestOrder(Tables.events(s, dir), Tables.orders(s, dir))),
 
+    // ---- extension: time-series resample + forward fill ----
+    "q_resample_ffill" -> ((s, dir) =>
+      Resample.ffill(Tables.events(s, dir))),
+
     // ---- extension: multimodal binary columns (ext_multimodal) ----
     "q_mm_metadata" -> ((s, dir) =>
       Multimodal.asBinary(Tables.documents(s, dir))
@@ -546,6 +550,28 @@ object SparkEntry {
           |FROM e ASOF LEFT JOIN o
           |  ON e.user_id = o.user_id AND e.ts_sec >= o.t
           |ORDER BY e.event_id""".stripMargin,
+      "q_resample_ffill" ->
+        """WITH obs AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+          |                    event_id, value FROM events),
+          |b AS (SELECT user_id,
+          |        CAST(floor(min(t) / 3600) * 3600 AS BIGINT) AS lo,
+          |        CAST(floor(max(t) / 3600) * 3600 AS BIGINT) AS hi
+          |      FROM obs GROUP BY user_id),
+          |grid AS (SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS t FROM b),
+          |tagged AS (
+          |  SELECT user_id, t, 0 AS side, event_id, value FROM obs
+          |  UNION ALL
+          |  SELECT user_id, t, 1 AS side, NULL AS event_id, NULL AS value FROM grid),
+          |f AS (SELECT user_id, t, side,
+          |  last_value(value IGNORE NULLS) OVER
+          |    (PARTITION BY user_id ORDER BY t, side, event_id NULLS LAST
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value,
+          |  last_value(event_id IGNORE NULLS) OVER
+          |    (PARTITION BY user_id ORDER BY t, side, event_id NULLS LAST
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_event
+          |  FROM tagged)
+          |SELECT user_id, t AS slot_sec, ffill_event, ffill_value
+          |FROM f WHERE side = 1 ORDER BY user_id, slot_sec""".stripMargin,
       "q_mm_metadata" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
           |       lower(hex(encode(substr(text, 1, 4)))) AS magic,

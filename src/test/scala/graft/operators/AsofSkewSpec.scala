@@ -38,6 +38,23 @@ class AsofSkewSpec extends SparkSpec {
     assert(r.getLong(3) == 101L)
   }
 
+  test("resample+ffill: grid covers [floor(min), floor(max)], observation on a slot wins, gaps carry forward") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, 7L, ts("2024-01-01 00:00:00"), 10.0), // exactly on slot 0
+      (2L, 7L, ts("2024-01-01 00:30:00"), 20.0), // mid-slot
+      (3L, 7L, ts("2024-01-01 03:10:00"), 30.0)  // 2-hour gap before this
+    ).toDF("event_id", "user_id", "ts", "value")
+    val r = Resample.ffill(events, 3600L).collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getDouble(3)))
+    val base = ts("2024-01-01 00:00:00").getTime / 1000
+    assert(r.toSeq == Seq(
+      (base, 1L, 10.0),              // slot 00: the on-slot observation wins
+      (base + 3600, 2L, 20.0),       // slot 01: ffill from 00:30
+      (base + 7200, 2L, 20.0),       // slot 02: gap carried forward
+      (base + 10800, 2L, 20.0)))     // slot 03: 03:10 is AFTER the slot -> still 20
+  }
+
   test("salted join result is identical to the plain join") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_orderpriority")
