@@ -159,6 +159,12 @@ object SparkEntry {
     "q_asof_join" -> ((s, dir) =>
       AsofJoin.eventsToLatestOrder(Tables.events(s, dir), Tables.orders(s, dir))),
 
+    // ---- scalar function batteries + intersect ----
+    "q_scalar_strings" -> ((s, dir) => Scalars.stringBattery(s, dir)),
+    "q_scalar_dates"   -> ((s, dir) => Scalars.dateBattery(s, dir)),
+    "q_scalar_arrays"  -> ((s, dir) => Scalars.arrayBattery(s, dir)),
+    "q_intersect"      -> ((s, dir) => Scalars.intersectOp(s, dir)),
+
     // ---- extension: time-series resample + forward fill ----
     "q_resample_ffill" -> ((s, dir) =>
       Resample.ffill(Tables.events(s, dir))),
@@ -550,6 +556,54 @@ object SparkEntry {
           |FROM e ASOF LEFT JOIN o
           |  ON e.user_id = o.user_id AND e.ts_sec >= o.t
           |ORDER BY e.event_id""".stripMargin,
+      "q_scalar_strings" ->
+        """SELECT doc_id,
+          |  upper(lang) AS s_upper, lower(source) AS s_lower,
+          |  CAST(length(text) AS BIGINT) AS s_len,
+          |  substr(text, 3, 10) AS s_substr,
+          |  concat_ws('|', lang, source) AS s_concat,
+          |  trim('  x  ') AS s_trim,
+          |  lpad(lang, 5, '_') AS s_lpad, rpad(lang, 5, '_') AS s_rpad,
+          |  replace(source, 'src', 'origin') AS s_replace,
+          |  string_split(text, ' ')[1] AS s_first_tok,
+          |  regexp_extract(text, '([a-z]+)', 1) AS s_re_first,
+          |  reverse(lang) AS s_reverse,
+          |  CAST(instr(text, 'the') AS BIGINT) AS s_instr,
+          |  left(text, 5) AS s_left,
+          |  repeat(lang, 2) AS s_repeat
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_scalar_dates" ->
+        """SELECT event_id,
+          |  CAST(year(ts) AS BIGINT) AS d_year,
+          |  CAST(month(ts) AS BIGINT) AS d_month,
+          |  CAST(day(ts) AS BIGINT) AS d_day,
+          |  CAST(hour(ts) AS BIGINT) AS d_hour,
+          |  CAST(minute(ts) AS BIGINT) AS d_minute,
+          |  CAST(dayofyear(ts) AS BIGINT) AS d_doy,
+          |  CAST(isodow(ts) AS BIGINT) AS d_isodow,
+          |  date_trunc('day', ts) AS d_trunc_day,
+          |  CAST(CAST(ts AS DATE) + INTERVAL 30 DAY AS DATE) AS d_plus30,
+          |  last_day(CAST(ts AS DATE)) AS d_last_day,
+          |  CAST(quarter(ts) AS BIGINT) AS d_quarter
+          |FROM events ORDER BY event_id""".stripMargin,
+      "q_scalar_arrays" ->
+        """SELECT vec_id,
+          |  CAST(len(embedding) AS BIGINT) AS a_size,
+          |  CAST(embedding[1] AS DOUBLE) AS a_first,
+          |  CAST(embedding[-1] AS DOUBLE) AS a_last,
+          |  CAST(list_max(embedding) AS DOUBLE) AS a_max,
+          |  CAST(list_min(embedding) AS DOUBLE) AS a_min,
+          |  CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS a_argmax,
+          |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS a_n_pos,
+          |  list_reduce(list_prepend(0.0, list_transform(embedding,
+          |    x -> CAST(x AS DOUBLE))), (a, b) -> a + b) AS a_sum,
+          |  CAST(list_sort(embedding[1:4])[1] AS DOUBLE) AS a_sorted_head
+          |FROM embeddings ORDER BY vec_id""".stripMargin,
+      "q_intersect" ->
+        """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          |INTERSECT
+          |SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+          |ORDER BY c_custkey""".stripMargin,
       "q_resample_ffill" ->
         """WITH obs AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
           |                    event_id, value FROM events),
