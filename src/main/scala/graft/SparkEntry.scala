@@ -59,7 +59,7 @@ object SparkEntry {
     "q_range_halfopen" -> ((s, dir) =>
       RowOps.rangeHalfOpen(li(s, dir), "ts_epoch", lit(820454400L), lit(852076800L))
         .select(col("l_orderkey"), col("l_linenumber"), col("ts_epoch"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "ts_epoch")),
     "q_pred_gt_proj" -> ((s, dir) =>
       RowOps.project(
         RowOps.greaterThan(li(s, dir), "ts_epoch", lit(Start)), Seq("ts_epoch"))
@@ -67,7 +67,8 @@ object SparkEntry {
     "q_stringify" -> ((s, dir) =>
       RowOps.stringifyAll(
         li(s, dir).select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"))
-        .orderBy(col("l_orderkey").cast("long"), col("l_linenumber").cast("long"))),
+        .orderBy(col("l_orderkey").cast("long"), col("l_linenumber").cast("long"),
+          col("l_returnflag"), col("l_linestatus"))),
     "q_null_literal" -> ((s, dir) =>
       RowOps.dropNullLiterals(
         Tables.documents(s, dir).select("doc_id", "source", "lang"), Seq("source", "lang"))
@@ -77,7 +78,7 @@ object SparkEntry {
         Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"),
         Seq("l_orderkey" -> "BIGINT", "l_linenumber" -> "INTEGER",
             "l_quantity" -> "DOUBLE", "l_returnflag" -> "NVARCHAR"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
 
     // ---- §2.1 sources / sinks ----
     "q_inline_chunks" -> ((s, _) =>
@@ -93,7 +94,8 @@ object SparkEntry {
       org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(out), true)
       AppendSink.appendParquet(src, out)
-      AppendSink.readBack(s, out).orderBy("l_orderkey", "l_linenumber")
+      AppendSink.readBack(s, out)
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag")
     }),
 
     // ---- §2.5 relational algebra (absent in ref, table stakes here) ----
@@ -158,6 +160,13 @@ object SparkEntry {
     // ---- extension: as-of join (time-series point-in-time lookup) ----
     "q_asof_join" -> ((s, dir) =>
       AsofJoin.eventsToLatestOrder(Tables.events(s, dir), Tables.orders(s, dir))),
+
+    // ---- capstone: the reference's entire pipeline composed end-to-end ----
+    // chunkSize scaled up so the branch-per-chunk union stays plannable
+    // (ref default is 1M rows/chunk for the same reason)
+    "q_ref_pipeline" -> ((s, dir) =>
+      RefPipeline.run(s, dir, cfg.copy(chunkSize = 10000L),
+        "/tmp/graft_ref_pipeline_sink")),
 
     // ---- scalar function batteries + intersect ----
     "q_scalar_strings" -> ((s, dir) => Scalars.stringBattery(s, dir)),
@@ -260,7 +269,7 @@ object SparkEntry {
           |FROM lineitem
           |WHERE CAST(floor(epoch(l_shipdate)) AS BIGINT) >= 820454400
           |  AND CAST(floor(epoch(l_shipdate)) AS BIGINT) < 852076800
-          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+          |ORDER BY l_orderkey, l_linenumber, ts_epoch""".stripMargin,
       "q_pred_gt_proj" ->
         s"""SELECT CAST(floor(epoch(l_shipdate)) AS BIGINT) AS ts_epoch
            |FROM lineitem WHERE CAST(floor(epoch(l_shipdate)) AS BIGINT) > $Start
@@ -270,7 +279,8 @@ object SparkEntry {
           |       CAST(l_linenumber AS VARCHAR) AS l_linenumber,
           |       CAST(l_returnflag AS VARCHAR) AS l_returnflag,
           |       CAST(l_linestatus AS VARCHAR) AS l_linestatus
-          |FROM lineitem ORDER BY CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS BIGINT)""".stripMargin,
+          |FROM lineitem ORDER BY CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS BIGINT),
+          |  l_returnflag, l_linestatus""".stripMargin,
       "q_null_literal" ->
         """SELECT doc_id,
           |       CASE WHEN lower(CAST(source AS VARCHAR)) = 'null' THEN NULL ELSE CAST(source AS VARCHAR) END AS source,
@@ -281,7 +291,7 @@ object SparkEntry {
           |       CAST(l_linenumber AS BIGINT) AS l_linenumber,
           |       CAST(l_quantity AS DOUBLE) AS l_quantity,
           |       CAST(l_returnflag AS VARCHAR) AS l_returnflag
-          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+          |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
       "q_inline_chunks" ->
         s"""SELECT CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi
            |FROM (VALUES ($Start, 820454400), (820454400, 852076800),
@@ -289,7 +299,7 @@ object SparkEntry {
            |ORDER BY lo""".stripMargin,
       "q_append_sink" ->
         """SELECT l_orderkey, l_linenumber, l_returnflag
-          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+          |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_returnflag""".stripMargin,
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
@@ -556,6 +566,16 @@ object SparkEntry {
           |FROM e ASOF LEFT JOIN o
           |  ON e.user_id = o.user_id AND e.ts_sec >= o.t
           |ORDER BY e.event_id""".stripMargin,
+      "q_ref_pipeline" ->
+        s"""SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
+           |       CAST(l_linenumber AS VARCHAR) AS l_linenumber,
+           |       CASE WHEN lower(l_returnflag) = 'null' THEN NULL ELSE l_returnflag END AS l_returnflag,
+           |       CASE WHEN lower(l_linestatus) = 'null' THEN NULL ELSE l_linestatus END AS l_linestatus,
+           |       CAST(CAST(floor(epoch(l_shipdate)) AS BIGINT) AS VARCHAR) AS ts_epoch
+           |FROM lineitem
+           |WHERE CAST(floor(epoch(l_shipdate)) AS BIGINT) > $Start
+           |ORDER BY CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS BIGINT),
+           |  l_returnflag, l_linestatus, CAST(ts_epoch AS BIGINT)""".stripMargin,
       "q_scalar_strings" ->
         """SELECT doc_id,
           |  upper(lang) AS s_upper, lower(source) AS s_lower,

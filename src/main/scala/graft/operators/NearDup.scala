@@ -129,7 +129,10 @@ object NearDup {
     val dfreq = tokens.groupBy("tok").agg(count(lit(1)).as("df"))
     val wRare = Window.partitionBy("doc_id").orderBy(col("df").asc, col("tok").asc)
     val prefixLen = (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int")
-    val prefixes = tokens.join(dfreq, "tok")
+    // document-frequency table is the (distinct) shingle vocabulary — grows
+    // sublinearly with the corpus; broadcast it so the 50x larger token
+    // stream never shuffles for this join
+    val prefixes = tokens.join(broadcast(dfreq), "tok")
       .withColumn("__r", row_number().over(wRare))
       .filter(col("__r") <= prefixLen)
       .select("doc_id", "tok")

@@ -32,6 +32,14 @@ class BucketedJoinSpec extends AnyFunSuite {
 
   test("bucketed tables join with zero exchanges; unbucketed join shuffles both sides") {
     val sf = "/root/testdata/sf0.001"
+    // catalog is per-JVM but table locations persist on disk: clear both
+    Seq("li_b", "o_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+    }
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_quantity")
     val o = spark.read.parquet(s"$sf/orders.parquet")
