@@ -11,8 +11,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // session warmup so the first timed query doesn't absorb codegen/classload
-    // costs (~5s) that belong to the JVM, not the plan
+    // and parquet-reader init costs (~3-5s) that belong to the JVM, not the plan
     spark.range(1000).selectExpr("sum(id) s").write.format("noop").mode("overwrite").save()
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_name").count().write.format("noop").mode("overwrite").save()
     // noop sink: forces full materialization of every column (count() would
     // let Spark prune all columns and skip the actual work).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -108,6 +108,7 @@ object SparkEntry {
     "q_distinct_agg"       -> ((s, dir) => Relational.distinctAgg(s, dir)),
     "q_rollup"             -> ((s, dir) => Relational.rollupCounts(s, dir)),
     "q_cube"               -> ((s, dir) => Relational.cubeCounts(s, dir)),
+    "q_grouping_sets"      -> ((s, dir) => Relational.groupingSets(s, dir)),
     "q_pivot"              -> ((s, dir) => Relational.pivotByStatus(s, dir)),
     "q_quantiles"          -> ((s, dir) => Relational.quantiles(s, dir)),
     "q_corr_manual"        -> ((s, dir) => Relational.corrManual(s, dir)),
@@ -162,11 +163,8 @@ object SparkEntry {
       AsofJoin.eventsToLatestOrder(Tables.events(s, dir), Tables.orders(s, dir))),
 
     // ---- capstone: the reference's entire pipeline composed end-to-end ----
-    // chunkSize scaled up so the branch-per-chunk union stays plannable
-    // (ref default is 1M rows/chunk for the same reason)
     "q_ref_pipeline" -> ((s, dir) =>
-      RefPipeline.run(s, dir, cfg.copy(chunkSize = 10000L),
-        "/tmp/graft_ref_pipeline_sink")),
+      RefPipeline.run(s, dir, cfg, "/tmp/graft_ref_pipeline_sink")),
 
     // ---- scalar function batteries + intersect ----
     "q_scalar_strings" -> ((s, dir) => Scalars.stringBattery(s, dir)),
@@ -524,6 +522,12 @@ object SparkEntry {
         """SELECT l_returnflag, l_linestatus, count(*) AS n
           |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+      "q_grouping_sets" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |       CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, gid""".stripMargin,
       "q_pivot" ->
         """SELECT l_returnflag,
           |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS F,

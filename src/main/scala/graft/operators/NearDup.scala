@@ -103,7 +103,11 @@ object NearDup {
 
   /** End-to-end MinHash/LSH near-dup pairs above a Jaccard threshold. */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.5, words: Int = 3): DataFrame = {
-    val sigs = signatures(docs, words)
+    // the signature table feeds 4 plan branches (both self-join sides of the
+    // band join + both verify sides); checkpointing materializes the sketch
+    // pass once instead of 4x — at 100 TB this is the "sketch once, reuse"
+    // discipline, not an optimization detail
+    val sigs = signatures(docs, words).localCheckpoint(false)
     jaccardVerify(lshCandidates(sigs), sigs)
       .filter(col("jaccard") >= threshold)
       .orderBy("a_id", "b_id")
@@ -123,7 +127,7 @@ object NearDup {
     * Output is IDENTICAL to the brute-force join (the DuckDB oracle runs the
     * brute form to prove it), but the join touches only rare tokens. */
   def jaccardJoin(docs: DataFrame, threshold: Double = 0.5, words: Int = 3): DataFrame = {
-    val sigs = signatures(docs, words).select("doc_id", "sh")
+    val sigs = signatures(docs, words).select("doc_id", "sh").localCheckpoint(false)
     val tokens = sigs.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("tok"))
     val dfreq = tokens.groupBy("tok").agg(count(lit(1)).as("df"))

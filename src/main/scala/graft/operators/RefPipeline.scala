@@ -31,8 +31,14 @@ object RefPipeline {
       .withColumn(cfg.timestampColumn,
         col("l_shipdate").cast("timestamp").cast("long"))
 
-    // 2. chunk plan (distributed form; parity form is plan-identical)
-    val intervals = Chunking.plan(src, cfg, Seq("l_orderkey", "l_linenumber"))
+    // 2. chunk plan (distributed form; parity form is plan-identical).
+    // chunkSize is scaled to the table so the branch count stays bounded —
+    // the reference's 1M-row default serves the same purpose: chunks are a
+    // parallelism unit, not a fixed row quota. Without row-group ordering on
+    // ts, every union branch re-scans the file, so branch count is a real cost.
+    val n = src.count()
+    val sized = cfg.copy(chunkSize = math.max(1L, n / 15))
+    val intervals = Chunking.plan(src, sized, Seq("l_orderkey", "l_linenumber"))
       .collect().map(r => (r.getLong(1), r.getLong(2)))
 
     // 3. one scan branch per chunk — the reference's chunk-per-worker model;

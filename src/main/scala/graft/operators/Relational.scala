@@ -119,6 +119,17 @@ object Relational {
            count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Explicit GROUPING SETS with grouping_id — finer than rollup/cube. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first, col("gid"))
+
   /** CUBE totals over both grouping dimensions. */
   def cubeCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
