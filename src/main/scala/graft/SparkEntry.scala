@@ -157,6 +157,8 @@ object SparkEntry {
       Similarity.lshTopK(Tables.embeddings(s, dir))),
     "q_dedup_embcos" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.4)),
+    "q_sim_topk_ivf" -> ((s, dir) =>
+      IvfIndex.topK(Tables.embeddings(s, dir))),
 
     // ---- extension: as-of join (time-series point-in-time lookup) ----
     "q_asof_join" -> ((s, dir) =>
@@ -511,6 +513,48 @@ object SparkEntry {
            |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
            |      FROM s)
            |SELECT q_id, rk, n_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+      "q_sim_topk_ivf" -> {
+        val ivfCommon =
+          """ve AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+            |          CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+            |        FROM embeddings CROSS JOIN range(1, 65) r(i)),
+            |seed AS (SELECT vec_id, vec_id % 8 AS list FROM embeddings),
+            |c0 AS (SELECT list, dim,
+            |         CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+            |       FROM ve JOIN seed USING (vec_id) GROUP BY list, dim),
+            |d0 AS (SELECT vec_id, list,
+            |         sum(CAST((v - c) * (v - c) AS DECIMAL(38,18))) AS dist2
+            |       FROM ve JOIN c0 USING (dim) GROUP BY vec_id, list),
+            |a1 AS (SELECT vec_id, list FROM (
+            |         SELECT vec_id, list,
+            |           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, list) AS rn
+            |         FROM d0) x WHERE rn = 1),
+            |c1 AS (SELECT list, dim,
+            |         CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+            |       FROM ve JOIN a1 USING (vec_id) GROUP BY list, dim),
+            |d1 AS (SELECT vec_id, list,
+            |         sum(CAST((v - c) * (v - c) AS DECIMAL(38,18))) AS dist2
+            |       FROM ve JOIN c1 USING (dim) GROUP BY vec_id, list),
+            |a2 AS (SELECT vec_id, list FROM (
+            |         SELECT vec_id, list,
+            |           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, list) AS rn
+            |         FROM d1) x WHERE rn = 1),
+            |probes AS (SELECT vec_id AS q_id, list FROM (
+            |         SELECT vec_id, list,
+            |           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, list) AS rn
+            |         FROM d1 WHERE vec_id < 8) x WHERE rn <= 2),
+            |cand AS (SELECT DISTINCT q_id, m.vec_id AS n_id
+            |         FROM probes JOIN a2 m USING (list) WHERE q_id <> m.vec_id),
+            |v2 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            |       FROM embeddings)""".stripMargin
+        s"""WITH $ivfCommon,
+           |s AS (SELECT q_id, n_id, ${cosSql("q.emb", "n.emb")} AS cos
+           |      FROM cand JOIN v2 q ON q.vec_id = q_id JOIN v2 n ON n.vec_id = n_id),
+           |r AS (SELECT q_id, n_id, cos,
+           |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
+           |      FROM s)
+           |SELECT q_id, rk, n_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+      },
       "q_dedup_embcos" ->
         s"""WITH $sketchCte,
            |cand AS (SELECT DISTINCT a.vec_id AS a_id, a.emb AS a_emb,

@@ -81,6 +81,26 @@ class NearDupSimSpec extends SparkSpec {
     }
   }
 
+  test("IVF assignments partition the corpus; probing more lists raises recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val assign = IvfIndex.assignments(emb, nLists = 8)
+    assert(assign.count() == n)                       // every vector in exactly one list
+    assert(assign.select("list").distinct().count() <= 8)
+
+    def recall(nProbe: Int): Double = {
+      val brute = Similarity.bruteForceTopK(emb, 4, 5)
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      val ivf = IvfIndex.topK(emb, 4, 5, 8, nProbe)
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      ivf.intersect(brute).size.toDouble / brute.size
+    }
+    val r2 = recall(2)
+    val r8 = recall(8)
+    assert(r8 == 1.0, s"probing all lists must be exact, got $r8")
+    assert(r2 <= r8)
+  }
+
   test("LSH top-k neighbors are a subset of the corpus with valid cosines") {
     val emb = Tables.embeddings(spark, sf)
     val lsh = Similarity.lshTopK(emb, nQueries = 4, k = 5).collect()
