@@ -20,4 +20,12 @@ object AppendSink {
 
   def readBack(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Hive-style partitioned append — the 100 TB table layout: partition
+    * columns become directories, so date/tenant predicates prune entire
+    * partitions at planning time (verified by `PartitionedSinkSpec`: the scan
+    * shows the predicate under PartitionFilters, not as a row filter). */
+  def appendPartitioned(df: DataFrame, path: String,
+                        partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path)
 }
