@@ -15,7 +15,7 @@ object RowOps {
     * string form, keeping names. Spark `cast(string)` stands in for Java
     * `toString()` (divergences on decimals/timestamps documented SURVEY.md §7.4). */
   def stringifyAll(df: DataFrame): DataFrame =
-    df.select(df.columns.map(c => col(c).cast(StringType).as(c)): _*)
+    df.select(df.columns.toIndexedSeq.map(c => col(c).cast(StringType).as(c)): _*)
 
   /** `filt_null_literal` (`HanaDBRowToTableRowFn.java:33-35`): a value whose
     * string form is case-insensitively "null" is dropped (becomes SQL NULL).
@@ -29,7 +29,7 @@ object RowOps {
 
   def dropNullLiterals(df: DataFrame, cols: Seq[String]): DataFrame = {
     val set = cols.toSet
-    df.select(df.columns.map { c =>
+    df.select(df.columns.toIndexedSeq.map { c =>
       if (set(c)) nullLiteralToNull(col(c)).as(c) else col(c)
     }: _*)
   }

@@ -38,6 +38,17 @@ object StreamingOps {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicates("event_id")
 
+  /** Streaming CONTENT dedup: normalized-text md5 fingerprint as the dedup
+    * key (the streaming twin of `Dedup.exactText`) — re-ingested or mirrored
+    * documents are dropped even when their ids differ. State = one fingerprint
+    * per distinct content within the watermark horizon. */
+  def dedupByFingerprint(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp",
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicates("fp")
+
   case class Event(event_id: Long, user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(sessionSeq: Long, lastSec: Long, nEvents: Long, startSec: Long)
   case class SessionOut(user_id: Long, session_seq: Long, n_events: Long,

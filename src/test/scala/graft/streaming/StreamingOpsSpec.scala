@@ -70,6 +70,24 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == Seq(1L, 2L)) // each id exactly once
   }
 
+  test("streaming content dedup drops same-text documents with different ids") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    stream.addData(Seq(
+      (1L, "Hello,   World!", ts("2024-01-01 00:00:00")),
+      (2L, "hello world", ts("2024-01-01 00:01:00")),    // same content, new id
+      (3L, "different text", ts("2024-01-01 00:02:00"))))
+    val q = StreamingOps.dedupByFingerprint(
+        stream.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.outputMode("append").format("memory").queryName("fp_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.table("fp_out").select("doc_id")
+      .as[Long].collect().sorted
+    assert(ids.length == 2 && ids.head == 1L) // content-dup id 2 dropped
+  }
+
   test("streaming sessionization closes sessions on gap and emits batch-equal results") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
