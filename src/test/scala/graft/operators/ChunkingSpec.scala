@@ -53,6 +53,25 @@ class ChunkingSpec extends SparkSpec {
     assert(p.toSeq == Seq("ts >= 10 AND ts < 20", "ts >= 20 AND ts < 30"))
   }
 
+  test("no boundaries (empty/filtered-out input) -> the single [start, sentinel) interval") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("ts", "id")
+    val b = Chunking.boundaries(empty, "ts", Seq("id"), 10L, start)
+    assert(b.count() == 0)
+    val iv = Chunking.intervals(b, "ts", start)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(iv.toSeq == Seq((0L, start, graft.core.GraftConfig.Sentinel)))
+  }
+
+  test("chunkSize larger than the table -> same single covering interval") {
+    import spark.implicits._
+    val df = Seq((1000L, 1L), (2000L, 2L)).toDF("ts", "id")
+    val b = Chunking.boundaries(df, "ts", Seq("id"), 100L, 0L)
+    assert(b.count() == 0)
+    val iv = Chunking.intervals(b, "ts", 0L).collect()
+    assert(iv.length == 1)
+  }
+
   test("boundary count ~ rows/chunkSize") {
     val rows = li.filter(col("ts_epoch") > start).count()
     val k = Chunking.boundaries(li, "ts_epoch", tie, 100L, start).count()
