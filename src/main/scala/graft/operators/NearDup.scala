@@ -131,15 +131,19 @@ object NearDup {
     val tokens = sigs.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("tok"))
     val dfreq = tokens.groupBy("tok").agg(count(lit(1)).as("df"))
-    val wRare = Window.partitionBy("doc_id").orderBy(col("df").asc, col("tok").asc)
     val prefixLen = (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int")
     // document-frequency table is the (distinct) shingle vocabulary — grows
     // sublinearly with the corpus; broadcast it so the 50x larger token
-    // stream never shuffles for this join
+    // stream never shuffles for this join. Prefix selection is a per-row
+    // array_sort over each doc's ~|sh| (df, tok) pairs — NOT a global window
+    // sort over the whole token stream: same shuffle (by doc), far less sort.
     val prefixes = tokens.join(broadcast(dfreq), "tok")
-      .withColumn("__r", row_number().over(wRare))
-      .filter(col("__r") <= prefixLen)
-      .select("doc_id", "tok")
+      .groupBy("doc_id", "n_sh")
+      .agg(collect_list(struct(col("df"), col("tok"))).as("toks"))
+      .select(col("doc_id"),
+        explode(transform(
+          slice(array_sort(col("toks")), lit(1), prefixLen),
+          s => s.getField("tok"))).as("tok"))
     val aT = prefixes.select(col("doc_id").as("a_id"), col("tok"))
     val bT = prefixes.select(col("doc_id").as("b_id"), col("tok"))
     val cand = aT.join(bT, Seq("tok")).filter(col("a_id") < col("b_id"))
