@@ -131,6 +131,8 @@ object SparkEntry {
       JsonOps.extractProps(Tables.events(s, dir)).orderBy("event_id")),
     "q_window_events" -> ((s, dir) =>
       JsonOps.windowedCounts(Tables.events(s, dir))),
+    "q_window_sliding" -> ((s, dir) =>
+      JsonOps.slidingCounts(Tables.events(s, dir))),
     "q_sessionize" -> ((s, dir) =>
       JsonOps.sessionize(Tables.events(s, dir))),
 
@@ -416,6 +418,15 @@ object SparkEntry {
           |  count(*) AS n,
           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+      "q_window_sliding" ->
+        """WITH e AS (SELECT event_type, value, ts,
+          |             date_trunc('hour', ts) AS h FROM events),
+          |m AS (SELECT event_type, value,
+          |        unnest([h, h - INTERVAL 1 HOUR]) AS win_start FROM e)
+          |SELECT win_start, event_type, count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+          |FROM m GROUP BY win_start, event_type
+          |ORDER BY win_start, event_type""".stripMargin,
       "q_sessionize" ->
         """WITH e AS (
           |  SELECT user_id, event_id,

@@ -31,6 +31,18 @@ object JsonOps {
            sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
       .orderBy("hour_start", "event_type")
 
+  /** Sliding event-time windows: 2-hour windows sliding by 1 hour — each
+    * event contributes to 2 windows. Spark's `window(ts, len, slide)`
+    * enumerates member windows per row (a generator, not a self-join);
+    * the aggregation then shuffles once on (window_start, type). */
+  def slidingCounts(df: DataFrame): DataFrame =
+    df.groupBy(
+        window(col("ts"), "2 hours", "1 hour").getField("start").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+      .orderBy("win_start", "event_type")
+
   /** Gap-based sessionization: a new session starts when a user's inter-event
     * gap exceeds `gapSeconds`. Classic lag -> boundary flag -> running sum.
     * Second-granularity gap arithmetic (floored epoch) for cross-engine
