@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** End-to-end training-data curation — the use-case the extension operators
+  * exist for, composed into one declarative plan:
+  *
+  *   1. quality gate: length bounds + stopword-ratio floor (TextAnalysis)
+  *   2. language gate: predicted language must match the labeled one
+  *   3. exact dedup: one survivor per normalized-text fingerprint (Dedup)
+  *   4. near-dup removal: MinHash/LSH pairs above Jaccard 0.5; the larger
+  *      doc_id of each pair is dropped (NearDup)
+  *
+  * Everything stays lazy until the sink: Catalyst fuses the quality/language
+  * gates into the scan, and only gate-surviving documents reach the
+  * (shuffling) dedup stages — filter early, shuffle late, the core curation
+  * discipline at 100 TB. */
+object CurationPipeline {
+
+  val MinLen = 100L
+  val MaxLen = 520L
+  val MinStopRatio = 0.03
+
+  def keptDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+
+    val quality = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("len"), col("stop_ratio"))
+    val lang = TextAnalysis.langId(docs).select("doc_id", "pred_lang")
+
+    val gated = docs
+      .join(quality, "doc_id")
+      .join(lang, "doc_id")
+      .filter(col("len").between(MinLen, MaxLen) &&
+              col("stop_ratio") >= MinStopRatio &&
+              col("pred_lang") === col("lang"))
+      .select("doc_id", "text")
+
+    // one survivor (smallest doc_id) per exact normalized fingerprint
+    val exactSurvivors = Dedup.exactText(gated)
+      .select(col("survivor_id").as("doc_id"))
+      .join(gated, "doc_id")
+
+    // near-dup pairs among gate survivors; larger id of each pair dropped
+    val nearDupLosers = NearDup.minhashPairs(exactSurvivors, 0.5)
+      .select(col("b_id").as("doc_id")).distinct()
+
+    exactSurvivors.join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+}
