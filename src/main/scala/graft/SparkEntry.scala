@@ -166,6 +166,11 @@ object SparkEntry {
     "q_asof_join" -> ((s, dir) =>
       AsofJoin.eventsToLatestOrder(Tables.events(s, dir), Tables.orders(s, dir))),
 
+    // ---- extension: deterministic content-addressed train/val/test split ----
+    "q_train_split" -> ((s, dir) =>
+      Splits.assign(Tables.documents(s, dir).select("doc_id"), "doc_id")
+        .orderBy("doc_id")),
+
     // ---- capstone: end-to-end training-data curation ----
     "q_curation" -> ((s, dir) => CurationPipeline.keptDocuments(s, dir)),
 
@@ -628,6 +633,13 @@ object SparkEntry {
           |FROM e ASOF LEFT JOIN o
           |  ON e.user_id = o.user_id AND e.ts_sec >= o.t
           |ORDER BY e.event_id""".stripMargin,
+      "q_train_split" ->
+        """SELECT doc_id,
+          |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft_v1'), 1, 8)) AS BIGINT) % 100 AS bucket,
+          |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft_v1'), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+          |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft_v1'), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM documents ORDER BY doc_id""".stripMargin,
       "q_curation" ->
         """WITH q AS (
           |  SELECT doc_id, text, lang,

@@ -137,17 +137,32 @@ object NearDup {
     // stream never shuffles for this join. Prefix selection is a per-row
     // array_sort over each doc's ~|sh| (df, tok) pairs — NOT a global window
     // sort over the whole token stream: same shuffle (by doc), far less sort.
+    // prefix tokens WITH their rank in the df-sorted full token list — the
+    // position feeds PPJoin's positional filter below
     val prefixes = tokens.join(broadcast(dfreq), "tok")
       .groupBy("doc_id", "n_sh")
       .agg(collect_list(struct(col("df"), col("tok"))).as("toks"))
-      .select(col("doc_id"),
-        explode(transform(
+      .select(col("doc_id"), col("n_sh"),
+        posexplode(transform(
           slice(array_sort(col("toks")), lit(1), prefixLen),
-          s => s.getField("tok"))).as("tok"))
-    val aT = prefixes.select(col("doc_id").as("a_id"), col("tok"))
-    val bT = prefixes.select(col("doc_id").as("b_id"), col("tok"))
+          s => s.getField("tok"))).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), col("n_sh"), (col("pos0") + 1).as("pos"), col("tok"))
+    val aT = prefixes.select(col("doc_id").as("a_id"), col("n_sh").as("na"),
+      col("pos").as("pa"), col("tok"))
+    val bT = prefixes.select(col("doc_id").as("b_id"), col("n_sh").as("nb"),
+      col("pos").as("pb"), col("tok"))
+    // PPJoin positional filter: a matched token at ranks (pa, pb) can
+    // contribute at most min(na-pa, nb-pb)+1 total overlap; if no shared
+    // prefix token leaves enough headroom to reach the required overlap
+    // alpha = ceil(t/(1+t) * (na+nb)), the pair cannot qualify — sound
+    // pruning, result set unchanged (oracle runs the brute form).
+    val alpha = ceil(lit(threshold / (1 + threshold)) * (col("na") + col("nb")))
     val cand = aT.join(bT, Seq("tok")).filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+      .groupBy("a_id", "b_id")
+      .agg(max(least(col("na") - col("pa"), col("nb") - col("pb")) + 1).as("ub"),
+           first("na").as("na"), first("nb").as("nb"))
+      .filter(col("ub") >= alpha)
+      .select("a_id", "b_id")
     jaccardVerify(cand, sigs)
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
