@@ -166,6 +166,9 @@ object SparkEntry {
     "q_asof_join" -> ((s, dir) =>
       AsofJoin.eventsToLatestOrder(Tables.events(s, dir), Tables.orders(s, dir))),
 
+    // ---- extension: data-quality validation report ----
+    "q_validate" -> ((s, dir) => Validate.report(s, dir)),
+
     // ---- extension: deterministic content-addressed train/val/test split ----
     "q_train_split" -> ((s, dir) =>
       Splits.assign(Tables.documents(s, dir).select("doc_id"), "doc_id")
@@ -633,6 +636,26 @@ object SparkEntry {
           |FROM e ASOF LEFT JOIN o
           |  ON e.user_id = o.user_id AND e.ts_sec >= o.t
           |ORDER BY e.event_id""".stripMargin,
+      "q_validate" ->
+        """SELECT rule, n_violations FROM (
+          |  SELECT 'li_orderkey_null' AS rule,
+          |    count(*) FILTER (l_orderkey IS NULL) AS n_violations FROM lineitem
+          |  UNION ALL SELECT 'li_discount_range',
+          |    count(*) FILTER (l_discount < 0 OR l_discount > 1) FROM lineitem
+          |  UNION ALL SELECT 'li_quantity_nonpos',
+          |    count(*) FILTER (l_quantity <= 0) FROM lineitem
+          |  UNION ALL SELECT 'li_shipdate_null',
+          |    count(*) FILTER (l_shipdate IS NULL) FROM lineitem
+          |  UNION ALL SELECT 'doc_nchars_mismatch',
+          |    count(*) FILTER (n_chars <> length(text)) FROM documents
+          |  UNION ALL SELECT 'doc_lang_domain',
+          |    count(*) FILTER (lang IS NULL OR lang NOT IN ('en','de','fr','es','zh')) FROM documents
+          |  UNION ALL SELECT 'ord_orderkey_dup',
+          |    count(*) - count(DISTINCT o_orderkey) FROM orders
+          |  UNION ALL SELECT 'li_orphan_orderkey',
+          |    (SELECT count(*) FROM lineitem l
+          |     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+          |) t ORDER BY rule""".stripMargin,
       "q_train_split" ->
         """SELECT doc_id,
           |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft_v1'), 1, 8)) AS BIGINT) % 100 AS bucket,

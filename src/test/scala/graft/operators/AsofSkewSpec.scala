@@ -70,6 +70,31 @@ class AsofSkewSpec extends SparkSpec {
     assert(plain.toSeq == saltedJ.toSeq)
   }
 
+  test("content-addressed split is stable under repartitioning and roughly proportioned") {
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    val a = Splits.assign(docs, "doc_id").select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Splits.assign(docs.repartition(13), "doc_id").select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "split must not depend on partitioning")
+    val frac = a.values.count(_ == "train").toDouble / a.size
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac should be ~0.8")
+  }
+
+  test("validation report flags planted violations") {
+    import org.apache.spark.sql.functions._
+    val bad = Seq((1L, "abc", "en", 3L), (2L, "abcd", "xx", 99L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val mism = bad.select(
+      count(when(col("n_chars") =!= length(col("text")), 1)).as("m"),
+      count(when(!col("lang").isin("en", "de", "fr", "es", "zh"), 1)).as("l")).first()
+    assert(mism.getLong(0) == 1L && mism.getLong(1) == 1L)
+    // fixture itself is clean: every rule reports zero
+    val rep = Validate.report(spark, sf).collect()
+    assert(rep.forall(_.getLong(1) == 0L),
+      rep.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
+  }
+
   test("GraftExtensions exposes the native expressions as SQL functions") {
     graft.GraftExtensions.registerAll(spark)
     val r = spark.sql(
