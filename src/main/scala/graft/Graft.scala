@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.core.GraftConfig
+import graft.operators._
+import graft.sinks.AppendSink
+import graft.sources.{JdbcPartitionedSource, Tables}
+
+/** Single-import facade over the engine — the surface a user of the reference
+  * connector (or of any batch ETL + data-curation stack) programs against.
+  * Everything returns lazy DataFrames; nothing here adds semantics beyond the
+  * named operator modules (see OPERATORS.md for the full inventory and
+  * SCALE.md for the 100 TB design notes).
+  *
+  * {{{
+  * import graft.Graft
+  * val plan  = Graft.chunkPlan(df, cfg, tieBreak = Seq("id"))        // intervals
+  * val rows  = Graft.readJdbcChunked(spark, cfg, intervals)          // parallel scan
+  * val clean = Graft.curate(spark, dir)                              // kept doc ids
+  * val dups  = Graft.nearDuplicates(docs)                            // minhash pairs
+  * val nn    = Graft.similarTopK(embeddings, queries = 8, k = 5)     // ANN
+  * Graft.appendPartitioned(result, path, Seq("day"))                 // sink
+  * }}}
+  */
+object Graft {
+
+  // ---- reference-parity surface ----
+  def chunkPlan(df: DataFrame, cfg: GraftConfig, tieBreak: Seq[String]): DataFrame =
+    Chunking.plan(df, cfg, tieBreak)
+  def readJdbcChunked(spark: SparkSession, cfg: GraftConfig,
+                      intervals: Seq[(Long, Long)]): DataFrame =
+    JdbcPartitionedSource.read(spark, cfg, intervals)
+  def stringify(df: DataFrame): DataFrame = RowOps.stringifyAll(df)
+  def dropNullLiterals(df: DataFrame, cols: Seq[String]): DataFrame =
+    RowOps.dropNullLiterals(df, cols)
+  def referencePipeline(spark: SparkSession, dir: String, cfg: GraftConfig,
+                        sinkPath: String): DataFrame =
+    RefPipeline.run(spark, dir, cfg, sinkPath)
+
+  // ---- curation / dedup ----
+  def curate(spark: SparkSession, dir: String): DataFrame =
+    CurationPipeline.keptDocuments(spark, dir)
+  def dedupExact(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
+    Dedup.keepFirst(df, keys, order)
+  def nearDuplicates(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    NearDup.minhashPairs(docs, threshold)
+  def exactSimilarityJoin(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    NearDup.jaccardJoin(docs, threshold)
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    NearDup.simhashPairs(docs, maxHamming)
+
+  // ---- similarity search ----
+  def similarTopK(emb: DataFrame, queries: Int = 8, k: Int = 5): DataFrame =
+    Similarity.bruteForceTopK(emb, queries, k)
+  def similarTopKLsh(emb: DataFrame, queries: Int = 8, k: Int = 5): DataFrame =
+    Similarity.lshTopK(emb, queries, k)
+  def similarTopKIvf(emb: DataFrame, queries: Int = 8, k: Int = 5): DataFrame =
+    IvfIndex.topK(emb, queries, k)
+
+  // ---- text / events ----
+  def textQuality(docs: DataFrame): DataFrame = TextAnalysis.qualityScore(docs)
+  def languageId(docs: DataFrame): DataFrame = TextAnalysis.langId(docs)
+  def fingerprints(docs: DataFrame): DataFrame = TextAnalysis.fingerprints(docs)
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800L): DataFrame =
+    JsonOps.sessionize(events, gapSeconds)
+  def asofJoin(events: DataFrame, orders: DataFrame): DataFrame =
+    AsofJoin.eventsToLatestOrder(events, orders)
+  def resampleFfill(events: DataFrame, stepSeconds: Long = 3600L): DataFrame =
+    Resample.ffill(events, stepSeconds)
+
+  // ---- splits / validation / sinks ----
+  def trainValTestSplit(df: DataFrame, keyCol: String, salt: String = "graft_v1"): DataFrame =
+    Splits.assign(df, keyCol, salt)
+  def validationReport(spark: SparkSession, dir: String): DataFrame =
+    Validate.report(spark, dir)
+  def append(df: DataFrame, path: String): Unit = AppendSink.appendParquet(df, path)
+  def appendPartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    AppendSink.appendPartitioned(df, path, cols)
+
+  /** Register the native expressions as SQL functions on a live session. */
+  def enableSqlFunctions(spark: SparkSession): Unit =
+    GraftExtensions.registerAll(spark)
+
+  /** Fixture loader (parquet stand-in for the JDBC source). */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+}

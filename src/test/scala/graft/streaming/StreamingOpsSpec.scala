@@ -70,6 +70,35 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == Seq(1L, 2L)) // each id exactly once
   }
 
+  test("file-source streaming: incremental parquet drops feed the windowed aggregation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def drop(rows: Seq[(Long, java.sql.Timestamp, String, Double)], part: Int): Unit =
+      rows.toDF("event_id", "ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    drop(Seq((1L, ts("2024-01-01 00:10:00"), "click", 1.0),
+             (2L, ts("2024-01-01 00:20:00"), "click", 2.0)), 0)
+
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamingOps.windowedCounts(stream)
+      .writeStream.outputMode("append").format("memory").queryName("file_win").start()
+    try {
+      q.processAllAvailable()
+      // second micro-batch arrives as a new file; late nudge closes the window
+      drop(Seq((3L, ts("2024-01-01 00:30:00"), "click", 3.0),
+               (4L, ts("2024-01-02 00:00:00"), "nudge", 0.0)), 1)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("file_win")
+      .filter($"event_type" === "click").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("n") == 3L) // both files' events in one window
+  }
+
   test("streaming content dedup drops same-text documents with different ids") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
