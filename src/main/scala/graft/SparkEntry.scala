@@ -202,6 +202,10 @@ object SparkEntry {
       Multimodal.frameSample(Multimodal.asBinary(Tables.documents(s, dir)))
         .select("doc_id", "n_frames")
         .orderBy("doc_id")),
+    "q_mm_resize" -> ((s, dir) =>
+      Multimodal.resizeDims(Multimodal.mediaFeatures(Tables.documents(s, dir)))
+        .select("doc_id", "width", "height", "out_width", "out_height", "out_pixels")
+        .orderBy("doc_id")),
 
     // ---- §2.4 equi-depth partition assignment (part_equidepth) ----
     "q_part_equidepth" -> ((s, dir) => {
@@ -809,6 +813,24 @@ object SparkEntry {
         """SELECT doc_id,
           |  CAST(least(8, greatest(octet_length(encode(text)) // 64, 1)) AS BIGINT) AS n_frames
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_mm_resize" ->
+        """WITH f AS (
+          |  SELECT doc_id,
+          |    CAST(ascii(substr(text, 1, 1)) % 64 + 1 AS INT) AS width,
+          |    CAST(ascii(substr(text, 2, 1)) % 64 + 1 AS INT) AS height
+          |  FROM documents),
+          |r AS (
+          |  SELECT doc_id, width, height, greatest(width, height) AS longest FROM f)
+          |SELECT doc_id, width, height,
+          |  CAST(CASE WHEN longest > 32
+          |       THEN greatest(CAST((width * 32) // longest AS INT), 1) ELSE width END AS INT) AS out_width,
+          |  CAST(CASE WHEN longest > 32
+          |       THEN greatest(CAST((height * 32) // longest AS INT), 1) ELSE height END AS INT) AS out_height,
+          |  CAST(CASE WHEN longest > 32
+          |       THEN greatest(CAST((width * 32) // longest AS INT), 1) ELSE width END AS BIGINT)
+          |    * (CASE WHEN longest > 32
+          |       THEN greatest(CAST((height * 32) // longest AS INT), 1) ELSE height END) AS out_pixels
+          |FROM r ORDER BY doc_id""".stripMargin,
       "q_part_equidepth" ->
         """SELECT bucket, count(*) AS n_rows, min(ts_epoch) AS lo, max(ts_epoch) AS hi
           |FROM (

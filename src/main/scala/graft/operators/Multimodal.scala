@@ -70,6 +70,24 @@ object Multimodal {
       ).as("frames"))
       .withColumn("n_frames", size(col("frames")).cast("long"))
 
+  /** Aspect-preserving resize of decoded dimensions to fit `maxDim` —
+    * integer math only (floor-scaled, never upscaled), so the plan is exact
+    * and portable. A real implementation would resample pixels partition-wise
+    * in the same stub slot as [[decodeImageStub]]; the dimension arithmetic —
+    * which is what downstream schemas consume — is the real thing. */
+  def resizeDims(features: DataFrame, maxDim: Int = 32): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    val scaleNeeded = longest > maxDim
+    def fit(side: org.apache.spark.sql.Column) =
+      when(scaleNeeded, greatest((side * maxDim).divide(longest).cast("int"), lit(1)))
+        .otherwise(side)
+    features
+      .withColumn("out_width", fit(col("width")))
+      .withColumn("out_height", fit(col("height")))
+      .withColumn("out_pixels",
+        col("out_width").cast("long") * col("out_height"))
+  }
+
   /** End-to-end metadata + stub-decoded features as a flat DataFrame. */
   def mediaFeatures(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
