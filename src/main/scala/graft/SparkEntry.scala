@@ -103,6 +103,7 @@ object SparkEntry {
     "q3_shipping_priority" -> ((s, dir) => Relational.shippingPriority(s, dir)),
     "q5_local_supplier"    -> ((s, dir) => Relational.localSupplierVolume(s, dir)),
     "q_topk_per_group"     -> ((s, dir) => Relational.topKPerGroup(s, dir)),
+    "q_topk_agg"           -> ((s, dir) => Relational.topKPerGroupAgg(s, dir)),
     "q_setops"             -> ((s, dir) => Relational.setOps(s, dir)),
     "q_semi_anti"          -> ((s, dir) => Relational.semiAnti(s, dir)),
     "q_distinct_agg"       -> ((s, dir) => Relational.distinctAgg(s, dir)),
@@ -351,6 +352,14 @@ object SparkEntry {
           |  AND o_orderdate < TIMESTAMP '1998-01-01'
           |GROUP BY n_name ORDER BY n_name""".stripMargin,
       "q_topk_per_group" ->
+        """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+          |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+          |         CAST(rank() OVER (PARTITION BY o_orderpriority
+          |                           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+          |  FROM orders
+          |) t WHERE rk <= 3 ORDER BY o_orderpriority, rk, o_orderkey""".stripMargin,
+      // typed Aggregator form — must equal the window form row-for-row
+      "q_topk_agg" ->
         """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
           |  SELECT o_orderpriority, o_orderkey, o_totalprice,
           |         CAST(rank() OVER (PARTITION BY o_orderpriority

@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed bounded-heap top-k aggregate — the `Aggregator[IN, BUF, OUT]`
+  * extensibility lane (SURVEY.md §2.5: Beam's `DoFn` maps to, in preference
+  * order, built-ins -> Aggregator -> custom Expression).
+  *
+  * Versus `rank().over(partitionBy(...).orderBy(...))`: the window form sorts
+  * every row of every group; this aggregate keeps a k-element buffer per
+  * group through partial aggregation — map-side combine bounds both memory
+  * (O(k) per group per task) and shuffle volume (k rows per group per
+  * partition, not the whole group). Equality with the window form is
+  * oracle-checked (`q_topk_agg` shares `q_topk_per_group`'s SQL).
+  */
+object TopKAggregator {
+
+  case class OrderRow(o_orderpriority: String, o_orderkey: Long, o_totalprice: Double)
+  case class TopHit(rk: Long, o_orderkey: Long, o_totalprice: Double)
+
+  /** Keeps the k largest (o_totalprice desc, o_orderkey asc) rows. */
+  class TopKByPrice(k: Int) extends Aggregator[OrderRow, List[(Double, Long)], Seq[TopHit]] {
+    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+    override def zero: List[(Double, Long)] = Nil
+
+    override def reduce(buf: List[(Double, Long)], row: OrderRow): List[(Double, Long)] =
+      insert(buf, (row.o_totalprice, row.o_orderkey))
+
+    private def insert(buf: List[(Double, Long)], x: (Double, Long)): List[(Double, Long)] = {
+      val (pre, post) = buf.span(better(_, x))
+      (pre ::: x :: post).take(k)
+    }
+
+    override def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
+      b.foldLeft(a)(insert)
+
+    override def finish(buf: List[(Double, Long)]): Seq[TopHit] =
+      buf.zipWithIndex.map { case ((price, key), i) => TopHit(i + 1L, key, price) }
+
+    override def bufferEncoder: Encoder[List[(Double, Long)]] =
+      ExpressionEncoder[List[(Double, Long)]]()
+    override def outputEncoder: Encoder[Seq[TopHit]] = ExpressionEncoder[Seq[TopHit]]()
+  }
+}

@@ -89,6 +89,23 @@ object Relational {
       .orderBy("o_orderpriority", "rk", "o_orderkey")
   }
 
+  /** Per-group top-k via the typed bounded-heap [[graft.functions.TopKAggregator]] —
+    * identical output to [[topKPerGroup]] (shared oracle), but partial
+    * aggregation keeps only k rows per group per task instead of sorting
+    * whole groups. */
+  def topKPerGroupAgg(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TopKAggregator._
+    Tables.orders(spark, dir)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+      .as[OrderRow]
+      .groupByKey(_.o_orderpriority)
+      .agg(new TopKByPrice(k).toColumn.name("hits"))
+      .flatMap { case (prio, hits) => hits.map(h => (prio, h.rk, h.o_orderkey, h.o_totalprice)) }
+      .toDF("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "rk", "o_orderkey")
+  }
+
   /** Set operations: UNION (distinct) then EXCEPT (distinct) — semantics
     * matching SQL UNION/EXCEPT. */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
