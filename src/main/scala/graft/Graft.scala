@@ -57,6 +57,8 @@ object Graft {
     Similarity.lshTopK(emb, queries, k)
   def similarTopKIvf(emb: DataFrame, queries: Int = 8, k: Int = 5): DataFrame =
     IvfIndex.topK(emb, queries, k)
+  def similarTextTopK(docs: DataFrame, queries: Int = 8, k: Int = 5): DataFrame =
+    TfIdf.topKSimilar(docs, queries, k)
 
   // ---- text / events ----
   def textQuality(docs: DataFrame): DataFrame = TextAnalysis.qualityScore(docs)

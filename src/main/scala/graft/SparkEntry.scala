@@ -162,6 +162,8 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.4)),
     "q_sim_topk_ivf" -> ((s, dir) =>
       IvfIndex.topK(Tables.embeddings(s, dir))),
+    "q_tfidf_topk" -> ((s, dir) =>
+      TfIdf.topKSimilar(Tables.documents(s, dir))),
 
     // ---- extension: as-of join (time-series point-in-time lookup) ----
     "q_asof_join" -> ((s, dir) =>
@@ -548,6 +550,33 @@ object SparkEntry {
            |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
            |      FROM s)
            |SELECT q_id, rk, n_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+      "q_tfidf_topk" ->
+        """WITH tok AS (
+          |  SELECT doc_id, tok, count(*) AS tf FROM (
+          |    SELECT doc_id,
+          |      unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+          |    FROM documents) x GROUP BY doc_id, tok),
+          |n AS (SELECT count(*) AS n_docs FROM documents),
+          |dfq AS (SELECT tok, (n_docs - count(*) + 0.5) / (count(*) + 0.5) AS w
+          |        FROM tok CROSS JOIN n GROUP BY tok, n_docs),
+          |wt AS (SELECT doc_id, tok.tok AS tok, w * tf AS wt
+          |       FROM tok JOIN dfq ON tok.tok = dfq.tok),
+          |norms AS (SELECT doc_id,
+          |    sqrt(CAST(sum(CAST(wt * wt AS DECIMAL(38,8))) AS DOUBLE)) AS norm
+          |  FROM wt GROUP BY doc_id),
+          |dot AS (SELECT q.doc_id AS q_id, c.doc_id AS n_id,
+          |    CAST(sum(CAST(q.wt * c.wt AS DECIMAL(38,8))) AS DOUBLE) AS dot
+          |  FROM wt q JOIN wt c ON q.tok = c.tok
+          |  WHERE q.doc_id < 8 AND q.doc_id <> c.doc_id
+          |  GROUP BY q_id, n_id),
+          |scored AS (SELECT q_id, n_id, dot / (qn.norm * nn.norm) AS sim
+          |  FROM dot
+          |  JOIN norms qn ON qn.doc_id = q_id
+          |  JOIN norms nn ON nn.doc_id = n_id),
+          |r AS (SELECT q_id, n_id, sim,
+          |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rk
+          |      FROM scored)
+          |SELECT q_id, rk, n_id, sim FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
       "q_sim_topk_ivf" -> {
         val ivfCommon =
           """ve AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim,

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TF-IDF-weighted text similarity — the weighted complement to the set-based
+  * (Jaccard) lanes: rare terms dominate the score instead of counting equally.
+  *
+  * Determinism engineering: the idf is the BM25-style RATIONAL weight
+  * (N - df + 0.5)/(df + 0.5) rather than a logarithm — `ln` may differ in the
+  * last ulp between libm implementations, a rational of exact integers cannot.
+  * All dot/norm sums go through DECIMAL casts (exact, order-insensitive), so
+  * scores are bit-identical across engines and partitionings.
+  *
+  * Scale shape: one token-frequency aggregate (the vocabulary, broadcastable),
+  * per-doc norms as a decimal aggregate, and a shared-token join restricted to
+  * the (broadcast) query side — the corpus shuffles only tokens matching a
+  * query term, never full documents.
+  */
+object TfIdf {
+
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " "))
+        .as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Weighted top-k similar documents for each query doc (doc_id < nQueries). */
+  def topKSimilar(docs: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val tok = tokens(docs)
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(n)
+      .withColumn("w",
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+      .select("tok", "w")
+
+    val weighted = tok.join(broadcast(dfreq), "tok")
+      .select(col("doc_id"), col("tok"), (col("w") * col("tf")).as("wt"))
+    val norms = weighted.groupBy("doc_id")
+      .agg(sqrt(sum((col("wt") * col("wt")).cast("decimal(38,8)")).cast("double"))
+        .as("norm"))
+
+    val q = weighted.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("tok"), col("wt").as("q_wt"))
+    val c = weighted.select(col("doc_id").as("n_id"), col("tok"), col("wt").as("n_wt"))
+    val dot = c.join(broadcast(q), "tok")
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy("q_id", "n_id")
+      .agg(sum((col("q_wt") * col("n_wt")).cast("decimal(38,8)")).cast("double")
+        .as("dot"))
+
+    val scored = dot
+      .join(norms.select(col("doc_id").as("q_id"), col("norm").as("qn")), "q_id")
+      .join(norms.select(col("doc_id").as("n_id"), col("norm").as("nn")), "n_id")
+      .withColumn("sim", col("dot") / (col("qn") * col("nn")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "n_id", "sim")
+      .orderBy("q_id", "rk")
+  }
+}
