@@ -104,6 +104,7 @@ object SparkEntry {
     "q5_local_supplier"    -> ((s, dir) => Relational.localSupplierVolume(s, dir)),
     "q_topk_per_group"     -> ((s, dir) => Relational.topKPerGroup(s, dir)),
     "q_topk_agg"           -> ((s, dir) => Relational.topKPerGroupAgg(s, dir)),
+    "q_window_battery"     -> ((s, dir) => Relational.windowBattery(s, dir)),
     "q_setops"             -> ((s, dir) => Relational.setOps(s, dir)),
     "q_semi_anti"          -> ((s, dir) => Relational.semiAnti(s, dir)),
     "q_distinct_agg"       -> ((s, dir) => Relational.distinctAgg(s, dir)),
@@ -368,6 +369,26 @@ object SparkEntry {
           |                           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
           |  FROM orders
           |) t WHERE rk <= 3 ORDER BY o_orderpriority, rk, o_orderkey""".stripMargin,
+      "q_window_battery" ->
+        """SELECT o_orderpriority, o_orderkey, o_totalprice,
+          |  CAST(dense_rank() OVER w AS BIGINT) AS w_dense_rank,
+          |  percent_rank() OVER w AS w_percent_rank,
+          |  cume_dist() OVER w AS w_cume_dist,
+          |  CAST(ntile(4) OVER w AS BIGINT) AS w_ntile,
+          |  lag(o_orderkey, 1) OVER w AS w_lag_key,
+          |  lead(o_orderkey, 1, -1) OVER w AS w_lead_key,
+          |  first_value(o_orderkey) OVER
+          |    (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w_first_key,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+          |    (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS w_running_total,
+          |  count(*) OVER
+          |    (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+          |     ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS w_neighbors
+          |FROM orders WHERE o_custkey <= 30
+          |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+          |ORDER BY o_orderpriority, w_dense_rank, o_orderkey""".stripMargin,
       "q_setops" ->
         """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
           | UNION

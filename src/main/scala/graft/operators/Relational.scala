@@ -127,6 +127,31 @@ object Relational {
     withOrders.unionAll(withoutOrders).orderBy("c_custkey")
   }
 
+  /** Analytic window battery: ranking, offset, distribution, and frame
+    * functions over one partitioned ordered window — unique order key makes
+    * every function deterministic. */
+  def windowBattery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val wRunning = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") <= 30) // keep output compact
+      .select(
+        col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        dense_rank().over(w).cast("long").as("w_dense_rank"),
+        percent_rank().over(w).as("w_percent_rank"),
+        cume_dist().over(w).as("w_cume_dist"),
+        ntile(4).over(w).cast("long").as("w_ntile"),
+        lag("o_orderkey", 1).over(w).as("w_lag_key"),
+        lead("o_orderkey", 1, -1L).over(w).as("w_lead_key"),
+        first("o_orderkey").over(wRunning).as("w_first_key"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(wRunning)
+          .cast("decimal(38,2)").as("w_running_total"),
+        count(lit(1)).over(w.rowsBetween(-1, 1)).as("w_neighbors"))
+      .orderBy("o_orderpriority", "w_dense_rank", "o_orderkey")
+  }
+
   /** Distinct aggregation per group. */
   def distinctAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
