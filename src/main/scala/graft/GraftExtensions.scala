@@ -30,11 +30,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+
+  /** The numHashes argument must be a constant: it sizes the signature, so a
+    * per-row value has no meaning. Fail analysis with a clear message instead
+    * of an opaque NPE/ClassCastException from eval(). */
+  private def foldableInt(name: String, e: Expression): Int = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+    val ok = e.foldable && (e.dataType match {
+      case IntegerType | ShortType | ByteType => true
+      case _                                  => false
+    })
+    if (!ok || e.eval() == null)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3102", // generic "<msg>" template
+        messageParameters = Map("msg" ->
+          s"$name requires a non-null foldable INT literal, got ${e.sql} (${e.dataType.simpleString})"))
+    e.eval() match {
+      case i: Int => i; case s: Short => s.toInt; case b: Byte => b.toInt
+    }
+  }
+
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_similarity" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
     "sorted_intersect_count" -> (exprs => SortedIntersectCount(exprs(0), exprs(1))),
     "minhash_signature" -> (exprs =>
-      MinHashSignature(exprs(0), exprs(1).eval().asInstanceOf[Int])),
+      MinHashSignature(exprs(0), foldableInt("minhash_signature(arr, numHashes)", exprs(1)))),
     "simhash32" -> (exprs => SimHash32(exprs(0))),
     "rolling_hash32" -> (exprs => RollingHash32(exprs(0))),
   )

@@ -114,8 +114,10 @@ object SparkEntry {
     "q_pivot"              -> ((s, dir) => Relational.pivotByStatus(s, dir)),
     "q_quantiles"          -> ((s, dir) => Relational.quantiles(s, dir)),
     "q_corr_manual"        -> ((s, dir) => Relational.corrManual(s, dir)),
-    // no oracle (sketches aren't DuckDB-reproducible): driver rows-only check;
-    // accuracy vs exact is unit-tested in RelationalSketchSpec
+    // sketch values aren't DuckDB-reproducible, so the output is exact columns
+    // + boolean accuracy verdicts of the live sketch (oracle-checkable; the
+    // booleans flip red if the sketch degrades). Accuracy bounds also
+    // unit-tested in RelationalSketchSpec.
     "q_approx_sketch"      -> ((s, dir) => Relational.approxSketches(s, dir)),
 
     // ---- extension: text analysis (ext_text_*) ----
@@ -323,9 +325,9 @@ object SparkEntry {
           |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_returnflag""".stripMargin,
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
-          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-          |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS sum_disc_price,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
           |  count(*) AS count_order,
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
           |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -333,7 +335,7 @@ object SparkEntry {
           |ORDER BY l_returnflag, l_linestatus""".stripMargin,
       "q3_shipping_priority" ->
         """SELECT l_orderkey, o_orderdate, o_orderpriority,
-          |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS revenue
+          |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue
           |FROM lineitem
           |JOIN orders ON l_orderkey = o_orderkey
           |JOIN customer ON o_custkey = c_custkey
@@ -344,7 +346,7 @@ object SparkEntry {
           |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
       "q5_local_supplier" ->
         """SELECT n_name,
-          |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS revenue
+          |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue
           |FROM lineitem
           |JOIN supplier ON l_suppkey = s_suppkey
           |JOIN orders ON l_orderkey = o_orderkey
@@ -382,7 +384,7 @@ object SparkEntry {
           |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w_first_key,
           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
           |    (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
-          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS w_running_total,
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS w_running_total,
           |  count(*) OVER
           |    (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
           |     ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS w_neighbors
@@ -409,7 +411,7 @@ object SparkEntry {
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
       "q_rollup" ->
         """SELECT l_returnflag, l_linestatus, count(*) AS n,
-          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
           |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
       "q_text_tokens" ->
@@ -463,7 +465,7 @@ object SparkEntry {
       "q_window_events" ->
         """SELECT date_trunc('hour', ts) AS hour_start, event_type,
           |  count(*) AS n,
-          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
       "q_window_sliding" ->
         """WITH e AS (SELECT event_type, value, ts,
@@ -471,7 +473,7 @@ object SparkEntry {
           |m AS (SELECT event_type, value,
           |        unnest([h, h - INTERVAL 1 HOUR]) AS win_start FROM e)
           |SELECT win_start, event_type, count(*) AS n,
-          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
           |FROM m GROUP BY win_start, event_type
           |ORDER BY win_start, event_type""".stripMargin,
       "q_sessionize" ->
@@ -659,9 +661,9 @@ object SparkEntry {
           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, gid""".stripMargin,
       "q_pivot" ->
         """SELECT l_returnflag,
-          |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS F,
-          |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS O,
-          |  CAST(sum(CASE WHEN l_linestatus = 'P' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS P
+          |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+          |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+          |  CAST(sum(CASE WHEN l_linestatus = 'P' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS P
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
       "q_quantiles" ->
         """SELECT l_returnflag,
@@ -669,18 +671,33 @@ object SparkEntry {
           |  quantile_cont(l_quantity, 0.5) AS q50,
           |  quantile_cont(l_quantity, 0.75) AS q75
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      // exact columns recomputed by DuckDB; the verdict booleans are TRUE in
+      // the oracle because the Spark side computes them against Spark-exact
+      // aggregates in the same pass — a degraded sketch flips them and fails
+      // the hash gate.
+      "q_approx_sketch" ->
+        """SELECT l_returnflag, count(*) AS n_rows,
+          |  count(DISTINCT l_partkey) AS n_parts_exact,
+          |  quantile_cont(l_quantity, 0.5) AS median_exact,
+          |  TRUE AS parts_within_rsd, TRUE AS median_within_tol
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
       "q_corr_manual" ->
-        """WITH m AS (
+        """WITH c AS (
+          |  SELECT l_returnflag,
+          |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS xc,
+          |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS yc
+          |  FROM lineitem),
+          |m AS (
           |  SELECT l_returnflag, count(*) AS n,
-          |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
-          |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
-          |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy,
-          |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
-          |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy
-          |  FROM lineitem GROUP BY l_returnflag)
+          |    sum(CAST(xc AS HUGEINT)) AS sx, sum(CAST(yc AS HUGEINT)) AS sy,
+          |    sum(CAST(xc * yc AS HUGEINT)) AS sxy,
+          |    sum(CAST(xc * xc AS HUGEINT)) AS sxx,
+          |    sum(CAST(yc * yc AS HUGEINT)) AS syy
+          |  FROM c GROUP BY l_returnflag)
           |SELECT l_returnflag,
-          |  CAST(n * sxy - sx * sy AS DOUBLE) /
-          |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price
+          |  CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) /
+          |    (sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)) *
+          |     sqrt(CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE))) AS corr_qty_price
           |FROM m ORDER BY l_returnflag""".stripMargin,
       "q_asof_join" ->
         """WITH o AS (

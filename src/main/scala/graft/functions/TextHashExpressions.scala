@@ -58,29 +58,36 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     case _ => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires array<string>, got ${child.dataType.simpleString}")
   }
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def prettyName: String = "minhash_signature"
 
   private lazy val seedPrefixes: Array[Array[Byte]] =
     (0 until numHashes).map(s => s"${s}_".getBytes("UTF-8")).toArray
 
+  /** Matches the HOF form `transform(0..k-1, s -> array_min(...))` on edge
+    * inputs too: null elements are skipped (array_min ignores NULLs) and an
+    * array with no non-null elements yields an all-NULL signature (array_min
+    * of nothing is NULL). The exposed SQL function `minhash_signature` can see
+    * arbitrary arrays, so these corners are reachable outside NearDup. */
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val mins = new Array[Array[Byte]](numHashes)
     var i = 0
     while (i < n) {
-      val shingle = arr.getUTF8String(i).getBytes
-      var s = 0
-      while (s < numHashes) {
-        val d = HashUtil.md5(seedPrefixes(s), shingle)
-        if (mins(s) == null || HashUtil.lessUnsigned(d, mins(s))) mins(s) = d
-        s += 1
+      if (!arr.isNullAt(i)) {
+        val shingle = arr.getUTF8String(i).getBytes
+        var s = 0
+        while (s < numHashes) {
+          val d = HashUtil.md5(seedPrefixes(s), shingle)
+          if (mins(s) == null || HashUtil.lessUnsigned(d, mins(s))) mins(s) = d
+          s += 1
+        }
       }
       i += 1
     }
     new GenericArrayData(mins.map(m =>
-      UTF8String.fromString(if (m == null) "" else HashUtil.hex(m))))
+      if (m == null) null else UTF8String.fromString(HashUtil.hex(m))))
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -96,27 +103,33 @@ case class SimHash32(child: Expression) extends UnaryExpression with CodegenFall
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash32"
 
+  /** Null elements are skipped (majority vote over the non-null tokens);
+    * an array with no non-null tokens votes 0 on every bit -> fingerprint 0. */
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val ones = new Array[Int](32)
+    var nTokens = 0
     var i = 0
     while (i < n) {
-      val d = HashUtil.md5(arr.getUTF8String(i).getBytes)
-      // first 8 md5 hex chars == first 4 digest bytes, as unsigned 32-bit
-      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      var j = 0
-      while (j < 32) {
-        if (((h >> j) & 1L) == 1L) ones(j) += 1
-        j += 1
+      if (!arr.isNullAt(i)) {
+        nTokens += 1
+        val d = HashUtil.md5(arr.getUTF8String(i).getBytes)
+        // first 8 md5 hex chars == first 4 digest bytes, as unsigned 32-bit
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+                ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        var j = 0
+        while (j < 32) {
+          if (((h >> j) & 1L) == 1L) ones(j) += 1
+          j += 1
+        }
       }
       i += 1
     }
     var fp = 0L
     var j = 0
     while (j < 32) {
-      if (2 * ones(j) > n) fp |= (1L << j)
+      if (2 * ones(j) > nTokens) fp |= (1L << j)
       j += 1
     }
     fp

@@ -54,15 +54,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh names: two instances of this expression can share one generated
+      // method (split thresholds permitting) — fixed names fail janino with
+      // "Redefinition of local variable" and drop the projection to
+      // interpreted mode
+      val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double x = (double) $a.getFloat(i);
-         |  double y = (double) $b.getFloat(i);
-         |  dot += x * y; na += x * x; nb += y * y;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  double $y = (double) $b.getFloat($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
@@ -112,16 +119,20 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh names — see CosineSimilarity.doGenCode
+      val n1 = ctx.freshName("n1"); val n2 = ctx.freshName("n2")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt"); val c = ctx.freshName("c")
       s"""
-         |int n1 = $a.numElements(), n2 = $b.numElements();
-         |int i = 0, j = 0; long cnt = 0L;
-         |while (i < n1 && j < n2) {
-         |  int c = $a.getUTF8String(i).compareTo($b.getUTF8String(j));
-         |  if (c == 0) { cnt++; i++; j++; }
-         |  else if (c < 0) i++;
-         |  else j++;
+         |int $n1 = $a.numElements(), $n2 = $b.numElements();
+         |int $i = 0, $j = 0; long $cnt = 0L;
+         |while ($i < $n1 && $j < $n2) {
+         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $cnt++; $i++; $j++; }
+         |  else if ($c < 0) $i++;
+         |  else $j++;
          |}
-         |${ev.value} = cnt;
+         |${ev.value} = $cnt;
        """.stripMargin
     })
 

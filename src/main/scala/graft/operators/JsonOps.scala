@@ -28,7 +28,7 @@ object JsonOps {
         date_trunc("hour", col("ts")).as("hour_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
-           sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .orderBy("hour_start", "event_type")
 
   /** Sliding event-time windows: 2-hour windows sliding by 1 hour — each
@@ -40,7 +40,7 @@ object JsonOps {
         window(col("ts"), "2 hours", "1 hour").getField("start").as("win_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
-           sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .orderBy("win_start", "event_type")
 
   /** Gap-based sessionization: a new session starts when a user's inter-event

@@ -28,12 +28,14 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_base_price"),
+        // accumulate exactly in DECIMAL, emit DOUBLE: serialized decimal forms
+        // differ across engines (trailing-zero scale), doubles hash identically
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
         sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(28,10)")).cast("decimal(38,10)").as("sum_disc_price"),
+          .cast("decimal(28,10)")).cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
-      .withColumn("avg_qty", col("sum_qty").cast("double") / col("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
@@ -51,7 +53,7 @@ object Relational {
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast("decimal(28,10)")).cast("decimal(38,10)").as("revenue"))
+        .cast("decimal(28,10)")).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
   }
@@ -73,7 +75,7 @@ object Relational {
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
     out.groupBy("n_name")
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast("decimal(28,10)")).cast("decimal(38,10)").as("revenue"))
+        .cast("decimal(28,10)")).cast("double").as("revenue"))
       .orderBy("n_name")
   }
 
@@ -147,7 +149,7 @@ object Relational {
         lead("o_orderkey", 1, -1L).over(w).as("w_lead_key"),
         first("o_orderkey").over(wRunning).as("w_first_key"),
         sum(col("o_totalprice").cast("decimal(18,2)")).over(wRunning)
-          .cast("decimal(38,2)").as("w_running_total"),
+          .cast("double").as("w_running_total"),
         count(lit(1)).over(w.rowsBetween(-1, 1)).as("w_neighbors"))
       .orderBy("o_orderpriority", "w_dense_rank", "o_orderkey")
   }
@@ -184,7 +186,7 @@ object Relational {
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .pivot("l_linestatus", Seq("F", "O", "P"))
-      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
       .orderBy("l_returnflag")
 
   /** Exact interpolated quantiles per group (continuous percentile). */
@@ -197,22 +199,31 @@ object Relational {
         percentile(col("l_quantity"), lit(0.75)).as("q75"))
       .orderBy("l_returnflag")
 
-  /** Pearson correlation computed from DECIMAL-exact moments — the built-in
+  /** Pearson correlation from exact integer-cent moments — the built-in
     * corr() uses incremental (Welford-style) accumulation whose result
-    * depends on partition order; exact integer/decimal sums make the final
-    * double arithmetic identical across engines and runs. The same pattern
-    * applies to any second-moment statistic at scale. */
+    * depends on partition order; exact integer sums make the final double
+    * arithmetic identical across engines and runs. Correlation is invariant
+    * under linear scaling, so cents give the same value as units.
+    *
+    * Hot path is pure long arithmetic (codegen'd): `floor(v*100+0.5)` is an
+    * exact cent decode for positive 2-dp doubles, and the per-row products
+    * fit LONG (5e10 max). Only the sum buffers are DECIMAL — long-backed
+    * with graceful promotion, so no per-row BigDecimal multiply (the old
+    * decimal(38,4) form cost 10.5 s for 3 rows at sf0.1). */
   def corrManual(spark: SparkSession, dir: String): DataFrame = {
-    val x = col("l_quantity").cast("decimal(18,2)")
-    val y = col("l_extendedprice").cast("decimal(18,2)")
-    Tables.lineitem(spark, dir)
+    val cents = Tables.lineitem(spark, dir).select(
+      col("l_returnflag"),
+      floor(col("l_quantity") * 100 + 0.5).as("xc"),
+      floor(col("l_extendedprice") * 100 + 0.5).as("yc"))
+    cents
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),
-        sum(x).as("sx"), sum(y).as("sy"),
-        sum((x * y).cast("decimal(38,4)")).as("sxy"),
-        sum((x * x).cast("decimal(38,4)")).as("sxx"),
-        sum((y * y).cast("decimal(38,4)")).as("syy"))
+        sum(col("xc").cast("decimal(20,0)")).as("sx"),
+        sum(col("yc").cast("decimal(20,0)")).as("sy"),
+        sum((col("xc") * col("yc")).cast("decimal(30,0)")).as("sxy"),
+        sum((col("xc") * col("xc")).cast("decimal(30,0)")).as("sxx"),
+        sum((col("yc") * col("yc")).cast("decimal(30,0)")).as("syy"))
       .select(
         col("l_returnflag"),
         ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
@@ -222,25 +233,44 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
-  /** Sketch aggregates: HyperLogLog++ distinct counts and t-digest-style
-    * approximate quantiles — the constant-memory forms for 100 TB cardinality
-    * work. Deterministic for a given input (sketches are
-    * deterministic algorithms), but not DuckDB-reproducible, so the driver
-    * records a rows-only check; accuracy vs exact is unit-tested instead. */
-  def approxSketches(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy("l_returnflag")
+  /** Sketch aggregates: HyperLogLog++ distinct counts and approximate
+    * quantiles — the constant-memory forms for 100 TB cardinality work.
+    * Sketch values themselves are engine-specific, so the oracle-checkable
+    * output is (a) exact columns both engines can compute and (b) boolean
+    * accuracy verdicts of the live sketch against the exact values computed
+    * in the same pass — if the sketch ever degrades past its bound the
+    * boolean flips and the hash gate goes red. */
+  def approxSketches(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    // Two aggregation passes, joined on the 3-row group key: mixing
+    // countDistinct (Expand) with TypedImperative buffers (percentile, HLL,
+    // ApproximatePercentile) in ONE agg forces a sort-based plan that costs
+    // 25 s at sf0.1; split, each agg gets its optimal physical operator and
+    // the join is a broadcast of 3 rows.
+    val exact = li.groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
-        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_median"),
-        count(lit(1)).as("n_rows"))
+        count(lit(1)).as("n_rows"),
+        countDistinct("l_partkey").as("n_parts_exact"),
+        percentile(col("l_quantity"), lit(0.5)).as("median_exact"))
+    val approx = li.groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("apx_parts"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("apx_median"))
+      .withColumnRenamed("l_returnflag", "flag2")
+    exact.join(broadcast(approx), col("l_returnflag") === col("flag2"))
+      .select(
+        col("l_returnflag"), col("n_rows"), col("n_parts_exact"), col("median_exact"),
+        (abs(col("apx_parts") - col("n_parts_exact")).cast("double")
+          <= lit(0.05) * col("n_parts_exact").cast("double")).as("parts_within_rsd"),
+        (abs(col("apx_median") - col("median_exact")) <= lit(1.0)).as("median_within_tol"))
       .orderBy("l_returnflag")
+  }
 
   /** ROLLUP hierarchy totals. */
   def rollupCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .rollup("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"),
-           sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"))
+           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 }

@@ -26,7 +26,7 @@ object StreamingOps {
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-           sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 

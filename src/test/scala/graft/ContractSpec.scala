@@ -9,10 +9,9 @@ class ContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("every query without an oracle is a documented rows-only exception") {
+  test("every query has an oracle (no rows-only exceptions left)") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q_approx_sketch"),
-      s"undocumented rows-only queries: ${rowsOnly - "q_approx_sketch"}")
+    assert(rowsOnly.isEmpty, s"queries without oracles: $rowsOnly")
   }
 
   test("every query analyzes against sf0.001 (schema resolvable, no analysis errors)") {

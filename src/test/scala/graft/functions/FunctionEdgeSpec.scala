@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+
+import graft.{GraftExtensions, SparkSpec}
+
+/** Edge-input contracts of the exposed SQL functions (reachable with
+  * arbitrary arrays via `minhash_signature`/`simhash32`, unlike the NearDup
+  * call sites which always pass >=1 non-null shingle), plus a regression for
+  * the codegen local-name collision that silently dropped whole projections
+  * to interpreted mode in round 1. */
+class FunctionEdgeSpec extends SparkSpec {
+
+  private def ensureRegistered(): Unit = GraftExtensions.registerAll(spark)
+
+  test("minhash_signature: empty array yields all-NULL signature (array_min semantics)") {
+    ensureRegistered()
+    val row = spark.sql(
+      "SELECT minhash_signature(CAST(array() AS ARRAY<STRING>), 4) AS sig").head()
+    val sig = row.getSeq[String](0)
+    assert(sig.length == 4 && sig.forall(_ == null))
+  }
+
+  test("minhash_signature: null elements are skipped, not NPE") {
+    ensureRegistered()
+    val both = spark.sql(
+      """SELECT minhash_signature(array('a', CAST(NULL AS STRING), 'b'), 4) AS withNull,
+        |       minhash_signature(array('a', 'b'), 4) AS withoutNull""".stripMargin).head()
+    assert(both.getSeq[String](0) == both.getSeq[String](1))
+  }
+
+  test("simhash32: null elements skipped; empty array fingerprints to 0") {
+    ensureRegistered()
+    val r = spark.sql(
+      """SELECT simhash32(array('a', CAST(NULL AS STRING), 'b')) AS withNull,
+        |       simhash32(array('a', 'b')) AS withoutNull,
+        |       simhash32(CAST(array() AS ARRAY<STRING>)) AS empty""".stripMargin).head()
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(2) == 0L)
+  }
+
+  test("minhash_signature rejects non-foldable / non-INT numHashes with a clear error") {
+    ensureRegistered()
+    val nonFoldable = intercept[AnalysisException] {
+      spark.sql("SELECT minhash_signature(array('a'), CAST(rand() * 4 AS INT))").collect()
+    }
+    assert(nonFoldable.getMessage.contains("foldable INT literal"))
+    val wrongType = intercept[AnalysisException] {
+      spark.sql("SELECT minhash_signature(array('a'), 4L)").collect()
+    }
+    assert(wrongType.getMessage.contains("foldable INT literal"))
+  }
+
+  test("two instances of a native expression in one projection stay codegen'd") {
+    import spark.implicits._
+    // CODEGEN_ONLY turns the round-1 "Redefinition of local variable" janino
+    // failure into a hard error instead of an interpreted-mode fallback.
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val df = Seq(
+        (Array(1.0f, 0.0f), Array(1.0f, 1.0f), Array("a", "b"), Array("b", "c")))
+        .toDF("u", "v", "s", "t")
+      val r = df.select(
+        VectorFunctions.cosine_similarity(col("u"), col("v")).as("c1"),
+        VectorFunctions.cosine_similarity(col("v"), col("u")).as("c2"),
+        VectorFunctions.sorted_intersect_count(col("s"), col("t")).as("i1"),
+        VectorFunctions.sorted_intersect_count(col("t"), col("s")).as("i2")).head()
+      assert(math.abs(r.getDouble(0) - 1.0 / math.sqrt(2)) < 1e-15)
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getLong(2) == 1L && r.getLong(3) == 1L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None    => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+}
