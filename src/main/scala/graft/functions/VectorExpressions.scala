@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, DoubleType, FloatType, LongType, StringType}
 
 /** Native Catalyst expressions for the vector hot path.
   *
@@ -141,6 +141,99 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** DECIMAL-exact squared distances of one vector to a packed centroid matrix,
+  * all centroids in a single call: `(array<float|double>, array<array<double>>)
+  * -> array<decimal(38,18)>`, element i = squared L2 distance to centroid i.
+  *
+  * This is the vectorized IVF-build kernel (`IvfIndex`): round 1 computed the
+  * same distances by exploding vectors to (vec, dim, v) rows and joining
+  * centroids on `dim` — a 64x row inflation x nLists intermediate before the
+  * group-by. Here the centroid matrix is tiny (nLists x dims), travels as a
+  * broadcast literal, and each vector row produces its nLists distances in one
+  * fused loop — no explode, no join, no re-aggregation.
+  *
+  * Determinism contract (oracle-enforced): each per-dimension term is computed
+  * in doubles exactly as the exploded form did (`(v - c) * (v - c)` with
+  * float widened to double), then converted with EXACTLY Spark's
+  * `cast(double AS decimal(38,18))` semantics — shortest decimal
+  * representation (`BigDecimal.valueOf`) then HALF_UP to scale 18 — and summed
+  * with exact BigDecimal addition. The result is bit-identical to
+  * `sum(cast((v - c) * (v - c) as decimal(38,18)))` regardless of
+  * partitioning, so the DuckDB oracle for the IVF query is unchanged.
+  */
+case class SquaredDistances(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = left.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _                                    => false
+    }
+    val centsOk = right.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _                                      => false
+    }
+    if (vecOk && centsOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float|double>, array<array<double>>), got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(DecimalType(38, 18), containsNull = false)
+  override def prettyName: String = "squared_distances"
+
+  // lazy: left.dataType is only legal after analysis resolves the children
+  private lazy val vecIsFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    SquaredDistances.compute(l.asInstanceOf[ArrayData],
+      r.asInstanceOf[ArrayData], vecIsFloat)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = graft.functions.SquaredDistances.compute(
+         |  $a, $b, $vecIsFloat);""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SquaredDistances {
+  import java.math.{BigDecimal => JBig, RoundingMode}
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.Decimal
+
+  /** Shared by interpreted eval and codegen (the generated code just calls
+    * this — the loop body is BigDecimal arithmetic either way). */
+  def compute(vec: ArrayData, cents: ArrayData, vecIsFloat: Boolean): ArrayData = {
+    val nLists = cents.numElements()
+    val out = new Array[Any](nLists)
+    var li = 0
+    while (li < nLists) {
+      val c = cents.getArray(li)
+      val n = math.min(vec.numElements(), c.numElements())
+      var acc = JBig.ZERO
+      var i = 0
+      while (i < n) {
+        val v = if (vecIsFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        val d = v - c.getDouble(i)
+        val term = d * d
+        // Spark's Cast(double -> decimal(38,18)): shortest decimal repr of the
+        // double, then HALF_UP to scale 18 (Decimal.changePrecision)
+        acc = acc.add(JBig.valueOf(term).setScale(18, RoundingMode.HALF_UP))
+        i += 1
+      }
+      out(li) = Decimal(acc, 38, 18)
+      li += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object VectorFunctions {
   /** Column-level API: codegen'd cosine similarity over float vectors. */
   def cosine_similarity(a: Column, b: Column): Column =
@@ -151,4 +244,9 @@ object VectorFunctions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** DECIMAL-exact squared distances to all packed centroids at once. */
+  def squared_distances(vec: Column, cents: Column): Column =
+    ColumnBridge.column(SquaredDistances(
+      ColumnBridge.expression(vec), ColumnBridge.expression(cents)))
 }

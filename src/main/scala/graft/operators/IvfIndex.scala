@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
 
 /** IVF (inverted-file) approximate nearest neighbor — the clustered
   * alternative to the random-hyperplane LSH path in [[Similarity]]:
@@ -12,15 +14,24 @@ import org.apache.spark.sql.functions._
   *   query: rank centroids per query, probe the nProbe nearest lists, exact
   *   cosine top-k over only those lists' members.
   *
-  * Scale shape: the build is two passes over the exploded (vec, dim, val)
-  * table — the honest IVF training cost, all shuffles keyed on (list, dim);
-  * a query then touches ~nProbe/nLists of the corpus instead of all of it.
+  * Scale shape (round 2): centroid MEANS still aggregate the exploded
+  * (vec, dim, v) table — a map-side-combined groupBy, the honest training
+  * cost — but per-vector DISTANCES no longer explode-join: the (tiny)
+  * nLists x dims centroid matrix is collected and shipped as a broadcast
+  * literal, and [[graft.functions.SquaredDistances]] computes all nLists
+  * distances per vector in one fused kernel. Round 1's formulation inflated
+  * rows 64x (dims) x nLists before re-aggregating; this one emits exactly
+  * nLists rows per vector. The driver round-trip per Lloyd iteration
+  * (collect centroids -> broadcast) is the standard distributed k-means shape
+  * (centroid state is O(nLists x dims), independent of corpus size).
   *
   * Determinism engineering (oracle-enforced): centroid means use
-  * DECIMAL-exact component sums; squared-distance terms are DECIMAL-cast
-  * per-term then exactly summed, so argmin assignments and probe rankings are
-  * identical across engines and partitionings — k-means with double
-  * accumulators would NOT be (partial-sum order changes assignments).
+  * DECIMAL-exact component sums; squared-distance terms follow EXACTLY
+  * Spark's `cast(double as decimal(38,18))` + exact decimal sum semantics
+  * (see [[graft.functions.SquaredDistances]]), so argmin assignments and
+  * probe rankings are identical across engines and partitionings — k-means
+  * with double accumulators would NOT be (partial-sum order changes
+  * assignments).
   */
 object IvfIndex {
 
@@ -35,14 +46,29 @@ object IvfIndex {
       .agg((sum(col("v").cast("decimal(28,12)")).cast("double") /
             count(lit(1))).as("c"))
 
+  /** Collect the (nLists x dims — tiny, corpus-size-independent) centroid
+    * table into a packed matrix literal plus its list-id index. Lists are
+    * ordered by id; a list emptied by the Lloyd step simply drops out, which
+    * is why positions map back through `listIds` rather than assuming 0..n. */
+  private def collectMatrix(cents: DataFrame): (Column, Column) = {
+    val byList = cents.select("list", "dim", "c").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    val listIds = byList.map(_._1)
+    val matrix = byList.map(_._2.sortBy(_._2).map(_._3).toSeq)
+    (typedLit(matrix), typedLit(listIds))
+  }
+
   /** DECIMAL-exact squared distance of every vector to every centroid:
-    * (vec_id, list, dist2). */
-  private def dist2(ve: DataFrame, cents: DataFrame): DataFrame =
-    ve.join(cents, "dim")
-      .withColumn("term", ((col("v") - col("c")) * (col("v") - col("c")))
-        .cast("decimal(38,18)"))
-      .groupBy("vec_id", "list")
-      .agg(sum("term").as("dist2"))
+    * (vec_id, list, dist2) — nLists rows per vector, single scan, no join. */
+  private def distances(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val (matrix, listIds) = collectMatrix(cents)
+    emb.select(col("vec_id"),
+        posexplode(VectorFunctions.squared_distances(col("embedding"), matrix))
+          .as(Seq("pos", "dist2")))
+      .withColumn("list", element_at(listIds, col("pos") + 1))
+      .select("vec_id", "list", "dist2")
+  }
 
   private def argmin(d: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("list").asc)
@@ -57,9 +83,9 @@ object IvfIndex {
     val seed = emb.select(col("vec_id"),
       pmod(col("vec_id"), lit(nLists.toLong)).as("list"))
     val c0 = centroids(ve, seed)
-    val a1 = argmin(dist2(ve, c0))
+    val a1 = argmin(distances(emb, c0))
     val c1 = centroids(ve, a1)
-    argmin(dist2(ve, c1))
+    argmin(distances(emb, c1))
   }
 
   /** IVF top-k: probe the nProbe nearest lists per query, exact cosine
@@ -70,11 +96,11 @@ object IvfIndex {
     val seed = emb.select(col("vec_id"),
       pmod(col("vec_id"), lit(nLists.toLong)).as("list"))
     val c0 = centroids(ve, seed)
-    val a1 = argmin(dist2(ve, c0))
+    val a1 = argmin(distances(emb, c0))
     val finalCents = centroids(ve, a1)
-    val finalAssign = argmin(dist2(ve, finalCents))
+    val finalAssign = argmin(distances(emb, finalCents))
 
-    val qd = dist2(ve.filter(col("vec_id") < nQueries), finalCents)
+    val qd = distances(emb.filter(col("vec_id") < nQueries), finalCents)
     val wProbe = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("list").asc)
     val probes = qd.withColumn("__rn", row_number().over(wProbe))
       .filter(col("__rn") <= nProbe)

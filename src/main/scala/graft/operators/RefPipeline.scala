@@ -12,8 +12,9 @@ import graft.sources.Tables
   *
   *   1. schema discovery            -> parquet/JDBC schema (authoritative)
   *   2. chunk planning              -> Chunking.boundariesDistributed + intervals
-  *   3. parallel partitioned scan   -> union of half-open chunk range filters
-  *      (parquet stand-in; JdbcPartitionedSource.read takes the same plan)
+  *   3. parallel partitioned scan   -> one scan + broadcast interval range
+  *      join assigning each row its half-open chunk (parquet stand-in;
+  *      JdbcPartitionedSource.read maps chunks to scan partitions directly)
   *   4. stringify projection        -> RowOps.stringifyAll
   *   5. null-literal drop           -> RowOps.dropNullLiterals
   *   6. append sink, create-if-needed -> AppendSink, then read back
@@ -32,22 +33,29 @@ object RefPipeline {
         col("l_shipdate").cast("timestamp").cast("long"))
 
     // 2. chunk plan (distributed form; parity form is plan-identical).
-    // chunkSize is scaled to the table so the branch count stays bounded —
+    // chunkSize is scaled to the table so the chunk count stays bounded —
     // the reference's 1M-row default serves the same purpose: chunks are a
-    // parallelism unit, not a fixed row quota. Without row-group ordering on
-    // ts, every union branch re-scans the file, so branch count is a real cost.
+    // parallelism unit, not a fixed row quota. count() here is column-pruned
+    // to a metadata-only parquet row count.
     val n = src.count()
     val sized = cfg.copy(chunkSize = math.max(1L, n / 15))
     val intervals = Chunking.plan(src, sized, Seq("l_orderkey", "l_linenumber"))
-      .collect().map(r => (r.getLong(1), r.getLong(2)))
 
-    // 3. one scan branch per chunk — the reference's chunk-per-worker model;
-    //    each branch's range predicate pushes into the parquet scan
-    val chunked = intervals.map { case (lo, hi) =>
-      RowOps.rangeHalfOpen(src, cfg.timestampColumn, lit(lo), lit(hi))
-        // seed interval starts AT startTime; ref's scan filter is ts > start
-        .filter(col(cfg.timestampColumn) > cfg.startTime)
-    }.reduce(_ unionAll _)
+    // 3. ONE scan + chunk assignment: each row joins its (unique, because the
+    //    intervals partition [start, sentinel) — property-tested) half-open
+    //    chunk via a broadcast range join. This replaces round 1's
+    //    union-of-N-branches, which re-read the parquet once per chunk; the
+    //    JDBC form (toPredicates -> partition-per-predicate) needs no join at
+    //    all because the chunks ARE the scan partitions there. Per-row cost is
+    //    O(#chunks) comparisons against the broadcast side — #chunks is small
+    //    by construction (rows/chunkSize), the same bound the reference's
+    //    driver-side boundary list relies on.
+    val ts = col(cfg.timestampColumn)
+    val chunked = src
+      // seed interval starts AT startTime; ref's scan filter is ts > start
+      .filter(ts > cfg.startTime)
+      .join(broadcast(intervals), ts >= col("lo") && ts < col("hi"))
+      .drop("chunk_id", "lo", "hi")
 
     // 4+5. projection stage (whole-stage codegen'd, no per-row Java loop)
     val projected = RowOps.dropNullLiterals(
