@@ -57,4 +57,55 @@ object JdbcPartitionedSource {
   def introspect(cols: Seq[(String, String)],
                  mode: HanaTypes.Mode = HanaTypes.RefCompatible) =
     HanaTypes.schemaFor(cols, mode)
+
+  /** The reference's catalog query text, verbatim (`HanaToBQ.java:56`,
+    * executed at `:110`): column names and type names in ordinal position
+    * order. `%s` is the table name, interpolated exactly as the reference
+    * does — acceptable for a system-catalog lookup of an operator-supplied
+    * identifier, and kept identical for parity. */
+  val HanaCatalogSql: String =
+    "SELECT COLUMN_NAME,DATA_TYPE_NAME FROM TABLE_COLUMNS WHERE TABLE_NAME = '%s' ORDER BY POSITION ASC"
+
+  /** Execute a TABLE_COLUMNS-style catalog listing over a live JDBC
+    * connection — the reference's `getSchema` fetch loop
+    * (`HanaToBQ.java:104-119`): one blocking driver-side statement, rows
+    * read in catalog position order. `catalogSql` defaults to HANA's system
+    * view; other engines pass their own listing (tests use Derby's
+    * SYS.SYSCOLUMNS equivalent). */
+  def fetchCatalog(cfg: GraftConfig,
+                   catalogSql: String = HanaCatalogSql): Seq[(String, String)] = {
+    Class.forName(cfg.driver)
+    val conn = java.sql.DriverManager.getConnection(
+      cfg.connectionString, cfg.username, cfg.password)
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(catalogSql.format(cfg.tableName))
+        val buf = scala.collection.mutable.ListBuffer.empty[(String, String)]
+        while (rs.next()) buf += ((rs.getString(1), rs.getString(2)))
+        buf.toList
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  /** Strip vendor decoration from a catalog type name so non-HANA catalogs
+    * can feed the same 21-lane map: `"VARCHAR(20) NOT NULL"` -> `"VARCHAR"`.
+    * HANA's DATA_TYPE_NAME is already bare, so this is a no-op on the
+    * reference path. */
+  def normalizeTypeName(t: String): String =
+    t.trim.toUpperCase.takeWhile(c => c.isLetter || c == '_')
+
+  /** End-to-end catalog introspection over JDBC: execute the catalog listing
+    * and land it on the Spark schema through the reference's type map
+    * (`HanaToBQ.java:120-136`), aborting on unmapped types (`:129-132`). */
+  def introspectJdbc(cfg: GraftConfig,
+                     mode: HanaTypes.Mode = HanaTypes.RefCompatible,
+                     catalogSql: String = HanaCatalogSql,
+                     normalize: Boolean = false) = {
+    val cols = fetchCatalog(cfg, catalogSql)
+    HanaTypes.schemaFor(
+      if (normalize) cols.map { case (n, t) => (n, normalizeTypeName(t)) }
+      else cols,
+      mode)
+  }
 }
