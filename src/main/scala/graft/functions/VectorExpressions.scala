@@ -215,7 +215,13 @@ object SquaredDistances {
     var li = 0
     while (li < nLists) {
       val c = cents.getArray(li)
-      val n = math.min(vec.numElements(), c.numElements())
+      // ragged embeddings must fail fast, not silently truncate to the
+      // shorter vector and return plausible-but-wrong distances
+      if (vec.numElements() != c.numElements())
+        throw new IllegalArgumentException(
+          s"squared_distances: vector dim ${vec.numElements()} != " +
+            s"centroid dim ${c.numElements()} (list position $li)")
+      val n = vec.numElements()
       var acc = JBig.ZERO
       var i = 0
       while (i < n) {
@@ -223,8 +229,12 @@ object SquaredDistances {
         val d = v - c.getDouble(i)
         val term = d * d
         // Spark's Cast(double -> decimal(38,18)): shortest decimal repr of the
-        // double, then HALF_UP to scale 18 (Decimal.changePrecision)
-        acc = acc.add(JBig.valueOf(term).setScale(18, RoundingMode.HALF_UP))
+        // double, then HALF_UP to scale 18 (Decimal.changePrecision). A
+        // non-finite term under non-ANSI Cast becomes null, and sum() skips
+        // null terms — mirror that by skipping the term rather than letting
+        // JBig.valueOf throw NumberFormatException.
+        if (java.lang.Double.isFinite(term))
+          acc = acc.add(JBig.valueOf(term).setScale(18, RoundingMode.HALF_UP))
         i += 1
       }
       out(li) = Decimal(acc, 38, 18)

@@ -60,9 +60,13 @@ object IvfIndex {
   }
 
   /** DECIMAL-exact squared distance of every vector to every centroid:
-    * (vec_id, list, dist2) — nLists rows per vector, single scan, no join. */
-  private def distances(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val (matrix, listIds) = collectMatrix(cents)
+    * (vec_id, list, dist2) — nLists rows per vector, single scan, no join.
+    * Takes the PRE-COLLECTED (matrix, listIds) literal pair so a centroid
+    * table consumed by several distance passes is aggregated and collected
+    * exactly once (collectMatrix is an eager action; calling it per consumer
+    * re-runs the whole upstream Lloyd lineage). */
+  private def distances(emb: DataFrame, packed: (Column, Column)): DataFrame = {
+    val (matrix, listIds) = packed
     emb.select(col("vec_id"),
         posexplode(VectorFunctions.squared_distances(col("embedding"), matrix))
           .as(Seq("pos", "dist2")))
@@ -82,9 +86,9 @@ object IvfIndex {
     val ve = exploded(emb, "vec_id")
     val seed = emb.select(col("vec_id"),
       pmod(col("vec_id"), lit(nLists.toLong)).as("list"))
-    val c0 = centroids(ve, seed)
+    val c0 = collectMatrix(centroids(ve, seed))
     val a1 = argmin(distances(emb, c0))
-    val c1 = centroids(ve, a1)
+    val c1 = collectMatrix(centroids(ve, a1))
     argmin(distances(emb, c1))
   }
 
@@ -95,9 +99,12 @@ object IvfIndex {
     val ve = exploded(emb, "vec_id")
     val seed = emb.select(col("vec_id"),
       pmod(col("vec_id"), lit(nLists.toLong)).as("list"))
-    val c0 = centroids(ve, seed)
+    val c0 = collectMatrix(centroids(ve, seed))
     val a1 = argmin(distances(emb, c0))
-    val finalCents = centroids(ve, a1)
+    // collected ONCE: both the full-corpus assignment and the query-side
+    // probe ranking consume the same packed literal — previously each
+    // distances() call re-collected finalCents, re-running the Lloyd lineage
+    val finalCents = collectMatrix(centroids(ve, a1))
     val finalAssign = argmin(distances(emb, finalCents))
 
     val qd = distances(emb.filter(col("vec_id") < nQueries), finalCents)

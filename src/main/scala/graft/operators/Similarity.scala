@@ -77,26 +77,33 @@ object Similarity {
 
   /** LSH-bucketed ANN top-k: L hash tables of nBits-bit sketches; candidates
     * are corpus vectors sharing any table's bucket with the query; exact
-    * cosine re-rank on candidates only. */
+    * cosine re-rank on candidates only.
+    *
+    * Shuffle discipline (the 100 TB path): the sketch pass emits ONLY
+    * (vec_id, tbl, key) — embeddings never ride through the explode, the
+    * bucket join, or the candidate `distinct()`. The dedup exchange carries
+    * two longs per candidate instead of two full float vectors; embeddings
+    * rejoin from the base scan afterwards, touching only the deduped
+    * candidate ids (same shape as [[NearDup.jaccardVerify]]). */
   def lshTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
               nBits: Int = 8, tables: Int = 4, dim: Int = 64): DataFrame = {
     val keys = array((0 until tables).map(t =>
       struct(lit(t).as("tbl"), bucketKey(col("embedding"), t, nBits, dim).as("key"))): _*)
-    val sketched = emb.select(col("vec_id"), col("embedding"), explode(keys).as("bk"))
-      .select(col("vec_id"), col("embedding"),
-        col("bk.tbl").as("tbl"), col("bk.key").as("key"))
+    val sketched = emb.select(col("vec_id"), explode(keys).as("bk"))
+      .select(col("vec_id"), col("bk.tbl").as("tbl"), col("bk.key").as("key"))
     val q = sketched.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("tbl"), col("key"))
-    val c = sketched
-      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-        col("tbl"), col("key"))
+      .select(col("vec_id").as("q_id"), col("tbl"), col("key"))
+    val c = sketched.select(col("vec_id").as("n_id"), col("tbl"), col("key"))
     val cand = c.join(broadcast(q), Seq("tbl", "key"))
       .filter(col("q_id") =!= col("n_id"))
-      .select("q_id", "q_emb", "n_id", "n_emb")
+      .select("q_id", "n_id")
       .distinct()
+    val qEmb = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val nEmb = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-    cand.withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+    cand.join(broadcast(qEmb), "q_id").join(nEmb, "n_id")
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select("q_id", "rk", "n_id", "cos")
@@ -104,20 +111,25 @@ object Similarity {
   }
 
   /** Embedding-cosine near-dup pairs: all pairs above a cosine threshold,
-    * blocked by LSH buckets (same sketch machinery), verified exactly. */
+    * blocked by LSH buckets (same sketch machinery), verified exactly.
+    *
+    * Same shuffle discipline as [[lshTopK]]: the self-join and the candidate
+    * `distinct()` see only (a_id, b_id) — at corpus scale the candidate
+    * stream dwarfs the id space, so the dedup exchange must not carry 2x
+    * full embeddings. Vectors rejoin from the base scan per deduped pair. */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.95,
                          nBits: Int = 8, tables: Int = 4, dim: Int = 64): DataFrame = {
     val keys = array((0 until tables).map(t =>
       struct(lit(t).as("tbl"), bucketKey(col("embedding"), t, nBits, dim).as("key"))): _*)
-    val sketched = emb.select(col("vec_id"), col("embedding"), explode(keys).as("bk"))
-      .select(col("vec_id"), col("embedding"),
-        col("bk.tbl").as("tbl"), col("bk.key").as("key"))
-    val a = sketched.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-      col("tbl"), col("key"))
-    val b = sketched.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-      col("tbl"), col("key"))
-    a.join(b, Seq("tbl", "key")).filter(col("a_id") < col("b_id"))
-      .select("a_id", "a_emb", "b_id", "b_emb").distinct()
+    val sketched = emb.select(col("vec_id"), explode(keys).as("bk"))
+      .select(col("vec_id"), col("bk.tbl").as("tbl"), col("bk.key").as("key"))
+    val a = sketched.select(col("vec_id").as("a_id"), col("tbl"), col("key"))
+    val b = sketched.select(col("vec_id").as("b_id"), col("tbl"), col("key"))
+    val cand = a.join(b, Seq("tbl", "key")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val aEmb = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val bEmb = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    cand.join(aEmb, "a_id").join(bEmb, "b_id")
       .withColumn("cos", cosine(col("a_emb"), col("b_emb")))
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id", "cos")

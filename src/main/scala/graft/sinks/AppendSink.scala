@@ -12,6 +12,38 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * same call with `format("bigquery")` is the real sink.
   */
 object AppendSink {
+
+  /** The write disposition the reference pins at `HanaToBQ.java:258-259`:
+    * append to the destination, creating it if needed. These are the exact
+    * option names the public spark-bigquery connector consumes, assembled
+    * here so a connected environment flips ONLY `format` — the option
+    * assembly is unit-testable without a live BigQuery. */
+  def bigQuerySpec(dest: String,
+                   extra: Map[String, String] = Map.empty): Map[String, String] =
+    Map(
+      "table" -> dest,
+      "writeDisposition" -> "WRITE_APPEND",      // HanaToBQ.java:258
+      "createDisposition" -> "CREATE_IF_NEEDED"  // HanaToBQ.java:259
+    ) ++ extra
+
+  /** Config-dispatched append: `parquet` (offline stand-in), `table`
+    * (metastore `saveAsTable`), or `bigquery` (the connected path — requires
+    * the spark-bigquery connector on the classpath; the sandbox exercises
+    * only the option assembly above). */
+  def append(df: DataFrame, dest: String, format: String = "parquet",
+             options: Map[String, String] = Map.empty): Unit = format match {
+    case "parquet" =>
+      df.write.mode(SaveMode.Append).options(options).parquet(dest)
+    case "table" =>
+      df.write.mode(SaveMode.Append).options(options).saveAsTable(dest)
+    case "bigquery" =>
+      df.write.format("bigquery").mode(SaveMode.Append)
+        .options(bigQuerySpec(dest, options)).save()
+    case other =>
+      throw new IllegalArgumentException(
+        s"Unknown sink format '$other' (expected parquet | table | bigquery)")
+  }
+
   def appendParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)
 

@@ -74,6 +74,12 @@ object JdbcPartitionedSource {
     * SYS.SYSCOLUMNS equivalent). */
   def fetchCatalog(cfg: GraftConfig,
                    catalogSql: String = HanaCatalogSql): Seq[(String, String)] = {
+    // the table name is string-interpolated into the catalog SQL (reference
+    // parity — `HanaToBQ.java:110`); validate it as a bare identifier first
+    // so an untrusted name can't smuggle SQL through the quotes
+    require(cfg.tableName.matches("[A-Za-z0-9_.$#]+"),
+      s"tableName '${cfg.tableName}' is not a plain identifier " +
+        "(allowed: letters, digits, _ . $ #)")
     Class.forName(cfg.driver)
     val conn = java.sql.DriverManager.getConnection(
       cfg.connectionString, cfg.username, cfg.password)

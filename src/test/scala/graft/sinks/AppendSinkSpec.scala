@@ -1,0 +1,43 @@
+package graft.sinks
+
+import graft.SparkSpec
+
+/** `snk_bq_append` seam (`HanaToBQ.java:256-259`): the BigQuery write spec is
+  * assembled and checkable without a live BigQuery — a connected environment
+  * flips only `format`. */
+class AppendSinkSpec extends SparkSpec {
+
+  test("bigquery spec carries the reference's dispositions and the destination") {
+    val spec = AppendSink.bigQuerySpec("dest_dataset.events")
+    assert(spec("table") == "dest_dataset.events")
+    assert(spec("writeDisposition") == "WRITE_APPEND")       // HanaToBQ.java:258
+    assert(spec("createDisposition") == "CREATE_IF_NEEDED")  // HanaToBQ.java:259
+  }
+
+  test("caller options pass through (and may override) the spec") {
+    val spec = AppendSink.bigQuerySpec("d.t",
+      Map("temporaryGcsBucket" -> "stage-bucket", "writeMethod" -> "indirect"))
+    assert(spec("temporaryGcsBucket") == "stage-bucket")
+    assert(spec("writeMethod") == "indirect")
+    assert(spec("writeDisposition") == "WRITE_APPEND")
+  }
+
+  test("unknown sink format fails fast") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      AppendSink.append(df, "/tmp/nope", format = "avro")
+    }
+    assert(e.getMessage.contains("Unknown sink format"))
+  }
+
+  test("parquet format dispatch appends and round-trips") {
+    import spark.implicits._
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft_append").toString + "/t"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    AppendSink.append(df, dest)              // create-if-needed
+    AppendSink.append(df, dest)              // append
+    assert(AppendSink.readBack(spark, dest).count() == 4L)
+  }
+}

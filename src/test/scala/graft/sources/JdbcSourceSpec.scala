@@ -67,6 +67,14 @@ class JdbcSourceSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == bounds.length + 1)
   }
 
+  test("catalog fetch rejects non-identifier table names (injection guard)") {
+    val e = intercept[IllegalArgumentException] {
+      JdbcPartitionedSource.fetchCatalog(
+        cfg.copy(tableName = "SRC'; DROP TABLE SRC--"))
+    }
+    assert(e.getMessage.contains("not a plain identifier"))
+  }
+
   test("introspect applies the reference type map with fail-closed unknowns") {
     val schema = JdbcPartitionedSource.introspect(
       Seq("TS" -> "BIGINT", "VAL" -> "NVARCHAR"))
