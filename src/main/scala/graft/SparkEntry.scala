@@ -39,7 +39,7 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val d = li(spark, "/root/testdata/sf0.001")
-    Chunking.intervals(
+    Chunking.intervalsDistributed(
       Chunking.boundariesDistributed(d, "ts_epoch", tie, 100L, Start),
       "ts_epoch", Start)
   }
@@ -50,8 +50,9 @@ object SparkEntry {
       Chunking.boundaries(li(s, dir), "ts_epoch", tie, ChunkSize, Start)),
     "q_chunk_boundaries_dist" -> ((s, dir) =>
       Chunking.boundariesDistributed(li(s, dir), "ts_epoch", tie, ChunkSize, Start)),
+    // distributed interval zip — oracle identical to the parity form
     "q_chunk_intervals" -> ((s, dir) =>
-      Chunking.intervals(
+      Chunking.intervalsDistributed(
         Chunking.boundariesDistributed(li(s, dir), "ts_epoch", tie, ChunkSize, Start),
         "ts_epoch", Start)),
 

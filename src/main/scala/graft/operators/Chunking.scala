@@ -108,11 +108,58 @@ object Chunking {
       .orderBy("chunk_id")
   }
 
-  /** End-to-end chunk plan from a config, over an epoch-seconds column. */
+  /** Distributed form of [[intervals]] — no single-partition window anywhere.
+    * At the default 1M chunkSize the boundary set is tiny, but SCALE.md's
+    * own arithmetic (100 TB / 1 KB rows, small chunks) puts it at ~10^8 rows,
+    * where one global `Window.orderBy` funnels everything through one task.
+    * Same offsets trick as [[boundariesDistributed]]: range-partition the
+    * seeded boundary set, derive the global position from partition-local
+    * row_number + broadcast cumulative counts, and resolve each boundary's
+    * successor (`lead`) with a self-join on the derived position — every
+    * exchange is range- or hash-partitioned on boundary cardinality. Output
+    * is bit-identical to [[intervals]] (property-tested; same oracle). */
+  def intervalsDistributed(bounds: DataFrame, ts: String, start: Long,
+                           sentinel: Long = GraftConfig.Sentinel,
+                           numPartitions: Int = 0): DataFrame = {
+    val spark = bounds.sparkSession
+    import spark.implicits._
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    val seeded = bounds.select(col(ts).cast("long").as("b"))
+      .unionAll(Seq(start).toDF("b"))
+    val ranged = seeded
+      .repartitionByRange(n, col("b").asc)
+      .sortWithinPartitions(col("b").asc)
+      .withColumn("__pid", spark_partition_id())
+    val counts = ranged.groupBy("__pid").count()
+    val wOff = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__offset", coalesce(sum("count").over(wOff), lit(0L)))
+      .select("__pid", "__offset")
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col("b").asc)
+    val numbered = ranged
+      .withColumn("__local_rn", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), "__pid")
+      .select((col("__local_rn") + col("__offset") - 1).as("chunk_id"),
+        col("b").as("lo"))
+    // distributed lead(1): boundary at position i+1 is interval i's hi
+    val next = numbered
+      .select((col("chunk_id") - 1).as("chunk_id"), col("lo").as("hi"))
+    numbered.join(next, Seq("chunk_id"), "left")
+      .select(col("chunk_id"), col("lo"),
+        coalesce(col("hi"), lit(sentinel)).as("hi"))
+      .orderBy("chunk_id")
+  }
+
+  /** End-to-end chunk plan from a config, over an epoch-seconds column.
+    * Uses the distributed interval zip — at default chunk sizes the boundary
+    * set is small either way, but this path must survive small chunkSize at
+    * 100 TB, where the parity form's global window funnel would not. */
   def plan(df: DataFrame, cfg: GraftConfig, tieBreak: Seq[String]): DataFrame = {
     val b = boundariesDistributed(df, cfg.timestampColumn, tieBreak,
       cfg.chunkSize, cfg.startTime)
-    intervals(b, cfg.timestampColumn, cfg.startTime, cfg.effectiveEnd)
+    intervalsDistributed(b, cfg.timestampColumn, cfg.startTime, cfg.effectiveEnd)
   }
 
   /** Chunk intervals -> JDBC partition predicates, the exact fan-out shape of

@@ -59,6 +59,20 @@ class ChunkingPropertySpec extends SparkSpec {
     }
   }
 
+  test("distributed interval zip is bit-identical to the parity form for any input") {
+    import spark.implicits._
+    cases(6).foreach { case (ts, chunk, start) =>
+      val df = ts.zipWithIndex.map { case (t, i) => (t, i.toLong) }.toDF("ts", "id")
+      // forced-small chunkSize -> many boundaries, exercising partition edges
+      val b = Chunking.boundaries(df, "ts", Seq("id"), chunk, start)
+      val parity = Chunking.intervals(b, "ts", start)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+      val dist = Chunking.intervalsDistributed(b, "ts", start, numPartitions = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+      assert(parity == dist)
+    }
+  }
+
   test("type map is total over the 21 declared types and fails closed otherwise") {
     val declared = HanaTypes.mapping(HanaTypes.RefCompatible).keys.toList
     declared.foreach { t =>

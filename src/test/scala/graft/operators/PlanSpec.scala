@@ -45,6 +45,23 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final agg")
   }
 
+  test("distributed interval zip has no unpartitioned window") {
+    val li = Tables.lineitem(spark, sf)
+      .withColumn("ts_epoch", col("l_shipdate").cast("timestamp").cast("long"))
+    val b = Chunking.boundariesDistributed(li, "ts_epoch",
+      Seq("l_orderkey", "l_linenumber"), 100L, 788918400L)
+    val df = Chunking.intervalsDistributed(b, "ts_epoch", 788918400L)
+    df.collect() // finalize AQE
+    val p = plan(df)
+    // every Window in the plan is partitioned by __pid; the boundary-count
+    // offsets window runs over O(#partitions) rows, not the boundary set
+    val winLines = p.linesIterator.filter(_.contains("Window ")).toList
+    assert(winLines.nonEmpty)
+    winLines.filterNot(_.contains("__offset")).foreach { l =>
+      assert(l.contains("__pid"), s"unpartitioned window over data rows: $l")
+    }
+  }
+
   test("distributed boundaries avoid the global single-partition window") {
     val li = Tables.lineitem(spark, sf)
       .withColumn("ts_epoch", col("l_shipdate").cast("timestamp").cast("long"))
