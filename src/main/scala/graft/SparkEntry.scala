@@ -181,6 +181,26 @@ object SparkEntry {
       Splits.assign(Tables.documents(s, dir).select("doc_id"), "doc_id")
         .orderBy("doc_id")),
 
+    // ---- extension: deterministic sampling / per-group quotas ----
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling.stratified(Tables.documents(s, dir).select("doc_id", "lang"),
+        "doc_id", "lang", Map("en" -> 37), defaultPct = 83)
+        .orderBy("doc_id")),
+    "q_quota_cap" -> ((s, dir) =>
+      Sampling.quotaCap(Tables.documents(s, dir).select("doc_id", "lang"),
+        "lang", 30, Seq("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- extension: repetition ratio + PII scrub (text curation) ----
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_redact_pii" -> ((s, dir) =>
+      TextAnalysis.redactPii(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // ---- extension: embedding normalize/quantize ----
+    "q_vec_quantize" -> ((s, dir) =>
+      VectorOps.quantizeDigest(Tables.embeddings(s, dir)).orderBy("vec_id")),
+
     // ---- capstone: end-to-end training-data curation ----
     "q_curation" -> ((s, dir) => CurationPipeline.keptDocuments(s, dir)),
 
@@ -744,6 +764,45 @@ object SparkEntry {
           |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft_v1'), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
           |       ELSE 'test' END AS split
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_sample_stratified" ->
+        """SELECT doc_id, lang FROM documents
+          |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft_sample_v1'), 1, 8)) AS BIGINT) % 100
+          |      < CASE WHEN lang = 'en' THEN 37 ELSE 83 END
+          |ORDER BY doc_id""".stripMargin,
+      "q_quota_cap" ->
+        """SELECT doc_id, lang, rk FROM (
+          |  SELECT doc_id, lang,
+          |    CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rk
+          |  FROM documents) t WHERE rk <= 30 ORDER BY doc_id""".stripMargin,
+      "q_repetition" ->
+        """WITH d AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM documents),
+          |tri AS (SELECT doc_id, list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+          |          i -> array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 2), ' ')) AS tri FROM d)
+          |SELECT doc_id, CAST(len(tri) AS BIGINT) AS n_ngrams,
+          |  CAST(len(list_distinct(tri)) AS BIGINT) AS n_distinct,
+          |  1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / CAST(len(tri) AS DOUBLE) AS rep_ratio
+          |FROM tri ORDER BY doc_id""".stripMargin,
+      "q_redact_pii" ->
+        """SELECT doc_id,
+          |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+          |  CAST(len(regexp_extract_all(lower(text), '[0-9]{7,}')) AS BIGINT) AS n_longnums,
+          |  regexp_replace(regexp_replace(lower(text),
+          |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
+          |    '[0-9]{7,}', '<num>', 'g') AS redacted
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_vec_quantize" ->
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          |m AS (SELECT vec_id, v,
+          |  sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS l2_norm,
+          |  list_max(list_transform(v, x -> abs(x))) AS max_abs FROM e),
+          |q AS (SELECT vec_id, l2_norm, max_abs,
+          |  list_transform(v, x -> CASE WHEN max_abs = 0 THEN CAST(0 AS BIGINT)
+          |    ELSE CAST(floor(x * (127.0 / max_abs)) AS BIGINT) END) AS qv FROM m)
+          |SELECT vec_id, l2_norm, max_abs,
+          |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), qv), (a, b) -> a + b) AS BIGINT) AS q_sum,
+          |  CAST(list_min(qv) AS BIGINT) AS q_min,
+          |  CAST(list_max(qv) AS BIGINT) AS q_max
+          |FROM q ORDER BY vec_id""".stripMargin,
       "q_curation" ->
         """WITH q AS (
           |  SELECT doc_id, text, lang,

@@ -84,6 +84,38 @@ object TextAnalysis {
       .select(col(id), md5(norm).as("fp_md5"), roll.as("fp_roll"))
   }
 
+  /** Repetition ratio: fraction of duplicated word trigrams per document —
+    * the standard boilerplate/spam signal (templated pages repeat n-grams).
+    * Same trigram construction as [[NearDup.shingles]] minus the distinct.
+    * Narrow map, zero shuffle. */
+  def repetition(df: DataFrame, text: String = "text", id: String = "doc_id"): DataFrame = {
+    val w = split(trim(regexp_replace(lower(col(text)), "[^a-z0-9]+", " ")), " ")
+    val tri = transform(
+      sequence(lit(1), greatest(size(w) - 2, lit(1))),
+      i => concat_ws(" ", slice(w, i, lit(3))))
+    graft.core.Parallelism.forCompute(df).select(col(id),
+      size(tri).cast("long").as("n_ngrams"),
+      size(array_distinct(tri)).cast("long").as("n_distinct"),
+      (lit(1.0) - size(array_distinct(tri)).cast("double")
+        / size(tri).cast("double")).as("rep_ratio"))
+  }
+
+  /** PII scrubbing: count and redact email-like tokens and long digit runs.
+    * Patterns are deliberately in the regex subset Java and RE2 interpret
+    * identically (character classes, bounded repetition — no backrefs or
+    * lookaround), so the oracle reproduces the scrub exactly. */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val LongNumberPattern = "[0-9]{7,}"
+
+  def redactPii(df: DataFrame, text: String = "text", id: String = "doc_id"): DataFrame = {
+    val t = lower(col(text))
+    df.select(col(id),
+      regexp_count(t, lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(t, lit(LongNumberPattern)).cast("long").as("n_longnums"),
+      regexp_replace(regexp_replace(t, EmailPattern, "<email>"),
+        LongNumberPattern, "<num>").as("redacted"))
+  }
+
   /** Higher-order-function form of the rolling hash (interpreted; kept for
     * cross-checking the native expression in tests). */
   def rollingHashHof(norm: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-column preprocessing for similarity/ANN pipelines: L2
+  * normalization and int8 quantization — the standard storage/compute
+  * reductions applied before indexing at scale (quantized vectors are 4x
+  * smaller on the wire and in memory; normalized vectors turn cosine into a
+  * plain dot product).
+  *
+  * Every op is a narrow map over the scan — zero shuffle. Arithmetic is
+  * float->double widened and sequentially ordered (`aggregate`), matching
+  * the determinism discipline of [[Similarity]] so the DuckDB oracle
+  * reproduces results bit-identically.
+  */
+object VectorOps {
+
+  /** Sequential-order L2 norm, float widened to double. */
+  def l2Norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")))
+
+  def maxAbs(v: Column): Column =
+    array_max(transform(v, x => abs(x.cast("double"))))
+
+  /** Unit-normalize to `array<double>` (null-safe only for non-zero norms —
+    * callers filter zero vectors, which have no direction to keep). */
+  def normalized(v: Column): Column = {
+    val n = l2Norm(v)
+    transform(v, x => x.cast("double") / n)
+  }
+
+  /** Symmetric int8 quantization: scale = 127 / max|x|, element = floor(x *
+    * scale). `floor` (not round) keeps the result engine-portable — IEEE
+    * division and multiply are exactly reproducible, banker's-vs-half-up
+    * rounding is not. Zero vectors quantize to all zeros. */
+  def quantizedInt8(v: Column): Column = {
+    val m = maxAbs(v)
+    transform(v,
+      x => when(m === 0.0, lit(0L))
+        .otherwise(floor(x.cast("double") * (lit(127.0) / m)).cast("long")))
+  }
+
+  /** Oracle-facing digest: the array-valued ops reduced to scalar columns
+    * (norm, max|x|, quantized sum/min/max) so the DuckDB hash gate compares
+    * plain columns; the arrays themselves feed downstream operators. */
+  def quantizeDigest(df: DataFrame, id: String = "vec_id",
+                     emb: String = "embedding"): DataFrame = {
+    val q = quantizedInt8(col(emb))
+    df.select(col(id),
+      l2Norm(col(emb)).as("l2_norm"),
+      maxAbs(col(emb)).as("max_abs"),
+      aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
+      array_min(q).as("q_min"),
+      array_max(q).as("q_max"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Unit coverage for the round-3 curation additions: deterministic
+  * stratified sampling, per-group quota caps, repetition ratio, PII scrub,
+  * embedding normalize/quantize. */
+class SamplingVectorSpec extends SparkSpec {
+
+  test("stratified sampling is deterministic, content-addressed, and rate-respecting") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+    val s1 = Sampling.stratified(docs, "doc_id", "lang", Map("en" -> 37), 83)
+    val s2 = Sampling.stratified(docs.repartition(7), "doc_id", "lang",
+      Map("en" -> 37), 83)
+    // same rows regardless of partitioning (content-addressed, no RNG)
+    assert(s1.orderBy("doc_id").collect().toSeq ==
+      s2.orderBy("doc_id").collect().toSeq)
+    val total = docs.count().toDouble
+    val kept = s1.count().toDouble
+    assert(kept > 0 && kept < total)
+    // en stratum keeps ~37%, the rest ~83% (loose bounds; hash is uniform)
+    val enRate = s1.filter(s1("lang") === "en").count().toDouble /
+      math.max(docs.filter(docs("lang") === "en").count().toDouble, 1.0)
+    assert(enRate > 0.2 && enRate < 0.55, s"en rate $enRate")
+  }
+
+  test("quota cap keeps at most n per group with a deterministic rank") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+    val capped = Sampling.quotaCap(docs, "lang", 30, Seq("doc_id"))
+    val perGroup = capped.groupBy("lang").count().collect()
+    assert(perGroup.forall(_.getLong(1) <= 30L))
+    // rank 1..k contiguous within each group, ordered by doc_id
+    val ranks = capped.filter(capped("lang") === perGroup.head.getString(0))
+      .orderBy("doc_id").select("rk").collect().map(_.getLong(0)).toSeq
+    assert(ranks == (1L to ranks.size))
+  }
+
+  test("repetition ratio counts duplicated word trigrams") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c a b c a b c"), (2L, "all distinct words here now"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(df).orderBy("doc_id").collect()
+    // 9 words -> 7 trigrams, 3 distinct ("a b c","b c a","c a b")
+    assert(r(0).getLong(1) == 7L && r(0).getLong(2) == 3L)
+    assert(math.abs(r(0).getDouble(3) - (1.0 - 3.0 / 7.0)) < 1e-15)
+    assert(r(1).getLong(1) == r(1).getLong(2)) // no repetition
+    assert(r(1).getDouble(3) == 0.0)
+  }
+
+  test("PII scrub counts and redacts emails and long digit runs") {
+    import spark.implicits._
+    val df = Seq((1L, "Contact Foo.Bar@Example.COM or call 12345678 now"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(df).collect().head
+    assert(r.getLong(1) == 1L) // n_emails
+    assert(r.getLong(2) == 1L) // n_longnums
+    assert(r.getString(3) == "contact <email> or call <num> now")
+  }
+
+  test("int8 quantization digest: scale, floor semantics, zero-vector guard") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0f, -2.0f, 0.5f)), (2L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = VectorOps.quantizeDigest(df).orderBy("vec_id").collect()
+    assert(math.abs(r(0).getDouble(1) - math.sqrt(5.25)) < 1e-15) // l2_norm
+    assert(r(0).getDouble(2) == 2.0)                              // max_abs
+    // floor(1*63.5)=63, floor(-2*63.5)=-127, floor(0.5*63.5)=31
+    assert(r(0).getLong(3) == 63L - 127L + 31L)                   // q_sum
+    assert(r(0).getLong(4) == -127L && r(0).getLong(5) == 63L)
+    assert(r(1).getDouble(1) == 0.0 && r(1).getLong(3) == 0L)     // zero vec
+  }
+
+  test("normalized vectors have unit norm (non-zero inputs)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, Seq(3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val unit = df.select(VectorOps.normalized(col("embedding")).as("u"))
+      .selectExpr("aggregate(u, cast(0.0 as double), (a, x) -> a + x * x) as n2")
+      .collect().head.getDouble(0)
+    assert(math.abs(unit - 1.0) < 1e-12)
+  }
+}
