@@ -71,6 +71,18 @@ object Graft {
   def resampleFfill(events: DataFrame, stepSeconds: Long = 3600L): DataFrame =
     Resample.ffill(events, stepSeconds)
 
+  // ---- sampling / vector preprocessing ----
+  def sampleStratified(df: DataFrame, keyCol: String, strataCol: String,
+                       rates: Map[String, Int], defaultPct: Int = 100): DataFrame =
+    Sampling.stratified(df, keyCol, strataCol, rates, defaultPct)
+  def quotaCap(df: DataFrame, groupCol: String, n: Int,
+               orderCols: Seq[String]): DataFrame =
+    Sampling.quotaCap(df, groupCol, n, orderCols)
+  def repetitionRatio(docs: DataFrame): DataFrame = TextAnalysis.repetition(docs)
+  def redactPii(docs: DataFrame): DataFrame = TextAnalysis.redactPii(docs)
+  def normalizeEmbedding(v: Column): Column = VectorOps.normalized(v)
+  def quantizeEmbeddingInt8(v: Column): Column = VectorOps.quantizedInt8(v)
+
   // ---- splits / validation / sinks ----
   def trainValTestSplit(df: DataFrame, keyCol: String, salt: String = "graft_v1"): DataFrame =
     Splits.assign(df, keyCol, salt)

@@ -35,28 +35,15 @@ object ProfileNearDup {
     time("verify (minhash full)")(noop(NearDup.minhashPairs(docs, 0.5)))
     time("jaccardJoin full")(noop(NearDup.jaccardJoin(docs, 0.5)))
     println("lsh candidate pairs: " + NearDup.lshCandidates(sigs).count())
-    // internal split of jaccardJoin: candidate generation vs verification
+    // internal split of jaccardJoin — the REAL stages (jaccardStages), each
+    // incremental on the previous via the checkpointed signature table
     locally {
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.functions._
-      val sigs2 = NearDup.signatures(docs).select("doc_id", "sh")
-      val tokens = sigs2.select(col("doc_id"), size(col("sh")).as("n_sh"),
-        explode(col("sh")).as("tok"))
-      val dfreq = tokens.groupBy("tok").agg(count(lit(1)).as("df"))
-      val wRare = Window.partitionBy("doc_id").orderBy(col("df").asc, col("tok").asc)
-      val prefixLen = (col("n_sh") - ceil(col("n_sh") * 0.5) + 1).cast("int")
-      val prefixes = tokens.join(dfreq, "tok")
-        .withColumn("__r", row_number().over(wRare))
-        .filter(col("__r") <= prefixLen)
-        .select("doc_id", "tok")
-      val aT = prefixes.select(col("doc_id").as("a_id"), col("tok"))
-      val bT = prefixes.select(col("doc_id").as("b_id"), col("tok"))
-      val cand = aT.join(bT, Seq("tok")).filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
-      time("jj: prefixes only")(noop(prefixes))
-      time("jj: candidates only")(noop(cand))
-      time("jj: verify only")(noop(NearDup.jaccardVerify(cand, sigs2)))
-      println("jj candidate pairs: " + cand.count())
+      val (sigs2, prefixes, cand) = NearDup.jaccardStages(docs, 0.5)
+      time("jj: signatures (ckpt)")(noop(sigs2))
+      time("jj: prefixes")(noop(prefixes))
+      time("jj: candidates")(noop(cand))
+      time("jj: verify")(noop(NearDup.jaccardVerify(cand, sigs2)))
+      println("jj candidate pairs (post length+positional filter): " + cand.count())
     }
     spark.stop()
   }

@@ -15,6 +15,14 @@ object Parallelism {
   def forCompute(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    // estimate the scan's split count from optimizer statistics — NOT from
+    // df.rdd.getNumPartitions, which forces eager physical planning of the
+    // whole upstream subtree on every call. sizeInBytes is the file size for
+    // parquet scans (accurate); unknown-stat plans estimate large and skip
+    // the repartition, which only forgoes an optimization.
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val maxSplit = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
+    val estSplits = bytes / maxSplit + 1
+    if (estSplits >= target) df else df.repartition(target)
   }
 }

@@ -127,6 +127,18 @@ object NearDup {
     * Output is IDENTICAL to the brute-force join (the DuckDB oracle runs the
     * brute form to prove it), but the join touches only rare tokens. */
   def jaccardJoin(docs: DataFrame, threshold: Double = 0.5, words: Int = 3): DataFrame = {
+    val (sigs, _, cand) = jaccardStages(docs, threshold, words)
+    jaccardVerify(cand, sigs)
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** The PPJoin pipeline decomposed — (signatures, prefixes, candidates) —
+    * exactly as [[jaccardJoin]] consumes them; exposed so profiling
+    * (`graft.ProfileNearDup`) times the real stages, not a drifting copy. */
+  def jaccardStages(docs: DataFrame, threshold: Double = 0.5,
+                    words: Int = 3): (DataFrame, DataFrame, DataFrame) = {
     val sigs = signatures(docs, words).select("doc_id", "sh").localCheckpoint(false)
     val tokens = sigs.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("tok"))
@@ -156,17 +168,19 @@ object NearDup {
     // prefix token leaves enough headroom to reach the required overlap
     // alpha = ceil(t/(1+t) * (na+nb)), the pair cannot qualify — sound
     // pruning, result set unchanged (oracle runs the brute form).
+    // Length filter first (also lossless): J >= t forces t*|A| <= |B| <= |A|/t,
+    // so wildly different set sizes drop at the token join, before the
+    // candidate aggregation ever sees them.
+    val lengthOk = col("nb") * threshold <= col("na") &&
+      col("na") * threshold <= col("nb")
     val alpha = ceil(lit(threshold / (1 + threshold)) * (col("na") + col("nb")))
-    val cand = aT.join(bT, Seq("tok")).filter(col("a_id") < col("b_id"))
+    val cand = aT.join(bT, Seq("tok")).filter(col("a_id") < col("b_id") && lengthOk)
       .groupBy("a_id", "b_id")
       .agg(max(least(col("na") - col("pa"), col("nb") - col("pb")) + 1).as("ub"),
            first("na").as("na"), first("nb").as("nb"))
       .filter(col("ub") >= alpha)
       .select("a_id", "b_id")
-    jaccardVerify(cand, sigs)
-      .filter(col("jaccard") >= threshold)
-      .select("a_id", "b_id", "jaccard")
-      .orderBy("a_id", "b_id")
+    (sigs, prefixes, cand)
   }
 
   /** 32-bit SimHash over word tokens: token hash = first 8 md5 hex chars as
