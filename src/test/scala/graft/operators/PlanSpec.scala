@@ -45,6 +45,19 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final agg")
   }
 
+  test("stratified sample is a pure narrow map: no exchange, 2-column scan") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+    val p = plan(Sampling.stratified(docs, "doc_id", "lang", Map("en" -> 37), 83))
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p.take(2000))
+  }
+
+  test("quantize digest is a pure narrow map over the embedding scan") {
+    val p = plan(graft.operators.VectorOps
+      .quantizeDigest(Tables.embeddings(spark, sf)))
+    assert(!p.contains("Exchange"), p.take(2000))
+  }
+
   test("distributed interval zip has no unpartitioned window") {
     val li = Tables.lineitem(spark, sf)
       .withColumn("ts_epoch", col("l_shipdate").cast("timestamp").cast("long"))
