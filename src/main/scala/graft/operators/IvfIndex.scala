@@ -81,30 +81,37 @@ object IvfIndex {
       .select("vec_id", "list")
   }
 
-  /** Final inverted-list assignment after seed + one Lloyd step. */
-  def assignments(emb: DataFrame, nLists: Int = 8): DataFrame = {
-    val ve = exploded(emb, "vec_id")
+  /** Seed partition + `nIters` Lloyd refinements; returns the packed final
+    * centroid literals. Each iteration is one distance scan + one centroid
+    * aggregation + one O(nLists x dims) driver collect — the standard
+    * distributed k-means loop; cost is linear in iterations, corpus scanned
+    * once per iteration, centroid state independent of corpus size. */
+  private def lloyd(emb: DataFrame, ve: DataFrame, nLists: Int,
+                    nIters: Int): (Column, Column) = {
     val seed = emb.select(col("vec_id"),
       pmod(col("vec_id"), lit(nLists.toLong)).as("list"))
-    val c0 = collectMatrix(centroids(ve, seed))
-    val a1 = argmin(distances(emb, c0))
-    val c1 = collectMatrix(centroids(ve, a1))
-    argmin(distances(emb, c1))
+    var cents = collectMatrix(centroids(ve, seed))
+    (1 to nIters).foreach { _ =>
+      cents = collectMatrix(centroids(ve, argmin(distances(emb, cents))))
+    }
+    cents
+  }
+
+  /** Final inverted-list assignment after seed + `nIters` Lloyd steps. */
+  def assignments(emb: DataFrame, nLists: Int = 8, nIters: Int = 1): DataFrame = {
+    val ve = exploded(emb, "vec_id")
+    argmin(distances(emb, lloyd(emb, ve, nLists, nIters)))
   }
 
   /** IVF top-k: probe the nProbe nearest lists per query, exact cosine
     * re-rank within them. */
   def topK(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
-           nLists: Int = 8, nProbe: Int = 2): DataFrame = {
+           nLists: Int = 8, nProbe: Int = 2, nIters: Int = 1): DataFrame = {
     val ve = exploded(emb, "vec_id")
-    val seed = emb.select(col("vec_id"),
-      pmod(col("vec_id"), lit(nLists.toLong)).as("list"))
-    val c0 = collectMatrix(centroids(ve, seed))
-    val a1 = argmin(distances(emb, c0))
-    // collected ONCE: both the full-corpus assignment and the query-side
-    // probe ranking consume the same packed literal — previously each
-    // distances() call re-collected finalCents, re-running the Lloyd lineage
-    val finalCents = collectMatrix(centroids(ve, a1))
+    // collected ONCE inside lloyd(): both the full-corpus assignment and the
+    // query-side probe ranking consume the same packed literal — previously
+    // each distances() call re-collected the centroid aggregation lineage
+    val finalCents = lloyd(emb, ve, nLists, nIters)
     val finalAssign = argmin(distances(emb, finalCents))
 
     val qd = distances(emb.filter(col("vec_id") < nQueries), finalCents)

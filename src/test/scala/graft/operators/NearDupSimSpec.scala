@@ -81,6 +81,18 @@ class NearDupSimSpec extends SparkSpec {
     }
   }
 
+  test("IVF multi-iteration Lloyd is deterministic and partition-invariant") {
+    val emb = Tables.embeddings(spark, sf)
+    val a = IvfIndex.assignments(emb, nLists = 8, nIters = 2)
+      .orderBy("vec_id").collect().toSeq
+    // decimal-exact centroids/distances -> identical assignments no matter
+    // how the input is partitioned (double-accumulator k-means would drift)
+    val b = IvfIndex.assignments(emb.repartition(7), nLists = 8, nIters = 2)
+      .orderBy("vec_id").collect().toSeq
+    assert(a == b)
+    assert(a.size == emb.count())
+  }
+
   test("IVF assignments partition the corpus; probing more lists raises recall vs brute force") {
     val emb = Tables.embeddings(spark, sf)
     val n = emb.count()
