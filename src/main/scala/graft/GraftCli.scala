@@ -106,7 +106,14 @@ object GraftCli {
       RowOps.dropNullLiterals(RowOps.stringifyAll(scanned),
         scanned.columns.toIndexedSeq)
     AppendSink.append(projected, cfg.destDataset, sinkFormat)
-    projected.count()
+    // report rows at the destination by reading the SINK back — counting the
+    // projection would re-execute the whole partitioned JDBC scan against
+    // the source a second time
+    sinkFormat match {
+      case "parquet" => AppendSink.readBack(spark, cfg.destDataset).count()
+      case "table"   => spark.table(cfg.destDataset).count()
+      case _         => -1L // remote sink; no offline count
+    }
   }
 
   /** Parquet-fixture mode: [[RefPipeline.run]] with `connectionString` as the

@@ -203,6 +203,7 @@ object SparkEntry {
 
     // ---- capstone: end-to-end training-data curation ----
     "q_curation" -> ((s, dir) => CurationPipeline.keptDocuments(s, dir)),
+    "q_curation_v2" -> ((s, dir) => CurationPipeline.curatedCorpus(s, dir)),
 
     // ---- capstone: the reference's entire pipeline composed end-to-end ----
     "q_ref_pipeline" -> ((s, dir) =>
@@ -260,6 +261,57 @@ object SparkEntry {
        |sig AS (SELECT doc_id, sh,
        |  list_transform(range(0, 16), s -> list_min(list_transform(sh,
        |    x -> md5(CAST(s AS VARCHAR) || '_' || x)))) AS sig FROM sh)""".stripMargin
+  /** The curation kernel (quality gate -> language gate -> exact dedup ->
+    * MinHash near-dup losers) as a reusable CTE chain: `q_curation` selects
+    * the survivors; `q_curation_v2` chains the round-3 corpus-shaping stages
+    * on top of the same kernel. */
+  private def curationCtes: String =
+    """q AS (
+      |  SELECT doc_id, text, lang,
+      |    CAST(length(text) AS BIGINT) AS len,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |          t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+      |      / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS stop_ratio,
+      |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('der','und','die'))) AS BIGINT) AS s_de,
+      |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','a','and'))) AS BIGINT) AS s_en,
+      |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('el','la','y'))) AS BIGINT) AS s_es,
+      |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('le','et','les'))) AS BIGINT) AS s_fr,
+      |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('de','shi','le'))) AS BIGINT) AS s_zh
+      |  FROM documents),
+      |gated AS (
+      |  SELECT doc_id, text FROM q
+      |  WHERE len BETWEEN 100 AND 520 AND stop_ratio >= 0.03
+      |    AND (CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+      |              WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+      |              WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+      |              WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+      |              ELSE 'zh' END) = lang),
+      |exact AS (
+      |  SELECT min(doc_id) AS doc_id
+      |  FROM (SELECT doc_id,
+      |          md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      |        FROM gated) x GROUP BY fp),
+      |surv AS (SELECT g.doc_id, g.text FROM gated g JOIN exact USING (doc_id)),
+      |d2 AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM surv),
+      |sh2 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+      |          i -> array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 2), ' '))) AS sh FROM d2),
+      |sig2 AS (SELECT doc_id, sh,
+      |  list_transform(range(0, 16), s -> list_min(list_transform(sh,
+      |    x -> md5(CAST(s AS VARCHAR) || '_' || x)))) AS sig FROM sh2),
+      |bands2 AS (SELECT doc_id, b AS band,
+      |    md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '|')) AS key
+      |  FROM sig2 CROSS JOIN range(0, 4) r(b)),
+      |cand2 AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands2 a JOIN bands2 b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      |losers AS (SELECT DISTINCT b_id FROM (
+      |  SELECT a_id, b_id,
+      |    CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+      |      / (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE)
+      |         - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS j
+      |  FROM cand2 JOIN sh2 sa ON sa.doc_id = a_id JOIN sh2 sb ON sb.doc_id = b_id) p
+      |  WHERE j >= 0.5)""".stripMargin
+
   private val simhashCtes =
     """d AS (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm FROM documents),
       |th AS (SELECT doc_id, list_transform(string_split(norm, ' '),
@@ -804,53 +856,29 @@ object SparkEntry {
           |  CAST(list_max(qv) AS BIGINT) AS q_max
           |FROM q ORDER BY vec_id""".stripMargin,
       "q_curation" ->
-        """WITH q AS (
-          |  SELECT doc_id, text, lang,
-          |    CAST(length(text) AS BIGINT) AS len,
-          |    CAST(len(list_filter(string_split(text, ' '),
-          |          t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-          |      / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS stop_ratio,
-          |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('der','und','die'))) AS BIGINT) AS s_de,
-          |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','a','and'))) AS BIGINT) AS s_en,
-          |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('el','la','y'))) AS BIGINT) AS s_es,
-          |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('le','et','les'))) AS BIGINT) AS s_fr,
-          |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('de','shi','le'))) AS BIGINT) AS s_zh
-          |  FROM documents),
-          |gated AS (
-          |  SELECT doc_id, text FROM q
-          |  WHERE len BETWEEN 100 AND 520 AND stop_ratio >= 0.03
-          |    AND (CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
-          |              WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
-          |              WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
-          |              WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
-          |              ELSE 'zh' END) = lang),
-          |exact AS (
-          |  SELECT min(doc_id) AS doc_id
-          |  FROM (SELECT doc_id,
-          |          md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
-          |        FROM gated) x GROUP BY fp),
-          |surv AS (SELECT g.doc_id, g.text FROM gated g JOIN exact USING (doc_id)),
-          |d2 AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM surv),
-          |sh2 AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
-          |          i -> array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 2), ' '))) AS sh FROM d2),
-          |sig2 AS (SELECT doc_id, sh,
-          |  list_transform(range(0, 16), s -> list_min(list_transform(sh,
-          |    x -> md5(CAST(s AS VARCHAR) || '_' || x)))) AS sig FROM sh2),
-          |bands2 AS (SELECT doc_id, b AS band,
-          |    md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '|')) AS key
-          |  FROM sig2 CROSS JOIN range(0, 4) r(b)),
-          |cand2 AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-          |  FROM bands2 a JOIN bands2 b
-          |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-          |losers AS (SELECT DISTINCT b_id FROM (
-          |  SELECT a_id, b_id,
-          |    CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
-          |      / (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE)
-          |         - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS j
-          |  FROM cand2 JOIN sh2 sa ON sa.doc_id = a_id JOIN sh2 sb ON sb.doc_id = b_id) p
-          |  WHERE j >= 0.5)
-          |SELECT doc_id FROM surv WHERE doc_id NOT IN (SELECT b_id FROM losers)
-          |ORDER BY doc_id""".stripMargin,
+        s"""WITH $curationCtes
+           |SELECT doc_id FROM surv WHERE doc_id NOT IN (SELECT b_id FROM losers)
+           |ORDER BY doc_id""".stripMargin,
+      "q_curation_v2" ->
+        s"""WITH $curationCtes,
+           |kept AS (SELECT doc_id FROM surv
+           |  WHERE doc_id NOT IN (SELECT b_id FROM losers)),
+           |rep AS (SELECT doc_id,
+           |    1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / CAST(len(tri) AS DOUBLE) AS rep_ratio
+           |  FROM (SELECT doc_id, list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+           |          i -> array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 2), ' ')) AS tri
+           |        FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+           |              FROM documents) dd) tt),
+           |base AS (SELECT k.doc_id, d.lang FROM kept k
+           |  JOIN documents d USING (doc_id) JOIN rep r USING (doc_id)
+           |  WHERE r.rep_ratio <= 0.5),
+           |samp AS (SELECT doc_id, lang FROM base
+           |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft_sample_v1'), 1, 8)) AS BIGINT) % 100
+           |        < CASE WHEN lang = 'en' THEN 50 ELSE 90 END),
+           |capped AS (SELECT doc_id, lang,
+           |    CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rk
+           |  FROM samp)
+           |SELECT doc_id, lang, rk FROM capped WHERE rk <= 40 ORDER BY doc_id""".stripMargin,
       "q_ref_pipeline" ->
         s"""SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
            |       CAST(l_linenumber AS VARCHAR) AS l_linenumber,

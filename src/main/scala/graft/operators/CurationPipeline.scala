@@ -52,4 +52,32 @@ object CurationPipeline {
       .select("doc_id")
       .orderBy("doc_id")
   }
+
+  val MaxRepRatio = 0.5
+  val EnSamplePct = 50
+  val DefaultSamplePct = 90
+  val LangQuota = 40
+
+  /** Round-3 capstone v2: the curated set pushed through the remaining
+    * corpus-shaping stages — repetition-ratio gate (boilerplate drop),
+    * content-addressed stratified downsampling (English to 50%, rest to
+    * 90%), and a per-language quota cap. Output is (doc_id, lang, rk).
+    *
+    * Composition cost at scale: the repetition gate and the sample are
+    * narrow maps over the already-curated (small) survivor set; only the
+    * final quota window shuffles, keyed on language. */
+  def curatedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val kept = keptDocuments(spark, dir).select("doc_id")
+    val rep = TextAnalysis.repetition(docs).select("doc_id", "rep_ratio")
+    val base = kept
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .join(rep, "doc_id")
+      .filter(col("rep_ratio") <= MaxRepRatio)
+      .select("doc_id", "lang")
+    val sampled = Sampling.stratified(base, "doc_id", "lang",
+      Map("en" -> EnSamplePct), DefaultSamplePct)
+    Sampling.quotaCap(sampled, "lang", LangQuota, Seq("doc_id"))
+      .orderBy("doc_id")
+  }
 }
