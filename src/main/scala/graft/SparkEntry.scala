@@ -196,6 +196,8 @@ object SparkEntry {
       TextAnalysis.repetition(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_redact_pii" -> ((s, dir) =>
       TextAnalysis.redactPii(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_rare_tokens" -> ((s, dir) =>
+      TextAnalysis.rareTokenRatio(Tables.documents(s, dir)).orderBy("doc_id")),
 
     // ---- extension: embedding normalize/quantize ----
     "q_vec_quantize" -> ((s, dir) =>
@@ -842,6 +844,16 @@ object SparkEntry {
           |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
           |    '[0-9]{7,}', '<num>', 'g') AS redacted
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_rare_tokens" ->
+        """WITH d AS (SELECT doc_id, list_distinct(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w FROM documents),
+          |tok AS (SELECT doc_id, unnest(w) AS tok FROM d),
+          |dfreq AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |  CAST(sum(CASE WHEN df < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+          |  CAST(sum(CASE WHEN df < 5 THEN 1 ELSE 0 END) AS DOUBLE)
+          |    / CAST(count(*) AS DOUBLE) AS rare_ratio
+          |FROM tok JOIN dfreq USING (tok)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "q_vec_quantize" ->
         """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
           |m AS (SELECT vec_id, v,

@@ -116,6 +116,27 @@ object TextAnalysis {
         LongNumberPattern, "<num>").as("redacted"))
   }
 
+  /** Rare-token ratio: fraction of a document's DISTINCT word tokens whose
+    * corpus document-frequency is below `dfCutoff` — a cheap OOV/gibberish
+    * signal that, unlike the per-row stats above, needs corpus context.
+    * Shape at 100 TB: one aggregate over the distinct-token stream builds
+    * the vocabulary df table (grows sublinearly with the corpus), which is
+    * broadcast back so the token stream shuffles once (for the per-doc
+    * re-aggregation), never for the vocabulary join. */
+  def rareTokenRatio(docs: DataFrame, dfCutoff: Long = 5L,
+                     text: String = "text", id: String = "doc_id"): DataFrame = {
+    val words = array_distinct(
+      split(trim(regexp_replace(lower(col(text)), "[^a-z0-9]+", " ")), " "))
+    val toks = docs.select(col(id), explode(words).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    toks.join(broadcast(dfreq), "tok")
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(when(col("df") < dfCutoff, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_ratio",
+        col("n_rare").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Higher-order-function form of the rolling hash (interpreted; kept for
     * cross-checking the native expression in tests). */
   def rollingHashHof(norm: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
