@@ -68,6 +68,14 @@ object CurationPipeline {
     * final quota window shuffles, keyed on language. */
   def curatedCorpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // Shape note (measured, interleaved A/B at sf0.1): the kernel must run
+    // exactly once, so `kept` is consumed by exactly one join chain.
+    // "Filter-early" variants that join `kept` into the corpus before the
+    // repetition pass consume it twice (2x kernel), and checkpointing the
+    // kernel to avoid that costs more than recomputing trigrams for the
+    // whole corpus (warm 5.5s vs 10.5s). At real scale the kernel output
+    // would be persisted to storage between stages, making filter-early
+    // free — with an in-memory composition, single-consumption wins.
     val kept = keptDocuments(spark, dir).select("doc_id")
     val rep = TextAnalysis.repetition(docs).select("doc_id", "rep_ratio")
     val base = kept

