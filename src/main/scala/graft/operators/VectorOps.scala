@@ -30,18 +30,25 @@ object VectorOps {
     transform(v, x => x.cast("double") / n)
   }
 
-  /** Symmetric int8 quantization: scale = 127 / max|x|, element = floor(x *
-    * scale). `floor` (not round) keeps the result engine-portable — IEEE
-    * division and multiply are exactly reproducible, banker's-vs-half-up
-    * rounding is not. Output range is [-128, 127] (the negative max element
-    * floors to -128 when (127/m)*m overshoots by an ulp — still valid int8).
-    * Zero vectors quantize to all zeros. */
-  def quantizedInt8(v: Column): Column = {
-    val m = maxAbs(v)
+  /** Symmetric int8 quantization with a PRE-COMPUTED max|x| column: scale =
+    * 127 / max|x|, element = floor(x * scale). `floor` (not round) keeps the
+    * result engine-portable — IEEE division and multiply are exactly
+    * reproducible, banker's-vs-half-up rounding is not. Output range is
+    * [-128, 127] (the negative max element floors to -128 when (127/m)*m
+    * overshoots by an ulp — still valid int8). Zero vectors quantize to all
+    * zeros. Stage `m` as a named column (see [[quantizeDigest]]) so it is
+    * computed once per row. */
+  def quantizedInt8(v: Column, m: Column): Column =
     transform(v,
       x => when(m === 0.0, lit(0L))
         .otherwise(floor(x.cast("double") * (lit(127.0) / m)).cast("long")))
-  }
+
+  /** Convenience single-argument form. WARNING: an expression (not a named
+    * column) referenced inside a `transform` lambda is re-evaluated per
+    * element — this form pays O(dims) array_max per element, O(dims^2) per
+    * row. Fine for ad-hoc use; hot paths must stage max|x| first and call
+    * the two-argument overload. */
+  def quantizedInt8(v: Column): Column = quantizedInt8(v, maxAbs(v))
 
   /** Oracle-facing digest: the array-valued ops reduced to scalar columns
     * (norm, max|x|, quantized sum/min/max) so the DuckDB hash gate compares
@@ -60,10 +67,7 @@ object VectorOps {
       .select(col(id), col(emb).as("__v"))
       .withColumn("max_abs", maxAbs(col("__v")))
       .withColumn("l2_norm", l2Norm(col("__v")))
-      .withColumn("__q", transform(col("__v"),
-        x => when(col("max_abs") === 0.0, lit(0L))
-          .otherwise(floor(x.cast("double") * (lit(127.0) / col("max_abs")))
-            .cast("long"))))
+      .withColumn("__q", quantizedInt8(col("__v"), col("max_abs")))
     staged.select(col(id),
       col("l2_norm"),
       col("max_abs"),
