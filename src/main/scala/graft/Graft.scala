@@ -68,6 +68,10 @@ object Graft {
     JsonOps.sessionize(events, gapSeconds)
   def asofJoin(events: DataFrame, orders: DataFrame): DataFrame =
     AsofJoin.eventsToLatestOrder(events, orders)
+  def rangeJoin(points: DataFrame, intervals: DataFrame, ts: String,
+                lo: String, hi: String, bucket: Long,
+                keys: Seq[String] = Nil): DataFrame =
+    RangeJoin.binned(points, intervals, ts, lo, hi, bucket, keys)
   def resampleFfill(events: DataFrame, stepSeconds: Long = 3600L): DataFrame =
     Resample.ffill(events, stepSeconds)
 

@@ -173,6 +173,10 @@ object SparkEntry {
     "q_asof_join" -> ((s, dir) =>
       AsofJoin.eventsToLatestOrder(Tables.events(s, dir), Tables.orders(s, dir))),
 
+    // ---- extension: binned range join (equi-join on bucket, no BNLJ) ----
+    "q_range_join" -> ((s, dir) =>
+      RangeJoin.eventsToSessions(Tables.events(s, dir))),
+
     // ---- extension: data-quality validation report ----
     "q_validate" -> ((s, dir) => Validate.report(s, dir)),
 
@@ -313,6 +317,24 @@ object SparkEntry {
       |         - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS j
       |  FROM cand2 JOIN sh2 sa ON sa.doc_id = a_id JOIN sh2 sb ON sb.doc_id = b_id) p
       |  WHERE j >= 0.5)""".stripMargin
+
+  /** Gap-sessionization CTE chain (1800s gap) — shared by `q_sessionize`
+    * and the binned range-join oracle, which re-derives the session windows
+    * and assigns every event back to one. */
+  private val sessionCtes =
+    """e AS (
+      |  SELECT user_id, event_id,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+      |         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+      |           (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev_sec
+      |  FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 1800
+      |                 THEN 1 ELSE 0 END AS new_session FROM e),
+      |g AS (
+      |  SELECT *, sum(new_session) OVER
+      |    (PARTITION BY user_id ORDER BY ts_sec, event_id
+      |     ROWS UNBOUNDED PRECEDING) AS session_seq FROM f)""".stripMargin
 
   private val simhashCtes =
     """d AS (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm FROM documents),
@@ -552,24 +574,23 @@ object SparkEntry {
           |FROM m GROUP BY win_start, event_type
           |ORDER BY win_start, event_type""".stripMargin,
       "q_sessionize" ->
-        """WITH e AS (
-          |  SELECT user_id, event_id,
-          |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
-          |         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
-          |           (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev_sec
-          |  FROM events),
-          |f AS (
-          |  SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 1800
-          |                 THEN 1 ELSE 0 END AS new_session FROM e),
-          |g AS (
-          |  SELECT *, sum(new_session) OVER
-          |    (PARTITION BY user_id ORDER BY ts_sec, event_id
-          |     ROWS UNBOUNDED PRECEDING) AS session_seq FROM f)
-          |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
-          |       count(*) AS n_events, min(ts_sec) AS session_start,
-          |       max(ts_sec) AS session_end
-          |FROM g GROUP BY user_id, session_seq
-          |ORDER BY user_id, session_seq""".stripMargin,
+        s"""WITH $sessionCtes
+           |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           |       count(*) AS n_events, min(ts_sec) AS session_start,
+           |       max(ts_sec) AS session_end
+           |FROM g GROUP BY user_id, session_seq
+           |ORDER BY user_id, session_seq""".stripMargin,
+      "q_range_join" ->
+        s"""WITH $sessionCtes,
+           |sess AS (SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           |                min(ts_sec) AS session_start, max(ts_sec) AS session_end
+           |         FROM g GROUP BY user_id, session_seq)
+           |SELECT ev.event_id, ev.user_id, s.session_seq
+           |FROM (SELECT event_id, user_id,
+           |        CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events) ev
+           |JOIN sess s ON ev.user_id = s.user_id
+           |  AND ev.ts_sec >= s.session_start AND ev.ts_sec < s.session_end + 1
+           |ORDER BY ev.event_id""".stripMargin,
       "q_dedup_exact" ->
         """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
           |       min(doc_id) AS survivor_id, count(*) AS n_members
