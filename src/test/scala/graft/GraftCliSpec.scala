@@ -117,6 +117,17 @@ class GraftCliSpec extends SparkSpec {
     assert(back.filter(back("VAL") === "NULL").count() == 0L)
   }
 
+  test("sinkFormat=table routes through saveAsTable and counts the table") {
+    setupTable()
+    val p = GraftCli.parse(
+      readmeArgs("graft_cli_table_sink") :+ s"--${GraftCli.SinkFormatFlag}=table")
+    try {
+      val n = GraftCli.run(spark, p)
+      assert(n == 1000L)
+      assert(spark.table("graft_cli_table_sink").count() == 1000L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_cli_table_sink")
+  }
+
   test("jdbc vs parquet dispatch keys off the connection string scheme") {
     val jdbc = GraftCli.parse(readmeArgs("/tmp/unused"))
     assert(jdbc.cfg.connectionString.startsWith("jdbc:"))

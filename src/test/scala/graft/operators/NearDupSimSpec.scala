@@ -81,6 +81,13 @@ class NearDupSimSpec extends SparkSpec {
     }
   }
 
+  test("IVF probing every list reproduces brute-force top-k exactly") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Similarity.bruteForceTopK(emb, 4, 5).collect().toSeq
+    val full = IvfIndex.topK(emb, 4, 5, nLists = 8, nProbe = 8).collect().toSeq
+    assert(full == brute) // recall = 1 when nothing is pruned
+  }
+
   test("IVF multi-iteration Lloyd is deterministic and partition-invariant") {
     val emb = Tables.embeddings(spark, sf)
     val a = IvfIndex.assignments(emb, nLists = 8, nIters = 2)

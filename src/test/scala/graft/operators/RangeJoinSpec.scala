@@ -39,6 +39,25 @@ class RangeJoinSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(2500))
   }
 
+  test("binned equals naive for random intervals/points across bucket widths") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (1 to 4).foreach { trial =>
+      val iv = (1 to 40).map { i =>
+        val lo = rnd.nextLong(2000L)
+        (i.toLong, lo, lo + rnd.nextLong(300L)) // may be empty (hi == lo)
+      }.toDF("iv_id", "lo", "hi")
+      val pts = (1 to 300).map(i => (i.toLong, rnd.nextLong(2300L)))
+        .toDF("pt_id", "ts")
+      val bucket = Seq(7L, 64L, 1000L)(trial % 3)
+      val got = RangeJoin.binned(pts, iv, "ts", "lo", "hi", bucket)
+        .select("pt_id", "iv_id").as[(Long, Long)].collect().toSet
+      val want = pts.join(iv, col("ts") >= col("lo") && col("ts") < col("hi"))
+        .select("pt_id", "iv_id").as[(Long, Long)].collect().toSet
+      assert(got == want, s"trial $trial bucket $bucket")
+    }
+  }
+
   test("empty and point intervals are safe; half-open bound respected") {
     import spark.implicits._
     val iv = Seq((1L, 100L, 100L), (2L, 100L, 101L), (3L, 200L, 400L))
