@@ -106,6 +106,10 @@ object SparkEntry {
     "q_topk_per_group"     -> ((s, dir) => Relational.topKPerGroup(s, dir)),
     "q_topk_agg"           -> ((s, dir) => Relational.topKPerGroupAgg(s, dir)),
     "q_window_battery"     -> ((s, dir) => Relational.windowBattery(s, dir)),
+    "q_outer_join"         -> ((s, dir) => Relational.outerJoinAgg(s, dir)),
+    "q_full_outer"         -> ((s, dir) => Relational.fullOuterDaily(s, dir)),
+    "q_unpivot"            -> ((s, dir) => Relational.unpivotMetrics(s, dir)),
+    "q_string_agg"         -> ((s, dir) => Relational.stringAgg(s, dir)),
     "q_setops"             -> ((s, dir) => Relational.setOps(s, dir)),
     "q_semi_anti"          -> ((s, dir) => Relational.semiAnti(s, dir)),
     "q_distinct_agg"       -> ((s, dir) => Relational.distinctAgg(s, dir)),
@@ -573,6 +577,40 @@ object SparkEntry {
           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
           |FROM m GROUP BY win_start, event_type
           |ORDER BY win_start, event_type""".stripMargin,
+      "q_outer_join" ->
+        """SELECT c_custkey,
+          |  CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+          |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+          |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+          |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+      "q_full_outer" ->
+        """WITH c AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_click
+          |           FROM events WHERE event_type = 'click' GROUP BY 1),
+          |v AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_view
+          |      FROM events WHERE event_type = 'view' GROUP BY 1)
+          |SELECT CAST(day AS VARCHAR) AS day,
+          |       coalesce(n_click, 0) AS n_click,
+          |       coalesce(n_view, 0) AS n_view
+          |FROM c FULL OUTER JOIN v USING (day) ORDER BY day""".stripMargin,
+      "q_unpivot" ->
+        """WITH a AS (SELECT l_returnflag,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  CAST(count(*) AS DOUBLE) AS n_rows,
+          |  CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc
+          |FROM lineitem GROUP BY 1)
+          |SELECT l_returnflag, metric, value FROM (
+          |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+          |  UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM a
+          |  UNION ALL SELECT l_returnflag, 'avg_disc', avg_disc FROM a) u
+          |ORDER BY l_returnflag, metric""".stripMargin,
+      "q_string_agg" ->
+        """WITH r AS (SELECT c_mktsegment, c_custkey,
+          |  row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS rk
+          |  FROM customer)
+          |SELECT c_mktsegment,
+          |  string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey) AS first_keys
+          |FROM r WHERE rk <= 5 GROUP BY c_mktsegment
+          |ORDER BY c_mktsegment""".stripMargin,
       "q_sessionize" ->
         s"""WITH $sessionCtes
            |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,

@@ -129,6 +129,67 @@ object Relational {
     withOrders.unionAll(withoutOrders).orderBy("c_custkey")
   }
 
+  /** Left-outer join + null-aware aggregation: every customer with their
+    * order count and total — 0/0 for the orderless (count(col) skips nulls).
+    * The preserved (customer) side cannot be the broadcast build side of an
+    * outer join, so this is the co-partitioned shuffle-join shape; the
+    * groupBy on the same key reuses the join's partitioning. */
+  def outerJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey")
+    val o = Tables.orders(spark, dir).select("o_custkey", "o_orderkey", "o_totalprice")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+           coalesce(sum(col("o_totalprice").cast("decimal(18,2)")), lit(0))
+             .cast("double").as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
+  /** Full-outer join of two per-day event aggregates: days where only one
+    * side occurred survive with the other side null-coalesced to 0. */
+  def fullOuterDaily(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).withColumn("day", to_date(col("ts")))
+    def side(t: String, n: String) =
+      e.filter(col("event_type") === t).groupBy("day")
+        .agg(count(lit(1)).as(n))
+    side("click", "n_click").join(side("view", "n_view"), Seq("day"), "full_outer")
+      .select(col("day").cast("string").as("day"),
+        coalesce(col("n_click"), lit(0L)).as("n_click"),
+        coalesce(col("n_view"), lit(0L)).as("n_view"))
+      .orderBy("day")
+  }
+
+  /** UNPIVOT (melt): wide per-flag aggregates to (flag, metric, value) long
+    * form via `stack` — the inverse of [[pivotByStatus]]. */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+           count(lit(1)).cast("double").as("n_rows"),
+           // explicit exact-sum / count division (not avg()): both engines
+           // then divide the same exact values in doubles — bit-identical
+           (sum(col("l_discount").cast("decimal(18,6)")).cast("double")
+             / count(lit(1))).as("avg_disc"))
+      .selectExpr("l_returnflag",
+        "stack(3, 'sum_qty', sum_qty, 'n_rows', n_rows, 'avg_disc', avg_disc) AS (metric, value)")
+      .orderBy("l_returnflag", "metric")
+
+  /** Ordered string aggregation (LISTAGG/string_agg): the 5 smallest
+    * custkeys per market segment joined into one csv string — sorted inside
+    * the aggregate so output is partition-order independent. */
+  def stringAgg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_mktsegment").orderBy("c_custkey")
+    Tables.customer(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .groupBy("c_mktsegment")
+      .agg(array_join(
+        transform(sort_array(collect_list(col("c_custkey"))),
+          x => x.cast("string")), ",").as("first_keys"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Analytic window battery: ranking, offset, distribution, and frame
     * functions over one partitioned ordered window — unique order key makes
     * every function deterministic. */
