@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   *     the corpus is scanned once to sketch (narrow map), and the join is on
   *     short bucket keys, never on the n^2 pair space.
   *
+  * Recall regime (measured in `NearDupSimSpec`): sign-bit LSH collides with
+  * probability (1 - theta/pi)^nBits per table — near 1 for genuinely close
+  * neighbors (clustered data: recall >= 0.8 at 4x8 bits), near chance when
+  * the "nearest" neighbors of an unstructured corpus sit at low cosine. On
+  * corpora without neighbor structure, brute force (or IVF with high
+  * nProbe) is the correct tool; LSH's win is pruning when closeness exists.
+  *
   * All arithmetic is float->double widened *before* multiplying and summed
   * sequentially (`aggregate`), so results are bit-identical across engines —
   * no rounding fudge needed for oracle parity.

@@ -30,6 +30,18 @@ object StreamingOps {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding 2-hour windows with 1-hour slide — streaming twin of
+    * `JsonOps.slidingCounts`. Each event contributes to two windows
+    * (generator, not self-join); state = two open windows per type. */
+  def slidingCounts(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Streaming exact dedup on event_id with watermark-bounded state — the
     * streaming twin of `Dedup.keepFirst` for at-least-once sources. State for
     * an id is dropped once the watermark passes it (bounded memory). */

@@ -99,6 +99,47 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("n") == 3L) // both files' events in one window
   }
 
+  test("streaming sliding windows agree with the batch operator on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val batchDf = Tables.events(spark, sf)
+      .select("event_id", "user_id", "ts", "event_type", "value")
+    val rows = batchDf
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
+      .as[(Long, Long, java.sql.Timestamp, String, Double)]
+      .collect()
+
+    val stream = MemoryStream[(Long, Long, java.sql.Timestamp, String, Double)]
+    stream.addData(rows.toSeq)
+    val streamingDf = stream.toDF()
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+
+    val q = StreamingOps.slidingCounts(streamingDf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("slide_out").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(Seq((-1L, -1L,
+        java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), "nudge", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("slide_out")
+      .filter(col("event_type") =!= "nudge")
+      .select(col("win_start").cast("timestamp").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+      .collect()
+    val batch = JsonOps.slidingCounts(batchDf)
+      .select(col("win_start").cast("timestamp").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b, s"$s != $b") }
+  }
+
   test("streaming content dedup drops same-text documents with different ids") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
