@@ -91,15 +91,28 @@ object Similarity {
     * bucket join, or the candidate `distinct()`. The dedup exchange carries
     * two longs per candidate instead of two full float vectors; embeddings
     * rejoin from the base scan afterwards, touching only the deduped
-    * candidate ids (same shape as [[NearDup.jaccardVerify]]). */
+    * candidate ids (same shape as [[NearDup.jaccardVerify]]).
+    *
+    * Multiprobe (`multiProbe = 1`): each query additionally probes the nBits
+    * Hamming-1 neighbor buckets per table — only the (tiny, broadcast) query
+    * side expands, the corpus sketch and its shuffle are untouched, and
+    * recall rises as if the query had collided on any (nBits-1)-bit
+    * agreement. The standard way to buy recall without another corpus-wide
+    * table. */
   def lshTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
-              nBits: Int = 8, tables: Int = 4, dim: Int = 64): DataFrame = {
+              nBits: Int = 8, tables: Int = 4, dim: Int = 64,
+              multiProbe: Int = 0): DataFrame = {
     val keys = array((0 until tables).map(t =>
       struct(lit(t).as("tbl"), bucketKey(col("embedding"), t, nBits, dim).as("key"))): _*)
     val sketched = emb.select(col("vec_id"), explode(keys).as("bk"))
       .select(col("vec_id"), col("bk.tbl").as("tbl"), col("bk.key").as("key"))
-    val q = sketched.filter(col("vec_id") < nQueries)
+    val qExact = sketched.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("tbl"), col("key"))
+    val q = if (multiProbe <= 0) qExact else {
+      val probeKeys = array((col("key") +:
+        (0 until nBits).map(j => col("key").bitwiseXOR(lit(1L << j)))): _*)
+      qExact.select(col("q_id"), col("tbl"), explode(probeKeys).as("key"))
+    }
     val c = sketched.select(col("vec_id").as("n_id"), col("tbl"), col("key"))
     val cand = c.join(broadcast(q), Seq("tbl", "key"))
       .filter(col("q_id") =!= col("n_id"))

@@ -106,6 +106,26 @@ class NearDupSimSpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall@5 on clustered data degraded to $recall")
   }
 
+  test("multiprobe LSH lifts recall on noisy clusters without touching the corpus sketch") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val centers = Array.fill(10)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val vecs = for { c <- centers.indices; j <- 0 until 8 } yield
+      ((c * 8 + j).toLong,
+        centers(c).map(x => x + 0.45f * rnd.nextGaussian().toFloat).toSeq)
+    val emb = vecs.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(emb, 8, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    def recall(mp: Int, tables: Int) = Similarity
+      .lshTopK(emb, 8, 5, nBits = 8, tables = tables, multiProbe = mp)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      .intersect(brute).size.toDouble / brute.size
+    val base = recall(0, 2)
+    val probed = recall(1, 2)
+    assert(probed >= base, s"multiprobe lowered recall: $base -> $probed")
+    assert(probed >= 0.6, s"multiprobe recall too low: $probed (base $base)")
+  }
+
   test("IVF probing every list reproduces brute-force top-k exactly") {
     val emb = Tables.embeddings(spark, sf)
     val brute = Similarity.bruteForceTopK(emb, 4, 5).collect().toSeq
