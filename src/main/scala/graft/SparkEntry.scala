@@ -154,6 +154,8 @@ object SparkEntry {
     // ---- extension: near-dup dedup (ext_dedup_near) ----
     "q_dedup_minhash" -> ((s, dir) =>
       NearDup.minhashPairs(Tables.documents(s, dir), 0.5)),
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.dedupClusters(NearDup.minhashPairs(Tables.documents(s, dir), 0.5))),
     "q_dedup_jaccard" -> ((s, dir) =>
       NearDup.jaccardJoin(Tables.documents(s, dir), 0.5)),
     "q_simhash" -> ((s, dir) =>
@@ -271,6 +273,23 @@ object SparkEntry {
        |sig AS (SELECT doc_id, sh,
        |  list_transform(range(0, 16), s -> list_min(list_transform(sh,
        |    x -> md5(CAST(s AS VARCHAR) || '_' || x)))) AS sig FROM sh)""".stripMargin
+  /** MinHash/LSH pair chain (signatures -> bands -> candidates -> exact
+    * Jaccard) — shared by the pair query and the connected-components
+    * clustering oracle, which runs a recursive transitive closure on top. */
+  private def minhashPairCtes: String =
+    s"""$sigCtes,
+       |bands AS (SELECT doc_id, b AS band,
+       |    md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '|')) AS key
+       |  FROM sig CROSS JOIN range(0, 4) r(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |jac AS (SELECT a_id, b_id,
+       |    CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS BIGINT) AS inter,
+       |    CAST(len(sa.sh) + len(sb.sh) AS BIGINT)
+       |      - CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS BIGINT) AS uni
+       |  FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)""".stripMargin
+
   /** The curation kernel (quality gate -> language gate -> exact dedup ->
     * MinHash near-dup losers) as a reusable CTE chain: `q_curation` selects
     * the survivors; `q_curation_v2` chains the round-3 corpus-shaping stages
@@ -640,22 +659,23 @@ object SparkEntry {
           |                            ORDER BY ts, event_id) AS rn
           |  FROM events) t WHERE rn = 1 ORDER BY event_id""".stripMargin,
       "q_dedup_minhash" ->
-        s"""WITH $sigCtes,
-           |bands AS (SELECT doc_id, b AS band,
-           |    md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '|')) AS key
-           |  FROM sig CROSS JOIN range(0, 4) r(b)),
-           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           |  FROM bands a JOIN bands b
-           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-           |jac AS (SELECT a_id, b_id,
-           |    CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS BIGINT) AS inter,
-           |    CAST(len(sa.sh) + len(sb.sh) AS BIGINT)
-           |      - CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS BIGINT) AS uni
-           |  FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)
+        s"""WITH $minhashPairCtes
            |SELECT a_id, b_id, inter, uni,
            |       CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
            |FROM jac WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5
            |ORDER BY a_id, b_id""".stripMargin,
+      "q_dedup_clusters" ->
+        s"""WITH RECURSIVE $minhashPairCtes,
+           |pairs AS (SELECT a_id, b_id FROM jac
+           |  WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5),
+           |edges AS (SELECT a_id, b_id FROM pairs
+           |  UNION ALL SELECT b_id, a_id FROM pairs),
+           |reach(src, dst) AS (
+           |  SELECT DISTINCT a_id, a_id FROM edges
+           |  UNION
+           |  SELECT r.src, e.b_id FROM reach r JOIN edges e ON e.a_id = r.dst)
+           |SELECT src AS doc_id, min(dst) AS cluster_id
+           |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
       "q_dedup_jaccard" ->
         s"""WITH $shingleCtes,
            |tok AS (SELECT doc_id, unnest(sh) AS tok FROM sh),

@@ -42,4 +42,44 @@ object Dedup {
       Seq(col("ts").asc, col("event_id").asc))
       .select("event_id", "user_id", "event_type")
       .orderBy("event_id")
+
+  /** Duplicate-cluster assignment: connected components over a pairwise
+    * near-dup relation — the transitive-closure step real dedup pipelines
+    * run between pair detection and survivor selection (A~B and B~C must
+    * land in ONE cluster even when A~C was never emitted).
+    *
+    * Iterative min-label propagation: label(v) <- min(label(v),
+    * min over neighbors of label(u)), to fixpoint. Each iteration is one
+    * shuffle keyed on vertex id over the PAIR-MEMBER set only (corpus size
+    * is irrelevant); iteration count is the component diameter — near-dup
+    * graphs are shallow stars/chains. Labels are checkpointed per iteration
+    * (lineage would otherwise grow exponentially) — the same driver-looped
+    * shape as the IVF Lloyd step. The loop throws rather than returning a
+    * half-converged labeling. */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    val edges = pairs.select(col("a_id"), col("b_id"))
+      .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .localCheckpoint()
+    var labels = edges.select(col("a_id").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges.join(labels, edges("b_id") === labels("id"))
+        .groupBy(edges("a_id").as("nid")).agg(min("label").as("nbr"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("next"))
+        .localCheckpoint()
+      changed = updated.filter(col("next") < col("label")).count()
+      labels = updated.select(col("id"), col("next").as("label")).localCheckpoint()
+      iter += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge within $maxIters iterations")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
 }

@@ -6,6 +6,30 @@ import graft.SparkSpec
 class DedupJsonSpec extends SparkSpec {
   import spark.implicits._
 
+  test("dedupClusters closes pairs transitively: chains, stars, singletons-by-absence") {
+    // chain 1-2-3-4 (1~2, 2~3, 3~4 but never 1~4), star 10-{11,12}, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (20L, 21L)).toDF("a_id", "b_id")
+    val got = Dedup.dedupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dedupClusters on fixture near-dup pairs: both members share a cluster") {
+    val pairs = NearDup.minhashPairs(
+      graft.sources.Tables.documents(spark, sf), 0.5)
+    val clusters = Dedup.dedupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    pairs.select("a_id", "b_id").as[(Long, Long)].collect().foreach {
+      case (a, b) => assert(clusters(a) == clusters(b), s"$a / $b split")
+    }
+    // cluster id is always a member's min id
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid)
+    }
+  }
+
   test("keepFirst keeps exactly the first row per key under the given order") {
     val df = Seq(
       (1L, "a", 30L), (2L, "a", 10L), (3L, "a", 20L),
