@@ -156,6 +156,12 @@ object SparkEntry {
       NearDup.minhashPairs(Tables.documents(s, dir), 0.5)),
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.dedupClusters(NearDup.minhashPairs(Tables.documents(s, dir), 0.5))),
+    "q_dedup_survivors" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.clusterSurvivors(docs.select("doc_id"),
+          NearDup.minhashPairs(docs, 0.5))
+        .orderBy("doc_id")
+    }),
     "q_dedup_jaccard" -> ((s, dir) =>
       NearDup.jaccardJoin(Tables.documents(s, dir), 0.5)),
     "q_simhash" -> ((s, dir) =>
@@ -676,6 +682,21 @@ object SparkEntry {
            |  SELECT r.src, e.b_id FROM reach r JOIN edges e ON e.a_id = r.dst)
            |SELECT src AS doc_id, min(dst) AS cluster_id
            |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+      "q_dedup_survivors" ->
+        s"""WITH RECURSIVE $minhashPairCtes,
+           |pairs AS (SELECT a_id, b_id FROM jac
+           |  WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5),
+           |edges AS (SELECT a_id, b_id FROM pairs
+           |  UNION ALL SELECT b_id, a_id FROM pairs),
+           |reach(src, dst) AS (
+           |  SELECT DISTINCT a_id, a_id FROM edges
+           |  UNION
+           |  SELECT r.src, e.b_id FROM reach r JOIN edges e ON e.a_id = r.dst),
+           |losers AS (SELECT src AS doc_id FROM reach
+           |  GROUP BY src HAVING src <> min(dst))
+           |SELECT doc_id FROM documents
+           |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+           |ORDER BY doc_id""".stripMargin,
       "q_dedup_jaccard" ->
         s"""WITH $shingleCtes,
            |tok AS (SELECT doc_id, unnest(sh) AS tok FROM sh),

@@ -82,4 +82,15 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
   }
+
+  /** One survivor (the min doc_id) per duplicate CLUSTER. Strictly stronger
+    * than dropping the larger id of each pair: with pairs (B,C) and (A,C)
+    * only, pairwise dropping keeps both A and B from one duplicate group;
+    * the component closure keeps exactly A. Docs in no pair pass through. */
+  def clusterSurvivors(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val losers = dedupClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
 }
