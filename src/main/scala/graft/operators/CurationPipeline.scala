@@ -44,7 +44,11 @@ object CurationPipeline {
       .select(col("survivor_id").as("doc_id"))
       .join(gated, "doc_id")
 
-    // near-dup pairs among gate survivors; larger id of each pair dropped
+    // near-dup pairs among gate survivors; larger id of each pair dropped.
+    // (Kept as the kernel's documented semantics; the transitively-closed
+    // alternative — exactly one survivor per duplicate COMPONENT — is
+    // Dedup.clusterSurvivors, oracle-checked separately as
+    // q_dedup_clusters/q_dedup_survivors.)
     val nearDupLosers = NearDup.minhashPairs(exactSurvivors, 0.5)
       .select(col("b_id").as("doc_id")).distinct()
 

@@ -57,8 +57,11 @@ object Dedup {
     * shape as the IVF Lloyd step. The loop throws rather than returning a
     * half-converged labeling. */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
-    val edges = pairs.select(col("a_id"), col("b_id"))
-      .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    // materialize the pair pipeline ONCE — the symmetric union would
+    // otherwise recompute the (expensive) upstream pair detection per branch
+    val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint()
+    val edges = p
+      .unionAll(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .localCheckpoint()
     var labels = edges.select(col("a_id").as("id")).distinct()
       .withColumn("label", col("id"))
