@@ -214,6 +214,9 @@ object SparkEntry {
       TextAnalysis.redactPii(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_rare_tokens" -> ((s, dir) =>
       TextAnalysis.rareTokenRatio(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_doc_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(Tables.documents(s, dir))
+        .orderBy("doc_id", "chunk_idx")),
 
     // ---- extension: embedding normalize/quantize ----
     "q_vec_quantize" -> ((s, dir) =>
@@ -954,6 +957,14 @@ object SparkEntry {
           |    / CAST(count(*) AS DOUBLE) AS rare_ratio
           |FROM tok JOIN dfreq USING (tok)
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "q_doc_chunks" ->
+        """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+          |s AS (SELECT doc_id, w,
+          |        unnest(range(1, greatest(len(w) - 63, 1) + 1, 48)) AS st FROM d)
+          |SELECT doc_id, CAST((st - 1) / 48 AS BIGINT) AS chunk_idx,
+          |  array_to_string(w[st:st + 63], ' ') AS chunk_text,
+          |  CAST(least(len(w) - st + 1, 64) AS BIGINT) AS n_tokens
+          |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
       "q_vec_quantize" ->
         """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
           |m AS (SELECT vec_id, v,

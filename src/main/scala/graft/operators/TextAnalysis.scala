@@ -137,6 +137,32 @@ object TextAnalysis {
         col("n_rare").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Fixed-width sliding-window document chunking: whitespace tokens cut
+    * into `chunkTokens`-wide windows every `stride` tokens — the shape
+    * training pipelines feed tokenizers (overlap = chunkTokens - stride
+    * preserves cross-boundary context). Window starts are
+    * 1, 1+stride, ... while a full-ish window fits; the final window
+    * truncates at the document end (`n_tokens` < chunkTokens only there).
+    * Narrow map + generator: each doc explodes to ~n/stride rows, no
+    * shuffle. The token array is staged as a named column — referencing the
+    * split expression inside the transform lambda would re-split the text
+    * per chunk. */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 64, stride: Int = 48,
+                     text: String = "text", id: String = "doc_id"): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be positive")
+    val staged = graft.core.Parallelism.forCompute(docs)
+      .select(col(id), split(trim(col(text)), "\\s+").as("__w"))
+    val starts = sequence(lit(1),
+      greatest(size(col("__w")) - (chunkTokens - 1), lit(1)), lit(stride))
+    staged
+      .select(col(id), posexplode(transform(starts, s => struct(
+        concat_ws(" ", slice(col("__w"), s, lit(chunkTokens))).as("t"),
+        least(size(col("__w")) - s + 1, lit(chunkTokens)).cast("long").as("n"))))
+        .as(Seq("chunk_idx", "c")))
+      .select(col(id), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.t").as("chunk_text"), col("c.n").as("n_tokens"))
+  }
+
   /** Higher-order-function form of the rolling hash (interpreted; kept for
     * cross-checking the native expression in tests). */
   def rollingHashHof(norm: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
