@@ -45,6 +45,12 @@ object Graft {
     Dedup.keepFirst(df, keys, order)
   def nearDuplicates(docs: DataFrame, threshold: Double = 0.5): DataFrame =
     NearDup.minhashPairs(docs, threshold)
+  def dedupClusters(pairs: DataFrame): DataFrame = Dedup.dedupClusters(pairs)
+  def dedupSurvivors(docs: DataFrame, pairs: DataFrame): DataFrame =
+    Dedup.clusterSurvivors(docs, pairs)
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 64,
+                     stride: Int = 48): DataFrame =
+    TextAnalysis.chunkDocuments(docs, chunkTokens, stride)
   def exactSimilarityJoin(docs: DataFrame, threshold: Double = 0.5): DataFrame =
     NearDup.jaccardJoin(docs, threshold)
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
