@@ -217,6 +217,10 @@ object SparkEntry {
     "q_doc_chunks" -> ((s, dir) =>
       TextAnalysis.chunkDocuments(Tables.documents(s, dir))
         .orderBy("doc_id", "chunk_idx")),
+    "q_text_normalize" -> ((s, dir) =>
+      TextAnalysis.normalizeText(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_decontaminate" -> ((s, dir) =>
+      TextAnalysis.decontaminate(Tables.documents(s, dir))),
 
     // ---- extension: embedding normalize/quantize ----
     "q_vec_quantize" -> ((s, dir) =>
@@ -588,6 +592,33 @@ object SparkEntry {
           |                     i -> CAST(ascii(substr(norm, CAST(i AS INT), 1)) AS BIGINT))),
           |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
           |FROM n ORDER BY doc_id""".stripMargin,
+      // dirty suffix: tab + decomposed 'e'+U+0301 + newline + double spaces;
+      // nfc_normalize composes, \s+ collapse + trim cleans — parity with the
+      // Spark native NfcNormalize expression is byte-exact (md5-compared)
+      "q_text_normalize" ->
+        ("""WITH d AS (SELECT doc_id,
+           |  substr(text, 1, 40) || chr(9) || 'cafe' || chr(769) || ' ' || chr(10) || ' x' AS dirty
+           |  FROM documents),
+           |c AS (SELECT doc_id, CAST(length(dirty) AS BIGINT) AS n_cp_dirty,
+           |        trim(regexp_replace(nfc_normalize(dirty), '\s+', ' ', 'g')) AS clean
+           |      FROM d)
+           |SELECT doc_id, n_cp_dirty, clean,
+           |       CAST(length(clean) AS BIGINT) AS n_cp_clean, md5(clean) AS clean_md5
+           |FROM c ORDER BY doc_id""").stripMargin,
+      "q_decontaminate" ->
+        ("""WITH d AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM documents),
+           |g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 7, 1) + 1),
+           |        i -> array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 7), ' '))) AS g FROM d),
+           |bench AS (SELECT DISTINCT unnest(g) AS gram FROM g WHERE doc_id % 10 = 0),
+           |train AS (SELECT doc_id, g FROM g WHERE doc_id % 10 <> 0),
+           |hits AS (SELECT t.doc_id, count(*) AS n_hit
+           |         FROM (SELECT doc_id, unnest(g) AS gram FROM train) t
+           |         JOIN bench USING (gram) GROUP BY t.doc_id)
+           |SELECT t.doc_id, CAST(len(t.g) AS BIGINT) AS n_grams,
+           |       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           |       coalesce(h.n_hit, 0) > 0 AS contaminated
+           |FROM train t LEFT JOIN hits h USING (doc_id)
+           |ORDER BY t.doc_id""").stripMargin,
       "q_json_props" ->
         """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
           |FROM events ORDER BY event_id""".stripMargin,

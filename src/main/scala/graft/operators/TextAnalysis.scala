@@ -163,6 +163,68 @@ object TextAnalysis {
         col("c.t").as("chunk_text"), col("c.n").as("n_tokens"))
   }
 
+  /** Unicode text normalization: NFC composition ([[graft.functions.NfcNormalize]],
+    * a codegen'd native expression) + whitespace collapse + trim — the
+    * pre-tokenization cleanup every corpus pipeline runs first (decomposed
+    * accents and stray control whitespace fragment tokenizer vocabularies).
+    *
+    * The fixture text is pure ASCII, where NFC is the identity — so the op
+    * synthesizes a deterministic dirty suffix per row (tab, decomposed
+    * `e`+U+0301, newline, double spaces) and the oracle proves the full
+    * clean-up: codepoint counts shrink (5 -> 4 on the decomposed accent) and
+    * the cleaned strings + md5s hash-match DuckDB's `nfc_normalize`.
+    *
+    * Scale shape: narrow codegen'd map over the scan, zero shuffle. The
+    * cleaned string is staged as a named column so the normalize runs once
+    * per row, not once per consumer (CollapseProject keeps non-cheap aliases
+    * staged). */
+  def normalizeText(df: DataFrame, text: String = "text", id: String = "doc_id"): DataFrame = {
+    val dirty = concat(substring(col(text), 1, 40), lit("\tcafe\u0301 \n x"))
+    val clean = trim(regexp_replace(
+      graft.functions.TextNormFunctions.nfc_normalize(col("__dirty")), "\\s+", " "))
+    df.select(col(id), dirty.as("__dirty"))
+      .select(col(id), length(col("__dirty")).cast("long").as("n_cp_dirty"),
+        clean.as("clean"))
+      .select(col(id), col("n_cp_dirty"), col("clean"),
+        length(col("clean")).cast("long").as("n_cp_clean"),
+        md5(col("clean")).as("clean_md5"))
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any word
+    * `n`-gram with a held-out benchmark set (here: doc_id % benchMod == 0) —
+    * the standard train/test-leakage scrub (n-gram overlap, as used for
+    * pretraining-corpus decontamination against eval suites).
+    *
+    * Scale shape at 100 TB: the benchmark side is tiny and fixed (eval
+    * suites, not the corpus), so its distinct gram set BROADCASTS; the
+    * training side explodes to grams map-side and semi-joins against the
+    * broadcast — no shuffle of the gram stream for the join, one shuffle for
+    * the per-doc hit re-aggregation. Grams are per-doc distinct
+    * (`array_distinct`) so `n_hit` counts distinct contaminated grams. */
+  def decontaminate(docs: DataFrame, benchMod: Long = 10, n: Int = 8,
+                    text: String = "text", id: String = "doc_id"): DataFrame = {
+    require(n > 0 && benchMod > 1, "need n > 0 and benchMod > 1")
+    val w = split(trim(regexp_replace(lower(col(text)), "[^a-z0-9]+", " ")), " ")
+    val grams = array_distinct(transform(
+      sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(w, i, lit(n)))))
+    val staged = graft.core.Parallelism.forCompute(docs)
+      .select(col(id), grams.as("__g"))
+    val isBench = pmod(col(id), lit(benchMod)) === 0
+    val bench = staged.filter(isBench)
+      .select(explode(col("__g")).as("gram")).distinct()
+    val train = staged.filter(!isBench)
+    val hits = train.select(col(id), explode(col("__g")).as("gram"))
+      .join(broadcast(bench), Seq("gram"), "left_semi")
+      .groupBy(id).agg(count(lit(1)).as("n_hit"))
+    train.select(col(id), size(col("__g")).cast("long").as("n_grams"))
+      .join(hits, Seq(id), "left")
+      .select(col(id), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(id)
+  }
+
   /** Higher-order-function form of the rolling hash (interpreted; kept for
     * cross-checking the native expression in tests). */
   def rollingHashHof(norm: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

@@ -54,6 +54,10 @@ class CodegenEngagementSpec extends SparkSpec {
     check("q_dedup_jaccard", Seq("sorted_intersect_count"))
   }
 
+  test("q_text_normalize: nfc_normalize runs codegen'd (real doGenCode, no fallback)") {
+    check("q_text_normalize", Seq("nfc_normalize"))
+  }
+
   test("q_sim_topk_ivf: squared_distances executes under strict codegen") {
     // SquaredDistances generates a call into its companion (BigDecimal loop),
     // still inside the codegen'd projection — strict mode proves it compiles

@@ -42,4 +42,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("punct_ratio") - 2.0 / 17) < 1e-12)
     assert(math.abs(r.getAs[Double]("stop_ratio") - 2.0 / 4) < 1e-12)
   }
+
+  test("normalizeText: NFC composes the decomposed accent and collapses whitespace") {
+    val df = Seq((1L, "abc")).toDF("doc_id", "text")
+    val r = TextAnalysis.normalizeText(df).first()
+    // dirty = "abc" + [tab c a f e U+0301 space newline space x] = 3 + 10 codepoints
+    assert(r.getAs[Long]("n_cp_dirty") == 13L)
+    // composed form: U+0301 merges into 'e' (-1 codepoint), tab/newline/
+    // double-space collapse to single spaces, trailing whitespace trimmed
+    val expected = "abc caf\u00e9 x"
+    assert(r.getAs[String]("clean") == expected)
+    assert(r.getAs[Long]("n_cp_clean") == expected.codePointCount(0, expected.length).toLong)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getAs[String]("clean_md5") == md)
+  }
+
+  test("decontaminate: doc sharing a benchmark n-gram is flagged, clean doc is not") {
+    val df = Seq(
+      (10L, "alpha beta gamma delta"),   // benchmark (10 % 10 == 0)
+      (11L, "alpha beta gamma epsilon"), // shares trigram "alpha beta gamma"
+      (12L, "zeta eta theta iota")       // disjoint vocabulary
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.decontaminate(df, benchMod = 10, n = 3)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_hit"), x.getAs[Boolean]("contaminated")))).toMap
+    assert(!r.contains(10L)) // benchmark rows are not in the training output
+    assert(r(11L) == ((1L, true)))
+    assert(r(12L) == ((0L, false)))
+  }
 }
