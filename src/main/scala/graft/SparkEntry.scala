@@ -164,6 +164,8 @@ object SparkEntry {
     }),
     "q_dedup_jaccard" -> ((s, dir) =>
       NearDup.jaccardJoin(Tables.documents(s, dir), 0.5)),
+    "q_containment" -> ((s, dir) =>
+      NearDup.containmentJoin(Tables.documents(s, dir), 0.8)),
     "q_simhash" -> ((s, dir) =>
       NearDup.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_dedup_simhash" -> ((s, dir) =>
@@ -219,6 +221,10 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")),
     "q_text_normalize" -> ((s, dir) =>
       TextAnalysis.normalizeText(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabulary(Tables.documents(s, dir))),
+    "q_seq_pack" -> ((s, dir) =>
+      Packing.packSequences(Tables.documents(s, dir))),
     "q_decontaminate" -> ((s, dir) =>
       TextAnalysis.decontaminate(Tables.documents(s, dir))),
 
@@ -745,6 +751,44 @@ object SparkEntry {
            |JOIN n nb ON nb.doc_id = b_id
            |WHERE CAST(inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - inter AS DOUBLE) >= 0.5
            |ORDER BY a_id, b_id""".stripMargin,
+      // brute-force form: the Spark side prunes with a one-sided prefix
+      // filter, which is lossless — identical pair set
+      "q_containment" ->
+        s"""WITH $shingleCtes,
+           |tok AS (SELECT doc_id, unnest(sh) AS tok FROM sh),
+           |n AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+           |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+           |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT a_id, b_id, inter,
+           |  CAST(na.n_sh AS BIGINT) AS n_a, CAST(nb.n_sh AS BIGINT) AS n_b,
+           |  CAST(inter AS DOUBLE) / CAST(least(na.n_sh, nb.n_sh) AS DOUBLE) AS containment
+           |FROM inter JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
+           |WHERE CAST(inter AS DOUBLE) / CAST(least(na.n_sh, nb.n_sh) AS DOUBLE) >= 0.8
+           |ORDER BY a_id, b_id""".stripMargin,
+      "q_vocab" ->
+        """WITH toks AS (SELECT doc_id,
+          |  unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+          |  FROM documents),
+          |agg AS (SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+          |top AS (SELECT * FROM agg ORDER BY tf DESC, tok LIMIT 50)
+          |SELECT CAST(row_number() OVER (ORDER BY tf DESC, tok) AS BIGINT) AS rank,
+          |       tok, tf, df
+          |FROM top ORDER BY rank""".stripMargin,
+      // naive global-window form; the Spark side's bucketed offsets
+      // formulation is bit-identical by construction
+      "q_seq_pack" ->
+        """WITH t AS (SELECT doc_id,
+          |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |r AS (SELECT doc_id, n_tokens,
+          |        CAST(sum(n_tokens) OVER (ORDER BY doc_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |          - n_tokens AS token_start
+          |      FROM t)
+          |SELECT doc_id, n_tokens, token_start,
+          |       CAST(token_start // 256 AS BIGINT) AS pack_id
+          |FROM r ORDER BY doc_id""".stripMargin,
       "q_simhash" ->
         s"""WITH $simhashCtes
            |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,

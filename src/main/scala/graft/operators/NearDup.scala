@@ -183,6 +183,56 @@ object NearDup {
     (sigs, prefixes, cand)
   }
 
+  /** Asymmetric CONTAINMENT join: c(A->B) = |A∩B| / |A| — the subset-duplicate
+    * detector Jaccard misses. A document pasted verbatim inside a much larger
+    * one has containment ~1.0 from the small side but Jaccard ~|A|/|B| (below
+    * any sane threshold), so symmetric near-dup lanes never pair them. The
+    * reported score is max-containment = inter / min(|A|,|B|).
+    *
+    * Pruning is ONE-SIDED prefix filtering (lossless): c(X->Y) >= t forces X
+    * to share at least one of its (|X| - ceil(t*|X|) + 1) rarest tokens with
+    * Y (pigeonhole over X's tokens) — but unlike Jaccard there is NO length
+    * filter and no constraint on Y's side (Y may be arbitrarily larger), so
+    * each doc's prefix tokens join against the OTHER side's full token
+    * stream. Hot tokens still drop out of the prefix side; the full side is
+    * the honest cost of asymmetric matching. Output identical to the brute
+    * token join (DuckDB oracle runs the brute form). */
+  def containmentJoin(docs: DataFrame, threshold: Double = 0.8, words: Int = 3): DataFrame = {
+    val sigs = signatures(docs, words).select("doc_id", "sh").localCheckpoint(false)
+    val tokens = sigs.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("tok"))
+    val dfreq = tokens.groupBy("tok").agg(count(lit(1)).as("df"))
+    val prefixLen = (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int")
+    val prefixes = tokens.join(broadcast(dfreq), "tok")
+      .groupBy("doc_id", "n_sh")
+      .agg(collect_list(struct(col("df"), col("tok"))).as("toks"))
+      .select(col("doc_id"),
+        explode(transform(
+          slice(array_sort(col("toks")), lit(1), prefixLen),
+          s => s.getField("tok"))).as("tok"))
+    // prefix(X) ⋈ full(Y): covers both directions (the smaller set of any
+    // qualifying pair contributes a prefix hit), normalized to a_id < b_id
+    val cand = prefixes.select(col("doc_id").as("x_id"), col("tok"))
+      .join(tokens.select(col("doc_id").as("y_id"), col("tok")), Seq("tok"))
+      .filter(col("x_id") =!= col("y_id"))
+      .select(least(col("x_id"), col("y_id")).as("a_id"),
+              greatest(col("x_id"), col("y_id")).as("b_id"))
+      .distinct()
+    val aSets = sigs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val bSets = sigs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    cand.join(aSets, "a_id").join(bSets, "b_id")
+      .withColumn("inter",
+        graft.functions.VectorFunctions
+          .sorted_intersect_count(col("a_sh"), col("b_sh")))
+      .withColumn("n_a", size(col("a_sh")).cast("long"))
+      .withColumn("n_b", size(col("b_sh")).cast("long"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("a_id", "b_id", "inter", "n_a", "n_b", "containment")
+      .orderBy("a_id", "b_id")
+  }
+
   /** 32-bit SimHash over word tokens: token hash = first 8 md5 hex chars as
     * int; bit j of the fingerprint is the majority vote of token bits.
     * Nested higher-order aggregates — still pure codegen'd expressions. */

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — assign documents to fixed token-budget packs by greedy
+  * prefix-sum placement, the batching step training pipelines run after
+  * chunking (concatenate samples until the context window is full; samples
+  * never split across packs here — a doc whose tokens straddle a budget
+  * boundary starts its pack at its first token's index).
+  *
+  * pack_id = (global running token count BEFORE the doc) div budget: each doc
+  * lands in the pack holding its first token. Deterministic given the
+  * ordering column, independent of partitioning.
+  *
+  * Scale shape: the naive formulation is a single global-window cumsum — one
+  * task at 100 TB. This one is the offsets trick from
+  * [[Chunking.boundariesDistributed]] with a DETERMINISTIC bucket key
+  * (id div bucketSize, not spark_partition_id): per-bucket window cumsums run
+  * in parallel, the per-bucket totals (corpus/bucketSize rows — tiny) cumsum
+  * once and broadcast back as offsets. No global window anywhere; output is
+  * bit-identical to the naive form (same DuckDB oracle).
+  */
+object Packing {
+
+  def packSequences(docs: DataFrame, budget: Long = 256, bucketSize: Long = 64,
+                    text: String = "text", id: String = "doc_id"): DataFrame = {
+    require(budget > 0 && bucketSize > 0, "budget and bucketSize must be positive")
+    val nTokens: Column = size(split(trim(col(text)), "\\s+")).cast("long")
+    val base = docs.select(col(id), nTokens.as("n_tokens"),
+      expr(s"cast($id as bigint) div $bucketSize").as("__b"))
+
+    // parallel per-bucket cumsums; bucket totals cumsum over the (tiny)
+    // bucket table only, broadcast back — the offsets trick
+    val wLocal = Window.partitionBy("__b").orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base.withColumn("__run_local", sum("n_tokens").over(wLocal))
+
+    val wOff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("__b").agg(sum("n_tokens").as("__tot"))
+      .withColumn("__offset", coalesce(sum("__tot").over(wOff), lit(0L)))
+      .select("__b", "__offset")
+
+    local.join(broadcast(offsets), "__b")
+      .withColumn("token_start", col("__offset") + col("__run_local") - col("n_tokens"))
+      .withColumn("pack_id", expr(s"token_start div $budget"))
+      .select(col(id), col("n_tokens"), col("token_start"), col("pack_id"))
+      .orderBy(id)
+  }
+}

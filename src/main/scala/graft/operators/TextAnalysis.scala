@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM-data-pipeline curation over the
@@ -223,6 +224,25 @@ object TextAnalysis {
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
       .orderBy(id)
+  }
+
+  /** Corpus vocabulary head: top-k word tokens by term frequency with their
+    * document frequencies — the input to tokenizer training and stopword
+    * induction. Global top-k runs as TakeOrdered (orderBy + limit -> each
+    * partition keeps k, driver merges k*partitions), NOT a global window
+    * sort — no single-task funnel at any corpus size; ranks are then a
+    * window over only the k surviving rows. */
+  def vocabulary(docs: DataFrame, k: Int = 50,
+                 text: String = "text", id: String = "doc_id"): DataFrame = {
+    val words = split(trim(regexp_replace(lower(col(text)), "[^a-z0-9]+", " ")), " ")
+    val toks = docs.select(col(id), explode(words).as("tok"))
+    val top = toks.groupBy("tok")
+      .agg(count(lit(1)).as("tf"), count_distinct(col(id)).as("df"))
+      .orderBy(col("tf").desc, col("tok").asc)
+      .limit(k)
+    val w = Window.orderBy(col("tf").desc, col("tok").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "tok", "tf", "df")
   }
 
   /** Higher-order-function form of the rolling hash (interpreted; kept for

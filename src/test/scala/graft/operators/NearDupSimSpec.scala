@@ -174,4 +174,32 @@ class NearDupSimSpec extends SparkSpec {
       assert(r.getLong(0) != r.getLong(2))
     }
   }
+
+  test("containment catches a subset-duplicate that Jaccard misses") {
+    val small = "alpha beta gamma delta epsilon zeta"
+    val big = small + " " + (1 to 40).map(i => s"filler$i").mkString(" ")
+    val df = Seq(
+      (1L, small),                           // pasted verbatim inside doc 2
+      (2L, big),
+      (3L, "totally unrelated words here")
+    ).toDF("doc_id", "text")
+    val cont = NearDup.containmentJoin(df, 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(cont == Set((1L, 2L)))
+    // the symmetric lane cannot see it: J = |small| / |big| << 0.5
+    val jac = NearDup.jaccardJoin(df, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)))
+  }
+
+  test("vocabulary: tf/df counts and deterministic tie order") {
+    val df = Seq(
+      (1L, "spark spark flink"),
+      (2L, "spark flink beam")
+    ).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(df, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // spark tf=3 df=2; flink tf=2 df=2 (beam tf=1 cut by k=2)
+    assert(v.toSeq == Seq((1L, "spark", 3L, 2L), (2L, "flink", 2L, 2L)))
+  }
 }

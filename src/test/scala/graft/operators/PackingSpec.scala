@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "a b c"),             // 3 tokens, start 0
+    (1L, "d e f g h"),         // 5 tokens, start 3
+    (2L, "i j"),               // 2 tokens, start 8
+    (3L, "k l m n"),           // 4 tokens, start 10 -> crosses budget 8 at pack 1
+    (4L, "o")                  // 1 token,  start 14
+  ).toDF("doc_id", "text")
+
+  test("packSequences: pack = first-token index div budget") {
+    val r = Packing.packSequences(docs, budget = 8, bucketSize = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      (0L, 3L, 0L, 0L),
+      (1L, 5L, 3L, 0L),
+      (2L, 2L, 8L, 1L),
+      (3L, 4L, 10L, 1L),
+      (4L, 1L, 14L, 1L)))
+  }
+
+  test("packSequences: output invariant to bucketSize (offsets trick is exact)") {
+    val expected = Packing.packSequences(docs, budget = 8, bucketSize = 1000).collect().toSeq
+    for (b <- Seq(1L, 2L, 3L, 7L))
+      assert(Packing.packSequences(docs, budget = 8, bucketSize = b).collect().toSeq
+        == expected, s"bucketSize=$b diverged")
+  }
+}
