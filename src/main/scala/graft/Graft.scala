@@ -55,6 +55,12 @@ object Graft {
     NearDup.jaccardJoin(docs, threshold)
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     NearDup.simhashPairs(docs, maxHamming)
+  def containmentJoin(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    NearDup.containmentJoin(docs, threshold)
+  def decontaminate(docs: DataFrame, benchMod: Long = 10, n: Int = 8): DataFrame =
+    TextAnalysis.decontaminate(docs, benchMod, n)
+  def packSequences(docs: DataFrame, budget: Long = 256): DataFrame =
+    Packing.packSequences(docs, budget)
 
   // ---- similarity search ----
   def similarTopK(emb: DataFrame, queries: Int = 8, k: Int = 5): DataFrame =
@@ -90,6 +96,9 @@ object Graft {
     Sampling.quotaCap(df, groupCol, n, orderCols)
   def repetitionRatio(docs: DataFrame): DataFrame = TextAnalysis.repetition(docs)
   def redactPii(docs: DataFrame): DataFrame = TextAnalysis.redactPii(docs)
+  def normalizeText(docs: DataFrame): DataFrame = TextAnalysis.normalizeText(docs)
+  def vocabulary(docs: DataFrame, k: Int = 50): DataFrame =
+    TextAnalysis.vocabulary(docs, k)
   def normalizeEmbedding(v: Column): Column = VectorOps.normalized(v)
   def quantizeEmbeddingInt8(v: Column): Column = VectorOps.quantizedInt8(v)
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, MinHashSignature, RollingHash32, SimHash32, SortedIntersectCount}
+import graft.functions.{CosineSimilarity, MinHashSignature, NfcNormalize, RollingHash32, SimHash32, SortedIntersectCount}
 
 /** SparkSessionExtensions entry point: registers graft's native expressions
   * as SQL functions, so `spark.sql("SELECT cosine_similarity(a, b) ...")`
@@ -57,6 +57,7 @@ object GraftExtensions {
       MinHashSignature(exprs(0), foldableInt("minhash_signature(arr, numHashes)", exprs(1)))),
     "simhash32" -> (exprs => SimHash32(exprs(0))),
     "rolling_hash32" -> (exprs => RollingHash32(exprs(0))),
+    "nfc_normalize" -> (exprs => NfcNormalize(exprs(0))),
   )
 
   /** Register on an already-running session (withExtensions only applies to

@@ -20,6 +20,11 @@ class GraftFacadeSpec extends SparkSpec {
       .select("split").distinct().count() == 3)
     assert(Graft.validationReport(spark, sf)
       .agg(sum("n_violations")).first().getLong(0) == 0L)
+    assert(Graft.containmentJoin(docs).count() > 0)
+    assert(Graft.decontaminate(docs).columns.contains("contaminated"))
+    assert(Graft.packSequences(docs).count() == docs.count())
+    assert(Graft.normalizeText(docs).columns.contains("clean_md5"))
+    assert(Graft.vocabulary(docs, 5).count() == 5)
     Graft.enableSqlFunctions(spark)
     assert(spark.sql("SELECT rolling_hash32('a')").first().getLong(0) == 'a'.toInt)
   }

@@ -101,9 +101,11 @@ class AsofSkewSpec extends SparkSpec {
       """SELECT cosine_similarity(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c,
         |       sorted_intersect_count(array('a','b'), array('b','c')) AS i,
         |       simhash32(array('x','y')) AS sh,
-        |       rolling_hash32('ab') AS rh""".stripMargin).first()
+        |       rolling_hash32('ab') AS rh,
+        |       nfc_normalize('cafe\u0301') AS nfc""".stripMargin).first()
     assert(r.getDouble(0) == 1.0)
     assert(r.getLong(1) == 1L)
     assert(r.getLong(3) == ('a'.toInt * 31 + 'b'.toInt).toLong)
+    assert(r.getString(4) == "caf\u00e9")
   }
 }

@@ -75,6 +75,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("seq packing: data windows are bucket-partitioned; offsets window sees buckets only") {
+    val df = Packing.packSequences(Tables.documents(spark, sf))
+    df.collect() // finalize AQE
+    val p = plan(df)
+    val winLines = p.linesIterator.filter(_.contains("Window ")).toList
+    assert(winLines.nonEmpty)
+    // the only unpartitioned window is the per-bucket offsets cumsum (__tot),
+    // which runs over corpus/bucketSize rows, never the document stream
+    winLines.filterNot(_.contains("__tot")).foreach { l =>
+      assert(l.contains("__b"), s"unpartitioned window over document rows: $l")
+    }
+  }
+
+  test("decontaminate: benchmark gram set broadcasts into the semi-join") {
+    val df = TextAnalysis.decontaminate(Tables.documents(spark, sf))
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") &&
+      p.linesIterator.exists(l => l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+      p.take(3000))
+  }
+
+  test("vocabulary top-k runs as TakeOrdered, not a global window sort") {
+    val df = TextAnalysis.vocabulary(Tables.documents(spark, sf))
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
   test("distributed boundaries avoid the global single-partition window") {
     val li = Tables.lineitem(spark, sf)
       .withColumn("ts_epoch", col("l_shipdate").cast("timestamp").cast("long"))
