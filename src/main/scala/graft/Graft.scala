@@ -101,6 +101,8 @@ object Graft {
     TextAnalysis.vocabulary(docs, k)
   def normalizeEmbedding(v: Column): Column = VectorOps.normalized(v)
   def quantizeEmbeddingInt8(v: Column): Column = VectorOps.quantizedInt8(v)
+  def projectEmbedding(v: Column, outDims: Int = 8, dim: Int = 64): Column =
+    VectorOps.randomProject(v, outDims, dim)
 
   // ---- splits / validation / sinks ----
   def trainValTestSplit(df: DataFrame, keyCol: String, salt: String = "graft_v1"): DataFrame =

@@ -231,6 +231,8 @@ object SparkEntry {
     // ---- extension: embedding normalize/quantize ----
     "q_vec_quantize" -> ((s, dir) =>
       VectorOps.quantizeDigest(Tables.embeddings(s, dir)).orderBy("vec_id")),
+    "q_vec_project" -> ((s, dir) =>
+      VectorOps.projectDigest(Tables.embeddings(s, dir)).orderBy("vec_id")),
 
     // ---- capstone: end-to-end training-data curation ----
     "q_curation" -> ((s, dir) => CurationPipeline.keptDocuments(s, dir)),
@@ -1053,6 +1055,19 @@ object SparkEntry {
           |  CAST(list_min(qv) AS BIGINT) AS q_min,
           |  CAST(list_max(qv) AS BIGINT) AS q_max
           |FROM q ORDER BY vec_id""".stripMargin,
+      // ±1 sign = parity of first md5 hex digit of "rp_j_i"; projection and
+      // norm are sequential double folds — order matches Spark's aggregate()
+      "q_vec_project" ->
+        """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+          |p AS (SELECT vec_id,
+          |  list_transform(range(0, 8), j ->
+          |    list_reduce(list_prepend(0.0, list_transform(range(0, 64), i ->
+          |      emb[CAST(i AS INT) + 1] * CAST((CAST(('0x' || substr(md5('rp_' || j || '_' || i), 1, 1)) AS BIGINT) % 2) * 2 - 1 AS DOUBLE))),
+          |      (x, y) -> x + y)) AS proj
+          |  FROM v)
+          |SELECT vec_id, proj,
+          |  list_reduce(list_prepend(0.0, list_transform(proj, x -> x * x)), (a, b) -> a + b) AS norm2
+          |FROM p ORDER BY vec_id""".stripMargin,
       "q_curation" ->
         s"""WITH $curationCtes
            |SELECT doc_id FROM surv WHERE doc_id NOT IN (SELECT b_id FROM losers)

@@ -75,4 +75,40 @@ object VectorOps {
       array_min(col("__q")).as("q_min"),
       array_max(col("__q")).as("q_max"))
   }
+
+  /** Deterministic ±1 sign for projection cell (j, i): parity of the first
+    * md5 hex digit of "rp_j_i" — same scheme as [[Similarity.planeSign]]
+    * under an independent seed prefix, so projection planes and LSH planes
+    * are uncorrelated. Recomputable in any engine with md5 (the oracle does). */
+  private[operators] def projSign(j: Int, i: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp_${j}_$i".getBytes("UTF-8"))
+    (((d(0) >> 4) & 0xf) % 2) * 2 - 1
+  }
+
+  /** Signed random projection to `outDims` dimensions: out[j] = Σ_i v[i] ·
+    * sign(j,i) — the Achlioptas-style database-friendly JL projection (±1
+    * entries, no gaussians), the standard dimensionality reduction before
+    * sketching/ANN when 64-d embeddings are still too wide to shuffle.
+    *
+    * The sign matrix is driver-precomputed literals (zero per-row hashing);
+    * each output is a sequential left-fold in doubles — multiplication by
+    * ±1.0 is exact and the fold order matches DuckDB's `list_reduce`, so
+    * results are bit-identical cross-engine. Narrow map, zero shuffle. */
+  def randomProject(v: Column, outDims: Int = 8, dim: Int = 64): Column =
+    array((0 until outDims).map { j =>
+      val signs = array((0 until dim).map(i => lit(projSign(j, i).toDouble)): _*)
+      aggregate(zip_with(v, signs, (x, r) => x.cast("double") * r),
+        lit(0.0), (a, x) => a + x)
+    }: _*)
+
+  /** Query-facing projection digest: the projected vector plus its
+    * (sequentially-ordered) squared norm. `proj` staged as a named column —
+    * the norm fold would otherwise recompute the whole projection. */
+  def projectDigest(df: DataFrame, outDims: Int = 8, dim: Int = 64,
+                    id: String = "vec_id", emb: String = "embedding"): DataFrame =
+    graft.core.Parallelism.forCompute(df)
+      .select(col(id), randomProject(col(emb), outDims, dim).as("proj"))
+      .select(col(id), col("proj"),
+        aggregate(col("proj"), lit(0.0), (a, x) => a + x * x).as("norm2"))
 }

@@ -103,4 +103,24 @@ class SamplingVectorSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(math.abs(unit - 1.0) < 1e-12)
   }
+
+  test("random projection: basis vector reads out the sign column; scaling is exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dim = 16
+    val e0 = Array.tabulate(dim)(i => if (i == 0) 1.0f else 0.0f)
+    val e0x2 = e0.map(_ * 2.0f)
+    val df = Seq((1L, e0.toSeq), (2L, e0x2.toSeq)).toDF("vec_id", "embedding")
+    val r = df.select(col("vec_id"),
+        VectorOps.randomProject(col("embedding"), outDims = 4, dim = dim).as("p"))
+      .orderBy("vec_id").collect()
+    val p1 = r(0).getSeq[Double](1)
+    val p2 = r(1).getSeq[Double](1)
+    // projecting e_0 yields column 0 of the ±1 sign matrix exactly
+    (0 until 4).foreach { j =>
+      assert(p1(j) == VectorOps.projSign(j, 0).toDouble, s"j=$j got ${p1(j)}")
+    }
+    // doubling the input doubles every output bit-exactly (±1.0 mult is exact)
+    assert(p2 == p1.map(_ * 2.0))
+  }
 }
