@@ -191,6 +191,15 @@ object TextAnalysis {
         md5(col("clean")).as("clean_md5"))
   }
 
+  /** Distinct word `n`-grams of normalized text — the overlap unit for
+    * decontamination (batch and streaming forms share this construction). */
+  def wordGrams(text: Column, n: Int): Column = {
+    val w = split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(w, i, lit(n)))))
+  }
+
   /** Benchmark decontamination: flag training documents sharing any word
     * `n`-gram with a held-out benchmark set (here: doc_id % benchMod == 0) —
     * the standard train/test-leakage scrub (n-gram overlap, as used for
@@ -205,12 +214,8 @@ object TextAnalysis {
   def decontaminate(docs: DataFrame, benchMod: Long = 10, n: Int = 8,
                     text: String = "text", id: String = "doc_id"): DataFrame = {
     require(n > 0 && benchMod > 1, "need n > 0 and benchMod > 1")
-    val w = split(trim(regexp_replace(lower(col(text)), "[^a-z0-9]+", " ")), " ")
-    val grams = array_distinct(transform(
-      sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(w, i, lit(n)))))
     val staged = graft.core.Parallelism.forCompute(docs)
-      .select(col(id), grams.as("__g"))
+      .select(col(id), wordGrams(col(text), n).as("__g"))
     val isBench = pmod(col(id), lit(benchMod)) === 0
     val bench = staged.filter(isBench)
       .select(explode(col("__g")).as("gram")).distinct()

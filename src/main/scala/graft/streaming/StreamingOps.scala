@@ -61,6 +61,27 @@ object StreamingOps {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicates("fp")
 
+  /** Streaming decontamination: the contaminated-id stream from a live
+    * document feed vs a STATIC benchmark gram set — the online form of
+    * `TextAnalysis.decontaminate` (filter docs as they arrive, not in a
+    * nightly sweep).
+    *
+    * Shape: the stream's grams explode map-side into a stream-static LEFT
+    * SEMI join (static side broadcasts — eval suites are MBs, same argument
+    * as the batch op), then watermark-bounded `dropDuplicates(doc_id)`
+    * collapses multi-gram hits to one row per contaminated doc. Every stage
+    * is append-mode-legal; state = one id per contaminated doc within the
+    * watermark horizon. Downstream subtracts these ids from the ingest. */
+  def contaminatedIds(docs: DataFrame, benchGrams: DataFrame, n: Int = 8,
+                      watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"),
+        explode(graft.operators.TextAnalysis.wordGrams(col("text"), n)).as("gram"))
+      .join(broadcast(benchGrams.select("gram")), Seq("gram"), "left_semi")
+      .dropDuplicates("doc_id")
+      .select("doc_id")
+
   case class Event(event_id: Long, user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(sessionSeq: Long, lastSec: Long, nEvents: Long, startSec: Long)
   case class SessionOut(user_id: Long, session_seq: Long, n_events: Long,

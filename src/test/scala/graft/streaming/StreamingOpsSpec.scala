@@ -158,6 +158,33 @@ class StreamingOpsSpec extends SparkSpec {
     assert(ids.length == 2 && ids.head == 1L) // content-dup id 2 dropped
   }
 
+  test("streaming decontamination agrees with the batch operator's contaminated set") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // benchMod=10, n=3: doc 10 is the benchmark; 11 shares a trigram, 12 clean
+    val rows = Seq(
+      (10L, "alpha beta gamma delta", ts("2024-01-01 00:00:00")),
+      (11L, "alpha beta gamma epsilon", ts("2024-01-01 00:01:00")),
+      (12L, "zeta eta theta iota", ts("2024-01-01 00:02:00")))
+    val batchDocs = rows.map(r => (r._1, r._2)).toDF("doc_id", "text")
+    val batchContaminated = graft.operators.TextAnalysis
+      .decontaminate(batchDocs, benchMod = 10, n = 3)
+      .filter($"contaminated").select("doc_id").as[Long].collect().toSet
+
+    val benchGrams = batchDocs.filter($"doc_id" % 10 === 0)
+      .select(explode(graft.operators.TextAnalysis.wordGrams($"text", 3)).as("gram"))
+      .distinct()
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    stream.addData(rows.filter(_._1 % 10 != 0))
+    val q = StreamingOps.contaminatedIds(
+        stream.toDF().toDF("doc_id", "text", "ts"), benchGrams, n = 3)
+      .writeStream.outputMode("append").format("memory").queryName("decon_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("decon_out").as[Long].collect().toSet
+    assert(streamed == batchContaminated && streamed == Set(11L))
+  }
+
   test("streaming sessionization closes sessions on gap and emits batch-equal results") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
