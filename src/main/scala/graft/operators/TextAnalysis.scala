@@ -216,6 +216,7 @@ object TextAnalysis {
     require(n > 0 && benchMod > 1, "need n > 0 and benchMod > 1")
     val staged = graft.core.Parallelism.forCompute(docs)
       .select(col(id), wordGrams(col(text), n).as("__g"))
+      .localCheckpoint(false)
     val isBench = pmod(col(id), lit(benchMod)) === 0
     val bench = staged.filter(isBench)
       .select(explode(col("__g")).as("gram")).distinct()
