@@ -187,6 +187,31 @@ object SparkEntry {
     "q_asof_join" -> ((s, dir) =>
       AsofJoin.eventsToLatestOrder(Tables.events(s, dir), Tables.orders(s, dir))),
 
+    // ---- extension: incremental merge/upsert (target snapshot + batch) ----
+    "q_merge_upsert" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Merge.upsertLatest(
+          ev.filter(col("event_id") <= 700), ev.filter(col("event_id") > 700),
+          Seq("user_id", "event_type"), col("ts"), Seq(col("event_id")))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts").cast("timestamp").cast("long").as("ts_sec"), col("value"))
+        .orderBy("user_id", "event_type")
+    }),
+    "q_merge_replace" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Merge.upsertReplace(
+          ev.filter(col("event_id") <= 700), ev.filter(col("event_id") > 700),
+          Seq("user_id", "event_type"), col("ts"), Seq(col("event_id")))
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
+    "q_scd2" -> ((s, dir) =>
+      Merge.scd2History(Tables.events(s, dir),
+          Seq("user_id", "event_type"), col("ts"), Seq(col("event_id")))
+        .select("user_id", "event_type", "event_id",
+          "valid_from", "valid_to", "is_current")
+        .orderBy("user_id", "event_type", "valid_from", "event_id")),
+
     // ---- extension: binned range join (equi-join on bucket, no BNLJ) ----
     "q_range_join" -> ((s, dir) =>
       RangeJoin.eventsToSessions(Tables.events(s, dir))),
@@ -971,6 +996,38 @@ object SparkEntry {
           |FROM e ASOF LEFT JOIN o
           |  ON e.user_id = o.user_id AND e.ts_sec >= o.t
           |ORDER BY e.event_id""".stripMargin,
+      "q_merge_upsert" ->
+        """WITH t AS (SELECT *, 0 AS upd FROM events WHERE event_id <= 700),
+          |u AS (SELECT *, 1 AS upd FROM events WHERE event_id > 700),
+          |a AS (SELECT * FROM t UNION ALL SELECT * FROM u),
+          |r AS (SELECT event_id, user_id, event_type,
+          |        CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value,
+          |        row_number() OVER (PARTITION BY user_id, event_type
+          |          ORDER BY ts DESC, upd DESC, event_id DESC) AS rn
+          |      FROM a)
+          |SELECT event_id, user_id, event_type, ts_sec, value
+          |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+      "q_merge_replace" ->
+        """WITH t AS (SELECT * FROM events WHERE event_id <= 700),
+          |u AS (SELECT * FROM events WHERE event_id > 700),
+          |lu AS (SELECT event_id, user_id, event_type, value FROM (
+          |         SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+          |           ORDER BY ts DESC, event_id DESC) AS rn FROM u) x
+          |       WHERE rn = 1),
+          |kept AS (SELECT event_id, user_id, event_type, value FROM t
+          |         WHERE NOT EXISTS (SELECT 1 FROM lu
+          |           WHERE lu.user_id = t.user_id
+          |             AND lu.event_type = t.event_type))
+          |SELECT * FROM (SELECT * FROM kept UNION ALL SELECT * FROM lu) z
+          |ORDER BY event_id""".stripMargin,
+      "q_scd2" ->
+        """SELECT user_id, event_type, event_id, valid_from,
+          |       lead(valid_from) OVER w AS valid_to,
+          |       lead(valid_from) OVER w IS NULL AS is_current
+          |FROM (SELECT user_id, event_type, event_id, ts,
+          |        CAST(floor(epoch(ts)) AS BIGINT) AS valid_from FROM events) e
+          |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+          |ORDER BY user_id, event_type, valid_from, event_id""".stripMargin,
       "q_validate" ->
         """SELECT rule, n_violations FROM (
           |  SELECT 'li_orderkey_null' AS rule,

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental MERGE/upsert — the shape every recurring 100 TB pipeline
+  * needs: a huge accumulated target plus a (much smaller) batch of updates,
+  * reconciled by key. The reference's sink is append-only
+  * (`HanaToBQ.java:258` WRITE_APPEND); these operators are the reconcile
+  * step a user runs on top of an append log, expressed as plain relational
+  * plans (no table-format dependency).
+  *
+  * Scale discipline — two regimes, two plans:
+  *   - [[upsertReplace]] (updates win unconditionally): the target is only
+  *     ANTI-JOINed against the update keys. With a small update batch the
+  *     key set broadcasts, so the 100 TB target never shuffles — the scan
+  *     streams through a BroadcastHashJoin(LeftAnti) and unions the batch.
+  *     This is the plan to run nightly.
+  *   - [[upsertLatest]] (version column wins, e.g. late/out-of-order CDC
+  *     feeds where an "update" may be stale): needs per-key ordering, so it
+  *     is one shuffle of target ∪ updates on the key — the honest lower
+  *     bound for version reconciliation. Run it on the partitions a CDC
+  *     feed actually touched, not the whole table.
+  *   - [[scd2History]]: type-2 slowly-changing-dimension derivation
+  *     (valid_from/valid_to ranges from a row-version log) — one shuffle on
+  *     the key, windows bounded per key.
+  */
+object Merge {
+
+  /** Updates replace target rows sharing their key; target rows with no
+    * update pass through. Updates are first deduped to one row per key
+    * (latest `version`, ties to the largest tiebreak) so a batch carrying
+    * several versions of one key applies its newest.
+    *
+    * Plan shape: dedup shuffles only the UPDATE batch; the target side is a
+    * broadcast left-anti join — zero target shuffle. */
+  def upsertReplace(target: DataFrame, updates: DataFrame, keys: Seq[String],
+                    version: Column, tiebreak: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((version.desc +: tiebreak.map(_.desc)): _*)
+    val latest = updates.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val kept = target.join(broadcast(latest.select(keys.map(col): _*)),
+      keys, "left_anti")
+    kept.unionByName(latest)
+  }
+
+  /** Version-based upsert: across target ∪ updates, the row with the
+    * greatest `version` per key wins (ties: updates side, then `tiebreak`
+    * descending). Correct under out-of-order delivery — a stale "update"
+    * loses to a newer target row. One shuffle on the key. */
+  def upsertLatest(target: DataFrame, updates: DataFrame, keys: Seq[String],
+                   version: Column, tiebreak: Seq[Column]): DataFrame = {
+    val tagged = target.withColumn("__upd", lit(0))
+      .unionByName(updates.withColumn("__upd", lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((version.desc +: col("__upd").desc +: tiebreak.map(_.desc)): _*)
+    tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__upd")
+  }
+
+  /** Type-2 SCD derivation from a row-version log: each key's versions get
+    * half-open validity ranges [valid_from, valid_to) in epoch seconds, the
+    * open (current) version marked with valid_to NULL. Deterministic under
+    * any partitioning: the per-key order is (version, tiebreak...) — callers
+    * must make it total within a key. */
+  def scd2History(log: DataFrame, keys: Seq[String], version: Column,
+                  tiebreak: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((version.asc +: tiebreak.map(_.asc)): _*)
+    log.withColumn("valid_from", version.cast("timestamp").cast("long"))
+      .withColumn("valid_to",
+        lead(version.cast("timestamp").cast("long"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Incremental MERGE/upsert semantics + the plan-shape claims behind them. */
+class MergeSpec extends SparkSpec {
+
+  private def ev = Tables.events(spark, sf)
+  private val keys = Seq("user_id", "event_type")
+
+  test("upsertReplace: every key appears once per update, pass-through otherwise") {
+    val target = ev.filter(col("event_id") <= 700)
+    val updates = ev.filter(col("event_id") > 700)
+    val merged = Merge.upsertReplace(target, updates, keys,
+      col("ts"), Seq(col("event_id")))
+    // keys present in updates resolve to exactly the latest update row
+    val updKeys = updates.select("user_id", "event_type").distinct()
+    val fromUpdates = merged.join(updKeys, keys).count()
+    assert(fromUpdates == updKeys.count(), "one row per updated key")
+    // untouched target rows pass through unchanged
+    val untouched = target.join(updKeys, keys, "left_anti")
+    assert(merged.join(updKeys, keys, "left_anti").count() == untouched.count())
+  }
+
+  test("upsertLatest == upsertReplace when every update is strictly newer") {
+    val target = ev.filter(col("event_id") <= 700)
+    // shift updates far into the future so version order can't disagree
+    val updates = ev.filter(col("event_id") > 700)
+      .withColumn("ts", col("ts") + expr("INTERVAL 10 YEARS"))
+    val a = Merge.upsertReplace(target, updates, keys, col("ts"), Seq(col("event_id")))
+      .select("event_id", "user_id", "event_type")
+    val b = Merge.upsertLatest(target, updates, keys, col("ts"), Seq(col("event_id")))
+      .select("event_id", "user_id", "event_type")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("upsertLatest: a stale update loses to a newer target row") {
+    import spark.implicits._
+    val target = Seq((1L, "k", 100L, "new")).toDF("id", "key", "v", "src")
+    val stale = Seq((2L, "k", 50L, "stale")).toDF("id", "key", "v", "src")
+    val out = Merge.upsertLatest(target, stale, Seq("key"), col("v"), Seq(col("id")))
+      .select("src").as[String].collect()
+    assert(out.toSeq == Seq("new"))
+  }
+
+  test("scd2History: ranges are half-open, chain per key, one current row") {
+    val h = Merge.scd2History(ev, keys, col("ts"), Seq(col("event_id")))
+    // exactly one open (current) row per key
+    val open = h.filter(col("is_current")).groupBy(keys.map(col): _*)
+      .count().filter(col("count") =!= 1).count()
+    assert(open == 0, "each key has exactly one current row")
+    // each non-current row's valid_to equals the next row's valid_from
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val chained = h.withColumn("next_from", lead("valid_from", 1).over(w))
+      .filter(!col("is_current"))
+      .filter(col("valid_to") =!= col("next_from"))
+    assert(chained.count() == 0, "valid_to chains to the successor's valid_from")
+  }
+
+  test("upsertReplace plan: target side is a broadcast anti-join (no target shuffle)") {
+    val target = ev.filter(col("event_id") <= 700)
+    val updates = ev.filter(col("event_id") > 700)
+    val merged = Merge.upsertReplace(target, updates, keys,
+      col("ts"), Seq(col("event_id")))
+    val p = merged.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(3000))
+  }
+}
