@@ -118,7 +118,21 @@ object SparkEntry {
     "q_grouping_sets"      -> ((s, dir) => Relational.groupingSets(s, dir)),
     "q_pivot"              -> ((s, dir) => Relational.pivotByStatus(s, dir)),
     "q_quantiles"          -> ((s, dir) => Relational.quantiles(s, dir)),
+    "q_histogram"          -> ((s, dir) => Relational.priceHistogram(s, dir)),
     "q_corr_manual"        -> ((s, dir) => Relational.corrManual(s, dir)),
+
+    // ---- extension: bloom-pruned equi-join (probe filtered pre-shuffle) ----
+    "q_bloom_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val ords = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      BloomJoin.pruned(li, ords, "l_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_li"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
     // sketch values aren't DuckDB-reproducible, so the output is exact columns
     // + boolean accuracy verdicts of the live sketch (oracle-checkable; the
     // booleans flip red if the sketch degrades). Accuracy bounds also
@@ -150,6 +164,16 @@ object SparkEntry {
       Dedup.exactText(Tables.documents(s, dir))),
     "q_dedup_events" -> ((s, dir) =>
       Dedup.eventsKeepEarliest(Tables.events(s, dir))),
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val fp = md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+      // doc_ids 251..300 sit in both slices: their fingerprints are in the
+      // history, so the batch rows re-presenting them must drop
+      val history = docs.filter(col("doc_id") <= 300).withColumn("fp", fp)
+      val batch = docs.filter(col("doc_id") > 250).withColumn("fp", fp)
+      Dedup.newAgainstHistory(batch, history, "fp")
+        .select("doc_id").orderBy("doc_id")
+    }),
 
     // ---- extension: near-dup dedup (ext_dedup_near) ----
     "q_dedup_minhash" -> ((s, dir) =>
@@ -731,6 +755,15 @@ object SparkEntry {
           |         row_number() OVER (PARTITION BY user_id, event_type
           |                            ORDER BY ts, event_id) AS rn
           |  FROM events) t WHERE rn = 1 ORDER BY event_id""".stripMargin,
+      "q_dedup_incremental" ->
+        """WITH f AS (SELECT doc_id,
+          |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+          |  FROM documents),
+          |h AS (SELECT fp FROM f WHERE doc_id <= 300),
+          |b AS (SELECT * FROM f WHERE doc_id > 250)
+          |SELECT doc_id FROM b
+          |WHERE NOT EXISTS (SELECT 1 FROM h WHERE h.fp = b.fp)
+          |ORDER BY doc_id""".stripMargin,
       "q_dedup_minhash" ->
         s"""WITH $minhashPairCtes
            |SELECT a_id, b_id, inter, uni,
@@ -951,6 +984,18 @@ object SparkEntry {
           |  quantile_cont(l_quantity, 0.5) AS q50,
           |  quantile_cont(l_quantity, 0.75) AS q75
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "q_histogram" ->
+        """SELECT CAST(floor(CAST(l_extendedprice AS DOUBLE) / 5000) AS BIGINT) AS bucket,
+          |  count(*) AS n,
+          |  min(CAST(l_extendedprice AS DOUBLE)) AS lo,
+          |  max(CAST(l_extendedprice AS DOUBLE)) AS hi
+          |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+      "q_bloom_join" ->
+        """SELECT o_orderstatus, count(*) AS n_li,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE o_totalprice > 400000
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
       // exact columns recomputed by DuckDB; the verdict booleans are TRUE in
       // the oracle because the Spark side computes them against Spark-exact
       // aggregates in the same pass — a degraded sketch flips them and fails

@@ -86,6 +86,25 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Rows of `batch` whose `key` does NOT already appear in `history` — the
+    * recurring-ingest dedup step: yesterday's 100 TB corpus is `history`,
+    * today's crawl is `batch`.
+    *
+    * Scale contract: the history NEVER shuffles. The naive
+    * `batch.join(history, key, "left_anti")` hash-partitions the full
+    * history; here the (small) batch key set broadcasts into a LEFT SEMI
+    * that streams the history scan once and emits only the matched keys —
+    * a set bounded by the batch size — which then broadcast back as the
+    * ANTI side. Two broadcast joins, one history pass, zero wide exchange
+    * of history rows. */
+  def newAgainstHistory(batch: DataFrame, history: DataFrame,
+                        key: String): DataFrame = {
+    val matched = history.select(col(key))
+      .join(broadcast(batch.select(col(key)).distinct()), Seq(key), "left_semi")
+      .distinct()
+    batch.join(broadcast(matched), Seq(key), "left_anti")
+  }
+
   /** One survivor (the min doc_id) per duplicate CLUSTER. Strictly stronger
     * than dropping the larger id of each pair: with pairs (B,C) and (A,C)
     * only, pairwise dropping keeps both A and B from one duplicate group;

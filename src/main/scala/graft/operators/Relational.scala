@@ -260,6 +260,21 @@ object Relational {
         percentile(col("l_quantity"), lit(0.75)).as("q75"))
       .orderBy("l_returnflag")
 
+  /** Equi-width histogram of l_extendedprice: one map-side-combinable
+    * aggregate — the narrow groupBy-on-a-derived-key shape that stays one
+    * shuffle at any scale. Bounds are literals (not a min/max pre-pass), so
+    * the plan is a single scan; doubles on both engines avoid
+    * decimal-division semantics diverging between Spark and the oracle. */
+  def priceHistogram(spark: SparkSession, dir: String,
+                     width: Double = 5000.0): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(floor(col("l_extendedprice").cast("double") / width)
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice").cast("double")).as("lo"),
+        max(col("l_extendedprice").cast("double")).as("hi"))
+      .orderBy("bucket")
+
   /** Pearson correlation from exact integer-cent moments — the built-in
     * corr() uses incremental (Welford-style) accumulation whose result
     * depends on partition order; exact integer sums make the final double

@@ -82,6 +82,27 @@ object StreamingOps {
       .dropDuplicates("doc_id")
       .select("doc_id")
 
+  /** Streaming upsert view: the latest row per key from a CDC-style update
+    * feed — the streaming twin of `Merge.upsertLatest` with an empty target.
+    * `max_by` over a (version, tiebreak...) ordering struct keeps exactly one
+    * row of state per live key; update mode re-emits a key whenever its
+    * winner changes. Out-of-order delivery is handled the same way as the
+    * batch form: a stale update loses the `max_by` and never surfaces.
+    *
+    * `payload` columns are carried through the state struct; callers list
+    * them explicitly so state width is a choice, not an accident. */
+  def upsertLatest(updates: DataFrame, keys: Seq[String], version: String,
+                   tiebreak: Seq[String], payload: Seq[String]): DataFrame = {
+    val ord = struct((version +: tiebreak).map(col): _*)
+    val row = struct((Seq(version) ++ tiebreak ++ payload).distinct.map(col): _*)
+    updates
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(row, ord).as("__latest"))
+      .select(keys.map(col) ++
+        (Seq(version) ++ tiebreak ++ payload).distinct.map(c =>
+          col(s"__latest.$c").as(c)): _*)
+  }
+
   case class Event(event_id: Long, user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(sessionSeq: Long, lastSec: Long, nEvents: Long, startSec: Long)
   case class SessionOut(user_id: Long, session_seq: Long, n_events: Long,

@@ -215,4 +215,39 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.head.session_start == ts("2024-01-01 00:00:00").getTime / 1000)
     assert(got.head.session_end == ts("2024-01-01 00:10:00").getTime / 1000)
   }
+
+  test("streaming upsertLatest agrees with the batch Merge form, stale updates lose") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // (id, key, ts, value) — key "a" gets three versions across two batches,
+    // the LAST-delivered being stale (out-of-order CDC)
+    val b1 = Seq((1L, "a", ts("2024-01-01 00:00:00"), 1.0),
+                 (2L, "b", ts("2024-01-01 00:00:00"), 2.0),
+                 (3L, "a", ts("2024-01-01 02:00:00"), 3.0))
+    val b2 = Seq((4L, "a", ts("2024-01-01 01:00:00"), 4.0), // stale: loses to id 3
+                 (5L, "c", ts("2024-01-01 00:30:00"), 5.0))
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp, Double)]
+    val q = StreamingOps.upsertLatest(
+        stream.toDF().toDF("event_id", "key", "ts", "value"),
+        keys = Seq("key"), version = "ts",
+        tiebreak = Seq("event_id"), payload = Seq("value"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("upsert_out").start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("upsert_out")
+      .select("key", "ts", "event_id", "value").orderBy("key").collect()
+    val all = (b1 ++ b2).toDF("event_id", "key", "ts", "value")
+    val batch = graft.operators.Merge.upsertLatest(
+        all.limit(0), all, Seq("key"), col("ts"), Seq(col("event_id")))
+      .select("key", "ts", "event_id", "value").orderBy("key").collect()
+    assert(streamed.toSeq == batch.toSeq, s"${streamed.toSeq} != ${batch.toSeq}")
+    // the stale row (id 4) must not have won key "a"
+    assert(streamed.find(_.getAs[String]("key") == "a")
+      .get.getAs[Long]("event_id") == 3L)
+  }
 }
