@@ -257,6 +257,10 @@ object SparkEntry {
       Sampling.quotaCap(Tables.documents(s, dir).select("doc_id", "lang"),
         "lang", 30, Seq("doc_id"))
         .orderBy("doc_id")),
+    "q_sample_weighted" -> ((s, dir) =>
+      Sampling.weightedTopK(Tables.documents(s, dir).select("doc_id", "lang"),
+        "doc_id", when(col("lang") === "en", 1).otherwise(4), 100)
+        .orderBy("doc_id")),
 
     // ---- extension: repetition ratio + PII scrub (text curation) ----
     "q_repetition" -> ((s, dir) =>
@@ -1105,6 +1109,20 @@ object SparkEntry {
           |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft_sample_v1'), 1, 8)) AS BIGINT) % 100
           |      < CASE WHEN lang = 'en' THEN 37 ELSE 83 END
           |ORDER BY doc_id""".stripMargin,
+      "q_sample_weighted" ->
+        """WITH p AS (
+          |  SELECT doc_id, lang,
+          |    CASE WHEN lang = 'en' THEN 1 ELSE 4 END AS w,
+          |    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft_wsample_v1'), 1, 13)) AS BIGINT) + 1)
+          |      / 4503599627370496.0 AS u
+          |  FROM documents),
+          |t AS (
+          |  SELECT doc_id, lang, w,
+          |    CASE WHEN w = 4 THEN sqrt(sqrt(u))
+          |         WHEN w = 2 THEN sqrt(u)
+          |         ELSE u END AS pri
+          |  FROM p ORDER BY pri DESC LIMIT 100)
+          |SELECT doc_id, lang, w, pri FROM t ORDER BY doc_id""".stripMargin,
       "q_quota_cap" ->
         """SELECT doc_id, lang, rk FROM (
           |  SELECT doc_id, lang,

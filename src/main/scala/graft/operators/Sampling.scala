@@ -41,4 +41,42 @@ object Sampling {
     df.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= n)
   }
+
+  /** Content-addressed uniform in (0,1]: 52 md5 bits (13 hex chars) + 1 over
+    * 2^52. Every step is exact in doubles — the integer is < 2^52 so it
+    * represents exactly, and the divisor is a power of two — so the value is
+    * bit-identical on any engine with md5. */
+  private[operators] def unit(key: Column, salt: String): Column =
+    (conv(substr(md5(concat(key.cast("string"), lit("|" + salt))),
+      lit(1), lit(13)), 16, 10).cast("long").cast("double") + lit(1.0)) /
+      lit(4503599627370496.0)
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES): each
+    * row gets priority u^(1/w) from a content-addressed uniform u, and the k
+    * largest priorities win — inclusion probability is weight-proportional,
+    * and the whole draw is deterministic (same salt -> same sample across
+    * runs, engines, partitionings).
+    *
+    * Weights are restricted to {1, 2, 4} so u^(1/w) is ITERATED SQRT —
+    * IEEE-correctly-rounded, hence bit-identical across engines; `pow`/`ln`
+    * (the general A-ES form) carry a 1-ulp portability risk this repo's
+    * determinism discipline avoids (same reasoning as TfIdf's rational idf).
+    * Three tiers cover the curation use (favor low-resource languages or
+    * high-quality sources 2-4x) without opening that door.
+    *
+    * Scale: narrow map to compute priorities, then TakeOrdered(k) — per
+    * partition a k-heap, driver merges k×partitions rows; no global sort,
+    * no shuffle of the corpus. */
+  def weightedTopK(df: DataFrame, keyCol: String, weight: Column, k: Int,
+                   salt: String = "graft_wsample_v1"): DataFrame = {
+    val u = unit(col(keyCol), salt)
+    val pri = when(weight === 4, sqrt(sqrt(u)))
+      .when(weight === 2, sqrt(u))
+      .when(weight === 1, u)
+      .otherwise(raise_error(lit("weightedTopK: weight must be 1, 2, or 4")))
+    df.withColumn("w", weight.cast("int"))
+      .withColumn("pri", pri)
+      .orderBy(col("pri").desc)
+      .limit(k)
+  }
 }

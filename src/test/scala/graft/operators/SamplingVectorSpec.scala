@@ -36,6 +36,28 @@ class SamplingVectorSpec extends SparkSpec {
     assert(ranks == (1L to ranks.size))
   }
 
+  test("weighted top-k sample: deterministic, partition-invariant, weight-monotone, no global sort") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+    val w = when(col("lang") === "en", 1).otherwise(4)
+    val s1 = Sampling.weightedTopK(docs, "doc_id", w, 50)
+    val s2 = Sampling.weightedTopK(docs.repartition(7), "doc_id", w, 50)
+    assert(s1.orderBy("doc_id").collect().toSeq ==
+      s2.orderBy("doc_id").collect().toSeq, "content-addressed: same draw")
+    assert(s1.count() == 50)
+
+    // monotonicity: raising ONE sampled doc's weight only raises its
+    // priority — it cannot leave the sample
+    val pick = s1.orderBy("pri").select("doc_id").collect().head.getLong(0)
+    val boosted = Sampling.weightedTopK(docs, "doc_id",
+      when(col("doc_id") === pick, 4).otherwise(w), 50)
+    assert(boosted.filter(col("doc_id") === pick).count() == 1)
+
+    // plan: TakeOrdered (per-partition k-heap), not a global Sort+Exchange
+    val p = s1.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrdered"), p.take(2000))
+  }
+
   test("repetition ratio counts duplicated word trigrams") {
     import spark.implicits._
     val df = Seq((1L, "a b c a b c a b c"), (2L, "all distinct words here now"))
