@@ -119,6 +119,7 @@ object SparkEntry {
     "q_pivot"              -> ((s, dir) => Relational.pivotByStatus(s, dir)),
     "q_quantiles"          -> ((s, dir) => Relational.quantiles(s, dir)),
     "q_histogram"          -> ((s, dir) => Relational.priceHistogram(s, dir)),
+    "q_winsorize"          -> ((s, dir) => Relational.winsorizedStats(s, dir)),
     "q_corr_manual"        -> ((s, dir) => Relational.corrManual(s, dir)),
 
     // ---- extension: bloom-pruned equi-join (probe filtered pre-shuffle) ----
@@ -994,6 +995,16 @@ object SparkEntry {
           |  min(CAST(l_extendedprice AS DOUBLE)) AS lo,
           |  max(CAST(l_extendedprice AS DOUBLE)) AS hi
           |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+      "q_winsorize" ->
+        """WITH q AS (SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+          |                  quantile_cont(l_extendedprice, 0.95) AS hi
+          |           FROM lineitem)
+          |SELECT l_returnflag, count(*) AS n,
+          |  min(least(greatest(l_extendedprice, lo), hi)) AS cl_min,
+          |  max(least(greatest(l_extendedprice, lo), hi)) AS cl_max,
+          |  CAST(sum(CAST(least(greatest(l_extendedprice, lo), hi) AS DECIMAL(18,2))) AS DOUBLE) AS cl_sum
+          |FROM lineitem, q
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
       "q_bloom_join" ->
         """SELECT o_orderstatus, count(*) AS n_li,
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

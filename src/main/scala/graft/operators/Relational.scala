@@ -275,6 +275,30 @@ object Relational {
         max(col("l_extendedprice").cast("double")).as("hi"))
       .orderBy("bucket")
 
+  /** Winsorized per-group stats: clip l_extendedprice to its global
+    * [p05, p95] before aggregating — the outlier-trim every metadata-driven
+    * quality gate needs (a mis-parsed field can't dominate a mean).
+    *
+    * The percentile pass is ONE global aggregate producing a 1-row bound
+    * table; it broadcasts into the clip map (cross-join of a single row, not
+    * a data join), so the second pass stays narrow + one grouped shuffle.
+    * Exact interpolated `percentile` keeps the oracle comparable
+    * (= DuckDB `quantile_cont`, proven by q_quantiles); at 100 TB swap in
+    * `approx_percentile` — same plan shape, sketch-sized state. */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val bounds = li.agg(
+      percentile(col("l_extendedprice"), lit(0.05)).as("lo"),
+      percentile(col("l_extendedprice"), lit(0.95)).as("hi"))
+    li.join(broadcast(bounds))
+      .withColumn("cl", least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        min("cl").as("cl_min"), max("cl").as("cl_max"),
+        sum(col("cl").cast("decimal(18,2)")).cast("double").as("cl_sum"))
+      .orderBy("l_returnflag")
+  }
+
   /** Pearson correlation from exact integer-cent moments — the built-in
     * corr() uses incremental (Welford-style) accumulation whose result
     * depends on partition order; exact integer sums make the final double
