@@ -120,6 +120,12 @@ object SparkEntry {
     "q_quantiles"          -> ((s, dir) => Relational.quantiles(s, dir)),
     "q_histogram"          -> ((s, dir) => Relational.priceHistogram(s, dir)),
     "q_winsorize"          -> ((s, dir) => Relational.winsorizedStats(s, dir)),
+    "q_zscore" -> ((s, dir) =>
+      Relational.groupZScore(
+          Tables.documents(s, dir).select("doc_id", "lang", "n_chars"),
+          "lang", "n_chars")
+        .select("doc_id", "lang", "n_chars", "z")
+        .orderBy("doc_id")),
     "q_corr_manual"        -> ((s, dir) => Relational.corrManual(s, dir)),
 
     // ---- extension: bloom-pruned equi-join (probe filtered pre-shuffle) ----
@@ -1005,6 +1011,24 @@ object SparkEntry {
           |  CAST(sum(CAST(least(greatest(l_extendedprice, lo), hi) AS DECIMAL(18,2))) AS DOUBLE) AS cl_sum
           |FROM lineitem, q
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "q_zscore" ->
+        """WITH s AS (
+          |  SELECT lang, count(*) AS n,
+          |    sum(CAST(n_chars AS DECIMAL(38,0))) AS sm,
+          |    sum(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS ssq
+          |  FROM documents GROUP BY lang),
+          |b AS (
+          |  SELECT lang,
+          |    CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+          |    sqrt(greatest(CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE)
+          |      - (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+          |        * (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)) AS std
+          |  FROM s)
+          |SELECT doc_id, d.lang, n_chars,
+          |  CASE WHEN std > 0
+          |       THEN (CAST(n_chars AS DOUBLE) - mean) / std END AS z
+          |FROM documents d JOIN b ON d.lang = b.lang
+          |ORDER BY doc_id""".stripMargin,
       "q_bloom_join" ->
         """SELECT o_orderstatus, count(*) AS n_li,
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -275,6 +275,34 @@ object Relational {
         max(col("l_extendedprice").cast("double")).as("hi"))
       .orderBy("bucket")
 
+  /** Per-group z-score normalization of an integer metric: (x - mean)/std
+    * with population std, computed from EXACT integer sums (sum, sum of
+    * squares as decimal) so the final double arithmetic — two divisions, a
+    * multiply, subtract, sqrt — is identical on any IEEE engine; no
+    * Welford-style partition-order dependence (same argument as corrManual).
+    * Groups with zero variance emit z = null rather than a division blow-up.
+    *
+    * Shape: one grouped aggregate over the group key (map-side combined),
+    * its per-group stat row broadcast back over the row stream — the
+    * normalize-within-stratum step a quality gate runs before thresholding,
+    * e.g. doc length per language. */
+  def groupZScore(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val stats = df.groupBy(groupCol)
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol).cast("decimal(38,0)")).as("__s"),
+        sum((col(valueCol) * col(valueCol)).cast("decimal(38,0)")).as("__ss"))
+      .withColumn("__mean", col("__s").cast("double") / col("__n").cast("double"))
+      .withColumn("__var",
+        greatest(col("__ss").cast("double") / col("__n").cast("double")
+          - col("__mean") * col("__mean"), lit(0.0)))
+      .select(col(groupCol), col("__mean"), sqrt(col("__var")).as("__std"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .withColumn("z",
+        when(col("__std") > 0.0,
+          (col(valueCol).cast("double") - col("__mean")) / col("__std")))
+      .drop("__mean", "__std")
+  }
+
   /** Winsorized per-group stats: clip l_extendedprice to its global
     * [p05, p95] before aggregating — the outlier-trim every metadata-driven
     * quality gate needs (a mis-parsed field can't dominate a mean).

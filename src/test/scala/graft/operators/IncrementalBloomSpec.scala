@@ -58,6 +58,27 @@ class IncrementalBloomSpec extends SparkSpec {
     assert(p.contains("might_contain"), p.take(3000))
   }
 
+  test("groupZScore: per-group z has mean~0 and std~1; constant group yields null z") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "n_chars")
+    val z = Relational.groupZScore(docs, "lang", "n_chars")
+    val perGroup = z.groupBy("lang")
+      .agg(avg("z").as("m"), stddev_pop("z").as("sd"), count(lit(1)).as("n"))
+      .collect()
+    perGroup.filter(_.getAs[Long]("n") > 1).foreach { r =>
+      assert(math.abs(r.getAs[Double]("m")) < 1e-9, r.toString)
+      assert(math.abs(r.getAs[Double]("sd") - 1.0) < 1e-9, r.toString)
+    }
+    // zero-variance group: z must be null, not infinity
+    val const = Seq((1L, "k", 5L), (2L, "k", 5L)).toDF("doc_id", "lang", "n_chars")
+    val zc = Relational.groupZScore(const, "lang", "n_chars")
+      .select("z").collect()
+    assert(zc.forall(_.isNullAt(0)))
+    // stats side broadcasts back over the row stream
+    val p = z.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("histogram buckets are total: counts sum to the table size, lo/hi inside bucket bounds") {
     val h = Relational.priceHistogram(spark, sf).collect()
     val total = Tables.lineitem(spark, sf).count()
