@@ -68,15 +68,22 @@ object Bench {
     }.mkString("{", ",", "}")
     val fs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir","iters":$iters,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"cpu_wall_ratio":$cpuWallRatio,"wall_sec":$wallSec,"iter_spread":$spread}"""
-    // stdout for the driver's line parser (run/outputStrategy keeps it
-    // prefix-free) AND a clean file as the unambiguous channel.
-    println(line)
+    // Two channels, two payloads. The driver captures a BOUNDED TAIL of
+    // stdout and line-parses it, so the stdout line must stay compact (the
+    // round-3 artifact was lost to one over-long line) and must be the LAST
+    // thing printed. Diagnostics (idle-ness evidence, per-query spread) go
+    // to stderr and to the side file, never onto the parsed line.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir","iters":$iters}"""
+    val diagnostics =
+      s"""{"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"cpu_wall_ratio":$cpuWallRatio,"wall_sec":$wallSec,"iter_spread":$spread}"""
+    System.err.println(s"[bench] diagnostics: $diagnostics")
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_METRIC.json"))
     java.nio.file.Files.write(out,
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (compact + "\n" + diagnostics + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(compact)
     spark.stop()
     // a failed query must not masquerade as a clean bench run
     if (failed.nonEmpty) sys.exit(1)

@@ -119,7 +119,10 @@ object SparkEntry {
     "q_pivot"              -> ((s, dir) => Relational.pivotByStatus(s, dir)),
     "q_quantiles"          -> ((s, dir) => Relational.quantiles(s, dir)),
     "q_histogram"          -> ((s, dir) => Relational.priceHistogram(s, dir)),
-    "q_winsorize"          -> ((s, dir) => Relational.winsorizedStats(s, dir)),
+    // exact form for the bit-reproducible oracle; the approx-default path is
+    // oracle-checked by the rank-bound booleans of q_winsorize_approx
+    "q_winsorize"          -> ((s, dir) => Relational.winsorizedStats(s, dir, exact = true)),
+    "q_winsorize_approx"   -> ((s, dir) => Relational.winsorizeApproxVerdict(s, dir)),
     "q_zscore" -> ((s, dir) =>
       Relational.groupZScore(
           Tables.documents(s, dir).select("doc_id", "lang", "n_chars"),
@@ -1011,6 +1014,11 @@ object SparkEntry {
           |  CAST(sum(CAST(least(greatest(l_extendedprice, lo), hi) AS DECIMAL(18,2))) AS DOUBLE) AS cl_sum
           |FROM lineitem, q
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      // sketch bounds aren't engine-reproducible; the oracle asserts the
+      // rank-guarantee booleans hold (the q_approx_sketch pattern)
+      "q_winsorize_approx" ->
+        """SELECT count(*) AS n, TRUE AS lo_rank_ok, TRUE AS hi_rank_ok
+          |FROM lineitem""".stripMargin,
       "q_zscore" ->
         """WITH s AS (
           |  SELECT lang, count(*) AS n,
@@ -1211,7 +1219,9 @@ object SparkEntry {
           |  CAST(list_max(qv) AS BIGINT) AS q_max
           |FROM q ORDER BY vec_id""".stripMargin,
       // ±1 sign = parity of first md5 hex digit of "rp_j_i"; projection and
-      // norm are sequential double folds — order matches Spark's aggregate()
+      // norm are sequential double folds — order matches Spark's aggregate().
+      // Scalar-only output (proj_0..proj_7, not the array) so the comparator
+      // can lexsort/hash the frame.
       "q_vec_project" ->
         """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
           |p AS (SELECT vec_id,
@@ -1220,7 +1230,9 @@ object SparkEntry {
           |      emb[CAST(i AS INT) + 1] * CAST((CAST(('0x' || substr(md5('rp_' || j || '_' || i), 1, 1)) AS BIGINT) % 2) * 2 - 1 AS DOUBLE))),
           |      (x, y) -> x + y)) AS proj
           |  FROM v)
-          |SELECT vec_id, proj,
+          |SELECT vec_id,
+          |  proj[1] AS proj_0, proj[2] AS proj_1, proj[3] AS proj_2, proj[4] AS proj_3,
+          |  proj[5] AS proj_4, proj[6] AS proj_5, proj[7] AS proj_6, proj[8] AS proj_7,
           |  list_reduce(list_prepend(0.0, list_transform(proj, x -> x * x)), (a, b) -> a + b) AS norm2
           |FROM p ORDER BY vec_id""".stripMargin,
       "q_curation" ->

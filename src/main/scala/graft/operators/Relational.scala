@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -285,18 +285,26 @@ object Relational {
     * Shape: one grouped aggregate over the group key (map-side combined),
     * its per-group stat row broadcast back over the row stream — the
     * normalize-within-stratum step a quality gate runs before thresholding,
-    * e.g. doc length per language. */
+    * e.g. doc length per language.
+    *
+    * Rows whose group key is NULL are preserved (left join) and emit
+    * z = null — a null stratum has no distribution to normalize against.
+    * The square is computed in DECIMAL, not the column's native integer
+    * type: an int32 value column would overflow x*x silently at
+    * |x| > 46340 with ANSI off (long at ~3e9); decimal(19,0) operands cover
+    * the full long range and their product (decimal(38,0)) is exact. */
   def groupZScore(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val vDec = col(valueCol).cast("decimal(19,0)")
     val stats = df.groupBy(groupCol)
       .agg(count(lit(1)).as("__n"),
         sum(col(valueCol).cast("decimal(38,0)")).as("__s"),
-        sum((col(valueCol) * col(valueCol)).cast("decimal(38,0)")).as("__ss"))
+        sum((vDec * vDec).cast("decimal(38,0)")).as("__ss"))
       .withColumn("__mean", col("__s").cast("double") / col("__n").cast("double"))
       .withColumn("__var",
         greatest(col("__ss").cast("double") / col("__n").cast("double")
           - col("__mean") * col("__mean"), lit(0.0)))
       .select(col(groupCol), col("__mean"), sqrt(col("__var")).as("__std"))
-    df.join(broadcast(stats), Seq(groupCol))
+    df.join(broadcast(stats), Seq(groupCol), "left")
       .withColumn("z",
         when(col("__std") > 0.0,
           (col(valueCol).cast("double") - col("__mean")) / col("__std")))
@@ -310,14 +318,26 @@ object Relational {
     * The percentile pass is ONE global aggregate producing a 1-row bound
     * table; it broadcasts into the clip map (cross-join of a single row, not
     * a data join), so the second pass stays narrow + one grouped shuffle.
-    * Exact interpolated `percentile` keeps the oracle comparable
-    * (= DuckDB `quantile_cont`, proven by q_quantiles); at 100 TB swap in
-    * `approx_percentile` — same plan shape, sketch-sized state. */
-  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    *
+    * Bound estimation is approx-FIRST: the default `percentile_approx`
+    * (KLL-style sketch, rank error <= n/accuracy) keeps aggregation state
+    * sketch-sized — the form that survives 100 TB, where exact interpolated
+    * `percentile` buffers every value in one aggregation buffer (an OOM).
+    * `exact = true` keeps the bit-reproducible form for the DuckDB oracle
+    * (= `quantile_cont`, proven by q_quantiles); the approx path is oracle-
+    * checked separately by [[winsorizeApproxVerdict]]'s rank-bound booleans. */
+  def winsorizedStats(spark: SparkSession, dir: String,
+                      exact: Boolean = false,
+                      accuracy: Int = 10000): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val bounds = li.agg(
-      percentile(col("l_extendedprice"), lit(0.05)).as("lo"),
-      percentile(col("l_extendedprice"), lit(0.95)).as("hi"))
+    val p = col("l_extendedprice")
+    val bounds =
+      if (exact) li.agg(
+        percentile(p, lit(0.05)).as("lo"),
+        percentile(p, lit(0.95)).as("hi"))
+      else li.agg(
+        percentile_approx(p, lit(0.05), lit(accuracy)).cast("double").as("lo"),
+        percentile_approx(p, lit(0.95), lit(accuracy)).cast("double").as("hi"))
     li.join(broadcast(bounds))
       .withColumn("cl", least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
       .groupBy("l_returnflag")
@@ -325,6 +345,39 @@ object Relational {
         min("cl").as("cl_min"), max("cl").as("cl_max"),
         sum(col("cl").cast("decimal(18,2)")).cast("double").as("cl_sum"))
       .orderBy("l_returnflag")
+  }
+
+  /** Oracle harness for the approx winsorize path (the approxSketches
+    * boolean-verdict pattern): sketch bounds aren't engine-reproducible, so
+    * the checkable output is the exact row count plus booleans asserting the
+    * sketch's RANK guarantee. `percentile_approx` returns a real element of
+    * the data whose rank is within p*n ± n/accuracy; with ties that element
+    * occupies the rank interval [#strictly-below + 1, #at-or-below], so the
+    * tie-safe check is that this interval INTERSECTS the guarantee band. If
+    * the sketch ever degrades past its published bound a boolean flips and
+    * the hash gate goes red. */
+  def winsorizeApproxVerdict(spark: SparkSession, dir: String,
+                             accuracy: Int = 10000): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = col("l_extendedprice")
+    val bounds = li.agg(
+      percentile_approx(p, lit(0.05), lit(accuracy)).cast("double").as("lo_apx"),
+      percentile_approx(p, lit(0.95), lit(accuracy)).cast("double").as("hi_apx"))
+    def rankOk(q: Double, below: Column, atOrBelow: Column): Column = {
+      val n = col("n").cast("double")
+      val eps = n / accuracy + 1.0
+      (below.cast("double") + 1.0 <= lit(q) * n + eps) &&
+        (atOrBelow.cast("double") >= lit(q) * n - eps)
+    }
+    li.join(broadcast(bounds))
+      .agg(count(lit(1)).as("n"),
+        sum(when(p < col("lo_apx"), 1L).otherwise(0L)).as("below_lo"),
+        sum(when(p <= col("lo_apx"), 1L).otherwise(0L)).as("aob_lo"),
+        sum(when(p < col("hi_apx"), 1L).otherwise(0L)).as("below_hi"),
+        sum(when(p <= col("hi_apx"), 1L).otherwise(0L)).as("aob_hi"))
+      .select(col("n"),
+        rankOk(0.05, col("below_lo"), col("aob_lo")).as("lo_rank_ok"),
+        rankOk(0.95, col("below_hi"), col("aob_hi")).as("hi_rank_ok"))
   }
 
   /** Pearson correlation from exact integer-cent moments — the built-in

@@ -102,13 +102,19 @@ object VectorOps {
         lit(0.0), (a, x) => a + x)
     }: _*)
 
-  /** Query-facing projection digest: the projected vector plus its
-    * (sequentially-ordered) squared norm. `proj` staged as a named column —
-    * the norm fold would otherwise recompute the whole projection. */
+  /** Query-facing projection digest: one scalar column per projected
+    * component (`proj_0..proj_{outDims-1}`) plus the (sequentially-ordered)
+    * squared norm. Scalar-only output by design — downstream consumers that
+    * want the vector use [[randomProject]] directly; the flat shape keeps
+    * the result sortable/hashable by any relational comparator. `proj`
+    * staged as a named column so the component extraction and the norm fold
+    * evaluate the projection once per row. */
   def projectDigest(df: DataFrame, outDims: Int = 8, dim: Int = 64,
-                    id: String = "vec_id", emb: String = "embedding"): DataFrame =
+                    id: String = "vec_id", emb: String = "embedding"): DataFrame = {
+    val comps = (0 until outDims).map(j => col("proj")(j).as(s"proj_$j"))
     graft.core.Parallelism.forCompute(df)
       .select(col(id), randomProject(col(emb), outDims, dim).as("proj"))
-      .select(col(id), col("proj"),
-        aggregate(col("proj"), lit(0.0), (a, x) => a + x * x).as("norm2"))
+      .select(col(id) +: comps :+
+        aggregate(col("proj"), lit(0.0), (a, x) => a + x * x).as("norm2"): _*)
+  }
 }

@@ -13,8 +13,20 @@ import sys
 
 
 def load(path):
+    # Metric files are 1-2 JSON lines (compact metric + optional diagnostics
+    # since round 4); merge them into one dict. Older single-object files
+    # still parse.
     with open(path) as f:
-        return json.load(f)
+        text = f.read()
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        merged = {}
+        for line in text.splitlines():
+            line = line.strip()
+            if line:
+                merged.update(json.loads(line))
+        return merged
 
 
 def main():
