@@ -1344,14 +1344,20 @@ object SparkEntry {
           |       lower(hex(encode(substr(text, 1, 4)))) AS magic,
           |       'application/octet-stream' AS content_type
           |FROM documents ORDER BY doc_id""".stripMargin,
+      // the Spark side PARSES synthesized PNG/JPEG container bytes
+      // (ImageHeader); the oracle independently predicts the dimensions from
+      // the deterministic generation formulas and the container overhead
+      // (PNG: 8B sig + 25B IHDR chunk = 33; JPEG: 2B SOI + 19B SOF0 = 21)
       "q_mm_decode" ->
-        """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-          |       lower(hex(encode(substr(text, 1, 4)))) AS magic,
-          |       'application/octet-stream' AS content_type,
-          |       CAST(ascii(substr(text, 1, 1)) % 64 + 1 AS INT) AS width,
-          |       CAST(ascii(substr(text, 2, 1)) % 64 + 1 AS INT) AS height,
-          |       CAST((ascii(substr(text, 1, 1)) % 64 + 1) AS BIGINT)
-          |         * (ascii(substr(text, 2, 1)) % 64 + 1) AS n_pixels
+        """SELECT doc_id,
+          |  CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 21 END
+          |       + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |  CASE WHEN doc_id % 2 = 0 THEN '89504e47' ELSE 'ffd8ffc0' END AS magic,
+          |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+          |  CAST(n_chars % 512 + 1 AS INT) AS width,
+          |  CAST(doc_id % 384 + 1 AS INT) AS height,
+          |  CAST(n_chars % 512 + 1 AS BIGINT) * CAST(doc_id % 384 + 1 AS INT) AS n_pixels,
+          |  CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS content_type
           |FROM documents ORDER BY doc_id""".stripMargin,
       "q_mm_frames" ->
         """SELECT doc_id,
@@ -1360,8 +1366,8 @@ object SparkEntry {
       "q_mm_resize" ->
         """WITH f AS (
           |  SELECT doc_id,
-          |    CAST(ascii(substr(text, 1, 1)) % 64 + 1 AS INT) AS width,
-          |    CAST(ascii(substr(text, 2, 1)) % 64 + 1 AS INT) AS height
+          |    CAST(n_chars % 512 + 1 AS INT) AS width,
+          |    CAST(doc_id % 384 + 1 AS INT) AS height
           |  FROM documents),
           |r AS (
           |  SELECT doc_id, width, height, greatest(width, height) AS longest FROM f)

@@ -1,18 +1,88 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+
+/** Pure-JVM image header decoding — no codec libraries, just the public
+  * container formats:
+  *
+  *   - PNG: 8-byte signature `89 50 4E 47 0D 0A 1A 0A`, then the IHDR chunk
+  *     (4-byte length, "IHDR", 4-byte big-endian width, 4-byte big-endian
+  *     height, ...). Width/height live at fixed offsets 16..23.
+  *   - JPEG: `FF D8` (SOI), then marker segments; the frame header (SOFn,
+  *     `FF C0..CF` except C4/C8/CC) carries 1-byte precision, 2-byte
+  *     big-endian height, 2-byte big-endian width after the segment length.
+  *     Segments are skipped via their big-endian length field, so APPn/COM
+  *     metadata before the SOF is handled.
+  *
+  * This is a real decode of real bytes — exactly what a header-sniffing
+  * ingest stage does at scale, where decoding full pixels to learn
+  * dimensions would be a 1000x waste.
+  */
+object ImageHeader {
+  private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+  def parsePng(b: Array[Byte]): Option[(String, Int, Int)] = {
+    if (b.length < 24) return None
+    if (!(0 until 8).forall(i => u8(b, i) == PngSig(i))) return None
+    // bytes 12..15 must be the IHDR chunk type
+    if (!(u8(b, 12) == 'I' && u8(b, 13) == 'H' && u8(b, 14) == 'D' && u8(b, 15) == 'R'))
+      return None
+    val w = be32(b, 16)
+    val h = be32(b, 20)
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) None
+    else Some(("png", w.toInt, h.toInt))
+  }
+
+  /** SOFn markers carrying frame dimensions (C4 = DHT, C8 = JPG extension,
+    * CC = DAC are NOT frame headers). */
+  private def isSof(marker: Int): Boolean =
+    marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+
+  def parseJpeg(b: Array[Byte]): Option[(String, Int, Int)] = {
+    if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if (u8(b, i) != 0xff) return None // desynced — not a marker stream
+      val marker = u8(b, i + 1)
+      if (marker == 0xff) { i += 1 } // fill byte padding
+      else if (marker >= 0xd0 && marker <= 0xd9) { i += 2 } // standalone RSTn/EOI
+      else if (isSof(marker)) {
+        if (i + 8 >= b.length) return None
+        val h = be16(b, i + 5)
+        val w = be16(b, i + 7)
+        return if (w > 0 && h > 0) Some(("jpeg", w, h)) else None
+      } else {
+        val segLen = be16(b, i + 2)
+        if (segLen < 2) return None
+        i += 2 + segLen
+      }
+    }
+    None
+  }
+
+  /** (format, width, height) from the first matching container signature. */
+  def parse(b: Array[Byte]): Option[(String, Int, Int)] =
+    parsePng(b).orElse(parseJpeg(b))
+}
 
 /** Multimodal column handling (north star scope): media payloads are opaque
   * `binary` columns with typed metadata travelling alongside; decode /
   * feature-extraction runs partition-wise so batch-oriented decoders amortize
   * setup per partition, not per row.
   *
-  * The sandbox has no image/audio codecs, so [[decodeImageStub]]'s pixel
-  * decode is a clearly-marked DETERMINISTIC FAKE (bytes -> pseudo dimensions);
-  * everything around it — binary schema, metadata derivation, partition-wise
-  * iterator plumbing, feature schema — is real and tested. Swapping the stub
-  * body for a real JNI/javacv decoder changes no plan shape.
+  * The text fixtures carry no image files, so [[imagePayload]] SYNTHESIZES a
+  * valid PNG or JPEG container per document (signature + real IHDR/SOF0
+  * header with deterministic dimensions, document bytes as the body) — and
+  * [[decodeImage]] then genuinely PARSES those headers back byte-by-byte
+  * ([[ImageHeader]]). The synthesis stands in for fixture generation; the
+  * decode path is the real thing and round-trips through real container
+  * bytes.
   *
   * Scale notes: payload bytes never shuffle in any op here; metadata and
   * features are narrow maps. For 100 TB of media you partition by file/object
@@ -23,8 +93,8 @@ object Multimodal {
 
   /** Typed row for the partition-wise decode path. */
   case class Media(doc_id: Long, payload: Array[Byte])
-  case class MediaFeatures(doc_id: Long, width: Int, height: Int,
-                           n_pixels: Long, n_bytes: Long)
+  case class MediaFeatures(doc_id: Long, format: String, width: Int,
+                           height: Int, n_pixels: Long, n_bytes: Long)
 
   /** Attach an opaque binary payload + typed metadata to each document.
     * (Fixture stand-in: the utf-8 bytes of `text` play the role of an
@@ -37,23 +107,71 @@ object Multimodal {
       .withColumn("magic", lower(hex(substring(col("payload"), 1, 4))))
       .withColumn("content_type", lit("application/octet-stream"))
 
-  /** Partition-wise "decode": iterator-in/iterator-out, the Scala analogue of
-    * a batched pandas-UDF decode stage. The per-partition prologue is where a
-    * real decoder would initialize its codec once.
-    *
-    * STUB: width/height are derived deterministically from the first payload
-    * bytes — stands in for reading an image header. */
-  def decodeImageStub(media: Dataset[Media]): Dataset[MediaFeatures] = {
+  /** Big-endian unsigned int as `width` bytes (hex-string round-trip — all
+    * codegen'd built-ins, no UDF). */
+  private def bytesBE(v: Column, width: Int): Column =
+    unhex(lpad(hex(v.cast("bigint")), width * 2, "0"))
+
+  /** Deterministic per-document image dimensions (also the oracle's formula):
+    * width from the document's character count, height from its id — spans
+    * 1..512 x 1..384 so the resize path sees both scaled and pass-through
+    * shapes. */
+  def imgWidth: Column = (pmod(col("n_chars"), lit(512)) + 1).cast("int")
+  def imgHeight: Column = (pmod(col("doc_id"), lit(384)) + 1).cast("int")
+
+  /** Build a VALID image container per document: even doc_ids get a PNG
+    * (signature + IHDR with correct CRC32), odd doc_ids a baseline JPEG
+    * (SOI + SOF0 frame header), with the document's utf-8 bytes as the
+    * opaque body. The headers are bit-correct — [[ImageHeader.parse]] (and
+    * any standards-conforming sniffer) reads the dimensions back. Pure
+    * codegen'd expressions: concat/unhex/lpad/hex/crc32. */
+  def imagePayload(docs: DataFrame): DataFrame = {
+    val w = imgWidth
+    val h = imgHeight
+    val body = encode(col("text"), "utf-8")
+    // IHDR chunk body: type + 4B width + 4B height + bit depth 8, color type
+    // 2 (truecolor), compression 0, filter 0, interlace 0. CRC32 covers
+    // type+data, per the PNG spec.
+    val ihdrBody = concat(unhex(lit("49484452")), bytesBE(w, 4), bytesBE(h, 4),
+      unhex(lit("0802000000")))
+    val png = concat(
+      unhex(lit("89504E470D0A1A0A")), // signature
+      unhex(lit("0000000D")),         // IHDR data length = 13
+      ihdrBody,
+      bytesBE(crc32(ihdrBody), 4),
+      body)
+    // SOI + SOF0 (len 0x11 = 17: len2 + precision1 + h2 + w2 + ncomp1 + 3*3)
+    val jpeg = concat(
+      unhex(lit("FFD8")),
+      unhex(lit("FFC0001108")),
+      bytesBE(h, 2), bytesBE(w, 2),
+      unhex(lit("03011100021101031101")), // 3 components, standard sampling
+      body)
+    docs.select(
+      col("doc_id"),
+      when(pmod(col("doc_id"), lit(2)) === 0, png).otherwise(jpeg).as("payload"))
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .withColumn("magic", lower(hex(substring(col("payload"), 1, 4))))
+  }
+
+  /** Partition-wise decode: iterator-in/iterator-out, the Scala analogue of
+    * a batched pandas-UDF decode stage — a REAL byte-level header parse
+    * ([[ImageHeader]]), not a placeholder. The per-partition prologue is
+    * where a full pixel decoder would initialize its codec once; a
+    * header-only sniff needs no init, but the plumbing (payload bytes stay
+    * on their partition, features come back tiny) is the shape that matters
+    * at 100 TB. Undecodable payloads degrade to ("unknown", 0x0) rather
+    * than failing the stage — corrupt media is data, not an error. */
+  def decodeImage(media: Dataset[Media]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real impl: val codec = Decoder.open() once per partition
       rows.map { m =>
-        val b0 = if (m.payload.length > 0) m.payload(0) & 0xff else 0
-        val b1 = if (m.payload.length > 1) m.payload(1) & 0xff else 0
-        val width = b0 % 64 + 1   // STUB: fake header parse
-        val height = b1 % 64 + 1  // STUB
-        MediaFeatures(m.doc_id, width, height,
-          width.toLong * height, m.payload.length.toLong)
+        ImageHeader.parse(m.payload) match {
+          case Some((fmt, w, h)) =>
+            MediaFeatures(m.doc_id, fmt, w, h, w.toLong * h, m.payload.length.toLong)
+          case None =>
+            MediaFeatures(m.doc_id, "unknown", 0, 0, 0L, m.payload.length.toLong)
+        }
       }
     }
   }
@@ -73,12 +191,12 @@ object Multimodal {
   /** Aspect-preserving resize of decoded dimensions to fit `maxDim` —
     * integer math only (floor-scaled, never upscaled), so the plan is exact
     * and portable. A real implementation would resample pixels partition-wise
-    * in the same stub slot as [[decodeImageStub]]; the dimension arithmetic —
-    * which is what downstream schemas consume — is the real thing. */
+    * in the same slot as [[decodeImage]]; the dimension arithmetic — which
+    * is what downstream schemas consume — is the real thing. */
   def resizeDims(features: DataFrame, maxDim: Int = 32): DataFrame = {
     val longest = greatest(col("width"), col("height"))
     val scaleNeeded = longest > maxDim
-    def fit(side: org.apache.spark.sql.Column) =
+    def fit(side: Column) =
       when(scaleNeeded, greatest((side * maxDim).divide(longest).cast("int"), lit(1)))
         .otherwise(side)
     features
@@ -88,16 +206,20 @@ object Multimodal {
         col("out_width").cast("long") * col("out_height"))
   }
 
-  /** End-to-end metadata + stub-decoded features as a flat DataFrame. */
+  /** End-to-end: synthesize container bytes, header-decode them back, join
+    * decoded features to payload metadata. The join is doc_id-to-doc_id on
+    * co-partitioned derivatives of the same scan — features are tiny, so at
+    * scale you'd persist them standalone and never carry payloads along. */
   def mediaFeatures(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val media = asBinary(docs)
-    val decoded = decodeImageStub(
+    val media = imagePayload(docs)
+    val decoded = decodeImage(
       media.select(col("doc_id"), col("payload")).as[Media])
-    media.select("doc_id", "n_bytes", "magic", "content_type")
-      .join(decoded.toDF().select(col("doc_id"), col("width"), col("height"), col("n_pixels")),
-        "doc_id")
+    media.select("doc_id", "n_bytes", "magic")
+      .join(decoded.toDF().select(col("doc_id"), col("format"), col("width"),
+        col("height"), col("n_pixels")), "doc_id")
+      .withColumn("content_type", concat(lit("image/"), col("format")))
       .orderBy("doc_id")
   }
 }

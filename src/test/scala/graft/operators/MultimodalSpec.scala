@@ -13,16 +13,60 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[String]("magic") == "68656c6c") // 'hell'
   }
 
-  test("decode stub is deterministic and partition-shaped (iterator in/out)") {
-    val df = Seq((1L, "A0xyz"), (2L, "")).toDF("doc_id", "text")
-    val media = Multimodal.asBinary(df)
+  test("ImageHeader parses a hand-built PNG IHDR") {
+    // signature + IHDR(len 13, 640x480, depth 8, truecolor) — CRC left zero:
+    // a header sniffer reads dimensions without verifying chunk CRCs
+    val png = Array[Int](
+      0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0x00, 0x00, 0x00, 0x0d, 'I', 'H', 'D', 'R',
+      0x00, 0x00, 0x02, 0x80, // width 640
+      0x00, 0x00, 0x01, 0xe0, // height 480
+      0x08, 0x02, 0x00, 0x00, 0x00,
+      0x00, 0x00, 0x00, 0x00).map(_.toByte)
+    assert(ImageHeader.parse(png).contains(("png", 640, 480)))
+  }
+
+  test("ImageHeader parses a JPEG SOF0 behind an APP0 segment") {
+    // SOI + APP0 (JFIF stub, length 16) + SOF0 with height 333, width 222
+    val jpeg = (Array[Int](0xff, 0xd8, 0xff, 0xe0, 0x00, 0x10)
+      ++ Array.fill(14)(0x4a) // APP0 body (length covers these 14 + 2)
+      ++ Array[Int](0xff, 0xc0, 0x00, 0x11, 0x08,
+        0x01, 0x4d, // height 333
+        0x00, 0xde, // width 222
+        0x03, 0x01, 0x11, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01))
+      .map(_.toByte)
+    assert(ImageHeader.parse(jpeg).contains(("jpeg", 222, 333)))
+  }
+
+  test("ImageHeader rejects garbage, truncated, and empty payloads") {
+    assert(ImageHeader.parse(Array.empty[Byte]).isEmpty)
+    assert(ImageHeader.parse("not an image".getBytes("UTF-8")).isEmpty)
+    // PNG signature but truncated before the dimensions
+    assert(ImageHeader.parse(Array[Int](0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a,
+      0x1a, 0x0a, 0x00, 0x00).map(_.toByte)).isEmpty)
+  }
+
+  test("imagePayload bytes round-trip through the real header decode") {
+    val df = Seq((2L, "even doc -> png", 15L), (3L, "odd doc -> jpeg", 15L))
+      .toDF("doc_id", "text", "n_chars")
+    val media = Multimodal.imagePayload(df)
       .select($"doc_id", $"payload").as[Multimodal.Media]
-    val feats = Multimodal.decodeImageStub(media).collect()
+    val feats = Multimodal.decodeImage(media).collect()
       .map(f => f.doc_id -> f).toMap
-    // 'A'=65 -> width 65%64+1=2; '0'=48 -> height 48%64+1=49
-    assert(feats(1L).width == 2 && feats(1L).height == 49)
-    assert(feats(1L).n_pixels == 2L * 49)
-    assert(feats(2L).width == 1 && feats(2L).height == 1) // empty payload
+    // width = n_chars % 512 + 1 = 16; height = doc_id % 384 + 1
+    assert(feats(2L).format == "png")
+    assert(feats(2L).width == 16 && feats(2L).height == 3)
+    assert(feats(3L).format == "jpeg")
+    assert(feats(3L).width == 16 && feats(3L).height == 4)
+    assert(feats(3L).n_pixels == 16L * 4)
+    // and the synthesized PNG really is a PNG: correct CRC32 over IHDR
+    val payload = Multimodal.imagePayload(df).filter($"doc_id" === 2L)
+      .select($"payload").as[Array[Byte]].first()
+    val crc = new java.util.zip.CRC32()
+    crc.update(payload, 12, 17) // "IHDR" + 13 data bytes
+    val stored = ((payload(29) & 0xffL) << 24) | ((payload(30) & 0xffL) << 16) |
+      ((payload(31) & 0xffL) << 8) | (payload(32) & 0xffL)
+    assert(crc.getValue == stored)
   }
 
   test("frameSample slices the payload into bounded, stride-sized frames") {
