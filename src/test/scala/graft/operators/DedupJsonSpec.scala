@@ -16,6 +16,28 @@ class DedupJsonSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("dedupClusters converges on a 30-deep chain well under the diameter bound") {
+    // worst case for plain min-propagation (needs 29 rounds); pointer
+    // halving must close it within ~log2(30) rounds — maxIters = 8 proves
+    // the speedup rather than trusting the docstring
+    val chain = (1L until 31L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = Dedup.dedupClusters(chain, maxIters = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 31 && got.values.forall(_ == 1L))
+  }
+
+  test("dedupClusters with a reliable checkpoint dir produces the same labels") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a_id", "b_id")
+    val got = Dedup.dedupClusters(pairs, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    // reliable checkpoints actually hit the configured directory
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0)
+  }
+
   test("dedupClusters on fixture near-dup pairs: both members share a cluster") {
     val pairs = NearDup.minhashPairs(
       graft.sources.Tables.documents(spark, sf), 0.5)
