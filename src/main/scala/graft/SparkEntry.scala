@@ -51,8 +51,10 @@ object SparkEntry {
     "q_chunk_boundaries_dist" -> ((s, dir) =>
       Chunking.boundariesDistributed(li(s, dir), "ts_epoch", tie, ChunkSize, Start)),
     // distributed interval zip — oracle identical to the parity form
+    // adaptive zip: 121 boundaries at sf0.01 -> parity window; the
+    // distributed-offsets form engages only past the cardinality threshold
     "q_chunk_intervals" -> ((s, dir) =>
-      Chunking.intervalsDistributed(
+      Chunking.intervalsAdaptive(
         Chunking.boundariesDistributed(li(s, dir), "ts_epoch", tie, ChunkSize, Start),
         "ts_epoch", Start)),
 

@@ -152,14 +152,32 @@ object Chunking {
       .orderBy("chunk_id")
   }
 
+  /** Interval zip that picks its physical form by boundary CARDINALITY:
+    * below `smallThreshold` the parity form ([[intervals]]) — one window
+    * over a provably tiny set, no exchanges worth scheduling; above it the
+    * distributed offsets form ([[intervalsDistributed]]), whose fixed
+    * multi-exchange overhead only pays for itself when the boundary set is
+    * too big for one task (~10^8 boundaries at 100 TB with small chunks).
+    * Both forms are bit-identical (property-tested), so the switch is pure
+    * physical planning. The boundary frame is materialized once
+    * (localCheckpoint) — counted, then zipped, never recomputed. */
+  def intervalsAdaptive(bounds: DataFrame, ts: String, start: Long,
+                        sentinel: Long = GraftConfig.Sentinel,
+                        smallThreshold: Long = 100000L): DataFrame = {
+    val b = bounds.localCheckpoint()
+    if (b.count() <= smallThreshold) intervals(b, ts, start, sentinel)
+    else intervalsDistributed(b, ts, start, sentinel)
+  }
+
   /** End-to-end chunk plan from a config, over an epoch-seconds column.
-    * Uses the distributed interval zip — at default chunk sizes the boundary
-    * set is small either way, but this path must survive small chunkSize at
-    * 100 TB, where the parity form's global window funnel would not. */
+    * Boundary computation always takes the distributed row-number form (the
+    * input table is the 100 TB side); the interval zip adapts to the
+    * boundary count ([[intervalsAdaptive]] — the boundary set is usually
+    * rowcount/chunkSize, tiny, but must survive small chunkSize at scale). */
   def plan(df: DataFrame, cfg: GraftConfig, tieBreak: Seq[String]): DataFrame = {
     val b = boundariesDistributed(df, cfg.timestampColumn, tieBreak,
       cfg.chunkSize, cfg.startTime)
-    intervalsDistributed(b, cfg.timestampColumn, cfg.startTime, cfg.effectiveEnd)
+    intervalsAdaptive(b, cfg.timestampColumn, cfg.startTime, cfg.effectiveEnd)
   }
 
   /** Chunk intervals -> JDBC partition predicates, the exact fan-out shape of

@@ -12,6 +12,18 @@ class ChunkingSpec extends SparkSpec {
   val tie = Seq("l_orderkey", "l_linenumber")
   val start = 788918400L
 
+  test("intervalsAdaptive is bit-identical on both sides of its threshold") {
+    val b = Chunking.boundaries(li, "ts_epoch", tie, 100L, start)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val parity = rows(Chunking.intervals(b, "ts_epoch", start))
+    // small side: default threshold picks the parity window
+    assert(rows(Chunking.intervalsAdaptive(b, "ts_epoch", start)) == parity)
+    // large side: threshold 0 forces the distributed-offsets form
+    assert(rows(Chunking.intervalsAdaptive(b, "ts_epoch", start,
+      smallThreshold = 0L)) == parity)
+  }
+
   test("parity and distributed boundary computations are identical") {
     val a = Chunking.boundaries(li, "ts_epoch", tie, 100L, start)
       .collect().map(_.getLong(0)).toSeq
