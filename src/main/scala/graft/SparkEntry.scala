@@ -302,6 +302,7 @@ object SparkEntry {
     // ---- capstone: end-to-end training-data curation ----
     "q_curation" -> ((s, dir) => CurationPipeline.keptDocuments(s, dir)),
     "q_curation_v2" -> ((s, dir) => CurationPipeline.curatedCorpus(s, dir)),
+    "q_curation_v3" -> ((s, dir) => CurationPipeline.trainingManifest(s, dir)),
 
     // ---- capstone: the reference's entire pipeline composed end-to-end ----
     "q_ref_pipeline" -> ((s, dir) =>
@@ -1261,6 +1262,54 @@ object SparkEntry {
            |    CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rk
            |  FROM samp)
            |SELECT doc_id, lang, rk FROM capped WHERE rk <= 40 ORDER BY doc_id""".stripMargin,
+      // v3: the full manifest composition — kernel -> containment ->
+      // decontaminate -> chunk -> pack -> split — as one CTE chain. The
+      // packing cumsum is the naive global-window form; the Spark side's
+      // bucketed-offsets formulation is bit-identical by construction.
+      "q_curation_v3" ->
+        s"""WITH $curationCtes,
+           |kept AS (SELECT s.doc_id, s.text FROM surv s
+           |  WHERE s.doc_id NOT IN (SELECT b_id FROM losers)),
+           |kd AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM kept),
+           |ksh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+           |          i -> array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 2), ' '))) AS sh FROM kd),
+           |ktok AS (SELECT doc_id, unnest(sh) AS tok FROM ksh),
+           |kn AS (SELECT doc_id, len(sh) AS n_sh FROM ksh),
+           |kinter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+           |  FROM ktok a JOIN ktok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |closers AS (SELECT DISTINCT b_id FROM kinter
+           |  JOIN kn na ON na.doc_id = a_id JOIN kn nb ON nb.doc_id = b_id
+           |  WHERE CAST(inter AS DOUBLE) / CAST(least(na.n_sh, nb.n_sh) AS DOUBLE) >= 0.8),
+           |ac AS (SELECT doc_id, text FROM kept
+           |  WHERE doc_id NOT IN (SELECT b_id FROM closers)),
+           |acg AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 7, 1) + 1),
+           |          i -> array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 7), ' '))) AS g
+           |  FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM ac) x),
+           |bench AS (SELECT DISTINCT unnest(g) AS gram FROM acg WHERE doc_id % 10 = 0),
+           |train AS (SELECT doc_id, g FROM acg WHERE doc_id % 10 <> 0),
+           |hits AS (SELECT t.doc_id, count(*) AS n_hit
+           |  FROM (SELECT doc_id, unnest(g) AS gram FROM train) t
+           |  JOIN bench USING (gram) GROUP BY t.doc_id),
+           |clean AS (SELECT tr.doc_id FROM train tr LEFT JOIN hits h USING (doc_id)
+           |  WHERE coalesce(h.n_hit, 0) = 0),
+           |cd AS (SELECT c.doc_id, string_split_regex(trim(a.text), '\\s+') AS w
+           |  FROM clean c JOIN ac a USING (doc_id)),
+           |cs AS (SELECT doc_id, w,
+           |  unnest(range(1, greatest(len(w) - 63, 1) + 1, 48)) AS st FROM cd),
+           |chunks AS (SELECT doc_id, CAST((st - 1) / 48 AS BIGINT) AS chunk_idx,
+           |  CAST(least(len(w) - st + 1, 64) AS BIGINT) AS n_tokens FROM cs),
+           |p AS (SELECT doc_id, chunk_idx, n_tokens,
+           |  CAST(sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |    - n_tokens AS token_start
+           |  FROM chunks)
+           |SELECT doc_id, chunk_idx, n_tokens, token_start,
+           |  CAST(token_start // ${CurationPipeline.PackBudget} AS BIGINT) AS pack_id,
+           |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft_v1'), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+           |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft_v1'), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM p ORDER BY doc_id, chunk_idx""".stripMargin,
       "q_ref_pipeline" ->
         s"""SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
            |       CAST(l_linenumber AS VARCHAR) AS l_linenumber,

@@ -92,4 +92,70 @@ object CurationPipeline {
     Sampling.quotaCap(sampled, "lang", LangQuota, Seq("doc_id"))
       .orderBy("doc_id")
   }
+
+  val ContainmentThreshold = 0.8
+  val PackBudget = 256L
+  // chunk key packed into one monotone id: doc_id * SeqStride + chunk_idx.
+  // Monotone in (doc_id, chunk_idx) as long as chunk_idx < SeqStride, so the
+  // packing order matches the oracle's ORDER BY doc_id, chunk_idx.
+  val SeqStride = 100000L
+
+  /** Round-4 capstone v3: the curated set pushed all the way to a TRAINING
+    * MANIFEST — what a pretraining data pipeline actually hands to the
+    * trainer. Stages, each individually oracle-checked elsewhere, composed
+    * into one plan:
+    *
+    *   1. curation kernel ([[keptDocuments]]): quality -> language ->
+    *      exact dedup -> MinHash near-dup
+    *   2. containment-dup removal ([[NearDup.containmentJoin]]): subset
+    *      duplicates the symmetric Jaccard lanes can't see; the larger
+    *      doc_id of each containing pair drops (deterministic)
+    *   3. decontamination ([[TextAnalysis.decontaminate]]): benchmark docs
+    *      (doc_id % 10 = 0) leave the corpus, word-8-gram-contaminated
+    *      training docs drop
+    *   4. document chunking ([[TextAnalysis.chunkDocuments]]): 64-token
+    *      windows, stride 48
+    *   5. sequence packing ([[Packing.packSequences]]): 256-token packs
+    *      over the chunk stream in (doc_id, chunk_idx) order
+    *   6. deterministic split ([[Splits.assign]]): train/val/test BY
+    *      DOCUMENT (content-addressed md5 bucket), so chunks of one doc
+    *      never straddle a split boundary — the leakage rule
+    *
+    * Output: one row per training sequence —
+    * (doc_id, chunk_idx, n_tokens, token_start, pack_id, split).
+    *
+    * Scale shape: the kernel output is checkpointed once and each later
+    * stage consumes the previous stage's (strictly shrinking) survivor
+    * set; chunking/packing are narrow maps + the bucketed-offsets cumsum
+    * (no global window); the split is a content-addressed map, no shuffle. */
+  def trainingManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // kernel consumed by two chains (containment pairs + anti-join left
+    // side): materialize once, lazily
+    val keptDocs = keptDocuments(spark, dir)
+      .join(docs.select("doc_id", "text"), "doc_id")
+      .localCheckpoint(false)
+
+    val contLosers = NearDup.containmentJoin(keptDocs, ContainmentThreshold)
+      .select(col("b_id").as("doc_id")).distinct()
+    val afterCont = keptDocs.join(contLosers, Seq("doc_id"), "left_anti")
+      .localCheckpoint(false) // consumed by decontaminate + the clean join
+
+    val decon = TextAnalysis.decontaminate(afterCont)
+    val clean = afterCont
+      .join(decon.filter(!col("contaminated")).select("doc_id"), "doc_id")
+      .localCheckpoint(false) // consumed by chunking + the split assignment
+
+    val chunks = TextAnalysis.chunkDocuments(clean)
+      .withColumn("seq_id", col("doc_id") * SeqStride + col("chunk_idx"))
+    val packed = Packing.packSequences(chunks, PackBudget,
+      text = "chunk_text", id = "seq_id")
+
+    packed
+      .withColumn("doc_id", expr(s"cast(seq_id div $SeqStride as bigint)"))
+      .withColumn("chunk_idx", pmod(col("seq_id"), lit(SeqStride)).cast("long"))
+      .join(Splits.assign(clean.select("doc_id"), "doc_id"), "doc_id")
+      .select("doc_id", "chunk_idx", "n_tokens", "token_start", "pack_id", "split")
+      .orderBy("doc_id", "chunk_idx")
+  }
 }
