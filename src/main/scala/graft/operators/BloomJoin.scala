@@ -23,7 +23,17 @@ import org.apache.spark.sql.graft.ColumnBridge
   * shuffle. With a selective build side the exchange volume falls by the
   * match rate; false positives (~3%) are removed by the exact join, so the
   * result is identical to the plain join — which is exactly what the oracle
-  * checks. */
+  * checks.
+  *
+  * VERSION PIN: `BloomFilterAggregate`, `BloomFilterMightContain`, and
+  * `ScalarSubquery` are Catalyst-internal (private, no compatibility
+  * promise) — constructor signatures or analyzer acceptance can change on
+  * a Spark minor bump. Built and tested against Spark 4.1.x (same pin as
+  * [[org.apache.spark.sql.graft.ColumnBridge]]); `BloomJoinSpec`'s
+  * plan-shape assertions are the upgrade tripwire — if a bump breaks
+  * compilation or planning here, prefer re-expressing the probe filter via
+  * `expr("might_contain(...)")` should a stable SQL form accept a scalar
+  * subquery by then. */
 object BloomJoin {
 
   private def bloomAgg(keyHash: Column, expectedItems: Long): Column =

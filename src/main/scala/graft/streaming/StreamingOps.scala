@@ -85,9 +85,12 @@ object StreamingOps {
   /** Streaming upsert view: the latest row per key from a CDC-style update
     * feed — the streaming twin of `Merge.upsertLatest` with an empty target.
     * `max_by` over a (version, tiebreak...) ordering struct keeps exactly one
-    * row of state per live key; update mode re-emits a key whenever its
-    * winner changes. Out-of-order delivery is handled the same way as the
-    * batch form: a stale update loses the `max_by` and never surfaces.
+    * row of state per live key. In update mode Spark re-emits every key that
+    * RECEIVED INPUT in the batch (measured — a stale update re-emits the
+    * unchanged winner, it does not suppress the row); untouched keys are
+    * never re-emitted, and any emission carries the current winner, so a
+    * stale update can never surface its own values. Downstream sinks must
+    * therefore upsert idempotently by key, not append.
     *
     * `payload` columns are carried through the state struct; callers list
     * them explicitly so state width is a choice, not an accident. */

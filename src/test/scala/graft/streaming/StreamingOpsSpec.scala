@@ -250,4 +250,41 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed.find(_.getAs[String]("key") == "a")
       .get.getAs[Long]("event_id") == 3L)
   }
+
+  test("streaming upsertLatest update mode: per-batch emissions carry current winners") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val b1 = Seq((1L, "a", ts("2024-01-01 00:00:00"), 1.0),
+                 (2L, "b", ts("2024-01-01 00:00:00"), 2.0),
+                 (3L, "a", ts("2024-01-01 02:00:00"), 3.0))
+    val b2 = Seq((4L, "a", ts("2024-01-01 01:00:00"), 4.0), // stale for key a
+                 (5L, "c", ts("2024-01-01 00:30:00"), 5.0))
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp, Double)]
+    val q = StreamingOps.upsertLatest(
+        stream.toDF().toDF("event_id", "key", "ts", "value"),
+        keys = Seq("key"), version = "ts",
+        tiebreak = Seq("event_id"), payload = Seq("value"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("upsert_upd").start()
+    def emitted(): Seq[(String, Long)] =
+      spark.table("upsert_upd").select("key", "event_id")
+        .as[(String, Long)].collect().toSeq
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      val batch1 = emitted()
+      stream.addData(b2); q.processAllAvailable()
+      val batch2 = emitted().diff(batch1)
+      // batch 1 emits each touched key's winner once: a -> id 3, b -> id 2
+      assert(batch1.sorted == Seq(("a", 3L), ("b", 2L)))
+      // batch 2: new key c emits its winner; untouched key b is NOT
+      // re-emitted; and whether or not touched-but-unchanged key a
+      // re-emits, any emission must carry the UNCHANGED winner id 3 —
+      // the stale id-4 row can never surface
+      assert(batch2.contains(("c", 5L)))
+      assert(!batch2.exists(_._1 == "b"))
+      assert(batch2.filter(_._1 == "a").forall(_ == ("a", 3L)))
+      info(s"batch-2 update-mode emissions: $batch2")
+    } finally q.stop()
+  }
 }
