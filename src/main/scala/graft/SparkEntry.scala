@@ -292,6 +292,23 @@ object SparkEntry {
       Packing.packSequences(Tables.documents(s, dir))),
     "q_decontaminate" -> ((s, dir) =>
       TextAnalysis.decontaminate(Tables.documents(s, dir))),
+    "q_decontaminate_fuzzy" -> ((s, dir) =>
+      TextAnalysis.decontaminateNearDup(Tables.documents(s, dir))),
+    "q_lm_signal" -> ((s, dir) =>
+      TextAnalysis.bigramFrequencySignal(Tables.documents(s, dir))),
+
+    // ---- extension: skew-mitigated (salted) equi-join ----
+    "q_salted_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val ords = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      SaltedJoin.salted(li, ords, Seq("l_orderkey"),
+          saltBy = Seq("l_orderkey", "l_linenumber"), salts = 8)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_li"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
 
     // ---- extension: embedding normalize/quantize ----
     "q_vec_quantize" -> ((s, dir) =>
@@ -693,6 +710,37 @@ object SparkEntry {
            |       coalesce(h.n_hit, 0) > 0 AS contaminated
            |FROM train t LEFT JOIN hits h USING (doc_id)
            |ORDER BY t.doc_id""").stripMargin,
+      // fuzzy lane: train docs near-duplicating any bench doc (jac from the
+      // shared MinHash pair chain); exact 8-gram lane is q_decontaminate
+      "q_decontaminate_fuzzy" ->
+        s"""WITH $minhashPairCtes,
+           |hits AS (SELECT DISTINCT CASE WHEN a_id % 10 = 0 THEN b_id ELSE a_id END AS doc_id
+           |  FROM jac
+           |  WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5
+           |    AND ((a_id % 10 = 0) <> (b_id % 10 = 0)))
+           |SELECT d.doc_id, h.doc_id IS NOT NULL AS contaminated
+           |FROM documents d LEFT JOIN hits h USING (doc_id)
+           |WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""".stripMargin,
+      "q_lm_signal" ->
+        """WITH d AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM documents),
+          |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+          |        i -> array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 1), ' '))) AS gram FROM d),
+          |lm AS (SELECT gram, count(*) AS freq FROM g GROUP BY gram
+          |       ORDER BY freq DESC, gram LIMIT 2000)
+          |SELECT doc_id,
+          |  count(*) AS n_bigrams,
+          |  CAST(sum(CASE WHEN freq IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab,
+          |  CAST(sum(coalesce(freq, 0)) AS BIGINT) AS sum_freq,
+          |  CAST(count(*) - sum(CASE WHEN freq IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          |    / count(*) AS oov_ratio
+          |FROM g LEFT JOIN lm USING (gram)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // result must equal the plain join — salting is pure physical planning
+      "q_salted_join" ->
+        """SELECT o_orderstatus, count(*) AS n_li,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
       "q_json_props" ->
         """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
           |FROM events ORDER BY event_id""".stripMargin,

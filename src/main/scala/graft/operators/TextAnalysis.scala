@@ -232,6 +232,79 @@ object TextAnalysis {
       .orderBy(id)
   }
 
+  /** FUZZY benchmark decontamination: flag training documents that are
+    * NEAR-DUPLICATES of any benchmark document (MinHash/LSH + exact Jaccard
+    * >= threshold), not just 8-gram overlappers — the second decontamination
+    * lane real pipelines run, catching lightly-paraphrased eval leakage that
+    * exact n-gram matching misses.
+    *
+    * Composition: the candidate/verify machinery is [[NearDup.minhashPairs]]
+    * unchanged (sketch once, banded candidates, exact verification); this op
+    * just classifies each qualifying pair by bench membership and keeps the
+    * train side. Cross-set pairs only — train~train duplicates are dedup's
+    * business ([[Dedup.clusterSurvivors]]), not contamination. The flagged
+    * id set is bounded by the benchmark's near-dup neighborhood, so it
+    * broadcasts back over the train ids. */
+  def decontaminateNearDup(docs: DataFrame, benchMod: Long = 10,
+                           threshold: Double = 0.5,
+                           id: String = "doc_id"): DataFrame = {
+    require(benchMod > 1, "need benchMod > 1")
+    def isBench(c: Column): Column = pmod(c, lit(benchMod)) === 0
+    val pairs = NearDup.minhashPairs(docs, threshold)
+    val hits = pairs.select(
+        when(isBench(col("a_id")) && !isBench(col("b_id")), col("b_id"))
+          .when(isBench(col("b_id")) && !isBench(col("a_id")), col("a_id"))
+          .as(id))
+      .filter(col(id).isNotNull).distinct()
+      .withColumn("__hit", lit(true))
+    docs.select(col(id)).filter(!isBench(col(id)))
+      .join(broadcast(hits), Seq(id), "left")
+      .select(col(id), coalesce(col("__hit"), lit(false)).as("contaminated"))
+      .orderBy(id)
+  }
+
+  /** Bigram-LM frequency signal — the corpus-statistics quality score
+    * (CCNet-style LM filtering, reduced to engine-exact integers): score
+    * each document by how typical its word bigrams are of the corpus,
+    * measured against the top-`vocabSize` bigram table.
+    *
+    * Output per doc: `n_bigrams`, `n_in_vocab` (bigrams found in the head
+    * table), `sum_freq` (total corpus frequency of matched bigrams — high
+    * for formulaic text, low for rare/garbled text), `oov_ratio`. Integer
+    * aggregates by design: a log-prob sum would be the textbook form, but
+    * transcendental rounding is not reproducible across engines — the
+    * integer digest ranks documents identically for filtering purposes and
+    * hash-matches the oracle.
+    *
+    * Scale shape: one gram-keyed aggregate builds the LM table, TakeOrdered
+    * keeps the head (no global sort), the head BROADCASTS into the per-doc
+    * scoring join, and the per-doc re-aggregation is the only other
+    * shuffle. The LM table is corpus-derived but fixed-size — at 100 TB
+    * you'd build it once per corpus snapshot and reuse it across runs. */
+  def bigramFrequencySignal(docs: DataFrame, vocabSize: Int = 2000,
+                            text: String = "text", id: String = "doc_id"): DataFrame = {
+    val w = split(trim(regexp_replace(lower(col(text)), "[^a-z0-9]+", " ")), " ")
+    val bigrams = transform(sequence(lit(1), greatest(size(w) - 1, lit(1))),
+      i => concat_ws(" ", slice(w, i, lit(2))))
+    val staged = graft.core.Parallelism.forCompute(docs)
+      .select(col(id), bigrams.as("__g"))
+      .localCheckpoint(false) // feeds the LM build AND the scoring pass
+    val lm = staged.select(explode(col("__g")).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("gram").asc)
+      .limit(vocabSize)
+    staged.select(col(id), explode(col("__g")).as("gram"))
+      .join(broadcast(lm), Seq("gram"), "left")
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("freq").isNotNull, 1L).otherwise(0L)).as("n_in_vocab"),
+        sum(coalesce(col("freq"), lit(0L))).as("sum_freq"))
+      .withColumn("oov_ratio",
+        (col("n_bigrams") - col("n_in_vocab")).cast("double")
+          / col("n_bigrams").cast("double"))
+      .orderBy(id)
+  }
+
   /** Corpus vocabulary head: top-k word tokens by term frequency with their
     * document frequencies — the input to tokenizer training and stopword
     * induction. Global top-k runs as TakeOrdered (orderBy + limit -> each

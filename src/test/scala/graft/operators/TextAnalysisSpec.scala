@@ -71,4 +71,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(11L) == ((1L, true)))
     assert(r(12L) == ((0L, false)))
   }
+
+  test("decontaminateNearDup: paraphrase-level copy of a bench doc is flagged, distinct doc is not") {
+    val benchText = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    // doc 11: same text with one word changed -> high Jaccard vs bench doc 10
+    val nearCopy = benchText.replace("quiet", "silent")
+    val distinct =
+      "completely unrelated prose about compilers optimizing relational query plans efficiently"
+    val df = Seq((10L, benchText), (11L, nearCopy), (13L, distinct))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.decontaminateNearDup(df, benchMod = 10, threshold = 0.5)
+      .as[(Long, Boolean)].collect().toMap
+    assert(!r.contains(10L)) // bench doc itself is not training output
+    assert(r(11L), "near-copy of a bench doc must flag")
+    assert(!r(13L), "unrelated doc must not flag")
+  }
+
+  test("bigramFrequencySignal: counts and vocab hits are exact on a tiny corpus") {
+    // "a b" occurs in both docs (freq 2), every other bigram once
+    val df = Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramFrequencySignal(df, vocabSize = 2000)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    // doc 1: bigrams ("a b", "b c") -> freqs 2 + 1 = 3, all in vocab
+    assert(r(1L) == ((2L, 2L, 3L, 0.0)))
+    // doc 2: bigram ("a b") -> freq 2
+    assert(r(2L) == ((1L, 1L, 2L, 0.0)))
+  }
+
+  test("bigramFrequencySignal: bigrams outside the vocab head count as OOV") {
+    // vocabSize 1 keeps only the most frequent bigram ("a b", freq 2; ties
+    // broken by gram text) — "b c" becomes OOV
+    val df = Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramFrequencySignal(df, vocabSize = 1)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(r(1L) == ((2L, 1L, 2L, 0.5)))
+    assert(r(2L) == ((1L, 1L, 2L, 0.0)))
+  }
 }
