@@ -176,6 +176,24 @@ object SparkEntry {
       Dedup.exactText(Tables.documents(s, dir))),
     "q_dedup_events" -> ((s, dir) =>
       Dedup.eventsKeepEarliest(Tables.events(s, dir))),
+    // fuzzy companion to q_dedup_incremental: batch survivors vs history by
+    // NEAR-duplication (batch = doc_id % 5 == 0, history = the rest)
+    "q_dedup_nearhist" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      NearDup.nearDupSurvivorsVsHistory(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // ---- extension: stream-capable interval (attribution) join, batch form ----
+    "q_attribution" -> ((s, dir) =>
+      graft.streaming.StreamingOps.attributionJoin(Tables.events(s, dir))
+        .select(col("click_id"), col("view_id"), col("user_id"),
+          col("click_ts").cast("timestamp").cast("long").as("click_sec"),
+          col("view_ts").cast("timestamp").cast("long").as("view_sec"))
+        .orderBy("click_id", "view_id")),
+
     "q_dedup_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val fp = md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
@@ -710,6 +728,29 @@ object SparkEntry {
            |       coalesce(h.n_hit, 0) > 0 AS contaminated
            |FROM train t LEFT JOIN hits h USING (doc_id)
            |ORDER BY t.doc_id""").stripMargin,
+      // cross-set matches derived from the shared MinHash pair chain (band
+      // collisions are set-independent, so the self-join pair set restricted
+      // to batch~history pairs IS the asymmetric lane's match set)
+      "q_dedup_nearhist" ->
+        s"""WITH $minhashPairCtes,
+           |matched AS (SELECT DISTINCT CASE WHEN a_id % 5 = 0 THEN a_id ELSE b_id END AS doc_id
+           |  FROM jac
+           |  WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5
+           |    AND ((a_id % 5 = 0) <> (b_id % 5 = 0)))
+           |SELECT doc_id FROM documents
+           |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT doc_id FROM matched)
+           |ORDER BY doc_id""".stripMargin,
+      // timestamp arithmetic (not float epoch math) on both engines, so
+      // sub-second interval boundaries agree exactly
+      "q_attribution" ->
+        """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+          |  CAST(floor(epoch(c.ts)) AS BIGINT) AS click_sec,
+          |  CAST(floor(epoch(v.ts)) AS BIGINT) AS view_sec
+          |FROM events c JOIN events v
+          |  ON c.user_id = v.user_id
+          | AND c.event_type = 'click' AND v.event_type = 'view'
+          | AND v.ts >= c.ts - INTERVAL 3600 SECOND AND v.ts <= c.ts
+          |ORDER BY click_id, view_id""".stripMargin,
       // fuzzy lane: train docs near-duplicating any bench doc (jac from the
       // shared MinHash pair chain); exact 8-gram lane is q_decontaminate
       "q_decontaminate_fuzzy" ->

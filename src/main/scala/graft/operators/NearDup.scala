@@ -67,16 +67,22 @@ object NearDup {
       .withColumn("sig", minhashSig(col("sh")))
   }
 
-  /** LSH banding: band key b = md5(join(sig[b*r+1 .. b*r+r])); docs sharing
-    * any band key become candidate pairs. One shuffle on (band, key). */
-  def lshCandidates(sigs: DataFrame): DataFrame = {
+  /** (doc_id, band, key) LSH band table for a signature frame — shared by
+    * the symmetric self-join ([[lshCandidates]]) and the asymmetric
+    * batch-vs-history lane ([[nearDupSurvivorsVsHistory]]). */
+  private def bandFrame(sigs: DataFrame): DataFrame = {
     val r = NumHashes / NumBands
     val bands = transform(sequence(lit(0), lit(NumBands - 1)),
       b => struct(b.as("band"),
         md5(concat_ws("|", slice(col("sig"), b * r + 1, lit(r)))).as("key")))
-    val exploded = sigs
-      .select(col("doc_id"), explode(bands).as("bk"))
+    sigs.select(col("doc_id"), explode(bands).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** LSH banding: band key b = md5(join(sig[b*r+1 .. b*r+r])); docs sharing
+    * any band key become candidate pairs. One shuffle on (band, key). */
+  def lshCandidates(sigs: DataFrame): DataFrame = {
+    val exploded = bandFrame(sigs)
     val a = exploded.alias("a")
     val b = exploded.alias("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -99,6 +105,55 @@ object NearDup {
         (size(col("a_sh")) + size(col("b_sh"))).cast("long") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
       .select("a_id", "b_id", "inter", "uni", "jaccard")
+  }
+
+  /** Incremental NEAR-dup dedup: rows of `batch` that near-duplicate no
+    * `history` document (MinHash/LSH candidates + exact Jaccard >= threshold)
+    * — the fuzzy companion to [[Dedup.newAgainstHistory]] for the recurring
+    * 100 TB ingest: yesterday's corpus is `history`, today's crawl is
+    * `batch`, and a re-crawled page with a changed boilerplate footer must
+    * still be recognized as already-held.
+    *
+    * Scale contract — history NEVER shuffles:
+    *   1. the (small) batch band table BROADCASTS over the history band
+    *     stream — candidates fall out map-side;
+    *   2. the candidate h_id set (bounded by the batch's collision
+    *     neighborhood) broadcasts back as a LEFT SEMI over a second history
+    *     sketch pass to fetch only the needed shingle sets;
+    *   3. exact verification joins candidate-bounded frames only;
+    *   4. matched batch ids broadcast back as the ANTI side.
+    * The price of zero history exchange is TWO history sketch passes — at
+    * real scale the sketch table is persisted once per corpus snapshot and
+    * both passes read it, not the raw text.
+    *
+    * Candidate generation is the SAME band scheme as [[minhashPairs]]
+    * (bit-identical band keys), so the oracle derives the cross-set matches
+    * from the shared pair chain. */
+  def nearDupSurvivorsVsHistory(batch: DataFrame, history: DataFrame,
+                                threshold: Double = 0.5, words: Int = 3): DataFrame = {
+    val bSigs = signatures(batch, words).localCheckpoint(false) // small side
+    val hSigs = signatures(history, words)
+    val cand = bandFrame(hSigs)
+      .withColumnRenamed("doc_id", "h_id")
+      .join(broadcast(bandFrame(bSigs).withColumnRenamed("doc_id", "b_id")),
+        Seq("band", "key"))
+      .select("h_id", "b_id").distinct()
+    val hSets = hSigs
+      .join(broadcast(cand.select(col("h_id").as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("h_id"), col("sh").as("h_sh"))
+    val matched = cand
+      .join(broadcast(bSigs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))),
+        "b_id")
+      .join(hSets, "h_id")
+      .withColumn("inter",
+        graft.functions.VectorFunctions
+          .sorted_intersect_count(col("h_sh"), col("b_sh")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        ((size(col("h_sh")) + size(col("b_sh"))).cast("long") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("b_id").as("doc_id")).distinct()
+    batch.join(broadcast(matched), Seq("doc_id"), "left_anti")
   }
 
   /** End-to-end MinHash/LSH near-dup pairs above a Jaccard threshold. */

@@ -106,6 +106,38 @@ object StreamingOps {
           col(s"__latest.$c").as(c)): _*)
   }
 
+  /** Stream-stream INTERVAL self-join (attribution): each `leftType` event
+    * pairs with same-user `rightType` events from the preceding
+    * `lookbackSeconds` — the click-to-view attribution shape. The time-bound
+    * join condition is what lets Structured Streaming BOUND STATE: with
+    * watermarks on both sides, a buffered right-side row is dropped once the
+    * left watermark passes `ts + lookback`, so state is the lookback window's
+    * worth of events per side, not the stream.
+    *
+    * The same function runs in batch (watermarks are a no-op there) — the
+    * spec proves stream/batch agreement, and `q_attribution` oracles the
+    * batch form. Timestamp arithmetic is exact on both engines (no float
+    * epoch math), so sub-second boundaries agree. */
+  def attributionJoin(events: DataFrame, leftType: String = "click",
+                      rightType: String = "view",
+                      lookbackSeconds: Long = 3600L,
+                      watermarkDelay: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === leftType)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    val views = events.filter(col("event_type") === rightType)
+      .select(col("event_id").as("view_id"), col("user_id").as("__vu"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermarkDelay)
+    clicks.join(views,
+        col("user_id") === col("__vu") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $lookbackSeconds SECONDS") &&
+        col("view_ts") <= col("click_ts"))
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        col("click_ts"), col("view_ts"))
+  }
+
   case class Event(event_id: Long, user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(sessionSeq: Long, lastSec: Long, nEvents: Long, startSec: Long)
   case class SessionOut(user_id: Long, session_seq: Long, n_events: Long,

@@ -7,6 +7,21 @@ import graft.sources.Tables
 class NearDupSimSpec extends SparkSpec {
   import spark.implicits._
 
+  test("nearDupSurvivorsVsHistory drops already-held content, keeps novel batch docs") {
+    val held = "the quick brown fox jumps over the lazy dog near the quiet river bank"
+    val hist = Seq(
+      (1L, held),
+      (2L, "an older document describing relational query planner internals"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, held), // exact re-crawl: every band collides, Jaccard 1.0 -> dropped
+      (11L, "an entirely novel piece of text about mountain weather patterns"))
+      .toDF("doc_id", "text")
+    val surv = NearDup.nearDupSurvivorsVsHistory(batch, hist, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(surv == Set(11L))
+  }
+
   test("minhash LSH finds an obvious near-dup pair and skips unrelated text") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
