@@ -49,7 +49,14 @@ object Bench {
           if (!failed.contains(name)) failed ::= name
           System.err.println(s"[bench] $name iter $it failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // checkpoint/cache blocks from one query must not tax the next:
+        // localCheckpoint pins storage blocks until the RDD is GC'd, and 90+
+        // queries x 2 iters of pinned blocks shrink execution memory for
+        // every later query (measured as a slow creep on the small queries)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        dt
       }
       System.err.println(
         f"[bench] $name%-24s min ${times.min}%8.2f s  (${times.map(t => f"$t%.2f").mkString("/")})")

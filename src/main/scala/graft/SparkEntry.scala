@@ -333,6 +333,8 @@ object SparkEntry {
       VectorOps.quantizeDigest(Tables.embeddings(s, dir)).orderBy("vec_id")),
     "q_vec_project" -> ((s, dir) =>
       VectorOps.projectDigest(Tables.embeddings(s, dir)).orderBy("vec_id")),
+    "q_vec_pq" -> ((s, dir) =>
+      PqIndex.codes(Tables.embeddings(s, dir))),
 
     // ---- capstone: end-to-end training-data curation ----
     "q_curation" -> ((s, dir) => CurationPipeline.keptDocuments(s, dir)),
@@ -1326,6 +1328,50 @@ object SparkEntry {
           |  proj[1] AS proj_0, proj[2] AS proj_1, proj[3] AS proj_2, proj[4] AS proj_3,
           |  proj[5] AS proj_4, proj[6] AS proj_5, proj[7] AS proj_6, proj[8] AS proj_7,
           |  list_reduce(list_prepend(0.0, list_transform(proj, x -> x * x)), (a, b) -> a + b) AS norm2
+          |FROM p ORDER BY vec_id""".stripMargin,
+      // PQ training mirrored per subspace: seed (vec_id % 16) means, one
+      // Lloyd step, final argmin codes — decimal-exact sums/distances make
+      // assignments engine-identical (the IVF discipline, per subspace)
+      "q_vec_pq" ->
+        """WITH ve AS (SELECT vec_id, CAST((i - 1) // 8 AS INT) AS s,
+          |         CAST((i - 1) % 8 AS INT) AS subdim,
+          |         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+          |       FROM embeddings CROSS JOIN range(1, 65) r(i)),
+          |seed AS (SELECT vec_id, s, vec_id % 16 AS code
+          |         FROM embeddings CROSS JOIN range(0, 8) r(s)),
+          |c0 AS (SELECT s, code, subdim,
+          |         CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+          |       FROM ve JOIN seed USING (vec_id, s) GROUP BY s, code, subdim),
+          |d0 AS (SELECT vec_id, s, code,
+          |         sum(CAST((v - c) * (v - c) AS DECIMAL(38,18))) AS dist2
+          |       FROM ve JOIN c0 USING (s, subdim) GROUP BY vec_id, s, code),
+          |a1 AS (SELECT vec_id, s, code FROM (
+          |         SELECT vec_id, s, code,
+          |           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist2, code) AS rn
+          |         FROM d0) x WHERE rn = 1),
+          |c1 AS (SELECT s, code, subdim,
+          |         CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+          |       FROM ve JOIN a1 USING (vec_id, s) GROUP BY s, code, subdim),
+          |d1 AS (SELECT vec_id, s, code,
+          |         sum(CAST((v - c) * (v - c) AS DECIMAL(38,18))) AS dist2
+          |       FROM ve JOIN c1 USING (s, subdim) GROUP BY vec_id, s, code),
+          |a2 AS (SELECT vec_id, s, code FROM (
+          |         SELECT vec_id, s, code,
+          |           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist2, code) AS rn
+          |         FROM d1) x WHERE rn = 1),
+          |p AS (SELECT vec_id,
+          |        CAST(max(CASE WHEN s = 0 THEN code END) AS BIGINT) AS code_0,
+          |        CAST(max(CASE WHEN s = 1 THEN code END) AS BIGINT) AS code_1,
+          |        CAST(max(CASE WHEN s = 2 THEN code END) AS BIGINT) AS code_2,
+          |        CAST(max(CASE WHEN s = 3 THEN code END) AS BIGINT) AS code_3,
+          |        CAST(max(CASE WHEN s = 4 THEN code END) AS BIGINT) AS code_4,
+          |        CAST(max(CASE WHEN s = 5 THEN code END) AS BIGINT) AS code_5,
+          |        CAST(max(CASE WHEN s = 6 THEN code END) AS BIGINT) AS code_6,
+          |        CAST(max(CASE WHEN s = 7 THEN code END) AS BIGINT) AS code_7
+          |      FROM a2 GROUP BY vec_id)
+          |SELECT vec_id, code_0, code_1, code_2, code_3, code_4, code_5, code_6, code_7,
+          |  CAST((code_0 << 0) + (code_1 << 4) + (code_2 << 8) + (code_3 << 12)
+          |     + (code_4 << 16) + (code_5 << 20) + (code_6 << 24) + (code_7 << 28) AS BIGINT) AS pq_code
           |FROM p ORDER BY vec_id""".stripMargin,
       "q_curation" ->
         s"""WITH $curationCtes
