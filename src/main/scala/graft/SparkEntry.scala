@@ -335,6 +335,8 @@ object SparkEntry {
       VectorOps.projectDigest(Tables.embeddings(s, dir)).orderBy("vec_id")),
     "q_vec_pq" -> ((s, dir) =>
       PqIndex.codes(Tables.embeddings(s, dir))),
+    "q_vec_adc" -> ((s, dir) =>
+      PqIndex.adcTopK(Tables.embeddings(s, dir))),
 
     // ---- capstone: end-to-end training-data curation ----
     "q_curation" -> ((s, dir) => CurationPipeline.keptDocuments(s, dir)),
@@ -413,6 +415,50 @@ object SparkEntry {
        |    CAST(len(sa.sh) + len(sb.sh) AS BIGINT)
        |      - CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS BIGINT) AS uni
        |  FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)""".stripMargin
+
+  /** PQ training chain mirrored per subspace (seed means -> one Lloyd step
+    * -> final argmin codes), shared by the code digest (`q_vec_pq`) and the
+    * ADC search oracle (`q_vec_adc`). Decimal-exact sums/distances make
+    * assignments engine-identical — the IVF discipline, per subspace. */
+  /** The per-term VARCHAR hop (`CAST(CAST(term AS VARCHAR) AS DECIMAL)`)
+    * reproduces the kernel's exact rounding lane — Java's
+    * `BigDecimal.valueOf(double)` rounds the double's SHORTEST DECIMAL
+    * REPRESENTATION, while DuckDB's direct double->decimal cast converts
+    * the exact binary value; the two differ by 1 ulp at scale 18 on ~half
+    * of terms. The same shortest-repr double rounding applies to the
+    * component cast `v -> DECIMAL(28,12)` (a component landing near a
+    * half-way point at digit 12 rounds differently under the two lanes,
+    * shifting a centroid mean by ~1e-12) and to the centroid's
+    * decimal->double. Rankings (argmin/probe) shrug these ulps off — the
+    * IVF oracle doesn't need the hop — but `q_vec_adc` exposes summed
+    * distance VALUES, where every lane difference surfaces. */
+  private val pqCtes =
+    """ve AS (SELECT vec_id, CAST((i - 1) // 8 AS INT) AS s,
+      |         CAST((i - 1) % 8 AS INT) AS subdim,
+      |         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+      |       FROM embeddings CROSS JOIN range(1, 65) r(i)),
+      |seed AS (SELECT vec_id, s, vec_id % 16 AS code
+      |         FROM embeddings CROSS JOIN range(0, 8) r(s)),
+      |c0 AS (SELECT s, code, subdim,
+      |         CAST(CAST(sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / count(*) AS c
+      |       FROM ve JOIN seed USING (vec_id, s) GROUP BY s, code, subdim),
+      |d0 AS (SELECT vec_id, s, code,
+      |         sum(CAST(CAST((v - c) * (v - c) AS VARCHAR) AS DECIMAL(38,18))) AS dist2
+      |       FROM ve JOIN c0 USING (s, subdim) GROUP BY vec_id, s, code),
+      |a1 AS (SELECT vec_id, s, code FROM (
+      |         SELECT vec_id, s, code,
+      |           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist2, code) AS rn
+      |         FROM d0) x WHERE rn = 1),
+      |c1 AS (SELECT s, code, subdim,
+      |         CAST(CAST(sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / count(*) AS c
+      |       FROM ve JOIN a1 USING (vec_id, s) GROUP BY s, code, subdim),
+      |d1 AS (SELECT vec_id, s, code,
+      |         sum(CAST(CAST((v - c) * (v - c) AS VARCHAR) AS DECIMAL(38,18))) AS dist2
+      |       FROM ve JOIN c1 USING (s, subdim) GROUP BY vec_id, s, code),
+      |a2 AS (SELECT vec_id, s, code FROM (
+      |         SELECT vec_id, s, code,
+      |           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist2, code) AS rn
+      |         FROM d1) x WHERE rn = 1)""".stripMargin
 
   /** The curation kernel (quality gate -> language gate -> exact dedup ->
     * MinHash near-dup losers) as a reusable CTE chain: `q_curation` selects
@@ -1329,36 +1375,8 @@ object SparkEntry {
           |  proj[5] AS proj_4, proj[6] AS proj_5, proj[7] AS proj_6, proj[8] AS proj_7,
           |  list_reduce(list_prepend(0.0, list_transform(proj, x -> x * x)), (a, b) -> a + b) AS norm2
           |FROM p ORDER BY vec_id""".stripMargin,
-      // PQ training mirrored per subspace: seed (vec_id % 16) means, one
-      // Lloyd step, final argmin codes — decimal-exact sums/distances make
-      // assignments engine-identical (the IVF discipline, per subspace)
       "q_vec_pq" ->
-        """WITH ve AS (SELECT vec_id, CAST((i - 1) // 8 AS INT) AS s,
-          |         CAST((i - 1) % 8 AS INT) AS subdim,
-          |         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
-          |       FROM embeddings CROSS JOIN range(1, 65) r(i)),
-          |seed AS (SELECT vec_id, s, vec_id % 16 AS code
-          |         FROM embeddings CROSS JOIN range(0, 8) r(s)),
-          |c0 AS (SELECT s, code, subdim,
-          |         CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
-          |       FROM ve JOIN seed USING (vec_id, s) GROUP BY s, code, subdim),
-          |d0 AS (SELECT vec_id, s, code,
-          |         sum(CAST((v - c) * (v - c) AS DECIMAL(38,18))) AS dist2
-          |       FROM ve JOIN c0 USING (s, subdim) GROUP BY vec_id, s, code),
-          |a1 AS (SELECT vec_id, s, code FROM (
-          |         SELECT vec_id, s, code,
-          |           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist2, code) AS rn
-          |         FROM d0) x WHERE rn = 1),
-          |c1 AS (SELECT s, code, subdim,
-          |         CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
-          |       FROM ve JOIN a1 USING (vec_id, s) GROUP BY s, code, subdim),
-          |d1 AS (SELECT vec_id, s, code,
-          |         sum(CAST((v - c) * (v - c) AS DECIMAL(38,18))) AS dist2
-          |       FROM ve JOIN c1 USING (s, subdim) GROUP BY vec_id, s, code),
-          |a2 AS (SELECT vec_id, s, code FROM (
-          |         SELECT vec_id, s, code,
-          |           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist2, code) AS rn
-          |         FROM d1) x WHERE rn = 1),
+        s"""WITH $pqCtes,
           |p AS (SELECT vec_id,
           |        CAST(max(CASE WHEN s = 0 THEN code END) AS BIGINT) AS code_0,
           |        CAST(max(CASE WHEN s = 1 THEN code END) AS BIGINT) AS code_1,
@@ -1373,6 +1391,21 @@ object SparkEntry {
           |  CAST((code_0 << 0) + (code_1 << 4) + (code_2 << 8) + (code_3 << 12)
           |     + (code_4 << 16) + (code_5 << 20) + (code_6 << 24) + (code_7 << 28) AS BIGINT) AS pq_code
           |FROM p ORDER BY vec_id""".stripMargin,
+      // ADC: query q's distance to corpus vector x = sum over subspaces of
+      // d1(q, s, code_x(s)) — the query-side lookup table IS the d1 rows of
+      // the query vector under the final (post-Lloyd) codebook
+      "q_vec_adc" ->
+        s"""WITH $pqCtes,
+          |adc AS (SELECT d1.vec_id AS q_id, x.vec_id AS n_id,
+          |          sum(d1.dist2) AS adist
+          |        FROM a2 x JOIN d1 ON d1.s = x.s AND d1.code = x.code
+          |        WHERE d1.vec_id < 8 AND x.vec_id <> d1.vec_id
+          |        GROUP BY 1, 2),
+          |r AS (SELECT q_id, n_id, adist,
+          |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS BIGINT) AS rk
+          |      FROM adc)
+          |SELECT q_id, rk, n_id, CAST(adist AS VARCHAR) AS adist
+          |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
       "q_curation" ->
         s"""WITH $curationCtes
            |SELECT doc_id FROM surv WHERE doc_id NOT IN (SELECT b_id FROM losers)

@@ -74,11 +74,9 @@ object PqIndex {
     emb.select(col("vec_id"),
       posexplode(array(codeExprs(packed): _*)).as(Seq("s", "code")))
 
-  /** PQ-encode every vector: seed partition + `nIters` Lloyd refinements per
-    * subspace, then one narrow encoding pass. Output: `code_0..code_{M-1}`
-    * (each in [0, K)) plus the nibble-packed `pq_code` — the 4-byte storage
-    * form. */
-  def codes(emb: DataFrame, nIters: Int = 1): DataFrame = {
+  /** Seed partition + `nIters` Lloyd refinements per subspace; returns the
+    * packed per-subspace codebook literals. */
+  private[operators] def train(emb: DataFrame, nIters: Int): Seq[(Column, Column)] = {
     val ve = exploded(emb)
     val seed = emb
       .select(col("vec_id"), explode(sequence(lit(0), lit(M - 1))).as("s"))
@@ -87,11 +85,89 @@ object PqIndex {
     (1 to nIters).foreach { _ =>
       packed = collectCodebooks(centroids(ve, assignRows(emb, packed)))
     }
+    packed
+  }
+
+  /** PQ-encode every vector: seed partition + `nIters` Lloyd refinements per
+    * subspace, then one narrow encoding pass. Output: `code_0..code_{M-1}`
+    * (each in [0, K)) plus the nibble-packed `pq_code` — the 4-byte storage
+    * form. */
+  def codes(emb: DataFrame, nIters: Int = 1): DataFrame = {
+    val packed = train(emb, nIters)
     val cs = codeExprs(packed).zipWithIndex
       .map { case (c, s) => c.cast("long").as(s"code_$s") }
     emb.select(col("vec_id") +: cs: _*)
       .withColumn("pq_code",
         (0 until M).map(s => shiftleft(col(s"code_$s"), 4 * s)).reduce(_ + _))
       .orderBy("vec_id")
+  }
+
+  /** Test-only probe: (s, code_of_nId, lut_dist2_string) per subspace for
+    * one (query, neighbor) pair — used to localize cross-engine decimal
+    * drift. */
+  private[operators] def debugTerms(emb: DataFrame, qId: Long,
+                                    nId: Long): Seq[(Int, Long, String)] = {
+    val packed = train(emb, 1)
+    val cs = codeExprs(packed).zipWithIndex
+      .map { case (c, s) => c.cast("long").as(s"code_$s") }
+    val codes = emb.filter(col("vec_id") === nId)
+      .select(col("vec_id") +: cs: _*).collect()(0)
+    (0 until M).map { s =>
+      val code = codes.getAs[Long](s"code_$s")
+      val lut = emb.filter(col("vec_id") === qId).select(
+        element_at(
+          VectorFunctions.squared_distances(
+            slice(col("embedding"), s * SubDim + 1, SubDim), packed(s)._1),
+          array_position(packed(s)._2, lit(code)).cast("int"))
+          .cast("string")).collect()(0).getString(0)
+      (s, code, lut)
+    }
+  }
+
+  /** ADC (asymmetric distance computation) top-k — how PQ is actually
+    * SEARCHED: the query stays a full-precision vector, every corpus vector
+    * is only its 8 codes, and distance is the sum of per-subspace
+    * lookup-table entries dist2(query_subvec, codebook[code]).
+    *
+    * Scale shape: each query precomputes its M x K lookup table ONCE (one
+    * fused-kernel pass over the codebook literals — M*K*SubDim flops), the
+    * tiny (q_id, luts) table BROADCASTS, and scoring the corpus is a pure
+    * narrow map over the 4-byte codes — the full embeddings are never read
+    * at query time, which is the entire point of PQ at 100 TB. Distances
+    * are decimal-exact sums of decimal-exact table entries, so ranking is
+    * engine-identical and the oracle mirrors it from the shared CTE chain. */
+  def adcTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
+              nIters: Int = 1): DataFrame = {
+    val packed = train(emb, nIters)
+    val cs = codeExprs(packed).zipWithIndex
+      .map { case (c, s) => c.cast("long").as(s"code_$s") }
+    val corpus = emb.select(col("vec_id").as("n_id") +: cs: _*)
+    val luts = array((0 until M).map { s =>
+      VectorFunctions.squared_distances(
+        slice(col("embedding"), s * SubDim + 1, SubDim), packed(s)._1)
+    }: _*)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), luts.as("luts"))
+    // each term re-cast to decimal(30,18): adding two decimal(38,18)s caps
+    // precision at 38 and SHEDS A SCALE DIGIT per addition (8 terms would
+    // round to scale 11); (30,18) terms grow to at most (37,18) — exact
+    val adist = (0 until M).map { s =>
+      element_at(element_at(col("luts"), s + 1),
+        array_position(packed(s)._2, col(s"code_$s")).cast("int"))
+        .cast("decimal(30,18)")
+    }.reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("adist").asc, col("n_id").asc)
+    // adist surfaces as its exact decimal STRING: decimal->double conversion
+    // is differently rounded across engines at the 17th significant digit
+    // (Java BigDecimal.doubleValue vs DuckDB's int128/10^18 lane), while the
+    // decimal value itself is bit-identical
+    corpus.join(broadcast(queries), col("q_id") =!= col("n_id"))
+      .withColumn("adist", adist)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("n_id"),
+        col("adist").cast("string").as("adist"))
+      .orderBy("q_id", "rk")
   }
 }
