@@ -306,6 +306,8 @@ object SparkEntry {
       TextAnalysis.normalizeText(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(Tables.documents(s, dir))),
+    "q_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(Tables.documents(s, dir))),
     "q_seq_pack" -> ((s, dir) =>
       Packing.packSequences(Tables.documents(s, dir))),
     "q_decontaminate" -> ((s, dir) =>
@@ -824,6 +826,16 @@ object SparkEntry {
           |    / count(*) AS oov_ratio
           |FROM g LEFT JOIN lm USING (gram)
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // exact heavy hitters are SQL; the sketch's no-false-negative
+      // guarantee surfaces as the TRUE booleans (approxSketches pattern)
+      "q_heavy_hitters" ->
+        """WITH toks AS (SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+          |  FROM documents),
+          |n AS (SELECT count(*) AS total FROM toks)
+          |SELECT tok, count(*) AS tf, TRUE AS in_sketch
+          |FROM toks, n GROUP BY tok, total
+          |HAVING CAST(count(*) AS DOUBLE) >= 0.01 * CAST(total AS DOUBLE)
+          |ORDER BY tf DESC, tok""".stripMargin,
       // result must equal the plain join — salting is pure physical planning
       "q_salted_join" ->
         """SELECT o_orderstatus, count(*) AS n_li,

@@ -324,6 +324,35 @@ object TextAnalysis {
       .select("rank", "tok", "tf", "df")
   }
 
+  /** Heavy hitters (frequent tokens above a support fraction) with a SKETCH
+    * accuracy verdict — the approxSketches pattern applied to frequency
+    * mining: the exact side is a token-keyed aggregate filtered to
+    * count >= support * N (engine-portable, the oracle's half); the sketch
+    * side runs Spark's `stat.freqItems` (distributed Karp–Papadimitriou–
+    * Shenker; state is O(1/support) PER PARTITION, never proportional to
+    * vocabulary) whose guarantee is NO FALSE NEGATIVES. The boolean per
+    * exact hitter asserts that guarantee held — if the sketch ever drops a
+    * true heavy hitter, the row flips and the hash gate goes red. Sketch
+    * false POSITIVES are expected and not part of the contract, so they
+    * don't surface in the output. */
+  def heavyHitters(docs: DataFrame, support: Double = 0.01,
+                   text: String = "text", id: String = "doc_id"): DataFrame = {
+    require(support > 0 && support < 1, "support must be in (0, 1)")
+    val words = split(trim(regexp_replace(lower(col(text)), "[^a-z0-9]+", " ")), " ")
+    val toks = docs.select(explode(words).as("tok"))
+    val total = toks.agg(count(lit(1)).as("__n"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+      .join(broadcast(total))
+      .filter(col("tf").cast("double") >= lit(support) * col("__n").cast("double"))
+      .drop("__n")
+    val sketch = toks.stat.freqItems(Seq("tok"), support)
+      .select(col("tok_freqItems").as("__cand"))
+    exact.join(broadcast(sketch))
+      .select(col("tok"), col("tf"),
+        array_contains(col("__cand"), col("tok")).as("in_sketch"))
+      .orderBy(col("tf").desc, col("tok").asc)
+  }
+
   /** Higher-order-function form of the rolling hash (interpreted; kept for
     * cross-checking the native expression in tests). */
   def rollingHashHof(norm: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
