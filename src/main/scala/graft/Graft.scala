@@ -59,8 +59,18 @@ object Graft {
     NearDup.containmentJoin(docs, threshold)
   def decontaminate(docs: DataFrame, benchMod: Long = 10, n: Int = 8): DataFrame =
     TextAnalysis.decontaminate(docs, benchMod, n)
+  def decontaminateFuzzy(docs: DataFrame, benchMod: Long = 10,
+                         threshold: Double = 0.5): DataFrame =
+    TextAnalysis.decontaminateNearDup(docs, benchMod, threshold)
   def packSequences(docs: DataFrame, budget: Long = 256): DataFrame =
     Packing.packSequences(docs, budget)
+  def dedupVsHistory(batch: DataFrame, history: DataFrame, key: String): DataFrame =
+    Dedup.newAgainstHistory(batch, history, key)
+  def nearDupVsHistory(batch: DataFrame, history: DataFrame,
+                       threshold: Double = 0.5): DataFrame =
+    NearDup.nearDupSurvivorsVsHistory(batch, history, threshold)
+  def trainingManifest(spark: SparkSession, dir: String): DataFrame =
+    CurationPipeline.trainingManifest(spark, dir)
 
   // ---- similarity search ----
   def similarTopK(emb: DataFrame, queries: Int = 8, k: Int = 5): DataFrame =
@@ -71,6 +81,10 @@ object Graft {
     IvfIndex.topK(emb, queries, k)
   def similarTextTopK(docs: DataFrame, queries: Int = 8, k: Int = 5): DataFrame =
     TfIdf.topKSimilar(docs, queries, k)
+  def pqCodes(emb: DataFrame, nIters: Int = 1): DataFrame =
+    PqIndex.codes(emb, nIters)
+  def similarTopKPq(emb: DataFrame, queries: Int = 8, k: Int = 5): DataFrame =
+    PqIndex.adcTopK(emb, queries, k)
 
   // ---- text / events ----
   def textQuality(docs: DataFrame): DataFrame = TextAnalysis.qualityScore(docs)
@@ -99,6 +113,18 @@ object Graft {
   def normalizeText(docs: DataFrame): DataFrame = TextAnalysis.normalizeText(docs)
   def vocabulary(docs: DataFrame, k: Int = 50): DataFrame =
     TextAnalysis.vocabulary(docs, k)
+  def heavyHitters(docs: DataFrame, support: Double = 0.01): DataFrame =
+    TextAnalysis.heavyHitters(docs, support)
+  def lmQualitySignal(docs: DataFrame, vocabSize: Int = 2000): DataFrame =
+    TextAnalysis.bigramFrequencySignal(docs, vocabSize)
+  def saltedJoin(big: DataFrame, replicated: DataFrame, keys: Seq[String],
+                 saltBy: Seq[String], salts: Int = 8): DataFrame =
+    SaltedJoin.salted(big, replicated, keys, saltBy, salts)
+  def attributionJoin(events: DataFrame, leftType: String = "click",
+                      rightType: String = "view",
+                      lookbackSeconds: Long = 3600L): DataFrame =
+    graft.streaming.StreamingOps.attributionJoin(events, leftType, rightType,
+      lookbackSeconds)
   def normalizeEmbedding(v: Column): Column = VectorOps.normalized(v)
   def quantizeEmbeddingInt8(v: Column): Column = VectorOps.quantizedInt8(v)
   def projectEmbedding(v: Column, outDims: Int = 8, dim: Int = 64): Column =

@@ -75,7 +75,10 @@ object PqIndex {
       posexplode(array(codeExprs(packed): _*)).as(Seq("s", "code")))
 
   /** Seed partition + `nIters` Lloyd refinements per subspace; returns the
-    * packed per-subspace codebook literals. */
+    * packed per-subspace codebook literals. Callers pass an already
+    * compute-partitioned frame ([[graft.core.Parallelism.forCompute]]) — a
+    * small parquet file arrives as ONE split, which would serialize the
+    * explode + fused distance kernels onto a single core. */
   private[operators] def train(emb: DataFrame, nIters: Int): Seq[(Column, Column)] = {
     val ve = exploded(emb)
     val seed = emb
@@ -93,10 +96,11 @@ object PqIndex {
     * (each in [0, K)) plus the nibble-packed `pq_code` — the 4-byte storage
     * form. */
   def codes(emb: DataFrame, nIters: Int = 1): DataFrame = {
-    val packed = train(emb, nIters)
+    val e = graft.core.Parallelism.forCompute(emb)
+    val packed = train(e, nIters)
     val cs = codeExprs(packed).zipWithIndex
       .map { case (c, s) => c.cast("long").as(s"code_$s") }
-    emb.select(col("vec_id") +: cs: _*)
+    e.select(col("vec_id") +: cs: _*)
       .withColumn("pq_code",
         (0 until M).map(s => shiftleft(col(s"code_$s"), 4 * s)).reduce(_ + _))
       .orderBy("vec_id")
@@ -138,15 +142,16 @@ object PqIndex {
     * engine-identical and the oracle mirrors it from the shared CTE chain. */
   def adcTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
               nIters: Int = 1): DataFrame = {
-    val packed = train(emb, nIters)
+    val e = graft.core.Parallelism.forCompute(emb)
+    val packed = train(e, nIters)
     val cs = codeExprs(packed).zipWithIndex
       .map { case (c, s) => c.cast("long").as(s"code_$s") }
-    val corpus = emb.select(col("vec_id").as("n_id") +: cs: _*)
+    val corpus = e.select(col("vec_id").as("n_id") +: cs: _*)
     val luts = array((0 until M).map { s =>
       VectorFunctions.squared_distances(
         slice(col("embedding"), s * SubDim + 1, SubDim), packed(s)._1)
     }: _*)
-    val queries = emb.filter(col("vec_id") < nQueries)
+    val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), luts.as("luts"))
     // each term re-cast to decimal(30,18): adding two decimal(38,18)s caps
     // precision at 38 and SHEDS A SCALE DIGIT per addition (8 terms would
