@@ -125,6 +125,8 @@ object SparkEntry {
     // oracle-checked by the rank-bound booleans of q_winsorize_approx
     "q_winsorize"          -> ((s, dir) => Relational.winsorizedStats(s, dir, exact = true)),
     "q_winsorize_approx"   -> ((s, dir) => Relational.winsorizeApproxVerdict(s, dir)),
+    "q_winsorize_grouped"  -> ((s, dir) => Relational.groupWinsorizedStats(s, dir, exact = true)),
+    "q_session_window"     -> ((s, dir) => JsonOps.sessionWindows(Tables.events(s, dir))),
     "q_zscore" -> ((s, dir) =>
       Relational.groupZScore(
           Tables.documents(s, dir).select("doc_id", "lang", "n_chars"),
@@ -1171,6 +1173,36 @@ object SparkEntry {
       "q_winsorize_approx" ->
         """SELECT count(*) AS n, TRUE AS lo_rank_ok, TRUE AS hi_rank_ok
           |FROM lineitem""".stripMargin,
+      "q_winsorize_grouped" ->
+        """WITH q AS (SELECT l_returnflag AS g,
+          |                  quantile_cont(l_extendedprice, 0.05) AS lo,
+          |                  quantile_cont(l_extendedprice, 0.95) AS hi
+          |           FROM lineitem GROUP BY l_returnflag)
+          |SELECT l_returnflag, count(*) AS n,
+          |  min(least(greatest(l_extendedprice, lo), hi)) AS cl_min,
+          |  max(least(greatest(l_extendedprice, lo), hi)) AS cl_max,
+          |  CAST(sum(CAST(least(greatest(l_extendedprice, lo), hi) AS DECIMAL(18,2))) AS DOUBLE) AS cl_sum
+          |FROM lineitem JOIN q ON l_returnflag = g
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      // strict-< merge (an event exactly gap later opens a NEW session);
+      // microsecond-exact arithmetic, floored to seconds only at output
+      "q_session_window" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+          |f AS (SELECT user_id, event_id, us,
+          |        lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+          |      FROM e),
+          |g AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+          |                     THEN 1 ELSE 0 END AS new_session FROM f),
+          |h AS (SELECT *, sum(new_session) OVER
+          |        (PARTITION BY user_id ORDER BY us, event_id
+          |         ROWS UNBOUNDED PRECEDING) AS seq FROM g)
+          |SELECT user_id,
+          |  CAST(min(us) // 1000000 AS BIGINT) AS session_start,
+          |  CAST((max(us) + 1800000000) // 1000000 AS BIGINT) AS session_end,
+          |  count(*) AS n_events,
+          |  min(event_id) AS first_event
+          |FROM h GROUP BY user_id, seq
+          |ORDER BY user_id, session_start""".stripMargin,
       "q_zscore" ->
         """WITH s AS (
           |  SELECT lang, count(*) AS n,

@@ -64,4 +64,24 @@ object JsonOps {
            max("ts_sec").as("session_end"))
       .orderBy("user_id", "session_seq")
   }
+
+  /** Gap sessions via Spark's NATIVE `session_window` operator — the
+    * built-in that [[sessionize]] hand-rolls, included so both forms are
+    * first-class (the native one also runs under Structured Streaming with
+    * state-store-backed session merging). Semantics differ at the boundary:
+    * `session_window` MERGES while the next event is strictly inside
+    * [prev, prev + gap) — an event exactly `gap` later starts a NEW session
+    * — whereas [[sessionize]] splits only on gap STRICTLY GREATER. The
+    * arithmetic is microsecond-exact inside Spark; outputs floor to epoch
+    * seconds, mirrored by the oracle's `epoch_us // 1e6`. */
+  def sessionWindows(df: DataFrame, gap: String = "30 minutes"): DataFrame =
+    df.withColumn("__ts", col("ts").cast("timestamp"))
+      .groupBy(col("user_id"), session_window(col("__ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"))
+      .select(col("user_id"),
+        col("w.start").cast("long").as("session_start"),
+        col("w.end").cast("long").as("session_end"),
+        col("n_events"), col("first_event"))
+      .orderBy("user_id", "session_start")
 }

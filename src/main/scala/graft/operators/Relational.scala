@@ -347,6 +347,36 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** PER-GROUP winsorized stats: each group clips to its OWN [p05, p95] —
+    * the stratified form of [[winsorizedStats]] (a language's length
+    * distribution shouldn't be clipped by another's tails). Bounds are one
+    * grouped aggregate (rows = #groups, broadcast back); approx-first like
+    * the global form — `exact = true` only for the bit-reproducible oracle.
+    * Aggregation state per group is sketch-sized on the default path; the
+    * exact path buffers each GROUP's values (not the table), acceptable
+    * when groups are bounded, still an OOM hazard for degenerate grouping —
+    * hence not the default. */
+  def groupWinsorizedStats(spark: SparkSession, dir: String,
+                           exact: Boolean = false,
+                           accuracy: Int = 10000): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = col("l_extendedprice")
+    val bounds =
+      if (exact) li.groupBy("l_returnflag").agg(
+        percentile(p, lit(0.05)).as("lo"),
+        percentile(p, lit(0.95)).as("hi"))
+      else li.groupBy("l_returnflag").agg(
+        percentile_approx(p, lit(0.05), lit(accuracy)).cast("double").as("lo"),
+        percentile_approx(p, lit(0.95), lit(accuracy)).cast("double").as("hi"))
+    li.join(broadcast(bounds), Seq("l_returnflag"))
+      .withColumn("cl", least(greatest(p, col("lo")), col("hi")))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        min("cl").as("cl_min"), max("cl").as("cl_max"),
+        sum(col("cl").cast("decimal(18,2)")).cast("double").as("cl_sum"))
+      .orderBy("l_returnflag")
+  }
+
   /** Oracle harness for the approx winsorize path (the approxSketches
     * boolean-verdict pattern): sketch bounds aren't engine-reproducible, so
     * the checkable output is the exact row count plus booleans asserting the
