@@ -274,6 +274,7 @@ object SparkEntry {
 
     // ---- extension: data-quality validation report ----
     "q_validate" -> ((s, dir) => Validate.report(s, dir)),
+    "q_corpus_report" -> ((s, dir) => Validate.corpusReport(s, dir)),
 
     // ---- extension: deterministic content-addressed train/val/test split ----
     "q_train_split" -> ((s, dir) =>
@@ -830,6 +831,27 @@ object SparkEntry {
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       // exact heavy hitters are SQL; the sketch's no-false-negative
       // guarantee surfaces as the TRUE booleans (approxSketches pattern)
+      "q_corpus_report" ->
+        """WITH s AS (SELECT
+          |  count(*) AS n_docs,
+          |  count(DISTINCT lang) AS n_langs,
+          |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_ws_tokens,
+          |  count(CASE WHEN length(trim(text)) = 0 THEN 1 END) AS n_empty,
+          |  count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS n_exact_dups,
+          |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+          |  CAST(min(n_chars) AS BIGINT) AS min_chars
+          |  FROM documents)
+          |SELECT stat, CAST(value AS BIGINT) AS value FROM (
+          |  SELECT 'n_docs' AS stat, n_docs AS value FROM s
+          |  UNION ALL SELECT 'n_langs', n_langs FROM s
+          |  UNION ALL SELECT 'total_chars', total_chars FROM s
+          |  UNION ALL SELECT 'total_ws_tokens', total_ws_tokens FROM s
+          |  UNION ALL SELECT 'n_empty', n_empty FROM s
+          |  UNION ALL SELECT 'n_exact_dups', n_exact_dups FROM s
+          |  UNION ALL SELECT 'max_chars', max_chars FROM s
+          |  UNION ALL SELECT 'min_chars', min_chars FROM s) t
+          |ORDER BY stat""".stripMargin,
       "q_heavy_hitters" ->
         """WITH toks AS (SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
           |  FROM documents),

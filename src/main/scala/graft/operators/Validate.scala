@@ -51,4 +51,30 @@ object Validate {
       .unionAll(melt(orphan))
       .orderBy("rule")
   }
+
+  /** Corpus-statistics report over the documents table — the one-page
+    * summary a curation run starts and ends with (what the dedup/quality
+    * stages changed, in integers): doc/language counts, size totals and
+    * extremes, empty docs, exact-duplicate count by normalized fingerprint.
+    * One wide aggregate melted to (stat, value) rows; the two distinct
+    * counts cost one Expand over the single scan — report cadence, not a
+    * hot path. */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    val stats = docs.select(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("n_chars")).cast("long").as("total_chars"),
+      sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("total_ws_tokens"),
+      count(when(length(trim(col("text"))) === 0, 1)).as("n_empty"),
+      (count(lit(1)) - countDistinct(md5(norm))).as("n_exact_dups"),
+      max(col("n_chars")).cast("long").as("max_chars"),
+      min(col("n_chars")).cast("long").as("min_chars"))
+    val cols = stats.columns
+    stats.select(explode(array(cols.toIndexedSeq.map(c =>
+      struct(lit(c).as("stat"), col(c).cast("long").as("value"))): _*)).as("kv"))
+      .select(col("kv.stat").as("stat"), col("kv.value").as("value"))
+      .orderBy("stat")
+  }
 }
