@@ -92,6 +92,8 @@ object Graft {
   def fingerprints(docs: DataFrame): DataFrame = TextAnalysis.fingerprints(docs)
   def sessionize(events: DataFrame, gapSeconds: Long = 1800L): DataFrame =
     JsonOps.sessionize(events, gapSeconds)
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    JsonOps.sessionWindows(events, gap)
   def asofJoin(events: DataFrame, orders: DataFrame): DataFrame =
     AsofJoin.eventsToLatestOrder(events, orders)
   def rangeJoin(points: DataFrame, intervals: DataFrame, ts: String,
@@ -135,6 +137,8 @@ object Graft {
     Splits.assign(df, keyCol, salt)
   def validationReport(spark: SparkSession, dir: String): DataFrame =
     Validate.report(spark, dir)
+  def corpusReport(spark: SparkSession, dir: String): DataFrame =
+    Validate.corpusReport(spark, dir)
   def append(df: DataFrame, path: String): Unit = AppendSink.appendParquet(df, path)
   def appendPartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
     AppendSink.appendPartitioned(df, path, cols)

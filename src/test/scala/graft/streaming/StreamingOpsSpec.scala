@@ -251,6 +251,38 @@ class StreamingOpsSpec extends SparkSpec {
       .get.getAs[Long]("event_id") == 3L)
   }
 
+  test("native session_window streams with bounded state and agrees with the batch form") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 7: two events 10 min apart (one session), then a 2-hour gap (new
+    // session); user 8: a single event
+    val rows = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (2L, 7L, ts("2024-01-01 10:10:00"), "view", 0.0),
+      (3L, 7L, ts("2024-01-01 12:30:00"), "click", 0.0),
+      (4L, 8L, ts("2024-01-01 11:00:00"), "view", 0.0))
+    val stream = MemoryStream[(Long, Long, java.sql.Timestamp, String, Double)]
+    val streaming = graft.operators.JsonOps.sessionWindows(
+        stream.toDF().toDF("event_id", "user_id", "ts", "event_type", "value")
+          .withWatermark("ts", "1 hour"))
+    val q = streaming.writeStream.outputMode("complete").format("memory")
+      .queryName("sw_out").start()
+    try { stream.addData(rows); q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("sw_out")
+      .select("user_id", "session_start", "session_end", "n_events", "first_event")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val batch = graft.operators.JsonOps.sessionWindows(
+        rows.toDF("event_id", "user_id", "ts", "event_type", "value"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.size == 3)
+    // the merged session spans both events + the 30-min tail
+    assert(streamed.contains((7L,
+      ts("2024-01-01 10:00:00").getTime / 1000,
+      ts("2024-01-01 10:40:00").getTime / 1000, 2L, 1L)))
+  }
+
   test("stream-stream attribution join agrees with the batch form; out-of-window rows excluded") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
