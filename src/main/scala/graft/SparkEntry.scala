@@ -311,6 +311,8 @@ object SparkEntry {
       TextAnalysis.vocabulary(Tables.documents(s, dir))),
     "q_heavy_hitters" -> ((s, dir) =>
       TextAnalysis.heavyHitters(Tables.documents(s, dir))),
+    "q_bpe_merges" -> ((s, dir) =>
+      BpeTrainer.merges(Tables.documents(s, dir))),
     "q_seq_pack" -> ((s, dir) =>
       Packing.packSequences(Tables.documents(s, dir))),
     "q_decontaminate" -> ((s, dir) =>
@@ -420,6 +422,26 @@ object SparkEntry {
        |    CAST(len(sa.sh) + len(sb.sh) AS BIGINT)
        |      - CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS BIGINT) AS uni
        |  FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)""".stripMargin
+
+  /** BPE merge-training chain, one (count -> argmax -> regex-apply) CTE
+    * block per step — the unrolled mirror of [[BpeTrainer.merges]]'s driver
+    * loop. The `(tok)(tok)` wrapping makes global regex replacement equal
+    * BPE's leftmost non-overlapping merge in both engines. */
+  private def bpeCtes(steps: Int): String = {
+    val s0 =
+      """s0 AS (SELECT '(' || array_to_string(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), ')(') || ')' AS seq
+        |       FROM documents)""".stripMargin
+    val per = (1 to steps).map { k =>
+      s"""p$k AS (SELECT t[CAST(i AS INT)] AS l, t[CAST(i AS INT) + 1] AS r, count(*) AS c
+         |  FROM (SELECT t, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i
+         |        FROM (SELECT regexp_extract_all(seq, '\\(([^()]*)\\)', 1) AS t FROM s${k - 1}) y) x
+         |  GROUP BY 1, 2),
+         |m$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+         |s$k AS (SELECT regexp_replace(seq, '\\(' || l || '\\)\\(' || r || '\\)',
+         |          '(' || l || ' ' || r || ')', 'g') AS seq FROM s${k - 1}, m$k)""".stripMargin
+    }
+    (s0 +: per).mkString(",\n")
+  }
 
   /** PQ training chain mirrored per subspace (seed means -> one Lloyd step
     * -> final argmin codes), shared by the code digest (`q_vec_pq`) and the
@@ -831,6 +853,14 @@ object SparkEntry {
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       // exact heavy hitters are SQL; the sketch's no-false-negative
       // guarantee surfaces as the TRUE booleans (approxSketches pattern)
+      "q_bpe_merges" ->
+        s"""WITH ${bpeCtes(4)}
+           |SELECT step, merge_left, merge_right, n_pairs FROM (
+           |  SELECT CAST(1 AS BIGINT) AS step, l AS merge_left, r AS merge_right, c AS n_pairs FROM m1
+           |  UNION ALL SELECT 2, l, r, c FROM m2
+           |  UNION ALL SELECT 3, l, r, c FROM m3
+           |  UNION ALL SELECT 4, l, r, c FROM m4) t
+           |ORDER BY step""".stripMargin,
       "q_corpus_report" ->
         """WITH s AS (SELECT
           |  count(*) AS n_docs,

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BPE-style merge training — the first steps of tokenizer induction run
+  * distributed over the corpus: repeatedly find the most frequent ADJACENT
+  * token pair and fuse it into one unit. Word-level variant (merges start
+  * from whitespace tokens, the scheme subword trainers apply inside words);
+  * each step is the canonical count -> argmax -> apply loop.
+  *
+  * Distribution shape per step: pair counting is one map-side-combined
+  * aggregate over adjacent-pair rows; the winning pair is a 1-row
+  * TakeOrdered driver collect (like the k-means centroid round-trip —
+  * O(1) state); the merge application is a pure narrow regexp map. Steps
+  * are sequential by nature (step k's counts depend on step k-1's merge) —
+  * the driver loop IS the algorithm, corpus scanned once per step.
+  *
+  * Determinism engineering: sequences travel as delimiter-wrapped strings
+  * `(tok)(tok)...` — regex replacement of `\(a\)\(b\)` -> `(a b)` gives
+  * EXACTLY BPE's leftmost non-overlapping merge semantics in both Java
+  * regex and RE2 (adjacent matches share no characters, unlike
+  * space-separated encodings where the shared boundary space breaks runs).
+  * Ties in pair counts break by (left, right) text order. Tokens are
+  * [a-z0-9 ]* by construction, so interpolating them into the pattern needs
+  * no escaping.
+  */
+object BpeTrainer {
+
+  /** `(tok)(tok)...` wrapped form of the normalized token sequence. */
+  private def wrappedSeq(text: Column): Column = {
+    val w = split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " ")
+    concat_ws("", transform(w, t => concat(lit("("), t, lit(")"))))
+  }
+
+  /** The first `steps` merge rules learned from the corpus:
+    * (step, merge_left, merge_right, n_pairs) — n_pairs is the pair's
+    * corpus frequency at selection time. */
+  def merges(docs: DataFrame, steps: Int = 4,
+             text: String = "text", id: String = "doc_id"): DataFrame = {
+    require(steps > 0, "steps must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var seqs = graft.core.Parallelism.forCompute(docs)
+      .select(col(id), wrappedSeq(col(text)).as("seq"))
+      .localCheckpoint(false) // each step rewrites seq; checkpoint keeps the
+                              // per-step work linear instead of re-running
+                              // every prior regex on every action
+    val learned = Seq.newBuilder[(Long, String, String, Long)]
+    (1 to steps).foreach { step =>
+      val toks = seqs.select(
+        regexp_extract_all(col("seq"), lit("\\(([^()]*)\\)"), lit(1)).as("t"))
+      // adjacent pairs as zip(t[1..n-1], t[2..n]) — slice yields an empty
+      // array for 1-token docs (sequence(1, 0) would DESCEND to [1, 0] and
+      // index out of bounds)
+      val pairs = toks
+        .select(explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .select(col("p.l").as("l"), col("p.r").as("r"))
+      val top = pairs.groupBy("l", "r").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((step.toLong, l, r, c))
+        val pattern = "\\(" + l + "\\)\\(" + r + "\\)"
+        seqs = seqs.withColumn("seq",
+          regexp_replace(col("seq"), pattern, s"($l $r)"))
+          .localCheckpoint(false)
+      }
+    }
+    learned.result()
+      .toDF("step", "merge_left", "merge_right", "n_pairs")
+      .orderBy("step")
+  }
+}
