@@ -294,6 +294,11 @@ object SparkEntry {
       Sampling.weightedTopK(Tables.documents(s, dir).select("doc_id", "lang"),
         "doc_id", when(col("lang") === "en", 1).otherwise(4), 100)
         .orderBy("doc_id")),
+    // 200-doc corpus at 50% en / 20% de / 30% fr; es+zh excluded (weight 0)
+    "q_sample_mixture" -> ((s, dir) =>
+      Sampling.mixture(Tables.documents(s, dir).select("doc_id", "lang"),
+        "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.3), 200L)
+        .orderBy("doc_id")),
 
     // ---- extension: repetition ratio + PII scrub (text curation) ----
     "q_repetition" -> ((s, dir) =>
@@ -1407,6 +1412,15 @@ object SparkEntry {
           |  SELECT doc_id, lang,
           |    CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rk
           |  FROM documents) t WHERE rk <= 30 ORDER BY doc_id""".stripMargin,
+      "q_sample_mixture" ->
+        """SELECT doc_id, lang, mix_rk FROM (
+          |  SELECT doc_id, lang,
+          |    CAST(row_number() OVER (PARTITION BY lang
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '|graft_mix_v1'), doc_id) AS BIGINT) AS mix_rk
+          |  FROM documents) t
+          |WHERE mix_rk <= CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 40
+          |                          WHEN 'fr' THEN 60 ELSE 0 END
+          |ORDER BY doc_id""".stripMargin,
       "q_repetition" ->
         """WITH d AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM documents),
           |tri AS (SELECT doc_id, list_transform(range(1, greatest(len(w) - 2, 1) + 1),

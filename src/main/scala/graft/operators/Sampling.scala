@@ -42,6 +42,35 @@ object Sampling {
       .filter(col("rk") <= n)
   }
 
+  /** Training-MIXTURE sampler: fill a `budget`-row corpus matching target
+    * per-stratum weights — the domain/language mixture knob of a
+    * pretraining data recipe. Each stratum gets quota = floor(budget * w),
+    * and its quota fills by content-addressed hash order (NOT doc-id order
+    * — id order biases toward whatever ingested first; the hash order is an
+    * unbiased, reproducible shuffle per stratum). A stratum with fewer rows
+    * than quota contributes everything it has — the standard under-supply
+    * behavior (real recipes then re-normalize or upsample; detecting the
+    * shortfall is one groupBy on the output).
+    *
+    * One window shuffle on the stratum key; rank state is O(quota) per
+    * group under AQE skew handling. Output keeps (key, stratum, mix_rk). */
+  def mixture(df: DataFrame, keyCol: String, strataCol: String,
+              weights: Map[String, Double], budget: Long,
+              salt: String = "graft_mix_v1"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0),
+      "weights must be non-negative")
+    val quota: Column = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(0L)) { case (acc, (stratum, w)) =>
+        when(col(strataCol) === stratum,
+          lit(math.floor(budget * w).toLong)).otherwise(acc)
+      }
+    val win = Window.partitionBy(strataCol)
+      .orderBy(md5(concat(col(keyCol).cast("string"), lit("|" + salt))).asc,
+        col(keyCol).asc)
+    df.withColumn("mix_rk", row_number().over(win).cast("long"))
+      .filter(col("mix_rk") <= quota)
+  }
+
   /** Content-addressed uniform in (0,1]: 52 md5 bits (13 hex chars) + 1 over
     * 2^52. Every step is exact in doubles — the integer is < 2^52 so it
     * represents exactly, and the divisor is a power of two — so the value is

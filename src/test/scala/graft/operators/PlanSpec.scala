@@ -104,6 +104,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
 
+  test("nearDupSurvivorsVsHistory: history side never sort-merge joins") {
+    val docs = Tables.documents(spark, sf)
+    val df = NearDup.nearDupSurvivorsVsHistory(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("lm signal: the vocab head broadcasts into the scoring join") {
+    val df = TextAnalysis.bigramFrequencySignal(Tables.documents(spark, sf))
+    df.collect()
+    val p = plan(df)
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftOuter")), p.take(3000))
+  }
+
+  test("adc scoring: query LUT table broadcasts, corpus codes stay a narrow map") {
+    val df = PqIndex.adcTopK(Tables.embeddings(spark, sf), nQueries = 2, k = 3)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("distributed boundaries avoid the global single-partition window") {
     val li = Tables.lineitem(spark, sf)
       .withColumn("ts_epoch", col("l_shipdate").cast("timestamp").cast("long"))
