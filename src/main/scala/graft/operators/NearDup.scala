@@ -145,7 +145,10 @@ object NearDup {
     val matched = cand
       .join(broadcast(bSigs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))),
         "b_id")
-      .join(hSets, "h_id")
+      // hSets is candidate-bounded (small by the asymmetry contract) — hint
+      // it explicitly; leaving it to size estimation let a SortMergeJoin
+      // slip in under some plan states
+      .join(broadcast(hSets), "h_id")
       .withColumn("inter",
         graft.functions.VectorFunctions
           .sorted_intersect_count(col("h_sh"), col("b_sh")))
