@@ -347,6 +347,12 @@ object SparkEntry {
       VectorOps.projectDigest(Tables.embeddings(s, dir)).orderBy("vec_id")),
     "q_vec_pq" -> ((s, dir) =>
       PqIndex.codes(Tables.embeddings(s, dir))),
+    // cluster-size histogram of the IVF assignment — the index-balance
+    // check an ANN deployment monitors (a collapsed list = a hot probe)
+    "q_vec_clusters" -> ((s, dir) =>
+      IvfIndex.assignments(Tables.embeddings(s, dir))
+        .groupBy("list").agg(count(lit(1)).as("n"))
+        .orderBy("list")),
     "q_vec_adc" -> ((s, dir) =>
       PqIndex.adcTopK(Tables.embeddings(s, dir))),
 
@@ -368,6 +374,8 @@ object SparkEntry {
     // ---- extension: time-series resample + forward fill ----
     "q_resample_ffill" -> ((s, dir) =>
       Resample.ffill(Tables.events(s, dir))),
+    "q_window_rolling" -> ((s, dir) =>
+      JsonOps.rollingWindow(Tables.events(s, dir))),
 
     // ---- extension: multimodal binary columns (ext_multimodal) ----
     "q_mm_metadata" -> ((s, dir) =>
@@ -1138,6 +1146,43 @@ object SparkEntry {
           |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rk
           |      FROM scored)
           |SELECT q_id, rk, n_id, sim FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+      // the IVF training chain through the final assignment (a2), trimmed
+      // of the query-side probe CTEs — same decimal-exact discipline
+      "q_vec_clusters" ->
+        """WITH ve AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+          |          CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+          |        FROM embeddings CROSS JOIN range(1, 65) r(i)),
+          |seed AS (SELECT vec_id, vec_id % 8 AS list FROM embeddings),
+          |c0 AS (SELECT list, dim,
+          |         CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+          |       FROM ve JOIN seed USING (vec_id) GROUP BY list, dim),
+          |d0 AS (SELECT vec_id, list,
+          |         sum(CAST((v - c) * (v - c) AS DECIMAL(38,18))) AS dist2
+          |       FROM ve JOIN c0 USING (dim) GROUP BY vec_id, list),
+          |a1 AS (SELECT vec_id, list FROM (
+          |         SELECT vec_id, list,
+          |           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, list) AS rn
+          |         FROM d0) x WHERE rn = 1),
+          |c1 AS (SELECT list, dim,
+          |         CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+          |       FROM ve JOIN a1 USING (vec_id) GROUP BY list, dim),
+          |d1 AS (SELECT vec_id, list,
+          |         sum(CAST((v - c) * (v - c) AS DECIMAL(38,18))) AS dist2
+          |       FROM ve JOIN c1 USING (dim) GROUP BY vec_id, list),
+          |a2 AS (SELECT vec_id, list FROM (
+          |         SELECT vec_id, list,
+          |           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, list) AS rn
+          |         FROM d1) x WHERE rn = 1)
+          |SELECT list, count(*) AS n FROM a2 GROUP BY list ORDER BY list""".stripMargin,
+      "q_window_rolling" ->
+        """SELECT user_id, event_id, ts_sec,
+          |  count(*) OVER w AS n_last_hour,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_last_hour
+          |FROM (SELECT user_id, event_id,
+          |        CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value FROM events) t
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+          |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+          |ORDER BY user_id, ts_sec, event_id""".stripMargin,
       "q_sim_topk_ivf" -> {
         val ivfCommon =
           """ve AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim,

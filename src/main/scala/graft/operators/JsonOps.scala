@@ -65,6 +65,27 @@ object JsonOps {
       .orderBy("user_id", "session_seq")
   }
 
+  /** TRUE time-window running aggregates: a RANGE frame over epoch seconds
+    * — each event sees the count/sum of its user's events in the trailing
+    * `horizonSeconds`, regardless of how many rows that is (the ROWS-frame
+    * battery in Relational.windowBattery counts rows; this one measures
+    * TIME — the "activity in the last hour" feature shape). One shuffle on
+    * the user key; frame state is the horizon's worth of rows per user.
+    * Ties at the same second share identical frame values by construction
+    * (the frame depends on the ORDER value, not the row), so output is
+    * deterministic under any partitioning. */
+  def rollingWindow(events: DataFrame, horizonSeconds: Long = 3600L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_sec"))
+      .rangeBetween(-horizonSeconds, 0)
+    events
+      .withColumn("ts_sec", col("ts").cast("timestamp").cast("long"))
+      .select(col("user_id"), col("event_id"), col("ts_sec"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        sum(col("value").cast("decimal(18,2)")).over(w)
+          .cast("double").as("sum_last_hour"))
+      .orderBy("user_id", "ts_sec", "event_id")
+  }
+
   /** Gap sessions via Spark's NATIVE `session_window` operator — the
     * built-in that [[sessionize]] hand-rolls, included so both forms are
     * first-class (the native one also runs under Structured Streaming with
