@@ -134,6 +134,26 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars", "z")
         .orderBy("doc_id")),
     "q_corr_manual"        -> ((s, dir) => Relational.corrManual(s, dir)),
+    "q_zscore_robust" -> ((s, dir) =>
+      Relational.groupRobustZ(
+          Tables.documents(s, dir).select("doc_id", "lang", "n_chars"),
+          "lang", "n_chars")
+        .select("doc_id", "lang", "n_chars", "rz")
+        .orderBy("doc_id")),
+    // day-N snapshot + day-N delta -> day-N+1 snapshot with NO history
+    // rescan; the oracle recomputes from scratch, proving equivalence
+    "q_incremental_agg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_sec", col("ts").cast("timestamp").cast("long"))
+      val snap = Merge.aggSnapshot(
+        ev.filter(col("event_id") <= 700), Seq("user_id", "event_type"),
+        "value", "ts_sec")
+      Merge.incrementalAgg(snap, ev.filter(col("event_id") > 700),
+          Seq("user_id", "event_type"), "value", "ts_sec")
+        .select(col("user_id"), col("event_type"), col("n"),
+          col("sum_v").cast("double").as("sum_v"), col("min_v"), col("max_v"))
+        .orderBy("user_id", "event_type")
+    }),
 
     // ---- extension: bloom-pruned equi-join (probe filtered pre-shuffle) ----
     "q_bloom_join" -> ((s, dir) => {
@@ -1323,6 +1343,23 @@ object SparkEntry {
           |       THEN (CAST(n_chars AS DOUBLE) - mean) / std END AS z
           |FROM documents d JOIN b ON d.lang = b.lang
           |ORDER BY doc_id""".stripMargin,
+      "q_zscore_robust" ->
+        """WITH m AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
+          |           FROM documents GROUP BY lang),
+          |d AS (SELECT doc_id, dd.lang, n_chars, med,
+          |        abs(CAST(n_chars AS DOUBLE) - med) AS adev
+          |      FROM documents dd JOIN m USING (lang)),
+          |md AS (SELECT lang, quantile_cont(adev, 0.5) AS mad FROM d GROUP BY lang)
+          |SELECT doc_id, d.lang, n_chars,
+          |  CASE WHEN mad > 0 THEN (CAST(n_chars AS DOUBLE) - med) / mad END AS rz
+          |FROM d JOIN md USING (lang) ORDER BY doc_id""".stripMargin,
+      "q_incremental_agg" ->
+        """SELECT user_id, event_type, count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+          |  min(CAST(floor(epoch(ts)) AS BIGINT)) AS min_v,
+          |  max(CAST(floor(epoch(ts)) AS BIGINT)) AS max_v
+          |FROM events GROUP BY user_id, event_type
+          |ORDER BY user_id, event_type""".stripMargin,
       "q_bloom_join" ->
         """SELECT o_orderstatus, count(*) AS n_li,
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

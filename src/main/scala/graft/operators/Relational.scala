@@ -311,6 +311,29 @@ object Relational {
       .drop("__mean", "__std")
   }
 
+  /** ROBUST per-group outlier score: (x - median) / MAD — the
+    * heavy-tail-safe companion to [[groupZScore]] (mean/std are themselves
+    * dragged by the outliers a quality gate hunts; median/MAD are not).
+    * Two grouped percentile passes (median, then median absolute
+    * deviation), each producing a per-group stat row broadcast back over
+    * the row stream. Interpolated medians of integers/exact doubles are
+    * exact double arithmetic, so scores are engine-identical. Zero-MAD
+    * groups (over half the values identical) emit null rather than a
+    * division blow-up. Exact `percentile` buffers each group's values —
+    * swap `percentile_approx` at 100 TB, same plan shape. */
+  def groupRobustZ(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val med = df.groupBy(groupCol)
+      .agg(percentile(col(valueCol), lit(0.5)).as("__med"))
+    val withMed = df.join(broadcast(med), Seq(groupCol))
+    val mad = withMed.groupBy(groupCol)
+      .agg(percentile(abs(col(valueCol).cast("double") - col("__med")), lit(0.5))
+        .as("__mad"))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .withColumn("rz", when(col("__mad") > 0.0,
+        (col(valueCol).cast("double") - col("__med")) / col("__mad")))
+      .drop("__med", "__mad")
+  }
+
   /** Winsorized per-group stats: clip l_extendedprice to its global
     * [p05, p95] before aggregating — the outlier-trim every metadata-driven
     * quality gate needs (a mis-parsed field can't dominate a mean).

@@ -61,6 +61,28 @@ class MergeSpec extends SparkSpec {
     assert(chained.count() == 0, "valid_to chains to the successor's valid_from")
   }
 
+  test("incrementalAgg combines snapshot+delta: keys on one side only survive intact") {
+    import spark.implicits._
+    // key A in both, key B snapshot-only, key C delta-only
+    val hist = Seq(("A", 10.0, 100L), ("A", 20.0, 110L), ("B", 5.0, 90L))
+      .toDF("k", "value", "ts_sec")
+    val delta = Seq(("A", 1.5, 200L), ("C", 7.0, 150L))
+      .toDF("k", "value", "ts_sec")
+    val snap = Merge.aggSnapshot(hist, Seq("k"), "value", "ts_sec")
+    val got = Merge.incrementalAgg(snap, delta, Seq("k"), "value", "ts_sec")
+      .select($"k", $"n", $"sum_v".cast("double"), $"min_v", $"max_v")
+      .as[(String, Long, Double, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    val scratch = Merge.aggSnapshot(hist.unionAll(delta), Seq("k"), "value", "ts_sec")
+      .select($"k", $"n", $"sum_v".cast("double"), $"min_v", $"max_v")
+      .as[(String, Long, Double, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(got == scratch)
+    assert(got("B") == ((1L, 5.0, 90L, 90L)))   // snapshot-only passes through
+    assert(got("C") == ((1L, 7.0, 150L, 150L))) // delta-only appears fresh
+    assert(got("A") == ((3L, 31.5, 100L, 200L)))
+  }
+
   test("upsertReplace plan: target side is a broadcast anti-join (no target shuffle)") {
     val target = ev.filter(col("event_id") <= 700)
     val updates = ev.filter(col("event_id") > 700)
