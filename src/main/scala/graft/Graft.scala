@@ -102,6 +102,14 @@ object Graft {
     RangeJoin.binned(points, intervals, ts, lo, hi, bucket, keys)
   def resampleFfill(events: DataFrame, stepSeconds: Long = 3600L): DataFrame =
     Resample.ffill(events, stepSeconds)
+  def rollingWindow(events: DataFrame, horizonSeconds: Long = 3600L): DataFrame =
+    JsonOps.rollingWindow(events, horizonSeconds)
+  def aggSnapshot(rows: DataFrame, keys: Seq[String], valueCol: String,
+                  orderCol: String): DataFrame =
+    Merge.aggSnapshot(rows, keys, valueCol, orderCol)
+  def incrementalAgg(snapshot: DataFrame, delta: DataFrame, keys: Seq[String],
+                     valueCol: String, orderCol: String): DataFrame =
+    Merge.incrementalAgg(snapshot, delta, keys, valueCol, orderCol)
 
   // ---- sampling / vector preprocessing ----
   def sampleStratified(df: DataFrame, keyCol: String, strataCol: String,
@@ -110,6 +118,15 @@ object Graft {
   def quotaCap(df: DataFrame, groupCol: String, n: Int,
                orderCols: Seq[String]): DataFrame =
     Sampling.quotaCap(df, groupCol, n, orderCols)
+  def mixtureSample(df: DataFrame, keyCol: String, strataCol: String,
+                    weights: Map[String, Double], budget: Long): DataFrame =
+    Sampling.mixture(df, keyCol, strataCol, weights, budget)
+  def zScore(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    Relational.groupZScore(df, groupCol, valueCol)
+  def robustZScore(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    Relational.groupRobustZ(df, groupCol, valueCol)
+  def bpeMerges(docs: DataFrame, steps: Int = 4): DataFrame =
+    BpeTrainer.merges(docs, steps)
   def repetitionRatio(docs: DataFrame): DataFrame = TextAnalysis.repetition(docs)
   def redactPii(docs: DataFrame): DataFrame = TextAnalysis.redactPii(docs)
   def normalizeText(docs: DataFrame): DataFrame = TextAnalysis.normalizeText(docs)
