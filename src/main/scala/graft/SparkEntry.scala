@@ -140,6 +140,23 @@ object SparkEntry {
           "lang", "n_chars")
         .select("doc_id", "lang", "n_chars", "rz")
         .orderBy("doc_id")),
+    // merged HLL sketches vs exact distincts: sketch values aren't
+    // engine-reproducible, so the checkable output is exact counts + the
+    // published-error-bound booleans (the approxSketches pattern)
+    "q_incremental_distinct" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val merged = Merge.incrementalDistinct(
+        Merge.distinctSnapshot(ev.filter(col("event_id") <= 700),
+          Seq("event_type"), "user_id"),
+        ev.filter(col("event_id") > 700), Seq("event_type"), "user_id")
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_exact"))
+      merged.join(exact, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("n_distinct_est") - col("n_exact").cast("double"))
+            <= lit(0.05) * col("n_exact").cast("double")).as("within_rsd"))
+        .orderBy("event_type")
+    }),
     // day-N snapshot + day-N delta -> day-N+1 snapshot with NO history
     // rescan; the oracle recomputes from scratch, proving equivalence
     "q_incremental_agg" -> ((s, dir) => {
@@ -1353,6 +1370,10 @@ object SparkEntry {
           |SELECT doc_id, d.lang, n_chars,
           |  CASE WHEN mad > 0 THEN (CAST(n_chars AS DOUBLE) - med) / mad END AS rz
           |FROM d JOIN md USING (lang) ORDER BY doc_id""".stripMargin,
+      "q_incremental_distinct" ->
+        """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+          |  TRUE AS within_rsd
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       "q_incremental_agg" ->
         """SELECT user_id, event_type, count(*) AS n,
           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,

@@ -98,6 +98,35 @@ object Merge {
           coalesce(col("__dmax"), col("max_v"))).as("max_v")): _*)
   }
 
+  /** Incremental DISTINCT-COUNT maintenance — the aggregate
+    * [[incrementalAgg]] can't combine (yesterday's distinct count + today's
+    * is NOT the union's distinct count). The mergeable form is the
+    * Datasketches HLL sketch: the snapshot stores one fixed-size sketch per
+    * key, the delta builds its own, and day-N+1's snapshot is the per-key
+    * `hll_union` — no history rescan, sketch-sized state, mathematically
+    * mergeable (union of sketches IS the sketch of the union, not an
+    * approximation of a merge). Estimates carry the usual HLL error
+    * (~1.6% at default lgConfigK); the oracle checks the published bound
+    * as boolean verdicts against exact counts (the approxSketches
+    * pattern). */
+  def distinctSnapshot(rows: DataFrame, keys: Seq[String],
+                       valueCol: String): DataFrame =
+    rows.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol)).as("dv_sketch"))
+
+  def incrementalDistinct(snapshot: DataFrame, delta: DataFrame,
+                          keys: Seq[String], valueCol: String): DataFrame = {
+    val d = distinctSnapshot(delta, keys, valueCol)
+      .withColumnRenamed("dv_sketch", "__dsk")
+    snapshot.join(d, keys, "full_outer")
+      .select(keys.map(col) :+
+        when(col("dv_sketch").isNull, col("__dsk"))
+          .when(col("__dsk").isNull, col("dv_sketch"))
+          .otherwise(hll_union(col("dv_sketch"), col("__dsk")))
+          .as("dv_sketch"): _*)
+      .withColumn("n_distinct_est", hll_sketch_estimate(col("dv_sketch")))
+  }
+
   /** Type-2 SCD derivation from a row-version log: each key's versions get
     * half-open validity ranges [valid_from, valid_to) in epoch seconds, the
     * open (current) version marked with valid_to NULL. Deterministic under

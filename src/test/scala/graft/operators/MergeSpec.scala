@@ -83,6 +83,23 @@ class MergeSpec extends SparkSpec {
     assert(got("A") == ((3L, 31.5, 100L, 200L)))
   }
 
+  test("incrementalDistinct: merged sketches estimate exactly like a single pass") {
+    import spark.implicits._
+    val hist = (1 to 400).map(i => ("t", i % 97L)).toDF("k", "uid")
+    val delta = (1 to 300).map(i => ("t", (i % 53L) + 80L)).toDF("k", "uid")
+      .unionAll(Seq(("fresh", 1L)).toDF("k", "uid"))
+    val merged = Merge.incrementalDistinct(
+        Merge.distinctSnapshot(hist, Seq("k"), "uid"), delta, Seq("k"), "uid")
+      .select($"k", $"n_distinct_est").as[(String, Double)].collect().toMap
+    val single = Merge.distinctSnapshot(hist.unionAll(delta), Seq("k"), "uid")
+      .withColumn("e", hll_sketch_estimate(col("dv_sketch")))
+      .select($"k", $"e").as[(String, Double)].collect().toMap
+    // sketch union == sketch of the union: ESTIMATES are identical, not
+    // merely close — that is what makes the maintenance loop sound
+    assert(merged == single)
+    assert(merged.contains("fresh")) // delta-only key appears
+  }
+
   test("upsertReplace plan: target side is a broadcast anti-join (no target shuffle)") {
     val target = ev.filter(col("event_id") <= 700)
     val updates = ev.filter(col("event_id") > 700)
