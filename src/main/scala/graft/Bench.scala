@@ -2,7 +2,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Headline benchmark: every `SparkEntry.queries` entry against
-  * `SPARK_GRAFT_SF_DIR`, one JSON metric line on stdout.
+  * `SPARK_GRAFT_SF_DIR`. Stdout ends with a total-ONLY JSON line (the
+  * driver tail-parses stdout and a 110-entry per-query map overflows its
+  * window — rounds 3 and 4 both lost their artifact that way); the
+  * per-query map prints on the line before it and everything lands in the
+  * `SPARK_GRAFT_BENCH_OUT` side file.
   *
   * Self-diagnosing (round 3): a bench number is only meaningful if the
   * machine was actually idle, so the metric line carries the evidence —
@@ -30,6 +34,20 @@ object Bench {
       case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
       case _                                           => -1L
     }
+    // Idle guard (round-4 lesson: a 148s artifact with load_avg_start 2.25
+    // was committed over a clean 104s close). Wait — bounded — for ambient
+    // load to drain before measuring; a run that still starts contended is
+    // MARKED and refuses to overwrite the committed artifact path.
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "1.0").toDouble
+    val maxWaits = sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_WAITS", "6").toInt
+    var waits = 0
+    while (loadAvg > maxLoad && waits < maxWaits) {
+      System.err.println(f"[bench] load ${loadAvg}%.2f > $maxLoad%.2f — waiting for idle (${waits + 1}/$maxWaits)")
+      Thread.sleep(20000); waits += 1
+    }
+    val contaminated = loadAvg > maxLoad
+    if (contaminated)
+      System.err.println(f"[bench] STILL loaded (${loadAvg}%.2f) — run will be marked contaminated")
     // session warmup so the first timed query doesn't absorb codegen/classload
     // and parquet-reader init costs (~3-5s) that belong to the JVM, not the plan
     spark.range(1000).selectExpr("sum(id) s").write.format("noop").mode("overwrite").save()
@@ -75,22 +93,30 @@ object Bench {
     }.mkString("{", ",", "}")
     val fs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    // Two channels, two payloads. The driver captures a BOUNDED TAIL of
-    // stdout and line-parses it, so the stdout line must stay compact (the
-    // round-3 artifact was lost to one over-long line) and must be the LAST
-    // thing printed. Diagnostics (idle-ness evidence, per-query spread) go
-    // to stderr and to the side file, never onto the parsed line.
-    val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir","iters":$iters}"""
+    // Two channels, three payloads. The driver captures a BOUNDED TAIL of
+    // stdout and line-parses it; rounds 3 AND 4 both lost the artifact to
+    // one over-long line (110 per-query entries overflow the tail window
+    // even in compact form). So the VERY LAST stdout line is total-ONLY and
+    // a few dozen bytes; the per-query map prints on an earlier line and
+    // goes to the side file; diagnostics (idle-ness evidence, per-query
+    // spread) go to stderr and the side file, never onto the parsed line.
+    val totalLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$fs,"iters":$iters,"contaminated":$contaminated}"""
+    val perQuery =
+      s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}"""
     val diagnostics =
       s"""{"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"cpu_wall_ratio":$cpuWallRatio,"wall_sec":$wallSec,"iter_spread":$spread}"""
     System.err.println(s"[bench] diagnostics: $diagnostics")
+    // a contaminated run must not overwrite the committed artifact path —
+    // it records next to it and the total line says so
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_METRIC.json")
     val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_METRIC.json"))
+      if (contaminated) outPath + ".contaminated" else outPath)
     java.nio.file.Files.write(out,
-      (compact + "\n" + diagnostics + "\n")
+      (totalLine + "\n" + perQuery + "\n" + diagnostics + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(compact)
+    println(perQuery)
+    println(totalLine)
     spark.stop()
     // a failed query must not masquerade as a clean bench run
     if (failed.nonEmpty) sys.exit(1)

@@ -85,6 +85,8 @@ object Graft {
     PqIndex.codes(emb, nIters)
   def similarTopKPq(emb: DataFrame, queries: Int = 8, k: Int = 5): DataFrame =
     PqIndex.adcTopK(emb, queries, k)
+  def similarTopKIvfPq(emb: DataFrame, queries: Int = 8, k: Int = 5): DataFrame =
+    PqIndex.ivfpqTopK(emb, queries, k)
 
   // ---- text / events ----
   def textQuality(docs: DataFrame): DataFrame = TextAnalysis.qualityScore(docs)

@@ -392,6 +392,10 @@ object SparkEntry {
         .orderBy("list")),
     "q_vec_adc" -> ((s, dir) =>
       PqIndex.adcTopK(Tables.embeddings(s, dir))),
+    // the composed index: IVF list pruning in front of ADC code scoring —
+    // the billion-scale ANN architecture (only probed lists are scored)
+    "q_sim_topk_ivfpq" -> ((s, dir) =>
+      PqIndex.ivfpqTopK(Tables.embeddings(s, dir))),
 
     // ---- capstone: end-to-end training-data curation ----
     "q_curation" -> ((s, dir) => CurationPipeline.keptDocuments(s, dir)),
@@ -509,6 +513,42 @@ object SparkEntry {
     * decimal->double. Rankings (argmin/probe) shrug these ulps off — the
     * IVF oracle doesn't need the hop — but `q_vec_adc` exposes summed
     * distance VALUES, where every lane difference surfaces. */
+  /** IVF coarse-quantizer chain (seed partition -> one Lloyd step -> final
+    * assignment + per-query probe lists), CTE names prefixed so the chain
+    * can compose with [[pqCtes]] (whose ve/seed/c0/d0/a1/c1/d1/a2 names it
+    * would otherwise shadow) in the IVF-PQ oracle. */
+  private def ivfCtes(p: String): String =
+    s"""${p}ve AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+       |          CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+       |        FROM embeddings CROSS JOIN range(1, 65) r(i)),
+       |${p}seed AS (SELECT vec_id, vec_id % 8 AS list FROM embeddings),
+       |${p}c0 AS (SELECT list, dim,
+       |         CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+       |       FROM ${p}ve JOIN ${p}seed USING (vec_id) GROUP BY list, dim),
+       |${p}d0 AS (SELECT vec_id, list,
+       |         sum(CAST((v - c) * (v - c) AS DECIMAL(38,18))) AS dist2
+       |       FROM ${p}ve JOIN ${p}c0 USING (dim) GROUP BY vec_id, list),
+       |${p}a1 AS (SELECT vec_id, list FROM (
+       |         SELECT vec_id, list,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, list) AS rn
+       |         FROM ${p}d0) x WHERE rn = 1),
+       |${p}c1 AS (SELECT list, dim,
+       |         CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+       |       FROM ${p}ve JOIN ${p}a1 USING (vec_id) GROUP BY list, dim),
+       |${p}d1 AS (SELECT vec_id, list,
+       |         sum(CAST((v - c) * (v - c) AS DECIMAL(38,18))) AS dist2
+       |       FROM ${p}ve JOIN ${p}c1 USING (dim) GROUP BY vec_id, list),
+       |${p}a2 AS (SELECT vec_id, list FROM (
+       |         SELECT vec_id, list,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, list) AS rn
+       |         FROM ${p}d1) x WHERE rn = 1),
+       |${p}probes AS (SELECT vec_id AS q_id, list FROM (
+       |         SELECT vec_id, list,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, list) AS rn
+       |         FROM ${p}d1 WHERE vec_id < 8) x WHERE rn <= 2),
+       |${p}cand AS (SELECT DISTINCT q_id, m.vec_id AS n_id
+       |         FROM ${p}probes JOIN ${p}a2 m USING (list) WHERE q_id <> m.vec_id)""".stripMargin
+
   private val pqCtes =
     """ve AS (SELECT vec_id, CAST((i - 1) // 8 AS INT) AS s,
       |         CAST((i - 1) % 8 AS INT) AS subdim,
@@ -1220,48 +1260,32 @@ object SparkEntry {
           |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
           |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
           |ORDER BY user_id, ts_sec, event_id""".stripMargin,
-      "q_sim_topk_ivf" -> {
-        val ivfCommon =
-          """ve AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim,
-            |          CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
-            |        FROM embeddings CROSS JOIN range(1, 65) r(i)),
-            |seed AS (SELECT vec_id, vec_id % 8 AS list FROM embeddings),
-            |c0 AS (SELECT list, dim,
-            |         CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
-            |       FROM ve JOIN seed USING (vec_id) GROUP BY list, dim),
-            |d0 AS (SELECT vec_id, list,
-            |         sum(CAST((v - c) * (v - c) AS DECIMAL(38,18))) AS dist2
-            |       FROM ve JOIN c0 USING (dim) GROUP BY vec_id, list),
-            |a1 AS (SELECT vec_id, list FROM (
-            |         SELECT vec_id, list,
-            |           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, list) AS rn
-            |         FROM d0) x WHERE rn = 1),
-            |c1 AS (SELECT list, dim,
-            |         CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
-            |       FROM ve JOIN a1 USING (vec_id) GROUP BY list, dim),
-            |d1 AS (SELECT vec_id, list,
-            |         sum(CAST((v - c) * (v - c) AS DECIMAL(38,18))) AS dist2
-            |       FROM ve JOIN c1 USING (dim) GROUP BY vec_id, list),
-            |a2 AS (SELECT vec_id, list FROM (
-            |         SELECT vec_id, list,
-            |           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, list) AS rn
-            |         FROM d1) x WHERE rn = 1),
-            |probes AS (SELECT vec_id AS q_id, list FROM (
-            |         SELECT vec_id, list,
-            |           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, list) AS rn
-            |         FROM d1 WHERE vec_id < 8) x WHERE rn <= 2),
-            |cand AS (SELECT DISTINCT q_id, m.vec_id AS n_id
-            |         FROM probes JOIN a2 m USING (list) WHERE q_id <> m.vec_id),
-            |v2 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-            |       FROM embeddings)""".stripMargin
-        s"""WITH $ivfCommon,
+      "q_sim_topk_ivf" ->
+        s"""WITH ${ivfCtes("")},
+           |v2 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           |       FROM embeddings),
            |s AS (SELECT q_id, n_id, ${cosSql("q.emb", "n.emb")} AS cos
            |      FROM cand JOIN v2 q ON q.vec_id = q_id JOIN v2 n ON n.vec_id = n_id),
            |r AS (SELECT q_id, n_id, cos,
            |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
            |      FROM s)
-           |SELECT q_id, rk, n_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
-      },
+           |SELECT q_id, rk, n_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+      // IVF-PQ composition: the i_-prefixed coarse chain supplies probed
+      // candidates; the bare pq chain supplies codes (a2) and the query-side
+      // LUT rows (d1) — ADC distance = sum of d1 entries at the candidate's
+      // codes, exactly q_vec_adc's scoring restricted to probed lists
+      "q_sim_topk_ivfpq" ->
+        s"""WITH ${ivfCtes("i_")},
+           |$pqCtes,
+           |adc AS (SELECT c.q_id, c.n_id, sum(d.dist2) AS adist
+           |        FROM i_cand c JOIN a2 x ON x.vec_id = c.n_id
+           |             JOIN d1 d ON d.vec_id = c.q_id AND d.s = x.s AND d.code = x.code
+           |        GROUP BY 1, 2),
+           |r AS (SELECT q_id, n_id, adist,
+           |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS BIGINT) AS rk
+           |      FROM adc)
+           |SELECT q_id, rk, n_id, CAST(adist AS VARCHAR) AS adist
+           |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
       "q_dedup_embcos" ->
         s"""WITH $sketchCte,
            |cand AS (SELECT DISTINCT a.vec_id AS a_id, a.emb AS a_emb,

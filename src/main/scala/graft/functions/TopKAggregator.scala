@@ -20,6 +20,45 @@ object TopKAggregator {
   case class OrderRow(o_orderpriority: String, o_orderkey: Long, o_totalprice: Double)
   case class TopHit(rk: Long, o_orderkey: Long, o_totalprice: Double)
 
+  /** ADC-scored candidate: distances stay DECIMAL end-to-end (the oracle
+    * compares exact decimal strings; a double hop would re-round). The
+    * encoder's default decimal(38,18) is a safe widening of the kernel's
+    * (37,18) sums. */
+  case class Scored(q_id: Long, n_id: Long, adist: BigDecimal)
+  case class RankedHit(rk: Long, n_id: Long, adist: BigDecimal)
+
+  /** Keeps the k smallest (adist asc, n_id asc) candidates per group — the
+    * scale-safe replacement for `row_number().over(partitionBy(q_id))` in
+    * ADC selection: the window form materializes ALL corpus scores of a
+    * query in ONE task (a per-query funnel at 100 TB); this aggregate's
+    * partial/merge lanes keep O(k) state per query per task and ship k rows
+    * per query per partition. Ranking ties break by n_id, mirroring the
+    * oracle's `ORDER BY adist, n_id`. */
+  class MinKByDist(k: Int) extends Aggregator[Scored, List[(BigDecimal, Long)], Seq[RankedHit]] {
+    private def better(a: (BigDecimal, Long), b: (BigDecimal, Long)): Boolean =
+      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+
+    override def zero: List[(BigDecimal, Long)] = Nil
+
+    override def reduce(buf: List[(BigDecimal, Long)], row: Scored): List[(BigDecimal, Long)] =
+      insert(buf, (row.adist, row.n_id))
+
+    private def insert(buf: List[(BigDecimal, Long)], x: (BigDecimal, Long)): List[(BigDecimal, Long)] = {
+      val (pre, post) = buf.span(better(_, x))
+      (pre ::: x :: post).take(k)
+    }
+
+    override def merge(a: List[(BigDecimal, Long)], b: List[(BigDecimal, Long)]): List[(BigDecimal, Long)] =
+      b.foldLeft(a)(insert)
+
+    override def finish(buf: List[(BigDecimal, Long)]): Seq[RankedHit] =
+      buf.zipWithIndex.map { case ((d, id), i) => RankedHit(i + 1L, id, d) }
+
+    override def bufferEncoder: Encoder[List[(BigDecimal, Long)]] =
+      ExpressionEncoder[List[(BigDecimal, Long)]]()
+    override def outputEncoder: Encoder[Seq[RankedHit]] = ExpressionEncoder[Seq[RankedHit]]()
+  }
+
   /** Keeps the k largest (o_totalprice desc, o_orderkey asc) rows. */
   class TopKByPrice(k: Int) extends Aggregator[OrderRow, List[(Double, Long)], Seq[TopHit]] {
     private def better(a: (Double, Long), b: (Double, Long)): Boolean =

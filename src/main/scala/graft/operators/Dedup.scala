@@ -67,9 +67,27 @@ object Dedup {
     * than returning a half-converged labeling. */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 30,
                     checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // Checkpoint-dir hygiene: setCheckpointDir mutates GLOBAL SparkContext
+    // state, so (a) each invocation checkpoints into its own unique
+    // subdirectory — repeated runs never interleave files — and (b) the
+    // context's previous dir is restored before returning, so this call
+    // can't silently redirect other jobs' checkpoints. The run directory
+    // itself must outlive this call (the returned frame reads its final
+    // checkpoint from it); callers delete it once the result is persisted
+    // downstream — printed path makes that a one-liner.
+    val sc = pairs.sparkSession.sparkContext
+    val prevDir = sc.getCheckpointDir
+    checkpointDir.foreach { base =>
+      sc.setCheckpointDir(s"$base/graft-cc-${java.util.UUID.randomUUID}")
+    }
     def save(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    try dedupClustersLoop(pairs, maxIters, save)
+    finally if (checkpointDir.isDefined) prevDir.foreach(sc.setCheckpointDir)
+  }
+
+  private def dedupClustersLoop(pairs: DataFrame, maxIters: Int,
+                                save: DataFrame => DataFrame): DataFrame = {
     // materialize the pair pipeline ONCE — the symmetric union would
     // otherwise recompute the (expensive) upstream pair detection per branch
     val p = save(pairs.select(col("a_id"), col("b_id")))

@@ -103,22 +103,55 @@ object IvfIndex {
     argmin(distances(emb, lloyd(emb, ve, nLists, nIters)))
   }
 
+  /** The coarse-quantizer outputs both IVF consumers need: per-query probe
+    * lists (`q_id`, `list` — the nProbe nearest) and the full-corpus
+    * inverted-list assignment (`vec_id`, `list`). Shared by [[topK]] (exact
+    * re-rank) and [[PqIndex.ivfpqTopK]] (ADC re-rank over compressed codes);
+    * the centroid matrix is collected ONCE inside lloyd() and both frames
+    * consume the same packed literal. */
+  private[operators] def probeAndAssign(emb: DataFrame, nQueries: Int,
+      nLists: Int, nProbe: Int, nIters: Int): (DataFrame, DataFrame) = {
+    val ve = exploded(emb, "vec_id")
+    val finalCents = lloyd(emb, ve, nLists, nIters)
+    val finalAssign = argmin(distances(emb, finalCents))
+    (probes(emb, finalCents, nQueries, nProbe), finalAssign)
+  }
+
+  /** Train the coarse quantizer and return the packed (matrix, listIds)
+    * centroid literals — the input [[PqIndex.ivfpqTopK]] needs to prune
+    * lists with a single narrow corpus scan. */
+  private[operators] def trainCoarse(emb: DataFrame, nLists: Int,
+                                     nIters: Int): (Column, Column) =
+    lloyd(emb, exploded(emb, "vec_id"), nLists, nIters)
+
+  /** Per-query nProbe nearest lists under pre-trained centroids. The window
+    * input is nQueries x nLists rows — driver-bounded, never corpus-sized. */
+  private[operators] def probes(emb: DataFrame, finalCents: (Column, Column),
+                                nQueries: Int, nProbe: Int): DataFrame = {
+    val qd = distances(emb.filter(col("vec_id") < nQueries), finalCents)
+    val wProbe = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("list").asc)
+    qd.withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("list"))
+  }
+
+  /** Fused narrow coarse-list assignment: all nLists squared distances in one
+    * kernel + argmin, no explode/join/window. `array_position` returns the
+    * FIRST position of the min and `listIds` is sorted ascending, so ties
+    * break to the smallest list id — exactly [[argmin]]'s
+    * `ORDER BY dist2, list` semantics. */
+  private[operators] def listExpr(finalCents: (Column, Column)): Column = {
+    val (matrix, listIds) = finalCents
+    val ds = VectorFunctions.squared_distances(col("embedding"), matrix)
+    element_at(listIds, array_position(ds, array_min(ds)).cast("int"))
+  }
+
   /** IVF top-k: probe the nProbe nearest lists per query, exact cosine
     * re-rank within them. */
   def topK(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
            nLists: Int = 8, nProbe: Int = 2, nIters: Int = 1): DataFrame = {
-    val ve = exploded(emb, "vec_id")
-    // collected ONCE inside lloyd(): both the full-corpus assignment and the
-    // query-side probe ranking consume the same packed literal — previously
-    // each distances() call re-collected the centroid aggregation lineage
-    val finalCents = lloyd(emb, ve, nLists, nIters)
-    val finalAssign = argmin(distances(emb, finalCents))
-
-    val qd = distances(emb.filter(col("vec_id") < nQueries), finalCents)
-    val wProbe = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("list").asc)
-    val probes = qd.withColumn("__rn", row_number().over(wProbe))
-      .filter(col("__rn") <= nProbe)
-      .select(col("vec_id").as("q_id"), col("list"))
+    val (probes, finalAssign) =
+      probeAndAssign(emb, nQueries, nLists, nProbe, nIters)
 
     val members = finalAssign.select(col("vec_id").as("n_id"), col("list"))
     val qEmb = emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))

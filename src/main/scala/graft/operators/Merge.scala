@@ -89,9 +89,13 @@ object Merge {
     snapshot.join(d, keys, "full_outer")
       .select(keys.map(col) ++ Seq(
         (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n"),
-        (coalesce(col("sum_v"), lit(0).cast("decimal(18,2)"))
-          + coalesce(col("__dsum"), lit(0).cast("decimal(18,2)")))
-          .cast("decimal(18,2)").as("sum_v"),
+          // (28,2) = aggSnapshot's actual sum type (sum over decimal(18,2)
+        // widens precision by 10) — the day-N-output-is-day-N+1-input
+        // contract needs the SAME type, and a (18,2) narrowing would
+        // silently null a per-key sum past 16 integer digits under ANSI-off
+        (coalesce(col("sum_v"), lit(0).cast("decimal(28,2)"))
+          + coalesce(col("__dsum"), lit(0).cast("decimal(28,2)")))
+          .cast("decimal(28,2)").as("sum_v"),
         least(coalesce(col("min_v"), col("__dmin")),
           coalesce(col("__dmin"), col("min_v"))).as("min_v"),
         greatest(coalesce(col("max_v"), col("__dmax")),

@@ -147,32 +147,94 @@ object PqIndex {
     val cs = codeExprs(packed).zipWithIndex
       .map { case (c, s) => c.cast("long").as(s"code_$s") }
     val corpus = e.select(col("vec_id").as("n_id") +: cs: _*)
+    val scored = corpus
+      .join(broadcast(queryLuts(e, packed, nQueries)), col("q_id") =!= col("n_id"))
+      .withColumn("adist", adistExpr(packed))
+    minKSelect(scored, k)
+  }
+
+  /** Per-query M x K lookup tables under the given codebooks — one fused
+    * kernel pass per subspace over the codebook literals; the result is
+    * O(nQueries x M x K), always broadcastable. */
+  private def queryLuts(e: DataFrame, packed: Seq[(Column, Column)],
+                        nQueries: Int): DataFrame = {
     val luts = array((0 until M).map { s =>
       VectorFunctions.squared_distances(
         slice(col("embedding"), s * SubDim + 1, SubDim), packed(s)._1)
     }: _*)
-    val queries = e.filter(col("vec_id") < nQueries)
+    e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), luts.as("luts"))
-    // each term re-cast to decimal(30,18): adding two decimal(38,18)s caps
-    // precision at 38 and SHEDS A SCALE DIGIT per addition (8 terms would
-    // round to scale 11); (30,18) terms grow to at most (37,18) — exact
-    val adist = (0 until M).map { s =>
+  }
+
+  /** ADC distance of a coded corpus row to the joined query's LUTs: each
+    * term re-cast to decimal(30,18) — adding two decimal(38,18)s caps
+    * precision at 38 and SHEDS A SCALE DIGIT per addition (8 terms would
+    * round to scale 11); (30,18) terms grow to at most (37,18) — exact. */
+  private def adistExpr(packed: Seq[(Column, Column)]): Column =
+    (0 until M).map { s =>
       element_at(element_at(col("luts"), s + 1),
         array_position(packed(s)._2, col(s"code_$s")).cast("int"))
         .cast("decimal(30,18)")
     }.reduce(_ + _)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("adist").asc, col("n_id").asc)
-    // adist surfaces as its exact decimal STRING: decimal->double conversion
-    // is differently rounded across engines at the 17th significant digit
-    // (Java BigDecimal.doubleValue vs DuckDB's int128/10^18 lane), while the
-    // decimal value itself is bit-identical
-    corpus.join(broadcast(queries), col("q_id") =!= col("n_id"))
-      .withColumn("adist", adist)
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+
+  /** Scale-safe top-k selection over (q_id, n_id, adist) scores: the typed
+    * bounded-heap [[graft.functions.TopKAggregator.MinKByDist]] keeps O(k)
+    * state per query per task and ships k rows per query per partition
+    * through partial aggregation — replacing the round-4
+    * `row_number().over(partitionBy(q_id))` form whose per-query partition
+    * held the ENTIRE scored corpus in one task. Distances stay DECIMAL
+    * through the aggregate and surface as their exact decimal STRING:
+    * decimal->double is differently rounded across engines at the 17th
+    * significant digit, while the decimal value is bit-identical. */
+  private def minKSelect(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    import graft.functions.TopKAggregator.{MinKByDist, Scored}
+    scored
+      .select(col("q_id").cast("long").as("q_id"),
+        col("n_id").cast("long").as("n_id"),
+        col("adist").cast("decimal(38,18)").as("adist"))
+      .as[Scored]
+      .groupByKey(_.q_id)
+      .agg(new MinKByDist(k).toColumn.name("hits"))
+      .flatMap { case (q, hits) => hits.map(h => (q, h.rk, h.n_id, h.adist)) }
+      .toDF("q_id", "rk", "n_id", "adist")
       .select(col("q_id"), col("rk"), col("n_id"),
-        col("adist").cast("string").as("adist"))
+        col("adist").cast("decimal(37,18)").cast("string").as("adist"))
       .orderBy("q_id", "rk")
+  }
+
+  /** IVF-PQ — the composed billion-scale ANN index: the IVF coarse
+    * quantizer prunes the corpus to the nProbe probed lists per query, and
+    * ADC scores only those members over their 4-byte PQ codes. One narrow
+    * corpus scan computes both the coarse list (fused argmin over the
+    * broadcast centroid matrix — [[IvfIndex.listExpr]]) and the M nibble
+    * codes; probed membership is a broadcast join against the
+    * O(nQueries x nProbe) probe table, so unprobed corpus rows never leave
+    * their scan task; selection is the same bounded-heap partial aggregate
+    * as [[adcTopK]]. Both trainings are decimal-exact, so the composition
+    * is bit-identical across engines — the oracle chains the existing IVF
+    * and PQ CTE lineages. */
+  def ivfpqTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
+                nLists: Int = 8, nProbe: Int = 2, nIters: Int = 1): DataFrame = {
+    // persisted: the frame feeds FOUR training actions (two coarse collects,
+    // two codebook collects) plus the final scan — each would otherwise
+    // re-run the scan lineage; embeddings are the training input and
+    // training state is O(centroids), so this is the one cache that pays
+    // for itself (the bench harness unpersists after each query)
+    val e = graft.core.Parallelism.forCompute(emb).persist()
+    val coarse = IvfIndex.trainCoarse(e, nLists, nIters)
+    val probes = IvfIndex.probes(e, coarse, nQueries, nProbe)
+    val packed = train(e, nIters)
+    val cs = codeExprs(packed).zipWithIndex
+      .map { case (c, s) => c.cast("long").as(s"code_$s") }
+    val corpus = e.select(
+      col("vec_id").as("n_id") +: IvfIndex.listExpr(coarse).as("list") +: cs: _*)
+    val scored = corpus
+      .join(broadcast(probes), "list")
+      .filter(col("q_id") =!= col("n_id"))
+      .join(broadcast(queryLuts(e, packed, nQueries)), "q_id")
+      .withColumn("adist", adistExpr(packed))
+    minKSelect(scored, k)
   }
 }

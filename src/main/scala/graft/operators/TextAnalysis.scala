@@ -345,7 +345,12 @@ object TextAnalysis {
       .join(broadcast(total))
       .filter(col("tf").cast("double") >= lit(support) * col("__n").cast("double"))
       .drop("__n")
-    val sketch = toks.stat.freqItems(Seq("tok"), support)
+    // the sketch's no-false-negative guarantee is for frequency STRICTLY
+    // above its support argument; the exact side keeps tokens AT the
+    // threshold too (tf >= support*N), so the sketch runs at a slightly
+    // smaller support — the guarantee band then covers the >= boundary
+    // (state stays O(1/support) per partition)
+    val sketch = toks.stat.freqItems(Seq("tok"), support * 0.9)
       .select(col("tok_freqItems").as("__cand"))
     exact.join(broadcast(sketch))
       .select(col("tok"), col("tf"),

@@ -122,11 +122,21 @@ object StreamingOps {
                       rightType: String = "view",
                       lookbackSeconds: Long = 3600L,
                       watermarkDelay: String = "30 minutes"): DataFrame = {
-    val clicks = events.filter(col("event_type") === leftType)
+    // Watermarks are TIMESTAMP-only (Spark rejects TIMESTAMP_NTZ with
+    // EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) but the fixture tables read as
+    // NTZ — normalize on entry and cast the output timestamps back, which
+    // is exact under the pinned-UTC session TZ, so the batch twin's schema
+    // and values are unchanged.
+    val tsType = events.schema("ts").dataType
+    val evs =
+      if (tsType == org.apache.spark.sql.types.TimestampNTZType)
+        events.withColumn("ts", col("ts").cast("timestamp"))
+      else events
+    val clicks = evs.filter(col("event_type") === leftType)
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
       .withWatermark("click_ts", watermarkDelay)
-    val views = events.filter(col("event_type") === rightType)
+    val views = evs.filter(col("event_type") === rightType)
       .select(col("event_id").as("view_id"), col("user_id").as("__vu"),
         col("ts").as("view_ts"))
       .withWatermark("view_ts", watermarkDelay)
@@ -135,7 +145,8 @@ object StreamingOps {
         col("view_ts") >= col("click_ts") - expr(s"INTERVAL $lookbackSeconds SECONDS") &&
         col("view_ts") <= col("click_ts"))
       .select(col("click_id"), col("view_id"), col("user_id"),
-        col("click_ts"), col("view_ts"))
+        col("click_ts").cast(tsType).as("click_ts"),
+        col("view_ts").cast(tsType).as("view_ts"))
   }
 
   case class Event(event_id: Long, user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -132,6 +132,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("adc selection is a bounded-heap partial aggregate, not a corpus window") {
+    val df = PqIndex.adcTopK(Tables.embeddings(spark, sf), nQueries = 2, k = 3)
+    df.collect()
+    val p = plan(df)
+    // the round-4 funnel: row_number over partitionBy(q_id) put the whole
+    // scored corpus of a query into one window task
+    assert(!p.contains("Window"), p.take(3000))
+    // typed Aggregator plans as ObjectHashAggregate (or SortAggregate) with
+    // a partial mode before the exchange — per-task state is O(k) per query
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      p.take(3000))
+  }
+
+  test("ivfpq: probe table broadcasts so unprobed corpus rows die in the scan") {
+    val df = PqIndex.ivfpqTopK(Tables.embeddings(spark, sf), nQueries = 2, k = 3)
+    df.collect()
+    val p = plan(df)
+    // membership + LUT joins both broadcast; the corpus side never shuffles
+    // into a join (the only Window left is the probe ranking, whose input is
+    // nQueries x nLists rows)
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    // selection is the bounded-heap partial aggregate, not a corpus window
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      p.take(3000))
+  }
+
   test("distributed boundaries avoid the global single-partition window") {
     val li = Tables.lineitem(spark, sf)
       .withColumn("ts_epoch", col("l_shipdate").cast("timestamp").cast("long"))

@@ -309,6 +309,37 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch == streamed)
   }
 
+  test("attribution join streams over TIMESTAMP_NTZ (the fixture tables' type)") {
+    // bench/oracle events read as TIMESTAMP_NTZ (Tables.events); the
+    // watermark + stream-stream interval join combination must hold for
+    // that type too, not just TimestampType
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00"), "view", 0.0),
+      (2L, 7L, ts("2024-01-01 10:30:00"), "click", 0.0), // pairs with view 1
+      (3L, 7L, ts("2024-01-01 08:00:00"), "view", 0.0),  // > 1h before click 2
+      (4L, 8L, ts("2024-01-01 10:15:00"), "view", 0.0),  // other user
+      (5L, 7L, ts("2024-01-01 11:45:00"), "click", 0.0), // pairs with view 6 only
+      (6L, 7L, ts("2024-01-01 11:00:00"), "view", 0.0))
+    def ntz(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val stream = MemoryStream[(Long, Long, java.sql.Timestamp, String, Double)]
+    val q = StreamingOps.attributionJoin(
+        ntz(stream.toDF().toDF("event_id", "user_id", "ts", "event_type", "value")))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_ntz_out").start()
+    try { stream.addData(rows); q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("attr_ntz_out").select("click_id", "view_id")
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == Set((2L, 1L), (5L, 6L)))
+    val batch = StreamingOps.attributionJoin(
+        ntz(rows.toDF("event_id", "user_id", "ts", "event_type", "value")))
+      .select("click_id", "view_id").as[(Long, Long)].collect().toSet
+    assert(batch == streamed)
+  }
+
   test("streaming upsertLatest update mode: per-batch emissions carry current winners") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
