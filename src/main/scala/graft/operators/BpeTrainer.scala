@@ -35,17 +35,41 @@ object BpeTrainer {
 
   /** The first `steps` merge rules learned from the corpus:
     * (step, merge_left, merge_right, n_pairs) — n_pairs is the pair's
-    * corpus frequency at selection time. */
+    * corpus frequency at selection time.
+    *
+    * With `checkpointDir` set, per-step materialization uses RELIABLE
+    * filesystem checkpoints (the [[Dedup.dedupClusters]] discipline): a
+    * trainer loop runs arbitrarily many steps, and `localCheckpoint` blocks
+    * living on executors make an executor loss mid-loop unrecoverable on a
+    * real cluster. Checkpoints land in a unique per-run subdirectory and
+    * the context's previous checkpoint dir is restored before returning. */
   def merges(docs: DataFrame, steps: Int = 4,
-             text: String = "text", id: String = "doc_id"): DataFrame = {
+             text: String = "text", id: String = "doc_id",
+             checkpointDir: Option[String] = None): DataFrame = {
     require(steps > 0, "steps must be positive")
     val spark = docs.sparkSession
+    val sc = spark.sparkContext
+    val prevDir = sc.getCheckpointDir
+    checkpointDir.foreach { base =>
+      sc.setCheckpointDir(s"$base/graft-bpe-${java.util.UUID.randomUUID}")
+    }
+    try mergesLoop(docs, steps, text, id, checkpointDir.isDefined)
+    // setCheckpointDir(null) resets to unset (it wraps in Option(...)), so a
+    // previously-unset context goes BACK to unset, not to this run's dir
+    finally if (checkpointDir.isDefined) sc.setCheckpointDir(prevDir.orNull)
+  }
+
+  private def mergesLoop(docs: DataFrame, steps: Int, text: String,
+                         id: String, reliable: Boolean): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    var seqs = graft.core.Parallelism.forCompute(docs)
-      .select(col(id), wrappedSeq(col(text)).as("seq"))
-      .localCheckpoint(false) // each step rewrites seq; checkpoint keeps the
-                              // per-step work linear instead of re-running
-                              // every prior regex on every action
+    // each step rewrites seq; the checkpoint keeps per-step work linear
+    // instead of re-running every prior regex on every action (lazy form:
+    // the step's own count/collect materializes it)
+    def save(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(false) else df.localCheckpoint(false)
+    var seqs = save(graft.core.Parallelism.forCompute(docs)
+      .select(col(id), wrappedSeq(col(text)).as("seq")))
     val learned = Seq.newBuilder[(Long, String, String, Long)]
     (1 to steps).foreach { step =>
       val toks = seqs.select(
@@ -66,9 +90,8 @@ object BpeTrainer {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         learned += ((step.toLong, l, r, c))
         val pattern = "\\(" + l + "\\)\\(" + r + "\\)"
-        seqs = seqs.withColumn("seq",
-          regexp_replace(col("seq"), pattern, s"($l $r)"))
-          .localCheckpoint(false)
+        seqs = save(seqs.withColumn("seq",
+          regexp_replace(col("seq"), pattern, s"($l $r)")))
       }
     }
     learned.result()

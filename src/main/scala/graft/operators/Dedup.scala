@@ -83,7 +83,9 @@ object Dedup {
     def save(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     try dedupClustersLoop(pairs, maxIters, save)
-    finally if (checkpointDir.isDefined) prevDir.foreach(sc.setCheckpointDir)
+    // setCheckpointDir(null) resets to unset (it wraps in Option(...)), so a
+    // previously-unset context goes BACK to unset, not to this run's dir
+    finally if (checkpointDir.isDefined) sc.setCheckpointDir(prevDir.orNull)
   }
 
   private def dedupClustersLoop(pairs: DataFrame, maxIters: Int,
@@ -131,13 +133,22 @@ object Dedup {
     * that streams the history scan once and emits only the matched keys —
     * a set bounded by the batch size — which then broadcast back as the
     * ANTI side. Two broadcast joins, one history pass, zero wide exchange
-    * of history rows. */
-  def newAgainstHistory(batch: DataFrame, history: DataFrame,
-                        key: String): DataFrame = {
+    * of history rows.
+    *
+    * Both broadcasts are FORCED by default (the batch is small by
+    * contract); `broadcastGuardRows` opts into the row-count guard
+    * ([[graft.core.Broadcasts.guarded]]) that degrades to plain joins when
+    * a batch outgrows the 8 GB broadcast regime. One count guards both
+    * hints — the matched key set is a subset of the batch key set. */
+  def newAgainstHistory(batch: DataFrame, history: DataFrame, key: String,
+                        broadcastGuardRows: Option[Long] = None): DataFrame = {
+    val batchKeys = batch.select(col(key)).distinct()
+    val fits = broadcastGuardRows.forall(batchKeys.count() <= _)
+    def hint(df: DataFrame) = if (fits) broadcast(df) else df
     val matched = history.select(col(key))
-      .join(broadcast(batch.select(col(key)).distinct()), Seq(key), "left_semi")
+      .join(hint(batchKeys), Seq(key), "left_semi")
       .distinct()
-    batch.join(broadcast(matched), Seq(key), "left_anti")
+    batch.join(hint(matched), Seq(key), "left_anti")
   }
 
   /** One survivor (the min doc_id) per duplicate CLUSTER. Strictly stronger

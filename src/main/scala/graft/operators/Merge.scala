@@ -34,14 +34,23 @@ object Merge {
     * several versions of one key applies its newest.
     *
     * Plan shape: dedup shuffles only the UPDATE batch; the target side is a
-    * broadcast left-anti join — zero target shuffle. */
+    * broadcast left-anti join — zero target shuffle.
+    *
+    * The broadcast is FORCED by default (the batch is small by contract and
+    * the hint is what keeps the target shuffle-free); `broadcastGuardRows`
+    * opts into [[graft.core.Broadcasts.guarded]]'s row-count guard, falling
+    * back to a plain anti join when a batch outgrows the 8 GB broadcast
+    * regime instead of failing the job. */
   def upsertReplace(target: DataFrame, updates: DataFrame, keys: Seq[String],
-                    version: Column, tiebreak: Seq[Column]): DataFrame = {
+                    version: Column, tiebreak: Seq[Column],
+                    broadcastGuardRows: Option[Long] = None): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy((version.desc +: tiebreak.map(_.desc)): _*)
     val latest = updates.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    val kept = target.join(broadcast(latest.select(keys.map(col): _*)),
+    val kept = target.join(
+      graft.core.Broadcasts.guarded(latest.select(keys.map(col): _*),
+        broadcastGuardRows),
       keys, "left_anti")
     kept.unionByName(latest)
   }

@@ -293,7 +293,8 @@ object Relational {
     * type: an int32 value column would overflow x*x silently at
     * |x| > 46340 with ANSI off (long at ~3e9); decimal(19,0) operands cover
     * the full long range and their product (decimal(38,0)) is exact. */
-  def groupZScore(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+  def groupZScore(df: DataFrame, groupCol: String, valueCol: String,
+                  broadcastGuardRows: Option[Long] = None): DataFrame = {
     val vDec = col(valueCol).cast("decimal(19,0)")
     val stats = df.groupBy(groupCol)
       .agg(count(lit(1)).as("__n"),
@@ -304,7 +305,11 @@ object Relational {
         greatest(col("__ss").cast("double") / col("__n").cast("double")
           - col("__mean") * col("__mean"), lit(0.0)))
       .select(col(groupCol), col("__mean"), sqrt(col("__var")).as("__std"))
-    df.join(broadcast(stats), Seq(groupCol), "left")
+    // stat row count = group cardinality — small for real strata (languages,
+    // sources) but unbounded in general; the guard degrades to a shuffle
+    // join past the limit instead of failing at the 8 GB broadcast cap
+    df.join(graft.core.Broadcasts.guarded(stats, broadcastGuardRows),
+        Seq(groupCol), "left")
       .withColumn("z",
         when(col("__std") > 0.0,
           (col(valueCol).cast("double") - col("__mean")) / col("__std")))

@@ -82,6 +82,24 @@ object StreamingOps {
       .dropDuplicates("doc_id")
       .select("doc_id")
 
+  /** Streaming distinct-count maintenance — the stream twin of
+    * `Merge.incrementalDistinct`: one HLL sketch of state per key,
+    * estimates re-emitted (update mode) for keys that received input.
+    *
+    * The agreement with the batch form is EXACT, not approximate-vs-exact:
+    * HLL state merges by register-wise max, which is associative and
+    * commutative, so accumulating a stream row-by-row and unioning a
+    * snapshot sketch with a delta sketch produce the SAME registers — and
+    * therefore the same estimate (the spec asserts it). State per key is
+    * one fixed-size sketch, independent of value cardinality — the property
+    * that makes distinct-count maintainable at all; a `dropDuplicates`
+    * formulation would hold every distinct value as state. */
+  def distinctCounts(updates: DataFrame, keys: Seq[String],
+                     valueCol: String): DataFrame =
+    updates.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol)).as("dv_sketch"))
+      .withColumn("n_distinct_est", hll_sketch_estimate(col("dv_sketch")))
+
   /** Streaming upsert view: the latest row per key from a CDC-style update
     * feed — the streaming twin of `Merge.upsertLatest` with an empty target.
     * `max_by` over a (version, tiebreak...) ordering struct keeps exactly one

@@ -32,4 +32,39 @@ class BpeTrainerSpec extends SparkSpec {
       .as[(Long, String, String, Long)].collect().toSeq
     assert(r == Seq((1L, "c", "d", 2L)))
   }
+
+  test("long merge chain under reliable checkpoints: cascade converges and " +
+       "the context checkpoint dir is restored") {
+    // frequency staircase: "a b" is everywhere, "a b c" in 14 docs, ... so
+    // merges cascade left-to-right one token per step — a 12-deep chain of
+    // sequentially dependent steps, each materialized through a reliable
+    // filesystem checkpoint
+    val toks = ('a' to 'm').map(_.toString) // a..m = 13 tokens, 12 merges
+    val docs = (1 to 15).map { i =>
+      val depth = math.min(i, toks.size)
+      (i.toLong, toks.take(math.max(depth, 2)).mkString(" "))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("bpe-ckpt").toString
+    val sc = spark.sparkContext
+    val before = sc.getCheckpointDir
+    val r = BpeTrainer.merges(docs.toDF("doc_id", "text"), steps = 12,
+        checkpointDir = Some(dir))
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(sc.getCheckpointDir == before, "checkpoint dir must be restored")
+    assert(r.size == 12)
+    // step k fuses the growing prefix with the next token: counts descend
+    // with the staircase (prefix of length k+1 appears in 15-k docs ... edge
+    // cases: "a b" in all 15 since min doc has 2 tokens)
+    assert(r.head == (1L, "a", "b", 15L))
+    (2 to 12).foreach { k =>
+      val (step, l, right, c) = r(k - 1)
+      assert(step == k.toLong)
+      assert(l == toks.take(k).mkString(" "))
+      assert(right == toks(k))
+      assert(c == (15 - k).toLong, s"step $k count")
+    }
+    // reliable checkpoint files actually landed in the scoped run dir
+    val sub = new java.io.File(dir).listFiles()
+    assert(sub != null && sub.exists(_.getName.startsWith("graft-bpe-")))
+  }
 }

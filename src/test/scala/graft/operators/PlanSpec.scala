@@ -159,6 +159,31 @@ class PlanSpec extends SparkSpec {
       p.take(3000))
   }
 
+  test("broadcast guard: an oversize small side drops the hint, result unchanged") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), length(col("text")).as("len"))
+    val forced = Relational.groupZScore(docs, "lang", "len")
+    val degraded = Relational.groupZScore(docs, "lang", "len",
+      broadcastGuardRows = Some(0L))
+    val passed = Relational.groupZScore(docs, "lang", "len",
+      broadcastGuardRows = Some(1000000L))
+    // the guard governs the HINT (the planner may still choose broadcast on
+    // its own for a tiny side — that's fine; forcing past 8 GB is not)
+    assert(!degraded.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    assert(passed.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    assert(degraded.orderBy("doc_id").collect().toSeq ==
+      forced.orderBy("doc_id").collect().toSeq)
+
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val hist = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val fNew = Dedup.newAgainstHistory(batch, hist, "doc_id")
+    val dNew = Dedup.newAgainstHistory(batch, hist, "doc_id",
+      broadcastGuardRows = Some(0L))
+    assert(!dNew.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    assert(dNew.orderBy("doc_id").collect().toSeq ==
+      fNew.orderBy("doc_id").collect().toSeq)
+  }
+
   test("distributed boundaries avoid the global single-partition window") {
     val li = Tables.lineitem(spark, sf)
       .withColumn("ts_epoch", col("l_shipdate").cast("timestamp").cast("long"))

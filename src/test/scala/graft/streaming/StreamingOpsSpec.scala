@@ -340,6 +340,44 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch == streamed)
   }
 
+  test("streaming distinct counts agree EXACTLY with batch incrementalDistinct") {
+    // register-wise-max mergeability: stream accumulation over two triggers
+    // must land on the same HLL estimate as snapshot-sketch UNION delta-sketch
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val batch1 = (1 to 60).map(i => (s"t${i % 3}", i.toLong * 7 % 23))
+    val batch2 = (1 to 40).map(i => (s"t${i % 3}", i.toLong * 11 % 31))
+    val stream = MemoryStream[(String, Long)]
+    val q = StreamingOps.distinctCounts(
+        stream.toDF().toDF("event_type", "user_id"),
+        Seq("event_type"), "user_id")
+      .select("event_type", "n_distinct_est")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("dv_out").start()
+    try {
+      stream.addData(batch1); q.processAllAvailable()
+      stream.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    // update mode re-emits a key per trigger it received input; estimates
+    // are monotone (registers only grow), so max = the final emission
+    val streamed = spark.table("dv_out")
+      .groupBy("event_type").agg(max("n_distinct_est").as("est"))
+      .as[(String, Double)].collect().toMap
+    val merged = graft.operators.Merge.incrementalDistinct(
+        graft.operators.Merge.distinctSnapshot(
+          batch1.toDF("event_type", "user_id"), Seq("event_type"), "user_id"),
+        batch2.toDF("event_type", "user_id"), Seq("event_type"), "user_id")
+      .select("event_type", "n_distinct_est")
+      .as[(String, Double)].collect().toMap
+    assert(streamed == merged)
+    // and the estimate family is sane: within HLL rsd of the exact counts
+    val exact = (batch1 ++ batch2).groupBy(_._1).map { case (k, vs) =>
+      k -> vs.map(_._2).distinct.size }
+    exact.foreach { case (k, n) =>
+      assert(math.abs(streamed(k) - n) <= 0.05 * n + 1, s"$k: ${streamed(k)} vs $n")
+    }
+  }
+
   test("streaming upsertLatest update mode: per-batch emissions carry current winners") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
