@@ -45,9 +45,12 @@ object Bench {
       System.err.println(f"[bench] load ${loadAvg}%.2f > $maxLoad%.2f — waiting for idle (${waits + 1}/$maxWaits)")
       Thread.sleep(20000); waits += 1
     }
-    val contaminated = loadAvg > maxLoad
+    // ambient load = the contamination signal; load_avg_start (measured
+    // after warmup) includes this process's own warmup work
+    val loadAmbient = loadAvg
+    val contaminated = loadAmbient > maxLoad
     if (contaminated)
-      System.err.println(f"[bench] STILL loaded (${loadAvg}%.2f) — run will be marked contaminated")
+      System.err.println(f"[bench] STILL loaded (${loadAmbient}%.2f) — run will be marked contaminated")
     // session warmup so the first timed query doesn't absorb codegen/classload
     // and parquet-reader init costs (~3-5s) that belong to the JVM, not the plan
     spark.range(1000).selectExpr("sum(id) s").write.format("noop").mode("overwrite").save()
@@ -59,7 +62,13 @@ object Bench {
     val cpu0 = procCpuNanos
     val wall0 = System.nanoTime()
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional subset (comma-separated names) — the sf1 scale probe times
+    // the heavy queries without paying for the whole suite at 10x data
+    val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to math.max(iters, 1)).map { it =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -105,7 +114,7 @@ object Bench {
     val perQuery =
       s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}"""
     val diagnostics =
-      s"""{"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"cpu_wall_ratio":$cpuWallRatio,"wall_sec":$wallSec,"iter_spread":$spread}"""
+      s"""{"load_avg_ambient":$loadAmbient,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"cpu_wall_ratio":$cpuWallRatio,"wall_sec":$wallSec,"iter_spread":$spread}"""
     System.err.println(s"[bench] diagnostics: $diagnostics")
     // a contaminated run must not overwrite the committed artifact path —
     // it records next to it and the total line says so

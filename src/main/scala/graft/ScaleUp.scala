@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up of a fixture directory — the input generator for
+  * the sf1 scale probe (SCALE.md's measured-vs-predicted table). The driver
+  * ships fixtures up to sf0.1; this main replicates the tables a chosen
+  * factor with key shifting so the result behaves like MORE data, not like
+  * N copies:
+  *
+  *   - `lineitem`: replicas shift `l_orderkey` by a large stride — value
+  *     distributions (the winsorize percentile workload) are unchanged.
+  *   - `documents`: replicas shift `doc_id` AND deterministically permute
+  *     each text's words (sort by `xxhash64(word, replica)`): the word
+  *     multiset — lengths, stopword/quality/language signals — is
+  *     preserved, but shingles are destroyed, so replicas of a doc are NOT
+  *     near-duplicates of each other and the dedup workload keeps its
+  *     natural pair density instead of gaining C(factor,2) artificial dups
+  *     per doc.
+  *   - `embeddings`: replicas shift `vec_id`. Vector VALUES repeat (the
+  *     k-means/encode cost under measurement scales with row count, not
+  *     value diversity); query vectors stay `vec_id < 8`, i.e. replica 0.
+  *   - every other table: copied through unchanged (dims stay dims). The
+  *     output dir is sized for the probe queries, not the full suite.
+  *
+  * Usage: runMain graft.ScaleUp <srcDir> <dstDir> [factor=10]
+  */
+object ScaleUp {
+
+  private val Stride = 100000000L
+
+  private def replicate(df: DataFrame, factor: Int): DataFrame =
+    df.withColumn("__k", explode(sequence(lit(0L), lit(factor - 1L))))
+
+  def main(args: Array[String]): Unit = {
+    val (src, dst) = (args(0), args(1))
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val li = replicate(spark.read.parquet(s"$src/lineitem.parquet"), factor)
+      .withColumn("l_orderkey", col("l_orderkey") + col("__k") * Stride)
+      .drop("__k")
+    li.write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+
+    // permutation key is (doc, replica)-specific: sorting every doc of a
+    // replica class by the SAME word hash canonicalizes shared vocabulary
+    // into shared order — different docs then share long word runs, i.e.
+    // shingles, and the class becomes one giant near-dup cluster (measured:
+    // 256 -> 2.7M LSH candidate pairs before this fix). A per-doc key keeps
+    // cross-doc shingle overlap at chance level, like natural text.
+    val w = split(col("text"), " ")
+    val permKey = col("doc_id") * lit(1000L) + col("__k")
+    val permuted = concat_ws(" ", transform(
+      array_sort(transform(w,
+        x => struct(xxhash64(x, permKey).as("h"), x.as("w")))),
+      s => s("w")))
+    val docs = replicate(spark.read.parquet(s"$src/documents.parquet"), factor)
+      .withColumn("doc_id", col("doc_id") + col("__k") * Stride)
+      .withColumn("text", when(col("__k") === 0, col("text")).otherwise(permuted))
+      .withColumn("n_chars", length(col("text")))
+      .drop("__k")
+    docs.write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    val emb = replicate(spark.read.parquet(s"$src/embeddings.parquet"), factor)
+      .withColumn("vec_id", col("vec_id") + col("__k") * Stride)
+      .drop("__k")
+    emb.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    // pass-through tables copy as BYTES — a Spark round-trip would reject
+    // events' TIMESTAMP(NANOS) (Tables.events owns that quirk) and has
+    // nothing to add for unscaled dims anyway
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "events")
+      .foreach { t =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$src/$t.parquet"),
+          java.nio.file.Paths.get(s"$dst/$t.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    println(s"""{"scaled":"$dst","factor":$factor}""")
+    spark.stop()
+  }
+}
