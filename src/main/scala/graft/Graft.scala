@@ -129,6 +129,8 @@ object Graft {
     Relational.groupRobustZ(df, groupCol, valueCol)
   def bpeMerges(docs: DataFrame, steps: Int = 4): DataFrame =
     BpeTrainer.merges(docs, steps)
+  def bpeTokenized(docs: DataFrame, steps: Int = 4): DataFrame =
+    BpeTrainer.tokenized(docs, steps)
   def repetitionRatio(docs: DataFrame): DataFrame = TextAnalysis.repetition(docs)
   def redactPii(docs: DataFrame): DataFrame = TextAnalysis.redactPii(docs)
   def normalizeText(docs: DataFrame): DataFrame = TextAnalysis.normalizeText(docs)

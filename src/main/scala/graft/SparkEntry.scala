@@ -355,6 +355,10 @@ object SparkEntry {
       TextAnalysis.heavyHitters(Tables.documents(s, dir))),
     "q_bpe_merges" -> ((s, dir) =>
       BpeTrainer.merges(Tables.documents(s, dir))),
+    // apply half of the trainer: per-doc token counts under the learned
+    // merges — the budgeting input packing/mixture consume
+    "q_bpe_apply" -> ((s, dir) =>
+      BpeTrainer.tokenized(Tables.documents(s, dir))),
     "q_seq_pack" -> ((s, dir) =>
       Packing.packSequences(Tables.documents(s, dir))),
     "q_decontaminate" -> ((s, dir) =>
@@ -482,8 +486,11 @@ object SparkEntry {
     * loop. The `(tok)(tok)` wrapping makes global regex replacement equal
     * BPE's leftmost non-overlapping merge in both engines. */
   private def bpeCtes(steps: Int): String = {
+    // doc_id rides along through s0..sN (merge selection aggregates over all
+    // rows regardless) so the APPLY oracle (`q_bpe_apply`) can read per-doc
+    // final sequences; mK is one row, so the sK cross join preserves rows
     val s0 =
-      """s0 AS (SELECT '(' || array_to_string(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), ')(') || ')' AS seq
+      """s0 AS (SELECT doc_id, '(' || array_to_string(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), ')(') || ')' AS seq
         |       FROM documents)""".stripMargin
     val per = (1 to steps).map { k =>
       s"""p$k AS (SELECT t[CAST(i AS INT)] AS l, t[CAST(i AS INT) + 1] AS r, count(*) AS c
@@ -491,7 +498,7 @@ object SparkEntry {
          |        FROM (SELECT regexp_extract_all(seq, '\\(([^()]*)\\)', 1) AS t FROM s${k - 1}) y) x
          |  GROUP BY 1, 2),
          |m$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
-         |s$k AS (SELECT regexp_replace(seq, '\\(' || l || '\\)\\(' || r || '\\)',
+         |s$k AS (SELECT doc_id, regexp_replace(seq, '\\(' || l || '\\)\\(' || r || '\\)',
          |          '(' || l || ' ' || r || ')', 'g') AS seq FROM s${k - 1}, m$k)""".stripMargin
     }
     (s0 +: per).mkString(",\n")
@@ -951,6 +958,13 @@ object SparkEntry {
            |  UNION ALL SELECT 3, l, r, c FROM m3
            |  UNION ALL SELECT 4, l, r, c FROM m4) t
            |ORDER BY step""".stripMargin,
+      "q_bpe_apply" ->
+        s"""WITH ${bpeCtes(4)}
+           |SELECT d.doc_id,
+           |  CAST(len(string_split(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens_base,
+           |  CAST(len(regexp_extract_all(s.seq, '\\(([^()]*)\\)', 1)) AS BIGINT) AS n_tokens_bpe
+           |FROM s4 s JOIN documents d USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
       "q_corpus_report" ->
         """WITH s AS (SELECT
           |  count(*) AS n_docs,

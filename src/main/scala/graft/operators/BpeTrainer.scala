@@ -45,24 +45,52 @@ object BpeTrainer {
     * the context's previous checkpoint dir is restored before returning. */
   def merges(docs: DataFrame, steps: Int = 4,
              text: String = "text", id: String = "doc_id",
-             checkpointDir: Option[String] = None): DataFrame = {
-    require(steps > 0, "steps must be positive")
-    val spark = docs.sparkSession
-    val sc = spark.sparkContext
+             checkpointDir: Option[String] = None): DataFrame =
+    withScopedCheckpointDir(docs, checkpointDir) { reliable =>
+      val spark = docs.sparkSession
+      import spark.implicits._
+      mergesLoop(docs, steps, text, id, reliable)._1
+        .toDF("step", "merge_left", "merge_right", "n_pairs")
+        .orderBy("step")
+    }
+
+  /** Per-doc tokenization UNDER the learned merges — the apply half of the
+    * trainer: the loop's final sequence state IS the corpus tokenized by
+    * the first `steps` rules, so token counts (the budgeting input packing
+    * and mixture sampling consume) fall out of one group-count map. Output:
+    * (doc_id, n_tokens_base, n_tokens_bpe) — base is the whitespace token
+    * count before any merge. */
+  def tokenized(docs: DataFrame, steps: Int = 4,
+                text: String = "text", id: String = "doc_id",
+                checkpointDir: Option[String] = None): DataFrame =
+    withScopedCheckpointDir(docs, checkpointDir) { reliable =>
+      val finalSeqs = mergesLoop(docs, steps, text, id, reliable)._2
+      val nBase = size(split(
+        trim(regexp_replace(lower(col(text)), "[^a-z0-9]+", " ")), " "))
+      docs.select(col(id), nBase.cast("long").as("n_tokens_base"))
+        .join(finalSeqs.select(col(id),
+          size(regexp_extract_all(col("seq"), lit("\\(([^()]*)\\)"), lit(1)))
+            .cast("long").as("n_tokens_bpe")), id)
+        .orderBy(id)
+    }
+
+  /** Scoped reliable-checkpoint dir (see [[merges]]'s Scaladoc): unique
+    * per-run subdirectory while `body` runs, previous dir restored after —
+    * `setCheckpointDir(null)` resets a previously-unset context to unset. */
+  private def withScopedCheckpointDir[T](docs: DataFrame,
+      checkpointDir: Option[String])(body: Boolean => T): T = {
+    val sc = docs.sparkSession.sparkContext
     val prevDir = sc.getCheckpointDir
     checkpointDir.foreach { base =>
       sc.setCheckpointDir(s"$base/graft-bpe-${java.util.UUID.randomUUID}")
     }
-    try mergesLoop(docs, steps, text, id, checkpointDir.isDefined)
-    // setCheckpointDir(null) resets to unset (it wraps in Option(...)), so a
-    // previously-unset context goes BACK to unset, not to this run's dir
+    try body(checkpointDir.isDefined)
     finally if (checkpointDir.isDefined) sc.setCheckpointDir(prevDir.orNull)
   }
 
-  private def mergesLoop(docs: DataFrame, steps: Int, text: String,
-                         id: String, reliable: Boolean): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  private def mergesLoop(docs: DataFrame, steps: Int, text: String, id: String,
+      reliable: Boolean): (Seq[(Long, String, String, Long)], DataFrame) = {
+    require(steps > 0, "steps must be positive")
     // each step rewrites seq; the checkpoint keeps per-step work linear
     // instead of re-running every prior regex on every action (lazy form:
     // the step's own count/collect materializes it)
@@ -94,8 +122,6 @@ object BpeTrainer {
           regexp_replace(col("seq"), pattern, s"($l $r)")))
       }
     }
-    learned.result()
-      .toDF("step", "merge_left", "merge_right", "n_pairs")
-      .orderBy("step")
+    (learned.result(), seqs)
   }
 }

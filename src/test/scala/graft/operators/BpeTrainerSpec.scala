@@ -33,6 +33,15 @@ class BpeTrainerSpec extends SparkSpec {
     assert(r == Seq((1L, "c", "d", 2L)))
   }
 
+  test("tokenized applies the learned merges: counts shrink to the fused units") {
+    // "a a a b": step1 -> "(a a)(a)(b)", step2 -> "(a a)(a b)",
+    // step3 -> "(a a a b)" — 4 base tokens end as 1 BPE token
+    val df = Seq((1L, "a a a b"), (2L, "x")).toDF("doc_id", "text")
+    val r = BpeTrainer.tokenized(df, steps = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 4L, 1L), (2L, 1L, 1L)))
+  }
+
   test("long merge chain under reliable checkpoints: cascade converges and " +
        "the context checkpoint dir is restored") {
     // frequency staircase: "a b" is everywhere, "a b c" in 14 docs, ... so

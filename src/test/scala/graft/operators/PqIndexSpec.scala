@@ -30,4 +30,25 @@ class PqIndexSpec extends SparkSpec {
       assert(distinct > 1, s"subspace $s collapsed to one code")
     }
   }
+
+  test("ivfpq probing every list reproduces full ADC top-k exactly") {
+    // the IVF exactness discipline, composed: nProbe = nLists means no
+    // pruning, so the composed index must return adcTopK's rows verbatim
+    val emb = Tables.embeddings(spark, sf)
+    val full = PqIndex.adcTopK(emb, nQueries = 4, k = 5).collect().toSeq
+    val composed = PqIndex.ivfpqTopK(emb, nQueries = 4, k = 5,
+      nLists = 8, nProbe = 8).collect().toSeq
+    assert(composed == full)
+  }
+
+  test("ivfpq pruned probing returns k in-corpus neighbors per query") {
+    val emb = Tables.embeddings(spark, sf)
+    val rows = PqIndex.ivfpqTopK(emb, nQueries = 4, k = 5,
+      nLists = 8, nProbe = 2).collect()
+    assert(rows.length == 4 * 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("q_id") != r.getAs[Long]("n_id"))
+      assert(r.getAs[Long]("rk") >= 1 && r.getAs[Long]("rk") <= 5)
+    }
+  }
 }
