@@ -45,6 +45,39 @@ object ProfileNearDup {
       time("jj: verify")(noop(NearDup.jaccardVerify(cand, sigs2)))
       println("jj candidate pairs (post length+positional filter): " + cand.count())
     }
+    // collapsed-path internals (mirrors jaccardJoin's private pipeline — a
+    // deliberate debugging copy; keep in sync when the operator changes)
+    locally {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      val sigs = NearDup.signatures(docs).select("doc_id", "sh").localCheckpoint()
+      println(f"cj: sigs eager ckpt        ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      val members = sigs.select(col("doc_id"),
+        md5(concat_ws("", col("sh"))).as("__fp"), size(col("sh")).as("__n"))
+      val reps = members.groupBy("__fp").agg(min("doc_id").as("doc_id"))
+      val t1 = System.nanoTime()
+      val repSigs = sigs.join(reps.select("doc_id"), "doc_id").localCheckpoint()
+      println(f"cj: repSigs eager ckpt     ${(System.nanoTime() - t1) / 1e9}%6.2f s")
+      val repPairs = NearDup.jaccardVerify(
+          NearDup.candidatesForProfiling(repSigs, 0.5), repSigs)
+        .filter(col("jaccard") >= 0.5)
+        .select("a_id", "b_id", "jaccard")
+      time("cj: repPairs")(noop(repPairs))
+      val x = members.alias("x"); val y = members.alias("y")
+      val within = x.join(y,
+          col("x.__fp") === col("y.__fp") &&
+          col("x.doc_id") < col("y.doc_id") && col("x.__n") > 0)
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+          lit(1.0).as("jaccard"))
+      val crossed = repPairs
+        .join(members.select(col("doc_id").as("a_id"), col("__fp").as("__fpa")), "a_id")
+        .join(members.select(col("doc_id").as("b_id"), col("__fp").as("__fpb")), "b_id")
+        .join(members.select(col("doc_id").as("ax"), col("__fp").as("__fpa")), "__fpa")
+        .join(members.select(col("doc_id").as("bx"), col("__fp").as("__fpb")), "__fpb")
+        .select(least(col("ax"), col("bx")).as("a_id"),
+          greatest(col("ax"), col("bx")).as("b_id"), col("jaccard"))
+      time("cj: union+sort (full)")(noop(within.unionByName(crossed).orderBy("a_id", "b_id")))
+    }
     spark.stop()
   }
 }

@@ -184,12 +184,73 @@ object NearDup {
     *   3. candidates are verified exactly against the full shingle sets.
     * Output is IDENTICAL to the brute-force join (the DuckDB oracle runs the
     * brute form to prove it), but the join touches only rare tokens. */
-  def jaccardJoin(docs: DataFrame, threshold: Double = 0.5, words: Int = 3): DataFrame = {
-    val (sigs, _, cand) = jaccardStages(docs, threshold, words)
-    jaccardVerify(cand, sigs)
+  def jaccardJoin(docs: DataFrame, threshold: Double = 0.5, words: Int = 3,
+                  collapseExact: Boolean = false): DataFrame = {
+    if (!collapseExact) {
+      val (sigs, _, cand) = jaccardStages(docs, threshold, words)
+      jaccardVerify(cand, sigs)
+        .filter(col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    } else jaccardJoinCollapsed(docs, threshold, words)
+  }
+
+  /** `collapseExact = true` form: exact-duplicate PRE-COLLAPSE (round-5
+    * scale probe finding). Identical shingle SETS — boilerplate, mirrored
+    * pages — are a quadratic nucleus of the candidate stage: every member
+    * of an identity group pairs with everything its set pairs with, so a
+    * group of g docs multiplies its set's candidates by g (and within-group
+    * by g^2). Collapse each group to its min-id representative, run
+    * PPJoin + verify over representatives only, expand pairs back:
+    * within-group pairs have jaccard exactly 1; a qualifying representative
+    * pair expands to all cross-member pairs with the SAME jaccard (members
+    * share the representative's set). Output is bit-identical to the
+    * default path (proven against the brute join in `NearDupSimSpec`); the
+    * expansion joins are output-cardinality-bound.
+    *
+    * OPT-IN, not default, on measurement: on a corpus with ~no identity
+    * groups (the sf1 probe's permuted corpus: 9 identity pairs in 50k docs)
+    * the group/collapse/expand machinery costs ~1.8x and buys nothing —
+    * the win requires identity groups to dominate the candidate stage, the
+    * regime of boilerplate-heavy web crawls. Measure group mass first
+    * (`groupBy(md5(sorted shingles)).count()` — seconds) and flip this on
+    * when identity groups hold a large candidate share. */
+  private def jaccardJoinCollapsed(docs: DataFrame, threshold: Double,
+                                   words: Int): DataFrame = {
+    // EAGER checkpoints: sigs feeds ~5 consumers and repSigs' lineage holds
+    // an aggregation + join — with LAZY checkpoints, concurrent stages race
+    // the unmaterialized cache and recompute the lineage per consumer
+    // (measured 478 s vs ~170 s at the sf1 probe). repPairs materializes
+    // too: it is result-sized, and the expansion would otherwise re-execute
+    // the whole candidate+verify lineage (measured +321 s).
+    val sigs = signatures(docs, words).select("doc_id", "sh").localCheckpoint()
+    val members = sigs.select(col("doc_id"),
+      md5(concat_ws("\u0001", col("sh"))).as("__fp"), size(col("sh")).as("__n"))
+    val reps = members.groupBy("__fp").agg(min("doc_id").as("doc_id"))
+    val repSigs = sigs.join(reps.select("doc_id"), "doc_id").localCheckpoint()
+    val repPairs = jaccardVerify(candidatesFromSigs(repSigs, threshold), repSigs)
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
-      .orderBy("a_id", "b_id")
+      .localCheckpoint()
+    // within-group: every member pair of a (nonempty-set) identity group —
+    // these ARE pairs of the uncollapsed join (equal sizes pass the length
+    // filter, any shared prefix token gives ub = n >= alpha) with jaccard 1
+    val x = members.alias("x"); val y = members.alias("y")
+    val within = x.join(y,
+        col("x.__fp") === col("y.__fp") &&
+        col("x.doc_id") < col("y.doc_id") && col("x.__n") > 0)
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        lit(1.0).as("jaccard"))
+    // cross-group: representative pair -> all member cross pairs, reordered
+    // (groups are disjoint, so each unordered pair surfaces exactly once)
+    val crossed = repPairs
+      .join(members.select(col("doc_id").as("a_id"), col("__fp").as("__fpa")), "a_id")
+      .join(members.select(col("doc_id").as("b_id"), col("__fp").as("__fpb")), "b_id")
+      .join(members.select(col("doc_id").as("ax"), col("__fp").as("__fpa")), "__fpa")
+      .join(members.select(col("doc_id").as("bx"), col("__fp").as("__fpb")), "__fpb")
+      .select(least(col("ax"), col("bx")).as("a_id"),
+        greatest(col("ax"), col("bx")).as("b_id"), col("jaccard"))
+    within.unionByName(crossed).orderBy("a_id", "b_id")
   }
 
   /** The PPJoin pipeline decomposed — (signatures, prefixes, candidates) —
@@ -198,6 +259,22 @@ object NearDup {
   def jaccardStages(docs: DataFrame, threshold: Double = 0.5,
                     words: Int = 3): (DataFrame, DataFrame, DataFrame) = {
     val sigs = signatures(docs, words).select("doc_id", "sh").localCheckpoint(false)
+    val (prefixes, cand) = prefixCandidates(sigs, threshold)
+    (sigs, prefixes, cand)
+  }
+
+  private def candidatesFromSigs(sigs: DataFrame, threshold: Double): DataFrame =
+    prefixCandidates(sigs, threshold)._2
+
+  /** Profiling access to the candidate stage ([[graft.ProfileNearDup]]). */
+  private[graft] def candidatesForProfiling(sigs: DataFrame,
+                                            threshold: Double): DataFrame =
+    candidatesFromSigs(sigs, threshold)
+
+  /** PPJoin prefix table + filtered candidate pairs from a pre-built
+    * (doc_id, sh) signature frame. */
+  private def prefixCandidates(sigs: DataFrame,
+                               threshold: Double): (DataFrame, DataFrame) = {
     val tokens = sigs.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("tok"))
     val dfreq = tokens.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -238,7 +315,7 @@ object NearDup {
            first("na").as("na"), first("nb").as("nb"))
       .filter(col("ub") >= alpha)
       .select("a_id", "b_id")
-    (sigs, prefixes, cand)
+    (prefixes, cand)
   }
 
   /** Asymmetric CONTAINMENT join: c(A->B) = |A∩B| / |A| — the subset-duplicate

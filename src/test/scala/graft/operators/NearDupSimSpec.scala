@@ -43,6 +43,37 @@ class NearDupSimSpec extends SparkSpec {
     assert(lsh == exact) // 16 hashes / 4 bands catches >=0.5 jaccard reliably here
   }
 
+  test("jaccardJoin's exact-dup pre-collapse is invisible: equals the brute pair join") {
+    // identity groups (docs 1=2, 4=5 — the quadratic nucleus the collapse
+    // removes) plus a near-dup and an unrelated doc; result must equal the
+    // all-pairs brute force exactly, jaccard values included
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (4L, "the a of and to in is"),
+      (5L, "the a of and to in is"),
+      (6L, "completely different content entirely unrelated words")
+    ).toDF("doc_id", "text")
+    val got = NearDup.jaccardJoin(docs, 0.5, collapseExact = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val defaultPath = NearDup.jaccardJoin(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val sigs = NearDup.signatures(docs).select("doc_id", "sh")
+    val ids = sigs.select("doc_id")
+    val allPairs = ids.select(col("doc_id").as("a_id"))
+      .crossJoin(ids.select(col("doc_id").as("b_id")))
+      .filter(col("a_id") < col("b_id"))
+    val brute = NearDup.jaccardVerify(allPairs, sigs)
+      .filter(col("jaccard") >= 0.5)
+      .select("a_id", "b_id", "jaccard").orderBy("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == brute)
+    assert(defaultPath == brute)
+    // and the identity groups actually expanded
+    assert(got.contains((1L, 2L, 1.0)) && got.contains((4L, 5L, 1.0)))
+  }
+
   test("simhash: identical texts get identical fingerprints; fingerprint is 32-bit") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
                  (3L, "omega psi chi")).toDF("doc_id", "text")
