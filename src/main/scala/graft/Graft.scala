@@ -109,6 +109,9 @@ object Graft {
   def aggSnapshot(rows: DataFrame, keys: Seq[String], valueCol: String,
                   orderCol: String): DataFrame =
     Merge.aggSnapshot(rows, keys, valueCol, orderCol)
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+                   fingerprint: Column): DataFrame =
+    Merge.snapshotDiff(oldSnap, newSnap, key, fingerprint)
   def incrementalAgg(snapshot: DataFrame, delta: DataFrame, keys: Seq[String],
                      valueCol: String, orderCol: String): DataFrame =
     Merge.incrementalAgg(snapshot, delta, keys, valueCol, orderCol)

@@ -172,6 +172,18 @@ object SparkEntry {
         .orderBy("user_id", "event_type")
     }),
 
+    // ---- extension: snapshot diff (added/removed/changed between runs) ----
+    "q_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val oldSnap = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      val newSnap = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(3)) === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      Merge.snapshotDiff(oldSnap, newSnap, "doc_id", md5(col("text")))
+        .orderBy("doc_id")
+    }),
+
     // ---- extension: bloom-pruned equi-join (probe filtered pre-shuffle) ----
     "q_bloom_join" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -1412,6 +1424,20 @@ object SparkEntry {
         """SELECT event_type, count(DISTINCT user_id) AS n_exact,
           |  TRUE AS within_rsd
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "q_snapshot_diff" ->
+        """WITH o AS (SELECT doc_id, md5(text) AS ofp FROM documents WHERE doc_id % 7 <> 0),
+          |n AS (SELECT doc_id,
+          |        md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS nfp
+          |      FROM documents WHERE doc_id % 5 <> 0)
+          |SELECT doc_id,
+          |  CASE WHEN ofp IS NULL THEN 'added'
+          |       WHEN nfp IS NULL THEN 'removed'
+          |       WHEN ofp <> nfp THEN 'changed' END AS status
+          |FROM o FULL OUTER JOIN n USING (doc_id)
+          |WHERE (CASE WHEN ofp IS NULL THEN 'added'
+          |            WHEN nfp IS NULL THEN 'removed'
+          |            WHEN ofp <> nfp THEN 'changed' END) IS NOT NULL
+          |ORDER BY doc_id""".stripMargin,
       "q_incremental_agg" ->
         """SELECT user_id, event_type, count(*) AS n,
           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,

@@ -140,6 +140,29 @@ object Merge {
       .withColumn("n_distinct_est", hll_sketch_estimate(col("dv_sketch")))
   }
 
+  /** Snapshot DIFF — the added/removed/changed report a recurring corpus
+    * pipeline runs between yesterday's and today's snapshots (what changed
+    * drives re-embedding, re-dedup, cache invalidation downstream).
+    *
+    * Scale shape: both sides project down to (key, fingerprint) BEFORE the
+    * join, so the single co-shuffle carries a key and a hash per row — never
+    * document payloads; at 100 TB the exchange is the key space, not the
+    * corpus. One full-outer join, fingerprint inequality = changed. Rows
+    * equal on both sides are dropped (the interesting output is the delta;
+    * unchanged is the overwhelming majority at scale). */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+                   fingerprint: Column): DataFrame = {
+    val o = oldSnap.select(col(key), fingerprint.as("__ofp"))
+    val n = newSnap.select(col(key), fingerprint.as("__nfp"))
+    o.join(n, Seq(key), "full_outer")
+      .withColumn("status",
+        when(col("__ofp").isNull, lit("added"))
+          .when(col("__nfp").isNull, lit("removed"))
+          .when(col("__ofp") =!= col("__nfp"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col(key), col("status"))
+  }
+
   /** Type-2 SCD derivation from a row-version log: each key's versions get
     * half-open validity ranges [valid_from, valid_to) in epoch seconds, the
     * open (current) version marked with valid_to NULL. Deterministic under

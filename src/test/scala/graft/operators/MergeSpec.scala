@@ -10,6 +10,17 @@ class MergeSpec extends SparkSpec {
   private def ev = Tables.events(spark, sf)
   private val keys = Seq("user_id", "event_type")
 
+  test("snapshotDiff: planted add/remove/change classify; unchanged rows drop") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((1L, "alpha"), (2L, "beta CHANGED"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val diff = Merge.snapshotDiff(oldSnap, newSnap, "doc_id", md5(col("text")))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(diff == Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
+
   test("upsertReplace: every key appears once per update, pass-through otherwise") {
     val target = ev.filter(col("event_id") <= 700)
     val updates = ev.filter(col("event_id") > 700)
