@@ -134,6 +134,10 @@ object Graft {
     BpeTrainer.merges(docs, steps)
   def bpeTokenized(docs: DataFrame, steps: Int = 4): DataFrame =
     BpeTrainer.tokenized(docs, steps)
+  def mixtureByTokens(df: DataFrame, keyCol: String, strataCol: String,
+                      tokensCol: String, weights: Map[String, Double],
+                      tokenBudget: Long): DataFrame =
+    Sampling.mixtureByTokens(df, keyCol, strataCol, tokensCol, weights, tokenBudget)
   def repetitionRatio(docs: DataFrame): DataFrame = TextAnalysis.repetition(docs)
   def redactPii(docs: DataFrame): DataFrame = TextAnalysis.redactPii(docs)
   def normalizeText(docs: DataFrame): DataFrame = TextAnalysis.normalizeText(docs)

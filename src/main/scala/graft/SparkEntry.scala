@@ -348,6 +348,15 @@ object SparkEntry {
       Sampling.mixture(Tables.documents(s, dir).select("doc_id", "lang"),
         "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.3), 200L)
         .orderBy("doc_id")),
+    // token-denominated mixture: budgets in tokens, the unit recipes use
+    "q_sample_mixture_tokens" -> ((s, dir) =>
+      Sampling.mixtureByTokens(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+            size(split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")),
+              " ")).cast("long").as("n_tokens")),
+          "doc_id", "lang",
+          "n_tokens", Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.3), 20000L)
+        .orderBy("doc_id")),
 
     // ---- extension: repetition ratio + PII scrub (text curation) ----
     "q_repetition" -> ((s, dir) =>
@@ -1587,6 +1596,19 @@ object SparkEntry {
           |  FROM documents) t
           |WHERE mix_rk <= CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 40
           |                          WHEN 'fr' THEN 60 ELSE 0 END
+          |ORDER BY doc_id""".stripMargin,
+      "q_sample_mixture_tokens" ->
+        """WITH d AS (SELECT doc_id, lang,
+          |  CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |r AS (SELECT doc_id, lang, n_tokens,
+          |  sum(n_tokens) OVER (PARTITION BY lang
+          |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '|graft_mix_v1'), doc_id
+          |    ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM d)
+          |SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+          |FROM r
+          |WHERE cum_tokens - n_tokens < CASE lang WHEN 'en' THEN 10000
+          |  WHEN 'de' THEN 4000 WHEN 'fr' THEN 6000 ELSE 0 END
           |ORDER BY doc_id""".stripMargin,
       "q_repetition" ->
         """WITH d AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM documents),

@@ -71,6 +71,43 @@ object Sampling {
       .filter(col("mix_rk") <= quota)
   }
 
+  /** TOKEN-budget mixture sampler — [[mixture]] with the budget denominated
+    * in TOKENS, which is how pretraining recipes are actually specified
+    * (a 30% German share means 30% of trained-on tokens, not of documents;
+    * doc quotas skew the realized mixture toward whichever stratum writes
+    * shorter documents). Each stratum's token quota = floor(budget * w);
+    * docs fill in the same content-addressed hash order, and a doc is taken
+    * while the quota is not yet exhausted BEFORE it (running-sum window with
+    * the 1-row-lagged cumulative), so the take set is a deterministic
+    * prefix; the first doc straddling the boundary is included — quotas are
+    * met-or-slightly-exceeded, never starved by an unlucky long doc.
+    *
+    * Same single window shuffle on the stratum key as [[mixture]]; the
+    * running sum is frame-bounded state. Output keeps
+    * (key, stratum, n_tokens, cum_tokens). */
+  def mixtureByTokens(df: DataFrame, keyCol: String, strataCol: String,
+                      tokensCol: String, weights: Map[String, Double],
+                      tokenBudget: Long,
+                      salt: String = "graft_mix_v1"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0),
+      "weights must be non-negative")
+    val quota: Column = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(0L)) { case (acc, (stratum, w)) =>
+        when(col(strataCol) === stratum,
+          lit(math.floor(tokenBudget * w).toLong)).otherwise(acc)
+      }
+    val win = Window.partitionBy(strataCol)
+      .orderBy(md5(concat(col(keyCol).cast("string"), lit("|" + salt))).asc,
+        col(keyCol).asc)
+    df.withColumn("cum_tokens",
+        sum(col(tokensCol).cast("long")).over(
+          win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // quota not exhausted strictly before this doc = prefix membership
+      .filter(col("cum_tokens") - col(tokensCol).cast("long") < quota &&
+        quota > 0)
+      .withColumn("cum_tokens", col("cum_tokens").cast("long"))
+  }
+
   /** Content-addressed uniform in (0,1]: 52 md5 bits (13 hex chars) + 1 over
     * 2^52. Every step is exact in doubles — the integer is < 2^52 so it
     * represents exactly, and the divisor is a power of two — so the value is

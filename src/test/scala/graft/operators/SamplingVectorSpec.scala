@@ -25,6 +25,39 @@ class SamplingVectorSpec extends SparkSpec {
     assert(enRate > 0.2 && enRate < 0.55, s"en rate $enRate")
   }
 
+  test("token-budget mixture: hash-order prefix per stratum, boundary doc " +
+       "included, zero-weight stratum excluded") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"),
+      size(split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")),
+        " ")).cast("long").as("n_tokens"))
+    val budget = 20000L
+    val weights = Map("en" -> 0.5, "de" -> 0.2)
+    val out = Sampling.mixtureByTokens(docs, "doc_id", "lang", "n_tokens",
+      weights, budget).collect()
+    assert(out.nonEmpty)
+    // zero-weight strata contribute nothing
+    assert(out.forall(r => weights.contains(r.getAs[String]("lang"))))
+    out.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val quota = math.floor(budget * weights(lang)).toLong
+      // every taken doc started strictly inside the quota (prefix property)
+      rows.foreach { r =>
+        assert(r.getAs[Long]("cum_tokens") - r.getAs[Long]("n_tokens") < quota)
+      }
+      // at most ONE doc straddles the boundary; the rest sit within quota
+      assert(rows.count(_.getAs[Long]("cum_tokens") > quota) <= 1)
+      // quota is met (or the stratum ran dry)
+      val strataTotal = docs.filter(col("lang") === lang)
+        .agg(sum("n_tokens")).collect()(0).getLong(0)
+      val taken = rows.map(_.getAs[Long]("n_tokens")).sum
+      assert(taken >= math.min(quota, strataTotal), s"$lang under-filled")
+    }
+    // deterministic under repartitioning
+    val out2 = Sampling.mixtureByTokens(docs.repartition(7), "doc_id", "lang",
+      "n_tokens", weights, budget).orderBy("doc_id").collect().toSeq
+    assert(out.sortBy(_.getAs[Long]("doc_id")).toSeq == out2)
+  }
+
   test("quota cap keeps at most n per group with a deterministic rank") {
     val docs = Tables.documents(spark, sf).select("doc_id", "lang")
     val capped = Sampling.quotaCap(docs, "lang", 30, Seq("doc_id"))
