@@ -66,6 +66,8 @@ object Graft {
     Packing.packSequences(docs, budget)
   def dedupVsHistory(batch: DataFrame, history: DataFrame, key: String): DataFrame =
     Dedup.newAgainstHistory(batch, history, key)
+  def duplicatedPassages(docs: DataFrame, window: Int = 16): DataFrame =
+    Dedup.duplicatedPassages(docs, window)
   def nearDupVsHistory(batch: DataFrame, history: DataFrame,
                        threshold: Double = 0.5): DataFrame =
     NearDup.nearDupSurvivorsVsHistory(batch, history, threshold)

@@ -227,6 +227,9 @@ object SparkEntry {
       Dedup.exactText(Tables.documents(s, dir))),
     "q_dedup_events" -> ((s, dir) =>
       Dedup.eventsKeepEarliest(Tables.events(s, dir))),
+    // substring-level lane: repeated 16-token windows merged to per-doc spans
+    "q_dedup_passage" -> ((s, dir) =>
+      Dedup.duplicatedPassages(Tables.documents(s, dir))),
     // fuzzy companion to q_dedup_incremental: batch survivors vs history by
     // NEAR-duplication (batch = doc_id % 5 == 0, history = the rest)
     "q_dedup_nearhist" -> ((s, dir) => {
@@ -1100,6 +1103,43 @@ object SparkEntry {
           |         row_number() OVER (PARTITION BY user_id, event_type
           |                            ORDER BY ts, event_id) AS rn
           |  FROM events) t WHERE rn = 1 ORDER BY event_id""".stripMargin,
+      "q_dedup_passage" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+          |  FROM documents),
+          |wins AS (
+          |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, CAST(i AS BIGINT) AS pos,
+          |         md5(array_to_string(w[i:i+15], ' ')) AS h
+          |  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 15 + 1)) AS i) t
+          |  WHERE len(w) >= 16),
+          |dup AS (
+          |  SELECT doc_id, n_tokens, pos FROM (
+          |    SELECT doc_id, n_tokens, pos, count(*) OVER (PARTITION BY h) AS c
+          |    FROM wins) WHERE c > 1),
+          |isl AS (
+          |  SELECT doc_id, n_tokens, pos,
+          |         CASE WHEN max(pos + 15) OVER (PARTITION BY doc_id ORDER BY pos
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+          |              OR pos > max(pos + 15) OVER (PARTITION BY doc_id ORDER BY pos
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+          |              THEN 1 ELSE 0 END AS nw
+          |  FROM dup),
+          |isl2 AS (
+          |  SELECT doc_id, n_tokens, pos,
+          |         sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          |  FROM isl),
+          |spans AS (
+          |  SELECT doc_id, n_tokens, island,
+          |         min(pos) AS span_start, max(pos + 15) AS span_end
+          |  FROM isl2 GROUP BY doc_id, n_tokens, island)
+          |SELECT doc_id, n_tokens,
+          |       CAST(count(*) AS BIGINT) AS n_dup_spans,
+          |       CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_tokens,
+          |       CAST(sum(span_end - span_start + 1) AS DOUBLE)
+          |         / CAST(n_tokens AS DOUBLE) AS dup_ratio
+          |FROM spans GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
       "q_dedup_incremental" ->
         """WITH f AS (SELECT doc_id,
           |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp

@@ -151,6 +151,70 @@ object Dedup {
     batch.join(hint(matched), Seq(key), "left_anti")
   }
 
+  /** Passage-level (substring) duplication: find every `window`-token
+    * span whose normalized text occurs MORE THAN ONCE anywhere in the
+    * corpus, and merge the hits into maximal per-document spans — the
+    * sliding-window form of suffix-array substring dedup (the "remove any
+    * repeated 50-token substring" curation step; cf. dedup literature on
+    * substring-duplicated training data). Whole-document dedup
+    * ([[exactText]], [[NearDup]]) misses a boilerplate paragraph pasted
+    * into otherwise-distinct pages; this lane is what catches it.
+    *
+    * Semantics: tokens are the usual normalization (lower, non-alnum →
+    * space); docs shorter than `window` tokens have no full window and are
+    * skipped. A window is duplicated when its md5 occurs >= 2 times
+    * globally — across documents or repeated WITHIN one (self-repetition is
+    * still duplicated text; the corpus-level signal subsumes the per-doc
+    * [[TextAnalysis.repetition]] ratio). Overlapping and adjacent
+    * duplicated windows merge into one span (classic island detection:
+    * running max of span end per doc); `dup_tokens` is the total token
+    * count covered by merged spans, the amount a scrubber would cut.
+    * Output rows are only docs with >= 1 duplicated span — absent docs
+    * have dup_ratio 0 by construction.
+    *
+    * Scale shape at 100 TB: windows explode map-side (~n_tokens rows per
+    * doc — the price of substring resolution; stride-1 is the algorithm).
+    * Duplication marking is ONE hash-partitioned window count on the
+    * 128-bit gram digest (per-digest groups are tiny; no join back, no
+    * second pass over the stream, and the md5 digest — not the ~16-word
+    * gram text — is what shuffles). Survivor span merge shuffles only the
+    * DUPLICATED windows (a small fraction of the stream) keyed by doc.
+    * Everything is codegen'd built-ins; no UDF. */
+  def duplicatedPassages(docs: DataFrame, window: Int = 16,
+                         text: String = "text", id: String = "doc_id"): DataFrame = {
+    require(window > 1, "need window > 1")
+    val w = split(trim(regexp_replace(lower(col(text)), "[^a-z0-9]+", " ")), " ")
+    val staged = graft.core.Parallelism.forCompute(docs)
+      .select(col(id), w.as("__w"))
+      .filter(size(col("__w")) >= window)
+    // pos is 1-based token index of the window start; h is the 128-bit digest
+    val wins = staged.select(col(id), size(col("__w")).cast("long").as("n_tokens"),
+        posexplode(transform(
+          sequence(lit(1), size(col("__w")) - (window - 1)),
+          i => md5(concat_ws(" ", slice(col("__w"), i, lit(window)))))).as(Seq("p0", "h")))
+      .select(col(id), col("n_tokens"), (col("p0") + 1).cast("long").as("pos"), col("h"))
+    val dup = wins
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("__c") > 1)
+    val byDoc = Window.partitionBy(id).orderBy("pos")
+    val spanEnd = col("pos") + (window - 1)
+    val prevMaxEnd = max(spanEnd)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = dup
+      .withColumn("__new",
+        when(prevMaxEnd.isNull || col("pos") > prevMaxEnd + 1, 1L).otherwise(0L))
+      .withColumn("__island",
+        sum(col("__new")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(id), col("n_tokens"), col("__island"))
+      .agg(min("pos").as("span_start"), max(spanEnd).as("span_end"))
+    islands.groupBy(col(id), col("n_tokens"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+           sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+      .withColumn("dup_ratio",
+        col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+      .orderBy(id)
+  }
+
   /** One survivor (the min doc_id) per duplicate CLUSTER. Strictly stronger
     * than dropping the larger id of each pair: with pairs (B,C) and (A,C)
     * only, pairwise dropping keeps both A and B from one duplicate group;

@@ -52,6 +52,37 @@ class DedupJsonSpec extends SparkSpec {
     }
   }
 
+  test("duplicatedPassages finds cross-doc and within-doc spans and merges islands") {
+    val passage = (1 to 20).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      // doc 1: 20-token passage embedded mid-doc (tokens 6..25 of 30)
+      (1L, ((1 to 5).map(i => s"u$i") ++ Seq(passage) ++ (6 to 10).map(i => s"u$i")).mkString(" ")),
+      // doc 2: same passage at the front (tokens 1..20 of 24)
+      (2L, (Seq(passage) ++ (1 to 4).map(i => s"v$i")).mkString(" ")),
+      // doc 3: all-unique tokens — must be absent from the output
+      (3L, (1 to 30).map(i => s"q$i").mkString(" ")),
+      // doc 4: a 16-token block repeated WITHIN the doc, separated by one token
+      (4L, ((1 to 16).map(i => s"a$i") ++ Seq("z") ++ (1 to 16).map(i => s"a$i")).mkString(" ")),
+      // doc 5: shorter than the window — no full window, absent
+      (5L, (1 to 10).map(i => s"s$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicatedPassages(docs)
+      .select("doc_id", "n_tokens", "n_dup_spans", "dup_tokens", "dup_ratio")
+      .as[(Long, Long, Long, Long, Double)].collect().toList
+    assert(r == List(
+      (1L, 30L, 1L, 20L, 20.0 / 30.0),
+      (2L, 24L, 1L, 20L, 20.0 / 24.0),
+      (4L, 33L, 2L, 32L, 32.0 / 33.0)))
+  }
+
+  test("duplicatedPassages plan: no cartesian product; digest-window marking") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val plan = Dedup.duplicatedPassages(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "pair detection must not cross-join")
+    assert(plan.contains("Window"), "duplication marking should be a partitioned window")
+    assert(!plan.toLowerCase.contains("broadcastnestedloop"))
+  }
+
   test("keepFirst keeps exactly the first row per key under the given order") {
     val df = Seq(
       (1L, "a", 30L), (2L, "a", 10L), (3L, "a", 20L),
