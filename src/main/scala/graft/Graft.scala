@@ -152,6 +152,8 @@ object Graft {
   def saltedJoin(big: DataFrame, replicated: DataFrame, keys: Seq[String],
                  saltBy: Seq[String], salts: Int = 8): DataFrame =
     SaltedJoin.salted(big, replicated, keys, saltBy, salts)
+  def zorderLayout(df: DataFrame, cols: Seq[String], nBuckets: Int = 64): DataFrame =
+    ZOrder.layout(df, cols, nBuckets)
   def attributionJoin(events: DataFrame, leftType: String = "click",
                       rightType: String = "view",
                       lookbackSeconds: Long = 3600L): DataFrame =

@@ -462,6 +462,13 @@ object SparkEntry {
         .select("doc_id", "width", "height", "out_width", "out_height", "out_pixels")
         .orderBy("doc_id")),
 
+    // ---- extension: Z-order (Morton) clustering layout ----
+    // deterministic locality report: equi-width zkey buckets with per-column
+    // min/max — tight per-bucket ranges on BOTH columns are the pruning win
+    "q_zorder_layout" -> ((s, dir) =>
+      ZOrder.clusteringReport(Tables.lineitem(s, dir),
+        Seq("l_partkey", "l_suppkey"), nBuckets = 32)),
+
     // ---- §2.4 equi-depth partition assignment (part_equidepth) ----
     "q_part_equidepth" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1939,6 +1946,30 @@ object SparkEntry {
           |    * (CASE WHEN longest > 32
           |       THEN greatest(CAST((height * 32) // longest AS INT), 1) ELSE height END) AS out_pixels
           |FROM r ORDER BY doc_id""".stripMargin,
+      "q_zorder_layout" -> {
+        // Morton interleave unrolled to 32 bitwise terms — bit j of dim i
+        // lands at position j*2+i, mirroring ZOrder.interleave exactly
+        val terms = (0 until 16).flatMap(j => Seq(
+          s"(((nx >> $j) & 1) << ${2 * j})",
+          s"(((ny >> $j) & 1) << ${2 * j + 1})")).mkString(" | ")
+        s"""WITH stats AS (
+           |  SELECT CAST(min(l_partkey) AS BIGINT) AS pmin, CAST(max(l_partkey) AS BIGINT) AS pmax,
+           |         CAST(min(l_suppkey) AS BIGINT) AS smin, CAST(max(l_suppkey) AS BIGINT) AS smax
+           |  FROM lineitem),
+           |norm AS (
+           |  SELECT l_partkey, l_suppkey,
+           |         ((CAST(l_partkey AS BIGINT) - pmin) * 65535) // (pmax - pmin) AS nx,
+           |         ((CAST(l_suppkey AS BIGINT) - smin) * 65535) // (smax - smin) AS ny
+           |  FROM lineitem, stats),
+           |z AS (SELECT l_partkey, l_suppkey, ($terms) AS zkey FROM norm)
+           |SELECT (zkey * 32) // 4294967296 AS bucket,
+           |       count(*) AS n_rows,
+           |       CAST(min(l_partkey) AS BIGINT) AS l_partkey_min,
+           |       CAST(max(l_partkey) AS BIGINT) AS l_partkey_max,
+           |       CAST(min(l_suppkey) AS BIGINT) AS l_suppkey_min,
+           |       CAST(max(l_suppkey) AS BIGINT) AS l_suppkey_max
+           |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+      },
       "q_part_equidepth" ->
         """SELECT bucket, count(*) AS n_rows, min(ts_epoch) AS lo, max(ts_epoch) AS hi
           |FROM (
