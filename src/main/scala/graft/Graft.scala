@@ -114,6 +114,8 @@ object Graft {
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
                    fingerprint: Column): DataFrame =
     Merge.snapshotDiff(oldSnap, newSnap, key, fingerprint)
+  def corpusOverlap(a: DataFrame, b: DataFrame, n: Int = 8): DataFrame =
+    Merge.corpusOverlap(a, b, n)
   def incrementalAgg(snapshot: DataFrame, delta: DataFrame, keys: Seq[String],
                      valueCol: String, orderCol: String): DataFrame =
     Merge.incrementalAgg(snapshot, delta, keys, valueCol, orderCol)

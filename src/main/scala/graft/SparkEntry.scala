@@ -184,6 +184,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // sketch-estimated content overlap between two corpora: estimates are
+    // Spark-sketch-specific, so the checkable output is exact counts (also
+    // computed here) + error-bound booleans (the approxSketches pattern)
+    "q_corpus_overlap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val a = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val b = docs.filter(pmod(col("doc_id"), lit(2)) =!= 0)
+      def grams(df: org.apache.spark.sql.DataFrame) =
+        df.select(explode(TextAnalysis.wordGrams(col("text"), 8)).as("g")).distinct()
+      val exact = grams(a).withColumn("__ina", lit(1))
+        .join(grams(b).withColumn("__inb", lit(1)), Seq("g"), "full_outer")
+        .agg(sum(col("__ina")).as("n_a"), sum(col("__inb")).as("n_b"),
+             count(lit(1)).as("n_union"),
+             sum(when(col("__ina").isNotNull && col("__inb").isNotNull, 1L)
+               .otherwise(0L)).as("n_overlap"))
+      Merge.corpusOverlap(a, b).crossJoin(exact)
+        .select(col("n_a"), col("n_b"), col("n_union"), col("n_overlap"),
+          (abs(col("n_a_est") - col("n_a")) <= lit(0.05) * col("n_a")).as("ok_a"),
+          (abs(col("n_b_est") - col("n_b")) <= lit(0.05) * col("n_b")).as("ok_b"),
+          (abs(col("n_union_est") - col("n_union"))
+            <= lit(0.05) * col("n_union")).as("ok_union"),
+          (abs(col("n_overlap_est") - col("n_overlap"))
+            <= lit(0.08) * col("n_union")).as("ok_overlap"))
+    }),
+
     // ---- extension: bloom-pruned equi-join (probe filtered pre-shuffle) ----
     "q_bloom_join" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -1480,6 +1505,22 @@ object SparkEntry {
         """SELECT event_type, count(DISTINCT user_id) AS n_exact,
           |  TRUE AS within_rsd
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "q_corpus_overlap" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+          |  FROM documents),
+          |ga AS (SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS g
+          |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(w) - 7, 1) + 1)) AS i) t
+          |  WHERE doc_id % 3 <> 0),
+          |gb AS (SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS g
+          |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(w) - 7, 1) + 1)) AS i) t
+          |  WHERE doc_id % 2 <> 0)
+          |SELECT (SELECT count(*) FROM ga) AS n_a,
+          |       (SELECT count(*) FROM gb) AS n_b,
+          |       (SELECT count(*) FROM (SELECT g FROM ga UNION SELECT g FROM gb)) AS n_union,
+          |       (SELECT count(*) FROM (SELECT g FROM ga INTERSECT SELECT g FROM gb)) AS n_overlap,
+          |       TRUE AS ok_a, TRUE AS ok_b, TRUE AS ok_union, TRUE AS ok_overlap""".stripMargin,
       "q_snapshot_diff" ->
         """WITH o AS (SELECT doc_id, md5(text) AS ofp FROM documents WHERE doc_id % 7 <> 0),
           |n AS (SELECT doc_id,

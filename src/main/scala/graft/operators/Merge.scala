@@ -163,6 +163,41 @@ object Merge {
       .select(col(key), col("status"))
   }
 
+  /** Corpus-level n-gram overlap between two snapshots via HLL sketch
+    * inclusion-exclusion: |A ∩ B| = |A| + |B| - |A ∪ B|, with each term an
+    * HLL estimate and the union estimated from `hll_union` of the two
+    * sketches (union of sketches IS the sketch of the union). The
+    * corpus-comparison companion to [[snapshotDiff]]: diff answers "which
+    * keyed docs changed"; this answers "how much CONTENT do two corpora
+    * share" with no key alignment at all — crawl-vs-crawl, vendor-vs-vendor,
+    * train-vs-train comparisons before committing to a merge.
+    *
+    * Scale shape at 100 TB: each corpus reduces to ONE fixed-size sketch
+    * through partial aggregation (map-side combine; the exchange carries
+    * kilobyte sketches, not grams), so the whole comparison is two narrow
+    * gram scans + a 1x1 join — never a gram-level co-shuffle, never a
+    * pairwise doc join. Estimates carry the published HLL error (~1.6%
+    * rsd at the default lgConfigK); inclusion-exclusion compounds the
+    * error of three estimates, so overlap tolerance should be stated
+    * against |A ∪ B|, not the (possibly tiny) overlap itself. */
+  def corpusOverlap(a: DataFrame, b: DataFrame, n: Int = 8,
+                    text: String = "text"): DataFrame = {
+    def sk(df: DataFrame, name: String) =
+      graft.core.Parallelism.forCompute(df)
+        .select(explode(TextAnalysis.wordGrams(col(text), n)).as("g"))
+        .agg(hll_sketch_agg(col("g")).as(name))
+    sk(a, "__ska").crossJoin(sk(b, "__skb"))
+      .select(
+        hll_sketch_estimate(col("__ska")).as("n_a_est"),
+        hll_sketch_estimate(col("__skb")).as("n_b_est"),
+        hll_sketch_estimate(hll_union(col("__ska"), col("__skb")))
+          .as("n_union_est"))
+      .withColumn("n_overlap_est",
+        col("n_a_est") + col("n_b_est") - col("n_union_est"))
+      .withColumn("jaccard_est",
+        col("n_overlap_est").cast("double") / col("n_union_est").cast("double"))
+  }
+
   /** Type-2 SCD derivation from a row-version log: each key's versions get
     * half-open validity ranges [valid_from, valid_to) in epoch seconds, the
     * open (current) version marked with valid_to NULL. Deterministic under

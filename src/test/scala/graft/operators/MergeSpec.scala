@@ -111,6 +111,34 @@ class MergeSpec extends SparkSpec {
     assert(merged.contains("fresh")) // delta-only key appears
   }
 
+  test("corpusOverlap: identical corpora -> jaccard ~1, disjoint -> overlap ~0") {
+    import spark.implicits._
+    val a = (1 to 40).map(i => (i.toLong,
+      (1 to 12).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val exact = a.select(explode(TextAnalysis.wordGrams(col("text"), 8)).as("g"))
+      .distinct().count()
+    val same = Merge.corpusOverlap(a, a).collect().head
+    // NOT asserting bit-equal estimates: datasketches HLL estimates depend
+    // on partial-merge order, so two aggregations of the same input can
+    // differ by a few counts — only the published error bound is contractual
+    assert(math.abs(same.getAs[Long]("n_a_est") - exact) <= 0.05 * exact, s"$same vs $exact")
+    assert(math.abs(same.getAs[Long]("n_b_est") - exact) <= 0.05 * exact)
+    assert(math.abs(same.getAs[Double]("jaccard_est") - 1.0) <= 0.1)
+    val b = (1 to 40).map(i => (i.toLong,
+      (1 to 12).map(j => s"x${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val dis = Merge.corpusOverlap(a, b).collect().head
+    // disjoint gram sets: overlap estimate within sketch noise of zero
+    assert(math.abs(dis.getAs[Long]("n_overlap_est").toDouble)
+      <= 0.05 * dis.getAs[Long]("n_union_est"))
+  }
+
+  test("corpusOverlap plan: partial sketch aggregation, no gram co-shuffle join") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val p = Merge.corpusOverlap(docs, docs).queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), "sketch agg must partial-aggregate")
+    assert(!p.contains("SortMergeJoin"), "1x1 sketch join must not sort-merge")
+  }
+
   test("upsertReplace plan: target side is a broadcast anti-join (no target shuffle)") {
     val target = ev.filter(col("event_id") <= 700)
     val updates = ev.filter(col("event_id") > 700)
