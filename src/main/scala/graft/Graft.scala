@@ -68,6 +68,8 @@ object Graft {
     Dedup.newAgainstHistory(batch, history, key)
   def duplicatedPassages(docs: DataFrame, window: Int = 16): DataFrame =
     Dedup.duplicatedPassages(docs, window)
+  def scrubDuplicatedPassages(docs: DataFrame, window: Int = 16): DataFrame =
+    Dedup.scrubDuplicatedPassages(docs, window)
   def nearDupVsHistory(batch: DataFrame, history: DataFrame,
                        threshold: Double = 0.5): DataFrame =
     NearDup.nearDupSurvivorsVsHistory(batch, history, threshold)

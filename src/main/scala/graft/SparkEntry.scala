@@ -255,6 +255,9 @@ object SparkEntry {
     // substring-level lane: repeated 16-token windows merged to per-doc spans
     "q_dedup_passage" -> ((s, dir) =>
       Dedup.duplicatedPassages(Tables.documents(s, dir))),
+    // the actionable form: spans cut out of the token stream, all docs kept
+    "q_dedup_scrub" -> ((s, dir) =>
+      Dedup.scrubDuplicatedPassages(Tables.documents(s, dir))),
     // fuzzy companion to q_dedup_incremental: batch survivors vs history by
     // NEAR-duplication (batch = doc_id % 5 == 0, history = the rest)
     "q_dedup_nearhist" -> ((s, dir) => {
@@ -747,6 +750,40 @@ object SparkEntry {
          |  WHERE CAST(floor(epoch(l_shipdate)) AS BIGINT) > $Start
          |) t WHERE rownum % $ChunkSize = 0 AND ts_epoch > $Start
          |ORDER BY ts_epoch""".stripMargin
+    // Shared CTE chain for the passage-dedup lanes: normalized tokens ->
+    // stride-1 16-token window digests -> globally-duplicated windows ->
+    // island-merged per-doc spans (mirrors Dedup.duplicatedSpans)
+    val passageSpanCtes =
+      """toks AS (
+        |  SELECT doc_id,
+        |         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, CAST(i AS BIGINT) AS pos,
+        |         md5(array_to_string(w[i:i+15], ' ')) AS h
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 15 + 1)) AS i) t
+        |  WHERE len(w) >= 16),
+        |dup AS (
+        |  SELECT doc_id, n_tokens, pos FROM (
+        |    SELECT doc_id, n_tokens, pos, count(*) OVER (PARTITION BY h) AS c
+        |    FROM wins) WHERE c > 1),
+        |isl AS (
+        |  SELECT doc_id, n_tokens, pos,
+        |         CASE WHEN max(pos + 15) OVER (PARTITION BY doc_id ORDER BY pos
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |              OR pos > max(pos + 15) OVER (PARTITION BY doc_id ORDER BY pos
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+        |              THEN 1 ELSE 0 END AS nw
+        |  FROM dup),
+        |isl2 AS (
+        |  SELECT doc_id, n_tokens, pos,
+        |         sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM isl),
+        |spans AS (
+        |  SELECT doc_id, n_tokens, island,
+        |         min(pos) AS span_start, max(pos + 15) AS span_end
+        |  FROM isl2 GROUP BY doc_id, n_tokens, island)""".stripMargin
     Map(
       "q_chunk_boundaries" -> boundarySql,
       "q_chunk_boundaries_dist" -> boundarySql,
@@ -1136,42 +1173,34 @@ object SparkEntry {
           |                            ORDER BY ts, event_id) AS rn
           |  FROM events) t WHERE rn = 1 ORDER BY event_id""".stripMargin,
       "q_dedup_passage" ->
-        """WITH toks AS (
-          |  SELECT doc_id,
-          |         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
-          |  FROM documents),
-          |wins AS (
-          |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, CAST(i AS BIGINT) AS pos,
-          |         md5(array_to_string(w[i:i+15], ' ')) AS h
-          |  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 15 + 1)) AS i) t
-          |  WHERE len(w) >= 16),
-          |dup AS (
-          |  SELECT doc_id, n_tokens, pos FROM (
-          |    SELECT doc_id, n_tokens, pos, count(*) OVER (PARTITION BY h) AS c
-          |    FROM wins) WHERE c > 1),
-          |isl AS (
-          |  SELECT doc_id, n_tokens, pos,
-          |         CASE WHEN max(pos + 15) OVER (PARTITION BY doc_id ORDER BY pos
-          |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-          |              OR pos > max(pos + 15) OVER (PARTITION BY doc_id ORDER BY pos
-          |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
-          |              THEN 1 ELSE 0 END AS nw
-          |  FROM dup),
-          |isl2 AS (
-          |  SELECT doc_id, n_tokens, pos,
-          |         sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
-          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-          |  FROM isl),
-          |spans AS (
-          |  SELECT doc_id, n_tokens, island,
-          |         min(pos) AS span_start, max(pos + 15) AS span_end
-          |  FROM isl2 GROUP BY doc_id, n_tokens, island)
-          |SELECT doc_id, n_tokens,
-          |       CAST(count(*) AS BIGINT) AS n_dup_spans,
-          |       CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_tokens,
-          |       CAST(sum(span_end - span_start + 1) AS DOUBLE)
-          |         / CAST(n_tokens AS DOUBLE) AS dup_ratio
-          |FROM spans GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+        s"""WITH $passageSpanCtes
+           |SELECT doc_id, n_tokens,
+           |       CAST(count(*) AS BIGINT) AS n_dup_spans,
+           |       CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_tokens,
+           |       CAST(sum(span_end - span_start + 1) AS DOUBLE)
+           |         / CAST(n_tokens AS DOUBLE) AS dup_ratio
+           |FROM spans GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+      "q_dedup_scrub" ->
+        s"""WITH $passageSpanCtes,
+           |tok2 AS (
+           |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+           |         CAST(i AS BIGINT) AS pos, w[i] AS tok
+           |  FROM toks, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) t),
+           |kept AS (
+           |  SELECT t.doc_id, t.pos, t.tok FROM tok2 t
+           |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+           |    WHERE s.doc_id = t.doc_id
+           |      AND t.pos BETWEEN s.span_start AND s.span_end)),
+           |ka AS (
+           |  SELECT doc_id, count(*) AS n_kept,
+           |         string_agg(tok, ' ' ORDER BY pos) AS st
+           |  FROM kept GROUP BY doc_id),
+           |base AS (SELECT DISTINCT doc_id, n_tokens FROM tok2)
+           |SELECT b.doc_id, b.n_tokens,
+           |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           |       md5(coalesce(k.st, '')) AS scrub_md5
+           |FROM base b LEFT JOIN ka k USING (doc_id)
+           |ORDER BY b.doc_id""".stripMargin,
       "q_dedup_incremental" ->
         """WITH f AS (SELECT doc_id,
           |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp

@@ -181,7 +181,21 @@ object Dedup {
     * DUPLICATED windows (a small fraction of the stream) keyed by doc.
     * Everything is codegen'd built-ins; no UDF. */
   def duplicatedPassages(docs: DataFrame, window: Int = 16,
-                         text: String = "text", id: String = "doc_id"): DataFrame = {
+                         text: String = "text", id: String = "doc_id"): DataFrame =
+    duplicatedSpans(docs, window, text, id)
+      .groupBy(col(id), col("n_tokens"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+           sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+      .withColumn("dup_ratio",
+        col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+      .orderBy(id)
+
+  /** The span table behind [[duplicatedPassages]]: one row per maximal
+    * duplicated span — `(doc_id, n_tokens, span_start, span_end)`, 1-based
+    * inclusive token positions into the NORMALIZED token sequence. Shared
+    * by the report form (aggregates it) and the scrub form (cuts it). */
+  def duplicatedSpans(docs: DataFrame, window: Int = 16,
+                      text: String = "text", id: String = "doc_id"): DataFrame = {
     require(window > 1, "need window > 1")
     val w = split(trim(regexp_replace(lower(col(text)), "[^a-z0-9]+", " ")), " ")
     val staged = graft.core.Parallelism.forCompute(docs)
@@ -200,18 +214,51 @@ object Dedup {
     val spanEnd = col("pos") + (window - 1)
     val prevMaxEnd = max(spanEnd)
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val islands = dup
+    dup
       .withColumn("__new",
         when(prevMaxEnd.isNull || col("pos") > prevMaxEnd + 1, 1L).otherwise(0L))
       .withColumn("__island",
         sum(col("__new")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col(id), col("n_tokens"), col("__island"))
       .agg(min("pos").as("span_start"), max(spanEnd).as("span_end"))
-    islands.groupBy(col(id), col("n_tokens"))
-      .agg(count(lit(1)).as("n_dup_spans"),
-           sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
-      .withColumn("dup_ratio",
-        col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+      .drop("__island")
+  }
+
+  /** The ACTIONABLE form of [[duplicatedPassages]]: cut every duplicated
+    * span out of each document and return the scrubbed token stream — what
+    * the substring-dedup curation step actually writes ("remove any
+    * repeated window-token substring", keeping no copy of the repeated
+    * region; exact-duplicate DOCUMENTS therefore scrub to empty, which is
+    * whole-doc dedup's business to survive one copy of, not this lane's).
+    *
+    * Output per doc (ALL docs, scrubbed or not): the normalized-token
+    * count, kept-token count, and the scrubbed text's md5 (`scrub_md5` —
+    * hash rather than payload keeps the result frame narrow; the full
+    * text form is a one-line `concat_ws` away for a writer).
+    *
+    * Scale shape: span detection as in [[duplicatedSpans]]; spans then
+    * aggregate to one small array per affected doc and join back keyed on
+    * doc id (affected docs only — a left join whose right side is the
+    * duplicated minority); the cut itself is a narrow indexed-lambda
+    * filter over the token array. Document payloads shuffle at most once
+    * (the span join); tokens never explode for the cut. */
+  def scrubDuplicatedPassages(docs: DataFrame, window: Int = 16,
+                              text: String = "text", id: String = "doc_id"): DataFrame = {
+    val spans = duplicatedSpans(docs, window, text, id)
+      .groupBy(col(id))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val w = split(trim(regexp_replace(lower(col(text)), "[^a-z0-9]+", " ")), " ")
+    val staged = graft.core.Parallelism.forCompute(docs).select(col(id), w.as("__w"))
+    staged.join(spans, Seq(id), "left")
+      .select(col(id), size(col("__w")).cast("long").as("n_tokens"),
+        when(col("__spans").isNull, col("__w"))
+          .otherwise(filter(col("__w"), (tok, i) =>
+            !exists(col("__spans"), s =>
+              (i + 1 >= s("span_start")) && (i + 1 <= s("span_end")))))
+          .as("__kept"))
+      .select(col(id), col("n_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        md5(concat_ws(" ", col("__kept"))).as("scrub_md5"))
       .orderBy(id)
   }
 

@@ -75,6 +75,28 @@ class DedupJsonSpec extends SparkSpec {
       (4L, 33L, 2L, 32L, 32.0 / 33.0)))
   }
 
+  test("scrubDuplicatedPassages cuts spans, keeps clean docs whole, keeps all docs") {
+    val passage = (1 to 20).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, ((1 to 5).map(i => s"u$i") ++ Seq(passage) ++ (6 to 10).map(i => s"u$i")).mkString(" ")),
+      (2L, (Seq(passage) ++ (1 to 4).map(i => s"v$i")).mkString(" ")),
+      (3L, (1 to 30).map(i => s"q$i").mkString(" ")),
+      (4L, ((1 to 16).map(i => s"a$i") ++ Seq("z") ++ (1 to 16).map(i => s"a$i")).mkString(" ")),
+      (5L, (1 to 10).map(i => s"s$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val r = Dedup.scrubDuplicatedPassages(docs)
+      .select("doc_id", "n_tokens", "n_kept", "scrub_md5")
+      .as[(Long, Long, Long, String)].collect().toList
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r == List(
+      (1L, 30L, 10L, m(((1 to 5).map(i => s"u$i") ++ (6 to 10).map(i => s"u$i")).mkString(" "))),
+      (2L, 24L, 4L, m((1 to 4).map(i => s"v$i").mkString(" "))),
+      (3L, 30L, 30L, m((1 to 30).map(i => s"q$i").mkString(" "))),
+      (4L, 33L, 1L, m("z")),
+      (5L, 10L, 10L, m((1 to 10).map(i => s"s$i").mkString(" ")))))
+  }
+
   test("duplicatedPassages plan: no cartesian product; digest-window marking") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val plan = Dedup.duplicatedPassages(docs).queryExecution.executedPlan.toString
