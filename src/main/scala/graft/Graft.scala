@@ -158,6 +158,8 @@ object Graft {
     SaltedJoin.salted(big, replicated, keys, saltBy, salts)
   def zorderLayout(df: DataFrame, cols: Seq[String], nBuckets: Int = 64): DataFrame =
     ZOrder.layout(df, cols, nBuckets)
+  def skewReport(df: DataFrame, key: String, topK: Int = 10): DataFrame =
+    Validate.skewReport(df, key, topK)
   def attributionJoin(events: DataFrame, leftType: String = "click",
                       rightType: String = "view",
                       lookbackSeconds: Long = 3600L): DataFrame =

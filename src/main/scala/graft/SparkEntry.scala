@@ -355,6 +355,9 @@ object SparkEntry {
     // ---- extension: data-quality validation report ----
     "q_validate" -> ((s, dir) => Validate.report(s, dir)),
     "q_corpus_report" -> ((s, dir) => Validate.corpusReport(s, dir)),
+    // hottest shuffle keys + global skew factor — the pre-join diagnostic
+    "q_skew_report" -> ((s, dir) =>
+      Validate.skewReport(Tables.events(s, dir), "user_id")),
 
     // ---- extension: deterministic content-addressed train/val/test split ----
     "q_train_split" -> ((s, dir) =>
@@ -1093,6 +1096,15 @@ object SparkEntry {
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      "q_skew_report" ->
+        """WITH c AS (SELECT user_id, count(*) AS n_rows_key
+          |           FROM events GROUP BY user_id),
+          |g AS (SELECT count(*) AS nk, sum(n_rows_key) AS nr,
+          |             max(n_rows_key) AS mx FROM c)
+          |SELECT user_id, n_rows_key,
+          |       CAST(n_rows_key AS DOUBLE) / CAST(nr AS DOUBLE) AS share,
+          |       CAST(mx AS DOUBLE) * CAST(nk AS DOUBLE) / CAST(nr AS DOUBLE) AS skew_factor
+          |FROM c, g ORDER BY n_rows_key DESC, user_id ASC LIMIT 10""".stripMargin,
       "q_json_props" ->
         """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
           |FROM events ORDER BY event_id""".stripMargin,

@@ -52,6 +52,34 @@ object Validate {
       .orderBy("rule")
   }
 
+  /** Key-skew diagnostic: the hottest `topK` keys of a would-be shuffle key
+    * with their row share, against the global skew factor (hottest key's
+    * count over the mean per-key count). This is the measurement that
+    * decides between a plain join, AQE skew splitting, and
+    * [[SaltedJoin]]/[[SkewJoin]] — run it BEFORE burning a cluster-day on
+    * a join that stalls on one reducer (a skew factor of 50 means the
+    * hottest key's task does 50x the average work).
+    *
+    * Scale shape: one hash-partitioned count per key (map-side combined),
+    * a 1-row global aggregate that broadcasts back, and a bounded-heap
+    * `TakeOrderedAndProject` top-k — no global sort of the key table, no
+    * driver collect. */
+  def skewReport(df: DataFrame, key: String, topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n_rows_key"))
+    val globals = counts.agg(
+      count(lit(1)).as("__n_keys"),
+      sum(col("n_rows_key")).as("__n_rows"),
+      max(col("n_rows_key")).as("__max_cnt"))
+    counts.crossJoin(broadcast(globals))
+      .select(col(key), col("n_rows_key"),
+        (col("n_rows_key").cast("double") / col("__n_rows").cast("double"))
+          .as("share"),
+        (col("__max_cnt").cast("double") * col("__n_keys").cast("double")
+          / col("__n_rows").cast("double")).as("skew_factor"))
+      .orderBy(col("n_rows_key").desc, col(key).asc)
+      .limit(topK)
+  }
+
   /** Corpus-statistics report over the documents table — the one-page
     * summary a curation run starts and ends with (what the dedup/quality
     * stages changed, in integers): doc/language counts, size totals and

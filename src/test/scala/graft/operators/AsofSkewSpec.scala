@@ -95,6 +95,25 @@ class AsofSkewSpec extends SparkSpec {
       rep.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
   }
 
+  test("skewReport ranks hot keys with exact shares; bounded-heap selection plan") {
+    import org.apache.spark.sql.functions._
+    // key "hot" carries 12 of 18 rows; keys a..f one each
+    val rows = (1 to 12).map(i => (i.toLong, "hot")) ++
+      "abcdef".zipWithIndex.map { case (c, i) => ((100 + i).toLong, c.toString) }
+    val df = rows.toDF("id", "k")
+    val rep = Validate.skewReport(df, "k", topK = 3).collect()
+    assert(rep.length == 3 && rep.head.getAs[String]("k") == "hot")
+    assert(rep.head.getAs[Long]("n_rows_key") == 12L)
+    assert(rep.head.getAs[Double]("share") == 12.0 / 18.0)
+    // 7 keys, 18 rows, max 12 -> skew factor 12*7/18
+    assert(rep.head.getAs[Double]("skew_factor") == 12.0 * 7.0 / 18.0)
+    // ties below the hot key break by key ascending
+    assert(rep.map(_.getAs[String]("k")).toList == List("hot", "a", "b"))
+    val plan = Validate.skewReport(df, "k").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k must be a bounded heap, not a global sort: " + plan.take(500))
+  }
+
   test("GraftExtensions exposes the native expressions as SQL functions") {
     graft.GraftExtensions.registerAll(spark)
     val r = spark.sql(
