@@ -55,6 +55,9 @@ object Graft {
     NearDup.jaccardJoin(docs, threshold)
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     NearDup.simhashPairs(docs, maxHamming)
+  def semanticNearDupPairs(emb: DataFrame, threshold: Double = 0.4,
+                           nLists: Int = 8): DataFrame =
+    Similarity.semanticNearDupPairs(emb, threshold, nLists)
   def containmentJoin(docs: DataFrame, threshold: Double = 0.8): DataFrame =
     NearDup.containmentJoin(docs, threshold)
   def decontaminate(docs: DataFrame, benchMod: Long = 10, n: Int = 8): DataFrame =

@@ -314,6 +314,9 @@ object SparkEntry {
       Similarity.lshTopK(Tables.embeddings(s, dir))),
     "q_dedup_embcos" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.4)),
+    // SemDeDup lane: k-means-cell blocking instead of LSH-bucket blocking
+    "q_dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticNearDupPairs(Tables.embeddings(s, dir), 0.4)),
     "q_sim_topk_ivf" -> ((s, dir) =>
       IvfIndex.topK(Tables.embeddings(s, dir))),
     "q_tfidf_topk" -> ((s, dir) =>
@@ -1440,6 +1443,15 @@ object SparkEntry {
            |                b.vec_id AS b_id, b.emb AS b_emb
            |  FROM sk a JOIN sk b ON a.tbl = b.tbl AND a.key = b.key AND a.vec_id < b.vec_id),
            |s AS (SELECT a_id, b_id, ${cosSql("a_emb", "b_emb")} AS cos FROM cand)
+           |SELECT a_id, b_id, cos FROM s WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin,
+      "q_dedup_semantic" ->
+        s"""WITH ${ivfCtes("")},
+           |pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+           |  FROM a2 a JOIN a2 b USING (list) WHERE a.vec_id < b.vec_id),
+           |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           |      FROM embeddings),
+           |s AS (SELECT a_id, b_id, ${cosSql("av.emb", "bv.emb")} AS cos
+           |  FROM pr JOIN v av ON av.vec_id = a_id JOIN v bv ON bv.vec_id = b_id)
            |SELECT a_id, b_id, cos FROM s WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin,
       "q_cube" ->
         """SELECT l_returnflag, l_linestatus, count(*) AS n

@@ -130,6 +130,41 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** SemDeDup-style semantic near-dup pairs: k-means-cluster the embedding
+    * corpus (the [[IvfIndex]] coarse quantizer, decimal-exact Lloyd), then
+    * compute exact pairwise cosine only WITHIN each cluster — the
+    * cluster-blocked semantic dedup recipe from the SemDeDup line of work
+    * (semantically redundant docs land in the same centroid's cell; pairs
+    * across cells are assumed non-duplicates by construction).
+    *
+    * Complementary to [[cosineNearDupPairs]]'s LSH blocking: random
+    * hyperplanes block by ANGLE locally (high thresholds), k-means cells
+    * block by REGION of the embedding space — the shape that also yields
+    * per-cluster curation statistics, and the one that composes with an
+    * existing IVF index for free (same assignment, zero extra passes).
+    *
+    * Scale shape: assignment is the IVF trainer (codebook collects are
+    * O(nLists x dims)); the candidate self-join is blocked per cell and
+    * carries ids only — embeddings rejoin from the base scan per candidate
+    * pair, so the pair exchange never ships 2x vectors. Within-cell
+    * quadratic cost is the algorithm; nLists must grow with the corpus to
+    * bound cell sizes (same knob an IVF index already tunes). */
+  def semanticNearDupPairs(emb: DataFrame, threshold: Double = 0.4,
+                           nLists: Int = 8): DataFrame = {
+    val assign = IvfIndex.assignments(emb, nLists)
+    val a = assign.select(col("vec_id").as("a_id"), col("list"))
+    val b = assign.select(col("vec_id").as("b_id"), col("list"))
+    val cand = a.join(b, Seq("list")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+    val aEmb = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val bEmb = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    cand.join(aEmb, "a_id").join(bEmb, "b_id")
+      .withColumn("cos", cosine(col("a_emb"), col("b_emb")))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+      .orderBy("a_id", "b_id")
+  }
+
   /** Embedding-cosine near-dup pairs: all pairs above a cosine threshold,
     * blocked by LSH buckets (same sketch machinery), verified exactly.
     *

@@ -211,6 +211,41 @@ class NearDupSimSpec extends SparkSpec {
     assert(r2 <= r8)
   }
 
+  test("semanticNearDupPairs: complete within cells, exact cosines, id-only candidates") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.semanticNearDupPairs(emb, 0.3)
+      .as[(Long, Long, Double)].collect().toSeq
+    // every reported pair really clears the threshold and shares a cell
+    val assign = IvfIndex.assignments(emb, 8)
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (a, b, c) =>
+      assert(c >= 0.3 && assign(a) == assign(b), s"($a,$b,$c)")
+    }
+    // completeness within the blocking: every same-cell pair clearing the
+    // threshold under an independent cosine computation is reported
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < x.length) {
+        d += x(i).toDouble * y(i).toDouble
+        nx += x(i).toDouble * x(i).toDouble
+        ny += y(i).toDouble * y(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    for (a <- ids; b <- ids if a < b && assign(a) == assign(b)
+         && cos(vecs(a), vecs(b)) >= 0.3 + 1e-9)
+      assert(pairs.contains((a, b)), s"missing same-cell pair ($a,$b)")
+    val plan = Similarity.semanticNearDupPairs(emb, 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("LSH top-k neighbors are a subset of the corpus with valid cosines") {
     val emb = Tables.embeddings(spark, sf)
     val lsh = Similarity.lshTopK(emb, nQueries = 4, k = 5).collect()
