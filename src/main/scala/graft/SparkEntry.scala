@@ -258,6 +258,14 @@ object SparkEntry {
     // the actionable form: spans cut out of the token stream, all docs kept
     "q_dedup_scrub" -> ((s, dir) =>
       Dedup.scrubDuplicatedPassages(Tables.documents(s, dir))),
+    // scrub -> drop emptied docs -> repack survivors to token budgets: the
+    // detect/cut/batch composition a substring-dedup stage actually ships
+    "q_scrub_pack" -> ((s, dir) => {
+      val kept = Dedup.scrubDuplicatedPassages(Tables.documents(s, dir))
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("n_kept").as("n_tokens"))
+      Packing.packCounts(kept)
+    }),
     // fuzzy companion to q_dedup_incremental: batch survivors vs history by
     // NEAR-duplication (batch = doc_id % 5 == 0, history = the rest)
     "q_dedup_nearhist" -> ((s, dir) => {
@@ -1195,6 +1203,28 @@ object SparkEntry {
            |       CAST(sum(span_end - span_start + 1) AS DOUBLE)
            |         / CAST(n_tokens AS DOUBLE) AS dup_ratio
            |FROM spans GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+      "q_scrub_pack" ->
+        s"""WITH $passageSpanCtes,
+           |tok2 AS (
+           |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+           |         CAST(i AS BIGINT) AS pos
+           |  FROM toks, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) t),
+           |kept AS (
+           |  SELECT t.doc_id, count(*) AS n_kept FROM tok2 t
+           |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+           |    WHERE s.doc_id = t.doc_id
+           |      AND t.pos BETWEEN s.span_start AND s.span_end)
+           |  GROUP BY t.doc_id),
+           |kf AS (SELECT doc_id, CAST(n_kept AS BIGINT) AS n_tokens
+           |       FROM kept WHERE n_kept > 0),
+           |r AS (SELECT doc_id, n_tokens,
+           |        CAST(sum(n_tokens) OVER (ORDER BY doc_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |          - n_tokens AS token_start
+           |      FROM kf)
+           |SELECT doc_id, n_tokens, token_start,
+           |       CAST(token_start // 256 AS BIGINT) AS pack_id
+           |FROM r ORDER BY doc_id""".stripMargin,
       "q_dedup_scrub" ->
         s"""WITH $passageSpanCtes,
            |tok2 AS (

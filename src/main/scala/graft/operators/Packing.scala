@@ -26,9 +26,17 @@ object Packing {
 
   def packSequences(docs: DataFrame, budget: Long = 256, bucketSize: Long = 64,
                     text: String = "text", id: String = "doc_id"): DataFrame = {
-    require(budget > 0 && bucketSize > 0, "budget and bucketSize must be positive")
     val nTokens: Column = size(split(trim(col(text)), "\\s+")).cast("long")
-    val base = docs.select(col(id), nTokens.as("n_tokens"),
+    packCounts(docs.select(col(id), nTokens.as("n_tokens")),
+      budget, bucketSize, id)
+  }
+
+  /** Same placement over PRE-COMPUTED token counts — the form downstream of
+    * a scrub/tokenize stage whose counts differ from whitespace tokens. */
+  def packCounts(counts: DataFrame, budget: Long = 256, bucketSize: Long = 64,
+                 id: String = "doc_id"): DataFrame = {
+    require(budget > 0 && bucketSize > 0, "budget and bucketSize must be positive")
+    val base = counts.select(col(id), col("n_tokens"),
       expr(s"cast($id as bigint) div $bucketSize").as("__b"))
 
     // parallel per-bucket cumsums; bucket totals cumsum over the (tiny)

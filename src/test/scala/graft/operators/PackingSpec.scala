@@ -24,6 +24,19 @@ class PackingSpec extends SparkSpec {
       (4L, 1L, 14L, 1L)))
   }
 
+  test("packCounts over precomputed counts equals packSequences; gaps in ids are fine") {
+    import org.apache.spark.sql.functions._
+    val counts = docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    assert(Packing.packCounts(counts, budget = 8, bucketSize = 2).collect().toSeq
+      == Packing.packSequences(docs, budget = 8, bucketSize = 2).collect().toSeq)
+    // a scrub stage drops ids — placement stays a gapless token prefix-sum
+    val gappy = Seq((0L, 3L), (2L, 5L), (9L, 2L)).toDF("doc_id", "n_tokens")
+    val r = Packing.packCounts(gappy, budget = 8, bucketSize = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq((0L, 0L, 0L), (2L, 3L, 0L), (9L, 8L, 1L)))
+  }
+
   test("packSequences: output invariant to bucketSize (offsets trick is exact)") {
     val expected = Packing.packSequences(docs, budget = 8, bucketSize = 1000).collect().toSeq
     for (b <- Seq(1L, 2L, 3L, 7L))
