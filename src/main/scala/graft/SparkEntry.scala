@@ -503,6 +503,9 @@ object SparkEntry {
       Multimodal.resizeDims(Multimodal.mediaFeatures(Tables.documents(s, dir)))
         .select("doc_id", "width", "height", "out_width", "out_height", "out_pixels")
         .orderBy("doc_id")),
+    // audio lane: synthesize bit-correct WAV containers, RIFF-walk them back
+    "q_mm_audio" -> ((s, dir) =>
+      Multimodal.audioFeatures(Tables.documents(s, dir))),
 
     // ---- extension: Z-order (Morton) clustering layout ----
     // deterministic locality report: equi-width zkey buckets with per-column
@@ -2047,6 +2050,15 @@ object SparkEntry {
           |  CAST(doc_id % 384 + 1 AS INT) AS height,
           |  CAST(n_chars % 512 + 1 AS BIGINT) * CAST(doc_id % 384 + 1 AS INT) AS n_pixels,
           |  CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS content_type
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_mm_audio" ->
+        """SELECT doc_id,
+          |  CAST(8000 * (doc_id % 3 + 1) AS BIGINT) AS sample_rate,
+          |  CAST(n_chars % 2 + 1 AS BIGINT) AS channels,
+          |  CAST(16 AS BIGINT) AS bits,
+          |  CAST(200 + n_chars % 300 AS BIGINT) AS n_samples,
+          |  CAST((200 + n_chars % 300) * 1000
+          |       // (8000 * (doc_id % 3 + 1)) AS BIGINT) AS duration_ms
           |FROM documents ORDER BY doc_id""".stripMargin,
       "q_mm_frames" ->
         """SELECT doc_id,

@@ -71,6 +71,43 @@ object ImageHeader {
     parsePng(b).orElse(parseJpeg(b))
 }
 
+/** Pure-JVM WAV (RIFF) header decoding — the audio counterpart of
+  * [[ImageHeader]]: `RIFF <size> WAVE`, then chunks of (4-byte id, 4-byte
+  * LITTLE-endian size, body); `fmt ` carries format/channels/rate/bits at
+  * fixed offsets, `data`'s size gives the sample count. Chunk bodies pad to
+  * even offsets per the RIFF spec. */
+object WavHeader {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+  private def tag(b: Array[Byte], i: Int): String =
+    new String(b.slice(i, i + 4), "US-ASCII")
+
+  /** (sample_rate, channels, bits, n_samples) for a PCM WAV, None if the
+    * container is malformed or the fmt/data chunks are missing. */
+  def parse(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    var pos = 12
+    var rate = -1L; var ch = -1L; var bits = -1L; var dataSize = -1L
+    while (pos + 8 <= b.length) {
+      val id = tag(b, pos)
+      val size = le32(b, pos + 4)
+      if (id == "fmt " && pos + 8 + 16 <= b.length) {
+        ch = le16(b, pos + 10).toLong
+        rate = le32(b, pos + 12)
+        bits = le16(b, pos + 22).toLong
+      } else if (id == "data") {
+        dataSize = size
+      }
+      pos += 8 + size.toInt + (size.toInt & 1) // chunks pad to even offsets
+    }
+    if (rate <= 0 || ch <= 0 || bits <= 0 || dataSize < 0) None
+    else Some((rate, ch, bits, dataSize / (ch * bits / 8)))
+  }
+}
+
 /** Multimodal column handling (north star scope): media payloads are opaque
   * `binary` columns with typed metadata travelling alongside; decode /
   * feature-extraction runs partition-wise so batch-oriented decoders amortize
@@ -95,6 +132,8 @@ object Multimodal {
   case class Media(doc_id: Long, payload: Array[Byte])
   case class MediaFeatures(doc_id: Long, format: String, width: Int,
                            height: Int, n_pixels: Long, n_bytes: Long)
+  case class AudioFeatures(doc_id: Long, sample_rate: Long, channels: Long,
+                           bits: Long, n_samples: Long, duration_ms: Long)
 
   /** Attach an opaque binary payload + typed metadata to each document.
     * (Fixture stand-in: the utf-8 bytes of `text` play the role of an
@@ -174,6 +213,78 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Little-endian unsigned int as `width` bytes (RIFF/WAV is LE where PNG
+    * is BE) — single-byte hex assembly, all codegen'd built-ins. */
+  private def bytesLE(v: Column, width: Int): Column =
+    concat((0 until width).map(i =>
+      unhex(lpad(hex(shiftright(v.cast("bigint"), 8 * i).bitwiseAND(lit(255L))), 2, "0"))): _*)
+
+  /** Deterministic per-document audio parameters (also the oracle's
+    * formulas): PCM 16-bit, rate from the id, channels from the char count,
+    * sample count spanning enough range to exercise duration math. */
+  def wavRate: Column = (lit(8000L) * (pmod(col("doc_id"), lit(3)) + 1))
+  def wavChannels: Column = pmod(col("n_chars"), lit(2)) + 1
+  def wavSamples: Column = lit(200L) + pmod(col("n_chars"), lit(300))
+
+  /** Build a VALID WAV (RIFF) container per document: RIFF size header,
+    * `fmt ` chunk (PCM, channels, rate, byte rate, block align, 16 bits)
+    * and a zero-filled `data` chunk of the declared size — bit-correct
+    * little-endian layout that [[WavHeader.parse]] (or any RIFF walker)
+    * reads back. Pure codegen'd expressions, no UDF. */
+  def audioPayload(docs: DataFrame): DataFrame = {
+    val rate = wavRate.cast("bigint")
+    val ch = wavChannels.cast("bigint")
+    val ns = wavSamples.cast("bigint")
+    val dataSize = ns * ch * 2
+    val fmt = concat(
+      unhex(lit("666D7420")),            // "fmt "
+      bytesLE(lit(16L), 4),              // fmt chunk size
+      bytesLE(lit(1L), 2),               // PCM
+      bytesLE(ch, 2),
+      bytesLE(rate, 4),
+      bytesLE(rate * ch * 2, 4),         // byte rate
+      bytesLE(ch * 2, 2),                // block align
+      bytesLE(lit(16L), 2))              // bits per sample
+    val wav = concat(
+      unhex(lit("52494646")),            // "RIFF"
+      bytesLE(dataSize + 36, 4),
+      unhex(lit("57415645")),            // "WAVE"
+      fmt,
+      unhex(lit("64617461")),            // "data"
+      bytesLE(dataSize, 4),
+      // zero-filled PCM body of exactly dataSize bytes (formula inlined as
+      // SQL text — repeat() takes a column count only in SQL form)
+      unhex(expr(
+        "repeat('00', cast((200 + (n_chars % 300)) * ((n_chars % 2) + 1) * 2 as int))")))
+    docs.select(col("doc_id"), wav.as("payload"))
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+  }
+
+  /** Partition-wise audio header decode — the [[decodeImage]] pattern over
+    * the RIFF walker. Malformed payloads degrade to zeros, not failures. */
+  def decodeAudio(media: Dataset[Media]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        WavHeader.parse(m.payload) match {
+          case Some((rate, ch, bits, ns)) =>
+            AudioFeatures(m.doc_id, rate, ch, bits, ns,
+              if (rate > 0) ns * 1000L / rate else 0L)
+          case None => AudioFeatures(m.doc_id, 0L, 0L, 0L, 0L, 0L)
+        }
+      }
+    }
+  }
+
+  /** End-to-end audio lane: synthesize WAV bytes, decode them back. */
+  def audioFeatures(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    decodeAudio(audioPayload(docs)
+        .select(col("doc_id"), col("payload")).as[Media])
+      .toDF().orderBy("doc_id")
   }
 
   /** Frame sampling: every `stride`-th byte of the payload as a "frame"

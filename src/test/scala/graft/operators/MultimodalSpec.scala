@@ -69,6 +69,39 @@ class MultimodalSpec extends SparkSpec {
     assert(crc.getValue == stored)
   }
 
+  test("WavHeader parses a hand-built PCM WAV and rejects malformed payloads") {
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    val data = Array.fill[Byte](4 * 2 * 2)(0) // 4 samples, stereo, 16-bit
+    val wav = "RIFF".getBytes ++ le(36L + data.length, 4) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le(16, 4) ++ le(1, 2) ++ le(2, 2) ++ le(44100, 4) ++
+      le(44100L * 2 * 2, 4) ++ le(4, 2) ++ le(16, 2) ++
+      "data".getBytes ++ le(data.length, 4) ++ data
+    assert(WavHeader.parse(wav).contains((44100L, 2L, 16L, 4L)))
+    assert(WavHeader.parse("RIFFxxxxNOPE".getBytes).isEmpty)
+    assert(WavHeader.parse(Array.empty[Byte]).isEmpty)
+    // fmt present but no data chunk -> malformed
+    val noData = "RIFF".getBytes ++ le(28, 4) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le(16, 4) ++ le(1, 2) ++ le(1, 2) ++ le(8000, 4) ++
+      le(16000, 4) ++ le(2, 2) ++ le(16, 2)
+    assert(WavHeader.parse(noData).isEmpty)
+  }
+
+  test("audioPayload bytes round-trip through the RIFF walker") {
+    val df = Seq((1L, "x", 7L), (2L, "y", 10L)).toDF("doc_id", "text", "n_chars")
+    val feats = Multimodal.audioFeatures(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: rate 8000*(1%3+1)=16000, ch 7%2+1=2, ns 200+7=207
+    assert(feats(1L).getAs[Long]("sample_rate") == 16000L)
+    assert(feats(1L).getAs[Long]("channels") == 2L)
+    assert(feats(1L).getAs[Long]("n_samples") == 207L)
+    assert(feats(1L).getAs[Long]("duration_ms") == 207L * 1000 / 16000)
+    // doc 2: rate 8000*(2%3+1)=24000, ch 10%2+1=1, ns 210
+    assert(feats(2L).getAs[Long]("sample_rate") == 24000L)
+    assert(feats(2L).getAs[Long]("channels") == 1L)
+    assert(feats(2L).getAs[Long]("bits") == 16L)
+  }
+
   test("frameSample slices the payload into bounded, stride-sized frames") {
     val text = "x" * 300
     val df = Seq((1L, text)).toDF("doc_id", "text")
