@@ -65,6 +65,9 @@ object Graft {
   def decontaminateFuzzy(docs: DataFrame, benchMod: Long = 10,
                          threshold: Double = 0.5): DataFrame =
     TextAnalysis.decontaminateNearDup(docs, benchMod, threshold)
+  def decontaminationAttribution(docs: DataFrame, benchMod: Long = 10,
+                                 n: Int = 8): DataFrame =
+    TextAnalysis.decontaminateAttribution(docs, benchMod, n)
   def packSequences(docs: DataFrame, budget: Long = 256): DataFrame =
     Packing.packSequences(docs, budget)
   def dedupVsHistory(batch: DataFrame, history: DataFrame, key: String): DataFrame =

@@ -431,6 +431,9 @@ object SparkEntry {
       TextAnalysis.decontaminate(Tables.documents(s, dir))),
     "q_decontaminate_fuzzy" -> ((s, dir) =>
       TextAnalysis.decontaminateNearDup(Tables.documents(s, dir))),
+    // pair-level evidence: which benchmark doc leaked into which train doc
+    "q_decon_attribution" -> ((s, dir) =>
+      TextAnalysis.decontaminateAttribution(Tables.documents(s, dir))),
     "q_lm_signal" -> ((s, dir) =>
       TextAnalysis.bigramFrequencySignal(Tables.documents(s, dir))),
 
@@ -1010,6 +1013,18 @@ object SparkEntry {
            |       coalesce(h.n_hit, 0) > 0 AS contaminated
            |FROM train t LEFT JOIN hits h USING (doc_id)
            |ORDER BY t.doc_id""").stripMargin,
+      "q_decon_attribution" ->
+        ("""WITH d AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM documents),
+           |g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 7, 1) + 1),
+           |        i -> array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 7), ' '))) AS g FROM d),
+           |bench AS (SELECT DISTINCT doc_id AS bench_id, unnest(g) AS gram
+           |          FROM g WHERE doc_id % 10 = 0),
+           |train AS (SELECT doc_id AS train_id, unnest(g) AS gram
+           |          FROM g WHERE doc_id % 10 <> 0)
+           |SELECT t.train_id, b.bench_id, count(*) AS n_shared
+           |FROM train t JOIN bench b USING (gram)
+           |GROUP BY t.train_id, b.bench_id
+           |ORDER BY t.train_id, b.bench_id""").stripMargin,
       // cross-set matches derived from the shared MinHash pair chain (band
       // collisions are set-independent, so the self-join pair set restricted
       // to batch~history pairs IS the asymmetric lane's match set)

@@ -232,6 +232,37 @@ object TextAnalysis {
       .orderBy(id)
   }
 
+  /** Contamination ATTRIBUTION: which benchmark document leaked into which
+    * training document, and by how many shared `n`-grams — the pair-level
+    * evidence behind [[decontaminate]]'s per-doc flag. Real scrub runs need
+    * this twice: to audit WHY a doc was dropped, and to report per-benchmark
+    * taint (an eval suite whose items permeate the crawl needs a different
+    * decision than one with three stray hits).
+    *
+    * Same scale contract as [[decontaminate]]: the benchmark side is tiny
+    * and fixed, so its (gram -> bench_id) map BROADCASTS; train grams
+    * explode map-side into a broadcast-hash join, and the only wide
+    * exchange is the (train_id, bench_id) hit re-aggregation — pair
+    * cardinality is bounded by benchmark size x taint breadth, not corpus
+    * size. Per-doc distinct grams mean `n_shared` counts distinct
+    * contaminated grams per pair. */
+  def decontaminateAttribution(docs: DataFrame, benchMod: Long = 10, n: Int = 8,
+                               text: String = "text", id: String = "doc_id"): DataFrame = {
+    require(n > 0 && benchMod > 1, "need n > 0 and benchMod > 1")
+    val staged = graft.core.Parallelism.forCompute(docs)
+      .select(col(id), wordGrams(col(text), n).as("__g"))
+      .localCheckpoint(false)
+    val isBench = pmod(col(id), lit(benchMod)) === 0
+    val bench = staged.filter(isBench)
+      .select(col(id).as("bench_id"), explode(col("__g")).as("gram")).distinct()
+    staged.filter(!isBench)
+      .select(col(id).as("train_id"), explode(col("__g")).as("gram"))
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy("train_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("train_id", "bench_id")
+  }
+
   /** FUZZY benchmark decontamination: flag training documents that are
     * NEAR-DUPLICATES of any benchmark document (MinHash/LSH + exact Jaccard
     * >= threshold), not just 8-gram overlappers — the second decontamination

@@ -72,6 +72,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(12L) == ((0L, false)))
   }
 
+  test("decontaminateAttribution names the leaking bench doc with shared-gram counts") {
+    val df = Seq(
+      (10L, "alpha beta gamma delta"),        // bench A
+      (20L, "zeta eta theta iota"),           // bench B
+      (11L, "alpha beta gamma epsilon"),      // 1 trigram from A
+      (12L, "zeta eta theta iota kappa"),     // 2 trigrams from B
+      (13L, "mu nu xi omicron")               // clean
+    ).toDF("doc_id", "text")
+    val pairs = TextAnalysis.decontaminateAttribution(df, benchMod = 10, n = 3)
+      .as[(Long, Long, Long)].collect().toList
+    assert(pairs == List((11L, 10L, 1L), (12L, 20L, 2L)))
+    // attribution's flagged train set == decontaminate's contaminated set
+    val flagged = pairs.map(_._1).toSet
+    val contaminated = TextAnalysis.decontaminate(df, benchMod = 10, n = 3)
+      .filter(org.apache.spark.sql.functions.col("contaminated")).select("doc_id")
+      .as[Long].collect().toSet
+    assert(flagged == contaminated)
+  }
+
   test("decontaminateNearDup: paraphrase-level copy of a bench doc is flagged, distinct doc is not") {
     val benchText = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
     // doc 11: same text with one word changed -> high Jaccard vs bench doc 10
