@@ -159,6 +159,8 @@ object Graft {
     TextAnalysis.heavyHitters(docs, support)
   def lmQualitySignal(docs: DataFrame, vocabSize: Int = 2000): DataFrame =
     TextAnalysis.bigramFrequencySignal(docs, vocabSize)
+  def qualityBuckets(docs: DataFrame, nBuckets: Int = 3): DataFrame =
+    TextAnalysis.qualityBuckets(docs, nBuckets)
   def saltedJoin(big: DataFrame, replicated: DataFrame, keys: Seq[String],
                  saltBy: Seq[String], salts: Int = 8): DataFrame =
     SaltedJoin.salted(big, replicated, keys, saltBy, salts)

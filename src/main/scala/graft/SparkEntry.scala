@@ -434,6 +434,24 @@ object SparkEntry {
     // pair-level evidence: which benchmark doc leaked into which train doc
     "q_decon_attribution" -> ((s, dir) =>
       TextAnalysis.decontaminateAttribution(Tables.documents(s, dir))),
+    // CCNet-style quality tiers; approx boundaries aren't engine-reproducible,
+    // so the checkable output is size/ordering verdicts (approx pattern)
+    "q_quality_buckets" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val b = TextAnalysis.qualityBuckets(Tables.documents(s, dir))
+      val agg = b.groupBy("bucket").agg(count(lit(1)).as("__n"),
+        min("score").as("__min_s"), max("score").as("__max_s"))
+      val w = Window.orderBy("bucket") // 3 rows — not a data-sized window
+      agg
+        .withColumn("ok_order",
+          coalesce(col("__min_s") >= lag("__max_s", 1).over(w), lit(true)))
+        .crossJoin(broadcast(b.agg(count(lit(1)).as("n_total"))))
+        .select(col("bucket"), col("n_total"),
+          (abs(col("__n") - col("n_total") / 3.0)
+            <= lit(0.2) * col("n_total")).as("ok_size"),
+          col("ok_order"))
+        .orderBy("bucket")
+    }),
     "q_lm_signal" -> ((s, dir) =>
       TextAnalysis.bigramFrequencySignal(Tables.documents(s, dir))),
 
@@ -1013,6 +1031,11 @@ object SparkEntry {
            |       coalesce(h.n_hit, 0) > 0 AS contaminated
            |FROM train t LEFT JOIN hits h USING (doc_id)
            |ORDER BY t.doc_id""").stripMargin,
+      "q_quality_buckets" ->
+        """SELECT CAST(b AS BIGINT) AS bucket,
+          |       (SELECT count(*) FROM documents) AS n_total,
+          |       TRUE AS ok_size, TRUE AS ok_order
+          |FROM range(3) t(b) ORDER BY bucket""".stripMargin,
       "q_decon_attribution" ->
         ("""WITH d AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM documents),
            |g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 7, 1) + 1),

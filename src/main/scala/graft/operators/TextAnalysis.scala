@@ -232,6 +232,36 @@ object TextAnalysis {
       .orderBy(id)
   }
 
+  /** CCNet-style quality bucketing: rank documents by a quality score and
+    * split the corpus into `nBuckets` roughly equal tiers (head / middle /
+    * tail) using APPROXIMATE percentile boundaries — the standard two-pass
+    * shape for "train on the top third, downsample the rest" recipes. The
+    * default score is [[qualityScore]]'s chars_per_token (degenerate
+    * signals like an all-in-vocab OOV ratio make terciles meaningless —
+    * callers pick the signal with spread).
+    *
+    * Scale shape: pass 1 reduces the score column to ONE percentile sketch
+    * row (`percentile_approx`, mergeable state, map-side combined) that
+    * broadcasts; pass 2 assigns buckets with a narrow
+    * count-of-cuts-below-score lambda — no global sort, no rank window, no
+    * driver-side quantile action. Exact-percentile bucketing would need the
+    * full sort; the approx boundary moves a few docs near each cut, which
+    * is immaterial to a tiering decision by construction. */
+  def qualityBuckets(docs: DataFrame, nBuckets: Int = 3,
+                     score: Column = col("chars_per_token"),
+                     id: String = "doc_id"): DataFrame = {
+    require(nBuckets >= 2, "need nBuckets >= 2")
+    val scored = qualityScore(docs).select(col(id), score.as("__score"))
+    val probs = array((1 until nBuckets).map(i =>
+      lit(i.toDouble / nBuckets)): _*)
+    val bounds = scored.agg(
+      percentile_approx(col("__score"), probs, lit(10000)).as("__cuts"))
+    scored.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        size(filter(col("__cuts"), c => col("__score") > c)).cast("long"))
+      .select(col(id), col("__score").as("score"), col("bucket"))
+  }
+
   /** Contamination ATTRIBUTION: which benchmark document leaked into which
     * training document, and by how many shared `n`-grams — the pair-level
     * evidence behind [[decontaminate]]'s per-doc flag. Real scrub runs need

@@ -72,6 +72,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(12L) == ((0L, false)))
   }
 
+  test("qualityBuckets tiers by score with cuts-below-score assignment; plan has no sort") {
+    // 9 docs whose chars_per_token strictly increases with doc id: token
+    // lengths 1..9 -> terciles must be {1..3}, {4..6}, {7..9}
+    val docs = (1 to 9).map(i => (i.toLong, Seq.fill(4)("x" * i).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.qualityBuckets(docs)
+      .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+    assert((1L to 3L).forall(got(_) == 0L), got.toString)
+    assert((4L to 6L).forall(got(_) == 1L), got.toString)
+    assert((7L to 9L).forall(got(_) == 2L), got.toString)
+    val plan = TextAnalysis.qualityBuckets(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortExec") && !plan.toLowerCase.contains("rangepartitioning"),
+      "bucketing must not globally sort: " + plan.take(400))
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("percentile"),
+      "boundaries must come from the percentile sketch aggregate")
+  }
+
   test("decontaminateAttribution names the leaking bench doc with shared-gram counts") {
     val df = Seq(
       (10L, "alpha beta gamma delta"),        // bench A
