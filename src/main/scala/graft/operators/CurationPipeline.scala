@@ -128,7 +128,8 @@ object CurationPipeline {
     * stage consumes the previous stage's (strictly shrinking) survivor
     * set; chunking/packing are narrow maps + the bucketed-offsets cumsum
     * (no global window); the split is a content-addressed map, no shuffle. */
-  def trainingManifest(spark: SparkSession, dir: String): DataFrame = {
+  def trainingManifest(spark: SparkSession, dir: String,
+                       scrubPassages: Boolean = false): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // kernel consumed by two chains (containment pairs + anti-join left
     // side): materialize once, lazily
@@ -146,7 +147,28 @@ object CurationPipeline {
       .join(decon.filter(!col("contaminated")).select("doc_id"), "doc_id")
       .localCheckpoint(false) // consumed by chunking + the split assignment
 
-    val chunks = TextAnalysis.chunkDocuments(clean)
+    // v4 stage: duplicated-PASSAGE scrub within the surviving set — the
+    // whole-doc lanes above can't cut a boilerplate paragraph out of an
+    // otherwise-unique doc; chunking then consumes the scrubbed token
+    // stream, and docs scrubbed to nothing leave the manifest.
+    //
+    // Ordering is load-bearing: scrub must run AFTER whole-doc dedup. On
+    // the raw corpus an exact-dup PAIR duplicates every window, so both
+    // copies would scrub to empty — dedup's job is keeping one. After the
+    // kernel keeps one survivor per cluster, that survivor's windows are
+    // unique again, so on THIS fixture (where passage dups ride entirely
+    // on doc-level dups) the stage is a verified no-op — v4 == v3 at
+    // sf0.01 and sf0.1. It bites on corpora with boilerplate shared
+    // across non-duplicate pages (the regime q_dedup_scrub's raw-corpus
+    // oracle exercises: 45 affected docs at sf0.01).
+    val chunkInput =
+      if (scrubPassages)
+        Dedup.scrubbedDocs(clean.select("doc_id", "text"))
+          .filter(col("n_kept") > 0)
+          .localCheckpoint(false)
+      else clean
+
+    val chunks = TextAnalysis.chunkDocuments(chunkInput)
       .withColumn("seq_id", col("doc_id") * SeqStride + col("chunk_idx"))
     val packed = Packing.packSequences(chunks, PackBudget,
       text = "chunk_text", id = "seq_id")

@@ -243,7 +243,27 @@ object Dedup {
     * filter over the token array. Document payloads shuffle at most once
     * (the span join); tokens never explode for the cut. */
   def scrubDuplicatedPassages(docs: DataFrame, window: Int = 16,
-                              text: String = "text", id: String = "doc_id"): DataFrame = {
+                              text: String = "text", id: String = "doc_id"): DataFrame =
+    keptTokens(docs, window, text, id)
+      .select(col(id), col("n_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        md5(concat_ws(" ", col("__kept"))).as("scrub_md5"))
+      .orderBy(id)
+
+  /** Scrubbed documents as TEXT — the form downstream stages (chunking,
+    * tokenization) consume. The text is the NORMALIZED kept-token stream;
+    * docs scrubbed to nothing come back with empty text (filter on
+    * `n_kept > 0` to drop them). */
+  def scrubbedDocs(docs: DataFrame, window: Int = 16,
+                   text: String = "text", id: String = "doc_id"): DataFrame =
+    keptTokens(docs, window, text, id)
+      .select(col(id), size(col("__kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("__kept")).as(text))
+
+  /** Shared cut: every doc's normalized token array minus duplicated-span
+    * tokens (`__kept`), via the span-array join + indexed-lambda filter. */
+  private def keptTokens(docs: DataFrame, window: Int,
+                         text: String, id: String): DataFrame = {
     val spans = duplicatedSpans(docs, window, text, id)
       .groupBy(col(id))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
@@ -256,10 +276,6 @@ object Dedup {
             !exists(col("__spans"), s =>
               (i + 1 >= s("span_start")) && (i + 1 <= s("span_end")))))
           .as("__kept"))
-      .select(col(id), col("n_tokens"),
-        size(col("__kept")).cast("long").as("n_kept"),
-        md5(concat_ws(" ", col("__kept"))).as("scrub_md5"))
-      .orderBy(id)
   }
 
   /** One survivor (the min doc_id) per duplicate CLUSTER. Strictly stronger
