@@ -114,6 +114,7 @@ object SparkEntry {
     "q_string_agg"         -> ((s, dir) => Relational.stringAgg(s, dir)),
     "q_setops"             -> ((s, dir) => Relational.setOps(s, dir)),
     "q_semi_anti"          -> ((s, dir) => Relational.semiAnti(s, dir)),
+    "q_subqueries"         -> ((s, dir) => Relational.subqueryBattery(s, dir)),
     "q_distinct_agg"       -> ((s, dir) => Relational.distinctAgg(s, dir)),
     "q_rollup"             -> ((s, dir) => Relational.rollupCounts(s, dir)),
     "q_cube"               -> ((s, dir) => Relational.cubeCounts(s, dir)),
@@ -946,6 +947,23 @@ object SparkEntry {
           |EXCEPT
           |SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
           |ORDER BY c_custkey""".stripMargin,
+      "q_subqueries" ->
+        """SELECT o_orderkey,
+          |  EXISTS(SELECT 1 FROM lineitem
+          |         WHERE l_orderkey = o_orderkey AND l_quantity > 45) AS has_big,
+          |  o_orderkey IN (SELECT l_orderkey FROM lineitem
+          |                 WHERE l_returnflag = 'R') AS has_return,
+          |  o_orderkey NOT IN (SELECT l_orderkey
+          |                     FROM lineitem WHERE l_returnflag = 'A') AS not_in_a,
+          |  (SELECT count(*) FROM lineitem
+          |   WHERE l_orderkey = o_orderkey) AS n_items,
+          |  (SELECT max(l_quantity) FROM lineitem
+          |   WHERE l_orderkey = o_orderkey) AS max_qty,
+          |  (SELECT count(*) FROM orders o2
+          |   WHERE o2.o_orderkey NOT IN
+          |     (SELECT CASE WHEN l_quantity > 49 THEN NULL ELSE l_orderkey END
+          |      FROM lineitem)) AS n_null_trap
+          |FROM orders ORDER BY o_orderkey""".stripMargin,
       "q_semi_anti" ->
         """SELECT c_custkey, true AS has_orders FROM customer c
           |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)

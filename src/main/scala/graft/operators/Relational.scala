@@ -506,6 +506,43 @@ object Relational {
   }
 
   /** ROLLUP hierarchy totals. */
+  /** Correlated-subquery battery: EXISTS, IN, NOT IN against a
+    * NULL-carrying list, and a correlated scalar aggregate — exercising
+    * Catalyst's DECORRELATION: every per-row subquery here plans as a
+    * join (semi/anti/left-outer + aggregate), never a per-row subplan
+    * execution, which is the difference between a 100 TB query finishing
+    * and not.
+    *
+    * The NULL trap: ANSI three-valued logic makes `x NOT IN (list with a
+    * NULL)` evaluate to NULL (never TRUE) for non-members. Spark honors
+    * this in FILTER context (null-aware anti join — `n_null_trap` pins
+    * the zero-survivor result) but NOT in projection context, where the
+    * ExistenceJoin rewrite yields FALSE where ANSI says NULL — a real
+    * cross-engine divergence this battery documents by construction: the
+    * projected `not_in_a` list is kept NULL-free so both engines agree,
+    * and the trap runs where Spark is ANSI-correct. */
+  def subqueryBattery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("__sq_ord")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("__sq_li")
+    spark.sql(
+      """SELECT o_orderkey,
+        |  EXISTS(SELECT 1 FROM __sq_li
+        |         WHERE l_orderkey = o_orderkey AND l_quantity > 45) AS has_big,
+        |  o_orderkey IN (SELECT l_orderkey FROM __sq_li
+        |                 WHERE l_returnflag = 'R') AS has_return,
+        |  o_orderkey NOT IN (SELECT l_orderkey
+        |                     FROM __sq_li WHERE l_returnflag = 'A') AS not_in_a,
+        |  (SELECT count(*) FROM __sq_li
+        |   WHERE l_orderkey = o_orderkey) AS n_items,
+        |  (SELECT max(l_quantity) FROM __sq_li
+        |   WHERE l_orderkey = o_orderkey) AS max_qty,
+        |  (SELECT count(*) FROM __sq_ord o2
+        |   WHERE o2.o_orderkey NOT IN
+        |     (SELECT CASE WHEN l_quantity > 49 THEN NULL ELSE l_orderkey END
+        |      FROM __sq_li)) AS n_null_trap
+        |FROM __sq_ord ORDER BY o_orderkey""".stripMargin)
+  }
+
   def rollupCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .rollup("l_returnflag", "l_linestatus")
