@@ -515,32 +515,47 @@ object Relational {
     *
     * The NULL trap: ANSI three-valued logic makes `x NOT IN (list with a
     * NULL)` evaluate to NULL (never TRUE) for non-members. Spark honors
-    * this in FILTER context (null-aware anti join — `n_null_trap` pins
-    * the zero-survivor result) but NOT in projection context, where the
-    * ExistenceJoin rewrite yields FALSE where ANSI says NULL — a real
-    * cross-engine divergence this battery documents by construction: the
-    * projected `not_in_a` list is kept NULL-free so both engines agree,
-    * and the trap runs where Spark is ANSI-correct. */
+    * this in FILTER context (the optimized null-aware anti hash join,
+    * SPARK-32290 — `n_null_trap` pins the zero-survivor result) but NOT in
+    * projection context, where the ExistenceJoin rewrite yields FALSE
+    * where ANSI says NULL — a real cross-engine divergence this battery
+    * documents by construction: the projected `not_in_a` list is kept
+    * NULL-free so both engines agree, and the trap runs where Spark is
+    * ANSI-correct.
+    *
+    * The PLAN trap (found by measurement — 421 s at sf0.1): a projected
+    * `NOT IN` parses to Not(InSubquery) and always rewrites to the
+    * null-aware `(a = b OR isnull(a = b))` ExistenceJoin, whose only
+    * physical implementation is BroadcastNestedLoopJoin — O(probe x list)
+    * even when the list is provably NULL-free; the NAAJ hash-join
+    * optimization applies to LeftAnti (filter) only. The fix is to
+    * compute the positive `IN` (a plain hash ExistenceJoin) in an inner
+    * select and negate the MATERIALIZED boolean outside — identical
+    * semantics for a NULL-free list, hash-join plan, 400x faster. */
   def subqueryBattery(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir).createOrReplaceTempView("__sq_ord")
     Tables.lineitem(spark, dir).createOrReplaceTempView("__sq_li")
     spark.sql(
-      """SELECT o_orderkey,
-        |  EXISTS(SELECT 1 FROM __sq_li
-        |         WHERE l_orderkey = o_orderkey AND l_quantity > 45) AS has_big,
-        |  o_orderkey IN (SELECT l_orderkey FROM __sq_li
-        |                 WHERE l_returnflag = 'R') AS has_return,
-        |  o_orderkey NOT IN (SELECT l_orderkey
-        |                     FROM __sq_li WHERE l_returnflag = 'A') AS not_in_a,
-        |  (SELECT count(*) FROM __sq_li
-        |   WHERE l_orderkey = o_orderkey) AS n_items,
-        |  (SELECT max(l_quantity) FROM __sq_li
-        |   WHERE l_orderkey = o_orderkey) AS max_qty,
-        |  (SELECT count(*) FROM __sq_ord o2
-        |   WHERE o2.o_orderkey NOT IN
-        |     (SELECT CASE WHEN l_quantity > 49 THEN NULL ELSE l_orderkey END
-        |      FROM __sq_li)) AS n_null_trap
-        |FROM __sq_ord ORDER BY o_orderkey""".stripMargin)
+      """SELECT o_orderkey, has_big, has_return,
+        |  NOT coalesce(in_a, FALSE) AS not_in_a,
+        |  n_items, max_qty, n_null_trap
+        |FROM (
+        |  SELECT o_orderkey,
+        |    EXISTS(SELECT 1 FROM __sq_li
+        |           WHERE l_orderkey = o_orderkey AND l_quantity > 45) AS has_big,
+        |    o_orderkey IN (SELECT l_orderkey FROM __sq_li
+        |                   WHERE l_returnflag = 'R') AS has_return,
+        |    o_orderkey IN (SELECT l_orderkey FROM __sq_li
+        |                   WHERE l_returnflag = 'A') AS in_a,
+        |    (SELECT count(*) FROM __sq_li
+        |     WHERE l_orderkey = o_orderkey) AS n_items,
+        |    (SELECT max(l_quantity) FROM __sq_li
+        |     WHERE l_orderkey = o_orderkey) AS max_qty,
+        |    (SELECT count(*) FROM __sq_ord o2
+        |     WHERE o2.o_orderkey NOT IN
+        |       (SELECT CASE WHEN l_quantity > 49 THEN NULL ELSE l_orderkey END
+        |        FROM __sq_li)) AS n_null_trap
+        |  FROM __sq_ord) t ORDER BY o_orderkey""".stripMargin)
   }
 
   def rollupCounts(spark: SparkSession, dir: String): DataFrame =
