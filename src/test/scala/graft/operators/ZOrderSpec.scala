@@ -50,6 +50,41 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("laid-out parquet actually prunes: filtered scan reads fewer rows than unclustered") {
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // tiny row groups so a small fixture still spans many pruning units
+    val rg = Map("parquet.block.size" -> (32 * 1024).toString)
+    ZOrder.layout(li, Seq("l_partkey", "l_suppkey"), nBuckets = 8)
+      .drop("zkey")
+      .write.options(rg).mode("overwrite").parquet(s"$base/clustered")
+    li.repartition(8, col("l_orderkey")) // layout-free baseline, same file count
+      .write.options(rg).mode("overwrite").parquet(s"$base/plain")
+
+    def scanned(path: String): Long = {
+      val df = spark.read.parquet(path)
+        .filter(col("l_partkey") < 50 && col("l_suppkey") < 3)
+      df.collect() // execute so scan metrics populate
+      val scan = df.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    // both read the same logical result...
+    val a = spark.read.parquet(s"$base/clustered")
+      .filter(col("l_partkey") < 50 && col("l_suppkey") < 3).count()
+    val b = spark.read.parquet(s"$base/plain")
+      .filter(col("l_partkey") < 50 && col("l_suppkey") < 3).count()
+    assert(a == b && a > 0)
+    // ...but the scan under the clustered layout emits far fewer rows:
+    // row-group min/max stats line up with the filter on BOTH columns only
+    // when the file order is the Z-curve
+    val clustered = scanned(s"$base/clustered")
+    val plain = scanned(s"$base/plain")
+    assert(clustered < plain / 2,
+      s"expected >2x row-group pruning from the layout: clustered=$clustered plain=$plain")
+  }
+
   test("layout plan: one range-partition exchange, stats broadcast, sorted zkeys") {
     val li = graft.sources.Tables.lineitem(spark, sf)
     val out = ZOrder.layout(li, Seq("l_partkey", "l_suppkey"), nBuckets = 8)
