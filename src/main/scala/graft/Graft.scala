@@ -93,6 +93,8 @@ object Graft {
     TfIdf.topKSimilar(docs, queries, k)
   def pqCodes(emb: DataFrame, nIters: Int = 1): DataFrame =
     PqIndex.codes(emb, nIters)
+  def pqResidualCodes(emb: DataFrame, nLists: Int = 8): DataFrame =
+    PqIndex.residualCodes(emb, nLists)
   def similarTopKPq(emb: DataFrame, queries: Int = 8, k: Int = 5): DataFrame =
     PqIndex.adcTopK(emb, queries, k)
   def similarTopKIvfPq(emb: DataFrame, queries: Int = 8, k: Int = 5): DataFrame =

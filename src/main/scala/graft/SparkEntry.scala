@@ -474,6 +474,9 @@ object SparkEntry {
       VectorOps.quantizeDigest(Tables.embeddings(s, dir)).orderBy("vec_id")),
     "q_vec_project" -> ((s, dir) =>
       VectorOps.projectDigest(Tables.embeddings(s, dir)).orderBy("vec_id")),
+    // residual PQ: codes quantize v - coarse_centroid, the true IVF-PQ form
+    "q_vec_rpq" -> ((s, dir) =>
+      PqIndex.residualCodes(Tables.embeddings(s, dir))),
     "q_vec_pq" -> ((s, dir) =>
       PqIndex.codes(Tables.embeddings(s, dir))),
     // cluster-size histogram of the IVF assignment — the index-balance
@@ -1907,6 +1910,54 @@ object SparkEntry {
           |  proj[5] AS proj_4, proj[6] AS proj_5, proj[7] AS proj_6, proj[8] AS proj_7,
           |  list_reduce(list_prepend(0.0, list_transform(proj, x -> x * x)), (a, b) -> a + b) AS norm2
           |FROM p ORDER BY vec_id""".stripMargin,
+      // residual PQ: coarse IVF chain supplies assignment + centroids, the
+      // PQ chain re-runs over residuals v - c with the same VARCHAR-hop
+      // decimal discipline (computed doubles, not raw floats, flow into it)
+      "q_vec_rpq" ->
+        s"""WITH ${ivfCtes("r_")},
+           |resid AS (SELECT v.vec_id, v.dim, v.v - c.c AS v
+           |  FROM r_ve v JOIN r_a2 a USING (vec_id)
+           |  JOIN r_c1 c ON c.list = a.list AND c.dim = v.dim),
+           |rpve AS (SELECT vec_id, CAST(dim // 8 AS INT) AS s,
+           |         CAST(dim % 8 AS INT) AS subdim, v FROM resid),
+           |rpseed AS (SELECT vec_id, s, vec_id % 16 AS code
+           |         FROM embeddings CROSS JOIN range(0, 8) r(s)),
+           |rpc0 AS (SELECT s, code, subdim,
+           |         CAST(CAST(sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / count(*) AS c
+           |       FROM rpve JOIN rpseed USING (vec_id, s) GROUP BY s, code, subdim),
+           |rpd0 AS (SELECT vec_id, s, code,
+           |         sum(CAST(CAST((v - c) * (v - c) AS VARCHAR) AS DECIMAL(38,18))) AS dist2
+           |       FROM rpve JOIN rpc0 USING (s, subdim) GROUP BY vec_id, s, code),
+           |rpa1 AS (SELECT vec_id, s, code FROM (
+           |         SELECT vec_id, s, code,
+           |           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist2, code) AS rn
+           |         FROM rpd0) x WHERE rn = 1),
+           |rpc1 AS (SELECT s, code, subdim,
+           |         CAST(CAST(sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / count(*) AS c
+           |       FROM rpve JOIN rpa1 USING (vec_id, s) GROUP BY s, code, subdim),
+           |rpd1 AS (SELECT vec_id, s, code,
+           |         sum(CAST(CAST((v - c) * (v - c) AS VARCHAR) AS DECIMAL(38,18))) AS dist2
+           |       FROM rpve JOIN rpc1 USING (s, subdim) GROUP BY vec_id, s, code),
+           |rpa2 AS (SELECT vec_id, s, code FROM (
+           |         SELECT vec_id, s, code,
+           |           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist2, code) AS rn
+           |         FROM rpd1) x WHERE rn = 1),
+           |p AS (SELECT vec_id,
+           |        CAST(max(CASE WHEN s = 0 THEN code END) AS BIGINT) AS code_0,
+           |        CAST(max(CASE WHEN s = 1 THEN code END) AS BIGINT) AS code_1,
+           |        CAST(max(CASE WHEN s = 2 THEN code END) AS BIGINT) AS code_2,
+           |        CAST(max(CASE WHEN s = 3 THEN code END) AS BIGINT) AS code_3,
+           |        CAST(max(CASE WHEN s = 4 THEN code END) AS BIGINT) AS code_4,
+           |        CAST(max(CASE WHEN s = 5 THEN code END) AS BIGINT) AS code_5,
+           |        CAST(max(CASE WHEN s = 6 THEN code END) AS BIGINT) AS code_6,
+           |        CAST(max(CASE WHEN s = 7 THEN code END) AS BIGINT) AS code_7
+           |      FROM rpa2 GROUP BY vec_id)
+           |SELECT p.vec_id, CAST(a.list AS BIGINT) AS list,
+           |  code_0, code_1, code_2, code_3, code_4, code_5, code_6, code_7,
+           |  code_0 + code_1 * 16 + code_2 * 256 + code_3 * 4096
+           |    + code_4 * 65536 + code_5 * 1048576 + code_6 * 16777216
+           |    + code_7 * 268435456 AS pq_code
+           |FROM p JOIN r_a2 a USING (vec_id) ORDER BY p.vec_id""".stripMargin,
       "q_vec_pq" ->
         s"""WITH $pqCtes,
           |p AS (SELECT vec_id,

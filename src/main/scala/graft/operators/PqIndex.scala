@@ -128,6 +128,42 @@ object PqIndex {
     }
   }
 
+  /** RESIDUAL product quantization — the storage form real IVF-PQ indexes
+    * (FAISS `IndexIVFPQ`) actually use: instead of quantizing raw vectors,
+    * quantize the RESIDUAL `v - centroid(list(v))` against the coarse
+    * quantizer's assigned centroid. Residuals concentrate near zero with
+    * far less variance than raw vectors, so the same 4-byte code budget
+    * spends its 16 codes per subspace on a much smaller cell — materially
+    * lower quantization error at identical storage cost.
+    *
+    * Scale shape: the coarse centroid matrix is a broadcast literal (the
+    * [[IvfIndex.listExpr]] discipline), so residual computation is a pure
+    * narrow map — one fused distance kernel for the assignment position,
+    * one `zip_with` subtraction; PQ training then runs its usual
+    * decimal-exact Lloyd over the residual frame (codebook collects are
+    * O(M x K x SubDim)); encoding is the same narrow argmin pass. Output
+    * carries the coarse `list` alongside the codes — exactly the row an
+    * IVF-PQ index persists. */
+  def residualCodes(emb: DataFrame, nLists: Int = 8, nIters: Int = 1): DataFrame = {
+    // feeds the coarse collect, two codebook collects, and the encode scan
+    val e = graft.core.Parallelism.forCompute(emb).persist()
+    val (matrix, listIds) = IvfIndex.trainCoarse(e, nLists, nIters)
+    val ds = VectorFunctions.squared_distances(col("embedding"), matrix)
+    val pos = array_position(ds, array_min(ds)).cast("int")
+    val rframe = e.select(
+      col("vec_id"),
+      element_at(listIds, pos).as("list"),
+      zip_with(col("embedding").cast("array<double>"), element_at(matrix, pos),
+        (x, c) => x - c).as("embedding"))
+    val packed = train(rframe, nIters)
+    val cs = codeExprs(packed).zipWithIndex
+      .map { case (c, s) => c.cast("long").as(s"code_$s") }
+    rframe.select(col("vec_id") +: col("list") +: cs: _*)
+      .withColumn("pq_code",
+        (0 until M).map(s => shiftleft(col(s"code_$s"), 4 * s)).reduce(_ + _))
+      .orderBy("vec_id")
+  }
+
   /** ADC (asymmetric distance computation) top-k — how PQ is actually
     * SEARCHED: the query stays a full-precision vector, every corpus vector
     * is only its 8 codes, and distance is the sum of per-subspace

@@ -31,6 +31,47 @@ class PqIndexSpec extends SparkSpec {
     }
   }
 
+  test("residualCodes: list agrees with IVF assignment; residuals shrink; packing holds") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val rc = PqIndex.residualCodes(emb).collect()
+    assert(rc.nonEmpty)
+    // coarse list in the output is exactly the IVF assignment
+    val assign = IvfIndex.assignments(emb, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rc.foreach { r =>
+      assert(r.getAs[Long]("list") == assign(r.getAs[Long]("vec_id")))
+      val packed = r.getAs[Long]("pq_code")
+      (0 until PqIndex.M).foreach { s =>
+        val c = r.getAs[Long](s"code_$s")
+        assert(c >= 0 && c < PqIndex.K)
+        assert(((packed >> (4 * s)) & 0xf) == c)
+      }
+    }
+    // the premise of residual encoding: subtracting each cell's MEAN can
+    // only shrink the second moment (sum ||v - mean||^2 = sum ||v||^2 -
+    // n * ||mean||^2), so residual msn < raw msn is structural. The MARGIN
+    // is geometry-dependent: this fixture's embeddings are L2-normalized
+    // and nearly uniform on the 64-d sphere, so coarse cells capture
+    // little (~6% here); clustered real corpora capture far more.
+    def msn(df: org.apache.spark.sql.DataFrame): Double = df
+      .select(aggregate(transform(col("embedding"), x => x.cast("double") * x),
+        lit(0.0), (acc, t) => acc + t).as("n2"))
+      .agg(avg("n2")).head().getDouble(0)
+    val raw = msn(emb)
+    // rebuild the residual frame the same way the operator does
+    val resid = {
+      val e = graft.core.Parallelism.forCompute(emb)
+      val (matrix, listIds) = IvfIndex.trainCoarse(e, 8, 1)
+      val ds = graft.functions.VectorFunctions.squared_distances(col("embedding"), matrix)
+      val pos = array_position(ds, array_min(ds)).cast("int")
+      e.select(zip_with(col("embedding").cast("array<double>"),
+        element_at(matrix, pos), (x, c) => x - c).as("embedding"))
+    }
+    val res = msn(resid)
+    assert(res < raw, s"residual msn $res not below raw $raw")
+  }
+
   test("ivfpq probing every list reproduces full ADC top-k exactly") {
     // the IVF exactness discipline, composed: nProbe = nLists means no
     // pruning, so the composed index must return adcTopK's rows verbatim
