@@ -235,6 +235,11 @@ object SparkEntry {
       TextAnalysis.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_lang_id" -> ((s, dir) =>
       TextAnalysis.langId(Tables.documents(s, dir)).orderBy("doc_id")),
+    // model-based quality gate: hashed-linear classifier inference, the
+    // zero-shuffle map-literal form (parity with the broadcast-join form is
+    // spec-asserted)
+    "q_classifier_score" -> ((s, dir) =>
+      Classifier.score(Tables.documents(s, dir))),
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
 
@@ -315,6 +320,10 @@ object SparkEntry {
       NearDup.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_dedup_simhash" -> ((s, dir) =>
       NearDup.simhashPairs(Tables.documents(s, dir), 3)),
+    // blocking+verify record linkage: simhash candidates confirmed by
+    // character-level Levenshtein within 30% of the longer side
+    "q_dedup_editdist" -> ((s, dir) =>
+      NearDup.editDistancePairs(Tables.documents(s, dir))),
 
     // ---- extension: similarity search (ext_topk_similarity) ----
     "q_sim_topk_brute" -> ((s, dir) =>
@@ -411,6 +420,10 @@ object SparkEntry {
       TextAnalysis.redactPii(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_rare_tokens" -> ((s, dir) =>
       TextAnalysis.rareTokenRatio(Tables.documents(s, dir)).orderBy("doc_id")),
+    // content-defined chunking: rolling-digest boundaries that RESYNC under
+    // edits (vs q_doc_chunks' fixed-size split) — the chunk-dedup form
+    "q_chunk_cdc" -> ((s, dir) =>
+      ContentChunking.cdcChunks(Tables.documents(s, dir))),
     "q_doc_chunks" -> ((s, dir) =>
       TextAnalysis.chunkDocuments(Tables.documents(s, dir))
         .orderBy("doc_id", "chunk_idx")),
@@ -1000,6 +1013,25 @@ object SparkEntry {
           |  CAST(length(text) AS DOUBLE)
           |    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS chars_per_token
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_classifier_score" ->
+        """WITH model AS (
+          |  SELECT CAST(f AS BIGINT) AS feature_id,
+          |         CAST('0x' || substr(md5('w:' || CAST(f AS VARCHAR)), 1, 15) AS BIGINT)
+          |           % 2001 - 1000 AS weight
+          |  FROM (SELECT unnest(range(0, 1024)) AS f)),
+          |toks AS (
+          |  SELECT doc_id,
+          |         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+          |  FROM documents),
+          |feat AS (
+          |  SELECT doc_id,
+          |         CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 1024 AS feature_id
+          |  FROM toks, LATERAL (SELECT unnest(w) AS tok) t)
+          |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+          |       CAST(sum(m.weight) AS BIGINT) AS score,
+          |       sum(m.weight) > 0 AS label
+          |FROM feat f JOIN model m USING (feature_id)
+          |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
       "q_lang_id" ->
         """WITH s AS (
           |  SELECT doc_id,
@@ -1419,6 +1451,27 @@ object SparkEntry {
            |  FROM blocks a JOIN blocks b
            |    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)
            |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3
+           |ORDER BY a_id, b_id""".stripMargin,
+      "q_dedup_editdist" ->
+        s"""WITH $simhashCtes,
+           |blocks AS (
+           |  SELECT doc_id, simhash, 0 AS blk, simhash & 65535 AS key FROM fp
+           |  UNION ALL
+           |  SELECT doc_id, simhash, 1 AS blk, simhash >> 16 AS key FROM fp),
+           |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |  FROM blocks a JOIN blocks b
+           |    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id),
+           |cand AS (SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 8),
+           |v AS (SELECT c.a_id, c.b_id, c.hamming,
+           |        CAST(length(na.norm) AS BIGINT) AS len_a,
+           |        CAST(length(nb.norm) AS BIGINT) AS len_b,
+           |        CAST(levenshtein(na.norm, nb.norm) AS BIGINT) AS edit_dist
+           |      FROM cand c
+           |      JOIN d na ON na.doc_id = c.a_id
+           |      JOIN d nb ON nb.doc_id = c.b_id)
+           |SELECT a_id, b_id, hamming, len_a, len_b, edit_dist
+           |FROM v WHERE edit_dist * 100 <= greatest(len_a, len_b) * 30
            |ORDER BY a_id, b_id""".stripMargin,
       "q_sim_topk_brute" ->
         s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -1872,6 +1925,33 @@ object SparkEntry {
           |    / CAST(count(*) AS DOUBLE) AS rare_ratio
           |FROM tok JOIN dfreq USING (tok)
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "q_chunk_cdc" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+          |  FROM documents),
+          |cand AS (
+          |  SELECT doc_id, CAST(i AS BIGINT) AS b
+          |  FROM toks, LATERAL (SELECT unnest(range(4, len(w) + 1)) AS i) t
+          |  WHERE CAST('0x' || substr(md5(array_to_string(w[i-3:i], ' ')), 1, 15) AS BIGINT)
+          |          % 16 = 0),
+          |bnds AS (
+          |  SELECT DISTINCT doc_id, b FROM (
+          |    SELECT doc_id, b FROM cand
+          |    UNION ALL
+          |    SELECT doc_id, CAST(len(w) AS BIGINT) AS b FROM toks)),
+          |ch AS (
+          |  SELECT doc_id, b,
+          |         row_number() OVER (PARTITION BY doc_id ORDER BY b) AS chunk_id,
+          |         coalesce(lag(b) OVER (PARTITION BY doc_id ORDER BY b), 0) + 1 AS chunk_start
+          |  FROM bnds)
+          |SELECT c.doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id,
+          |       CAST(c.chunk_start AS BIGINT) AS chunk_start,
+          |       CAST(c.b AS BIGINT) AS chunk_end,
+          |       CAST(c.b - c.chunk_start + 1 AS BIGINT) AS chunk_len,
+          |       md5(array_to_string(t.w[c.chunk_start:c.b], ' ')) AS chunk_md5
+          |FROM ch c JOIN toks t USING (doc_id)
+          |ORDER BY c.doc_id, c.chunk_id""".stripMargin,
       "q_doc_chunks" ->
         """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
           |s AS (SELECT doc_id, w,

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hashed-linear quality-classifier INFERENCE over a document corpus — the
+  * fastText/CCNet-filter shape: hash each token into one of `nFeatures`
+  * buckets, look the bucket up in a learned weight vector, and keep the
+  * per-document margin (integer sum of weights). Model-based quality
+  * filtering is the standard step between heuristic signals
+  * ([[TextAnalysis.qualityScore]]) and expensive LM scoring in a pretraining
+  * curation pipeline.
+  *
+  * Scale contract (100 TB corpus, fixed-size model):
+  *  - The MODEL is a `(feature_id, weight)` relation of `nFeatures` rows —
+  *    kilobytes. [[scoreJoin]] broadcast-joins it against the exploded token
+  *    stream: works for any model size that fits the broadcast regime, one
+  *    doc-keyed shuffle with map-side partial sums.
+  *  - [[score]] pins the same model INTO the expression as a map literal
+  *    (the "weights in the closure" production form for small models): the
+  *    per-document margin folds over the token array with
+  *    `aggregate(transform(...))` — ZERO exchange, the scan's partitioning
+  *    is preserved, and the whole scoring pipeline is a narrow codegen'd
+  *    map. Both forms are asserted bit-identical.
+  *  - Weights are integers, so accumulation is exact on any engine and in
+  *    any partial-aggregation order — no float nondeterminism in the gate.
+  *
+  * The fixture model derives its weights content-addressably (md5 of the
+  * feature id — a deterministic stand-in for trained weights, the same trick
+  * [[Sampling]] uses for uniforms); the plumbing under it — feature hashing,
+  * broadcast model, integer margin — is exactly what a trained linear model
+  * ships. Reference scope: quality filtering extends the row-level
+  * projection/predicate stage of the reference pipeline
+  * (HanaToDBRow.java:83-86) the way the rest of the curation family does.
+  */
+object Classifier {
+  val NFeatures = 1024
+
+  /** Token -> feature bucket: 60 md5 bits (always positive, exact in a
+    * long) mod `nFeatures`. md5 keeps the bucketing engine-portable where
+    * xxhash64 would not be. */
+  private[operators] def featureId(tok: Column, nFeatures: Int): Column =
+    conv(substr(md5(tok), lit(1), lit(15)), 16, 10).cast("long") % nFeatures
+
+  /** Deterministic integer weight in [-1000, 1000] for a feature id — the
+    * fixture stand-in for a learned weight vector. */
+  private def weightOf(f: Column): Column =
+    conv(substr(md5(concat(lit("w:"), f.cast("string"))), lit(1), lit(15)),
+      16, 10).cast("long") % 2001L - 1000L
+
+  /** The model relation: `nFeatures` rows of (feature_id, weight). */
+  def model(spark: SparkSession, nFeatures: Int = NFeatures): DataFrame =
+    spark.range(nFeatures.toLong)
+      .select(col("id").as("feature_id"), weightOf(col("id")).as("weight"))
+
+  private def tokens(text: Column): Column =
+    split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " ")
+
+  /** General inference form: explode tokens, broadcast-join the model
+    * relation, integer-sum per document. One shuffle (doc-keyed, map-side
+    * combined); the model never shuffles. Use when the model is produced by
+    * an upstream job (i.e. is a DataFrame, not a literal). */
+  def scoreJoin(docs: DataFrame, nFeatures: Int = NFeatures): DataFrame = {
+    val spark = docs.sparkSession
+    val feats = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), featureId(col("tok"), nFeatures).as("feature_id"))
+    feats.join(broadcast(model(spark, nFeatures)), Seq("feature_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("weight").as("score"))
+      .withColumn("label", col("score") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** Small-model inference form: the collected weight vector rides into the
+    * plan as ONE map literal (`nFeatures` entries — the justified tiny
+    * collect, same budget as the IVF/PQ codebooks), and scoring folds over
+    * the token array per row. No explode, no join, no exchange: at 100 TB
+    * this is a pure narrow map over the scan. */
+  def score(docs: DataFrame, nFeatures: Int = NFeatures): DataFrame = {
+    val spark = docs.sparkSession
+    val weights: Map[Long, Long] = model(spark, nFeatures)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wmap = typedlit(weights)
+    val perTok = transform(tokens(col("text")),
+      t => element_at(wmap, featureId(t, nFeatures)))
+    docs.select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_feats"),
+        aggregate(perTok, lit(0L), (acc, x) => acc + x).as("score"))
+      .withColumn("label", col("score") > 0)
+      .orderBy("doc_id")
+  }
+}

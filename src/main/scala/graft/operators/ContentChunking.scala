@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Content-defined chunking (CDC): split each document at positions where a
+  * rolling window digest hits a mask — the Rabin/Gear-style boundary rule
+  * dedup file systems and RAG ingestion pipelines use instead of fixed-size
+  * chunking. The payoff is edit RESYNC: inserting or deleting one token
+  * shifts every fixed-size chunk after the edit, but content-defined
+  * boundaries depend only on the local window, so all chunks outside the
+  * edit neighborhood keep their digests — chunk-level dedup between corpus
+  * versions then dedups the unchanged tail instead of re-storing it
+  * (property-tested in `ContentChunkingSpec`).
+  *
+  * Scale contract: the whole computation is PER-DOCUMENT — window digests,
+  * boundary selection, and chunk assembly all run as higher-order functions
+  * over the token array inside one row, then a narrow `explode` emits chunk
+  * rows. ZERO exchanges (the final `orderBy` is presentation-only): at
+  * 100 TB the scan's partitioning flows through untouched, and there is no
+  * doc-keyed shuffle a window-function formulation would force.
+  *
+  * Boundary rule: position i (1-based, i >= window) ends a chunk when the
+  * 60-bit md5 of the window's last `window` tokens is ≡ 0 mod `divisor`
+  * (expected chunk length ≈ divisor tokens); the document end is always a
+  * boundary. Docs shorter than `window` yield one whole-doc chunk. md5
+  * keeps boundaries engine-portable and content-addressed — same text,
+  * same chunks, on any engine, under any partitioning.
+  */
+object ContentChunking {
+
+  /** Per-chunk rows: (doc_id, chunk_id, chunk_start, chunk_end, chunk_len,
+    * chunk_md5) with 1-based inclusive token positions. */
+  def cdcChunks(docs: DataFrame, window: Int = 4, divisor: Int = 16): DataFrame = {
+    val w = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
+    val n = size(w)
+    // digest of the window ENDING at 1-based position i
+    def winDigest(toks: Column, i: Column) =
+      conv(substr(md5(array_join(slice(toks, i - window + 1, lit(window)), " ")),
+        lit(1), lit(15)), 16, 10).cast("long")
+    val rows = docs.select(col("doc_id"), w.as("w"), n.as("n"))
+      // candidate boundary positions: window..n whose digest hits the mask,
+      // plus the document end; array_distinct since n may hit twice
+      .withColumn("bounds", array_distinct(concat(
+        filter(
+          when(col("n") >= window, sequence(lit(window), col("n")))
+            .otherwise(array().cast("array<int>")),
+          i => winDigest(col("w"), i) % divisor === 0),
+        array(col("n")))))
+      .select(col("doc_id"), col("w"),
+        explode(transform(col("bounds"), (b, idx) => struct(
+          (idx + 1).as("chunk_id"),
+          when(idx === 0, lit(1))
+            .otherwise(element_at(col("bounds"), idx) + 1).as("chunk_start"),
+          b.as("chunk_end")))).as("c"))
+    rows.select(
+        col("doc_id"),
+        col("c.chunk_id").cast("long").as("chunk_id"),
+        col("c.chunk_start").cast("long").as("chunk_start"),
+        col("c.chunk_end").cast("long").as("chunk_end"),
+        (col("c.chunk_end") - col("c.chunk_start") + 1).cast("long").as("chunk_len"),
+        md5(array_join(
+          slice(col("w"), col("c.chunk_start"),
+            col("c.chunk_end") - col("c.chunk_start") + 1), " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+}

@@ -434,4 +434,42 @@ object NearDup {
       .filter(col("hamming") <= maxDist)
       .orderBy("a_id", "b_id")
   }
+
+  /** Edit-distance VERIFIED near-dup pairs: simhash blocking proposes
+    * candidates, Levenshtein confirms them — the classic blocking+verify
+    * record-linkage shape with a character-level (not set-level) final
+    * metric, which catches reorder-sensitive duplication that Jaccard
+    * over token SETS cannot distinguish.
+    *
+    * Scale contract: the quadratic metric only ever runs on BLOCKED
+    * candidate pairs (simhash half-collisions, hamming <= `hammingMax`),
+    * and the candidate exchange carries ids+fingerprints only — normalized
+    * text rejoins from the base scan per side, so full documents never ride
+    * the pair explosion. Per-pair cost is bounded by the `distanceCap`
+    * passed to Spark's thresholded `levenshtein` (O(len x cap), returns -1
+    * beyond the cap); the accept rule is RELATIVE — edit distance within
+    * `maxRatioPct`% of the longer side — stated in exact integer arithmetic
+    * so every engine agrees bit-for-bit. `distanceCap` must dominate the
+    * relative bound (cap >= maxRatioPct% of the longest normalized doc) or
+    * capped rows could be wrongly rejected; the default holds for any
+    * corpus whose normalized docs are under ~13k chars, and the spec pins
+    * it for the fixtures. */
+  def editDistancePairs(docs: DataFrame, hammingMax: Int = 8,
+                        maxRatioPct: Int = 30,
+                        distanceCap: Int = 4000): DataFrame = {
+    val cand = simhashPairs(docs, hammingMax)
+    val norms = docs.select(col("doc_id"),
+      trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("norm"))
+    cand
+      .join(norms.select(col("doc_id").as("a_id"), col("norm").as("a_norm")), "a_id")
+      .join(norms.select(col("doc_id").as("b_id"), col("norm").as("b_norm")), "b_id")
+      .select(col("a_id"), col("b_id"), col("hamming"),
+        length(col("a_norm")).cast("long").as("len_a"),
+        length(col("b_norm")).cast("long").as("len_b"),
+        levenshtein(col("a_norm"), col("b_norm"), distanceCap)
+          .cast("long").as("edit_dist"))
+      .filter(col("edit_dist") >= 0 &&
+        col("edit_dist") * 100 <= greatest(col("len_a"), col("len_b")) * lit(maxRatioPct.toLong))
+      .orderBy("a_id", "b_id")
+  }
 }
