@@ -1463,13 +1463,17 @@ object SparkEntry {
            |  FROM blocks a JOIN blocks b
            |    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id),
            |cand AS (SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 8),
+           |sg AS (SELECT doc_id,
+           |         array_to_string(list_transform(string_split(norm, ' '),
+           |           t -> chr(CAST(48 + CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 64 AS INT))), '') AS sig
+           |       FROM d),
            |v AS (SELECT c.a_id, c.b_id, c.hamming,
-           |        CAST(length(na.norm) AS BIGINT) AS len_a,
-           |        CAST(length(nb.norm) AS BIGINT) AS len_b,
-           |        CAST(levenshtein(na.norm, nb.norm) AS BIGINT) AS edit_dist
+           |        CAST(length(sa.sig) AS BIGINT) AS len_a,
+           |        CAST(length(sb.sig) AS BIGINT) AS len_b,
+           |        CAST(levenshtein(sa.sig, sb.sig) AS BIGINT) AS edit_dist
            |      FROM cand c
-           |      JOIN d na ON na.doc_id = c.a_id
-           |      JOIN d nb ON nb.doc_id = c.b_id)
+           |      JOIN sg sa ON sa.doc_id = c.a_id
+           |      JOIN sg sb ON sb.doc_id = c.b_id)
            |SELECT a_id, b_id, hamming, len_a, len_b, edit_dist
            |FROM v WHERE edit_dist * 100 <= greatest(len_a, len_b) * 30
            |ORDER BY a_id, b_id""".stripMargin,
