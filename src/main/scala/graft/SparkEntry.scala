@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{GraftConfig, HanaTypes}
 import graft.operators._
 import graft.sinks.AppendSink
-import graft.sources.Tables
+import graft.sources.{Tables, TextSources}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, with DuckDB oracle SQL where expressible.
@@ -99,6 +99,28 @@ object SparkEntry {
       AppendSink.appendParquet(src, out)
       AppendSink.readBack(s, out)
         .orderBy("l_orderkey", "l_linenumber", "l_returnflag")
+    }),
+
+    // JSONL + CSV source lanes: write both text formats from the parquet
+    // source, read back under explicit schemas (FAILFAST, line-splittable),
+    // and prove byte-exact round-trip fidelity of longs/doubles/strings by
+    // aggregating each side against the parquet original
+    "q_text_sources" -> ((s, dir) => {
+      import org.apache.hadoop.fs.{FileSystem, Path}
+      val src = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      val fs = FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val jdir = "/tmp/graft_src_jsonl"; val cdir = "/tmp/graft_src_csv"
+      fs.delete(new Path(jdir), true); fs.delete(new Path(cdir), true)
+      src.write.json(jdir)
+      src.write.option("header", "true").csv(cdir)
+      val j = TextSources.readJsonLines(s, jdir, src.schema)
+      val c = TextSources.readCsv(s, cdir, src.schema)
+      def agg(df: DataFrame, tag: String) = df.groupBy("l_returnflag").agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as(s"${tag}_qty"),
+        count(lit(1)).as(s"${tag}_n"))
+      agg(j, "json").join(agg(c, "csv"), "l_returnflag")
+        .orderBy("l_returnflag")
     }),
 
     // ---- §2.5 relational algebra (absent in ref, table stakes here) ----
@@ -888,6 +910,13 @@ object SparkEntry {
       "q_append_sink" ->
         """SELECT l_orderkey, l_linenumber, l_returnflag
           |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_returnflag""".stripMargin,
+      "q_text_sources" ->
+        """SELECT l_returnflag,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS json_qty,
+          |  count(*) AS json_n,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS csv_qty,
+          |  count(*) AS csv_n
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
