@@ -343,9 +343,18 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       NearDup.simhashPairs(Tables.documents(s, dir), 3)),
     // blocking+verify record linkage: simhash candidates confirmed by
-    // character-level Levenshtein within 30% of the longer side
+    // token-level Levenshtein within 30% of the longer side
     "q_dedup_editdist" -> ((s, dir) =>
       NearDup.editDistancePairs(Tables.documents(s, dir))),
+    // pairs -> connected components -> keep cluster minimum: the actionable
+    // dedup built on the edit-distance evidence (same CC machinery as
+    // q_dedup_survivors, different pair source)
+    "q_dedup_editdist_survivors" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.clusterSurvivors(docs.select("doc_id"),
+          NearDup.editDistancePairs(docs).select("a_id", "b_id"))
+        .orderBy("doc_id")
+    }),
 
     // ---- extension: similarity search (ext_topk_similarity) ----
     "q_sim_topk_brute" -> ((s, dir) =>
@@ -791,6 +800,33 @@ object SparkEntry {
       |  SELECT *, sum(new_session) OVER
       |    (PARTITION BY user_id ORDER BY ts_sec, event_id
       |     ROWS UNBOUNDED PRECEDING) AS session_seq FROM f)""".stripMargin
+
+  /** simhash blocking -> signature levenshtein verify -> accepted pairs
+    * (`eacc`) — shared by the pair listing and the survivor composition. */
+  private def editDistCtes: String =
+    s"""$simhashCtes,
+       |blocks AS (
+       |  SELECT doc_id, simhash, 0 AS blk, simhash & 65535 AS key FROM fp
+       |  UNION ALL
+       |  SELECT doc_id, simhash, 1 AS blk, simhash >> 16 AS key FROM fp),
+       |spairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM blocks a JOIN blocks b
+       |    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id),
+       |cand AS (SELECT a_id, b_id, hamming FROM spairs WHERE hamming <= 8),
+       |sg AS (SELECT doc_id,
+       |         array_to_string(list_transform(string_split(norm, ' '),
+       |           t -> chr(CAST(48 + CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 64 AS INT))), '') AS sig
+       |       FROM d),
+       |ev AS (SELECT c.a_id, c.b_id, c.hamming,
+       |        CAST(length(sa.sig) AS BIGINT) AS len_a,
+       |        CAST(length(sb.sig) AS BIGINT) AS len_b,
+       |        CAST(levenshtein(sa.sig, sb.sig) AS BIGINT) AS edit_dist
+       |      FROM cand c
+       |      JOIN sg sa ON sa.doc_id = c.a_id
+       |      JOIN sg sb ON sb.doc_id = c.b_id),
+       |eacc AS (SELECT * FROM ev
+       |  WHERE edit_dist * 100 <= greatest(len_a, len_b) * 30)""".stripMargin
 
   private val simhashCtes =
     """d AS (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm FROM documents),
@@ -1482,30 +1518,22 @@ object SparkEntry {
            |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3
            |ORDER BY a_id, b_id""".stripMargin,
       "q_dedup_editdist" ->
-        s"""WITH $simhashCtes,
-           |blocks AS (
-           |  SELECT doc_id, simhash, 0 AS blk, simhash & 65535 AS key FROM fp
-           |  UNION ALL
-           |  SELECT doc_id, simhash, 1 AS blk, simhash >> 16 AS key FROM fp),
-           |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-           |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-           |  FROM blocks a JOIN blocks b
-           |    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id),
-           |cand AS (SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 8),
-           |sg AS (SELECT doc_id,
-           |         array_to_string(list_transform(string_split(norm, ' '),
-           |           t -> chr(CAST(48 + CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 64 AS INT))), '') AS sig
-           |       FROM d),
-           |v AS (SELECT c.a_id, c.b_id, c.hamming,
-           |        CAST(length(sa.sig) AS BIGINT) AS len_a,
-           |        CAST(length(sb.sig) AS BIGINT) AS len_b,
-           |        CAST(levenshtein(sa.sig, sb.sig) AS BIGINT) AS edit_dist
-           |      FROM cand c
-           |      JOIN sg sa ON sa.doc_id = c.a_id
-           |      JOIN sg sb ON sb.doc_id = c.b_id)
+        s"""WITH $editDistCtes
            |SELECT a_id, b_id, hamming, len_a, len_b, edit_dist
-           |FROM v WHERE edit_dist * 100 <= greatest(len_a, len_b) * 30
-           |ORDER BY a_id, b_id""".stripMargin,
+           |FROM eacc ORDER BY a_id, b_id""".stripMargin,
+      "q_dedup_editdist_survivors" ->
+        s"""WITH RECURSIVE $editDistCtes,
+           |edges AS (SELECT a_id, b_id FROM eacc
+           |  UNION ALL SELECT b_id, a_id FROM eacc),
+           |reach(src, dst) AS (
+           |  SELECT DISTINCT a_id, a_id FROM edges
+           |  UNION
+           |  SELECT r.src, e.b_id FROM reach r JOIN edges e ON e.a_id = r.dst),
+           |losers AS (SELECT src AS doc_id FROM reach
+           |  GROUP BY src HAVING src <> min(dst))
+           |SELECT doc_id FROM documents
+           |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+           |ORDER BY doc_id""".stripMargin,
       "q_sim_topk_brute" ->
         s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
            |           FROM embeddings),
