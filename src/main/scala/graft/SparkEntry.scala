@@ -535,6 +535,10 @@ object SparkEntry {
     // the billion-scale ANN architecture (only probed lists are scored)
     "q_sim_topk_ivfpq" -> ((s, dir) =>
       PqIndex.ivfpqTopK(Tables.embeddings(s, dir))),
+    // FAISS IndexIVFPQ's actual query path: ADC over RESIDUAL codes with
+    // per-(query, probed-list) lookup tables
+    "q_sim_topk_ivfrpq" -> ((s, dir) =>
+      PqIndex.ivfrpqTopK(Tables.embeddings(s, dir))),
 
     // ---- capstone: end-to-end training-data curation ----
     "q_curation" -> ((s, dir) => CurationPipeline.keptDocuments(s, dir)),
@@ -678,7 +682,7 @@ object SparkEntry {
        |        FROM embeddings CROSS JOIN range(1, 65) r(i)),
        |${p}seed AS (SELECT vec_id, vec_id % 8 AS list FROM embeddings),
        |${p}c0 AS (SELECT list, dim,
-       |         CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+       |         CAST(CAST(sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / count(*) AS c
        |       FROM ${p}ve JOIN ${p}seed USING (vec_id) GROUP BY list, dim),
        |${p}d0 AS (SELECT vec_id, list,
        |         sum(CAST((v - c) * (v - c) AS DECIMAL(38,18))) AS dist2
@@ -688,7 +692,7 @@ object SparkEntry {
        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, list) AS rn
        |         FROM ${p}d0) x WHERE rn = 1),
        |${p}c1 AS (SELECT list, dim,
-       |         CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+       |         CAST(CAST(sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / count(*) AS c
        |       FROM ${p}ve JOIN ${p}a1 USING (vec_id) GROUP BY list, dim),
        |${p}d1 AS (SELECT vec_id, list,
        |         sum(CAST((v - c) * (v - c) AS DECIMAL(38,18))) AS dist2
@@ -703,6 +707,38 @@ object SparkEntry {
        |         FROM ${p}d1 WHERE vec_id < 8) x WHERE rn <= 2),
        |${p}cand AS (SELECT DISTINCT q_id, m.vec_id AS n_id
        |         FROM ${p}probes JOIN ${p}a2 m USING (list) WHERE q_id <> m.vec_id)""".stripMargin
+
+  /** Residual-PQ chain over the `r_`-prefixed IVF lineage: residuals vs the
+    * assigned coarse centroid, then the 2-step decimal-exact Lloyd. Final
+    * codebooks = `rpc1`, final assignments = `rpa2`. */
+  private val rpqCtes =
+    """resid AS (SELECT v.vec_id, v.dim, v.v - c.c AS v
+      |  FROM r_ve v JOIN r_a2 a USING (vec_id)
+      |  JOIN r_c1 c ON c.list = a.list AND c.dim = v.dim),
+      |rpve AS (SELECT vec_id, CAST(dim // 8 AS INT) AS s,
+      |         CAST(dim % 8 AS INT) AS subdim, v FROM resid),
+      |rpseed AS (SELECT vec_id, s, vec_id % 16 AS code
+      |         FROM embeddings CROSS JOIN range(0, 8) r(s)),
+      |rpc0 AS (SELECT s, code, subdim,
+      |         CAST(CAST(sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / count(*) AS c
+      |       FROM rpve JOIN rpseed USING (vec_id, s) GROUP BY s, code, subdim),
+      |rpd0 AS (SELECT vec_id, s, code,
+      |         sum(CAST(CAST((v - c) * (v - c) AS VARCHAR) AS DECIMAL(38,18))) AS dist2
+      |       FROM rpve JOIN rpc0 USING (s, subdim) GROUP BY vec_id, s, code),
+      |rpa1 AS (SELECT vec_id, s, code FROM (
+      |         SELECT vec_id, s, code,
+      |           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist2, code) AS rn
+      |         FROM rpd0) x WHERE rn = 1),
+      |rpc1 AS (SELECT s, code, subdim,
+      |         CAST(CAST(sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / count(*) AS c
+      |       FROM rpve JOIN rpa1 USING (vec_id, s) GROUP BY s, code, subdim),
+      |rpd1 AS (SELECT vec_id, s, code,
+      |         sum(CAST(CAST((v - c) * (v - c) AS VARCHAR) AS DECIMAL(38,18))) AS dist2
+      |       FROM rpve JOIN rpc1 USING (s, subdim) GROUP BY vec_id, s, code),
+      |rpa2 AS (SELECT vec_id, s, code FROM (
+      |         SELECT vec_id, s, code,
+      |           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist2, code) AS rn
+      |         FROM rpd1) x WHERE rn = 1)""".stripMargin
 
   private val pqCtes =
     """ve AS (SELECT vec_id, CAST((i - 1) // 8 AS INT) AS s,
@@ -1646,6 +1682,29 @@ object SparkEntry {
            |      FROM adc)
            |SELECT q_id, rk, n_id, CAST(adist AS VARCHAR) AS adist
            |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+      "q_sim_topk_ivfrpq" ->
+        s"""WITH ${ivfCtes("r_")},
+           |$rpqCtes,
+           |qresid AS (SELECT p.q_id, p.list, v.dim, v.v - c.c AS v
+           |  FROM r_probes p JOIN r_ve v ON v.vec_id = p.q_id
+           |  JOIN r_c1 c ON c.list = p.list AND c.dim = v.dim),
+           |qrve AS (SELECT q_id, list, CAST(dim // 8 AS INT) AS s,
+           |         CAST(dim % 8 AS INT) AS subdim, v FROM qresid),
+           |qlut AS (SELECT q_id, list, s, code,
+           |         sum(CAST(CAST((v - c) * (v - c) AS VARCHAR) AS DECIMAL(38,18))) AS dist2
+           |       FROM qrve JOIN rpc1 USING (s, subdim) GROUP BY q_id, list, s, code),
+           |members AS (SELECT rp.vec_id, a.list, rp.s, rp.code
+           |       FROM rpa2 rp JOIN r_a2 a USING (vec_id)),
+           |adc AS (SELECT l.q_id, m.vec_id AS n_id, sum(l.dist2) AS adist
+           |        FROM members m
+           |        JOIN qlut l ON l.list = m.list AND l.s = m.s AND l.code = m.code
+           |        WHERE l.q_id <> m.vec_id
+           |        GROUP BY 1, 2),
+           |r AS (SELECT q_id, n_id, adist,
+           |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS BIGINT) AS rk
+           |      FROM adc)
+           |SELECT q_id, rk, n_id, CAST(adist AS VARCHAR) AS adist
+           |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
       "q_dedup_embcos" ->
         s"""WITH $sketchCte,
            |cand AS (SELECT DISTINCT a.vec_id AS a_id, a.emb AS a_emb,
@@ -2056,33 +2115,7 @@ object SparkEntry {
       // decimal discipline (computed doubles, not raw floats, flow into it)
       "q_vec_rpq" ->
         s"""WITH ${ivfCtes("r_")},
-           |resid AS (SELECT v.vec_id, v.dim, v.v - c.c AS v
-           |  FROM r_ve v JOIN r_a2 a USING (vec_id)
-           |  JOIN r_c1 c ON c.list = a.list AND c.dim = v.dim),
-           |rpve AS (SELECT vec_id, CAST(dim // 8 AS INT) AS s,
-           |         CAST(dim % 8 AS INT) AS subdim, v FROM resid),
-           |rpseed AS (SELECT vec_id, s, vec_id % 16 AS code
-           |         FROM embeddings CROSS JOIN range(0, 8) r(s)),
-           |rpc0 AS (SELECT s, code, subdim,
-           |         CAST(CAST(sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / count(*) AS c
-           |       FROM rpve JOIN rpseed USING (vec_id, s) GROUP BY s, code, subdim),
-           |rpd0 AS (SELECT vec_id, s, code,
-           |         sum(CAST(CAST((v - c) * (v - c) AS VARCHAR) AS DECIMAL(38,18))) AS dist2
-           |       FROM rpve JOIN rpc0 USING (s, subdim) GROUP BY vec_id, s, code),
-           |rpa1 AS (SELECT vec_id, s, code FROM (
-           |         SELECT vec_id, s, code,
-           |           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist2, code) AS rn
-           |         FROM rpd0) x WHERE rn = 1),
-           |rpc1 AS (SELECT s, code, subdim,
-           |         CAST(CAST(sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / count(*) AS c
-           |       FROM rpve JOIN rpa1 USING (vec_id, s) GROUP BY s, code, subdim),
-           |rpd1 AS (SELECT vec_id, s, code,
-           |         sum(CAST(CAST((v - c) * (v - c) AS VARCHAR) AS DECIMAL(38,18))) AS dist2
-           |       FROM rpve JOIN rpc1 USING (s, subdim) GROUP BY vec_id, s, code),
-           |rpa2 AS (SELECT vec_id, s, code FROM (
-           |         SELECT vec_id, s, code,
-           |           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist2, code) AS rn
-           |         FROM rpd1) x WHERE rn = 1),
+           |$rpqCtes,
            |p AS (SELECT vec_id,
            |        CAST(max(CASE WHEN s = 0 THEN code END) AS BIGINT) AS code_0,
            |        CAST(max(CASE WHEN s = 1 THEN code END) AS BIGINT) AS code_1,

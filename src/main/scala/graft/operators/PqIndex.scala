@@ -251,6 +251,92 @@ object PqIndex {
     * as [[adcTopK]]. Both trainings are decimal-exact, so the composition
     * is bit-identical across engines — the oracle chains the existing IVF
     * and PQ CTE lineages. */
+  /** Residual IVF-PQ search — FAISS `IndexIVFPQ`'s ACTUAL query path,
+    * composing [[residualCodes]] (storage) with ADC (search): corpus rows
+    * carry their coarse list + codes of the residual `v - c_list`; a query
+    * probes its nProbe nearest lists and, PER PROBED LIST, builds the
+    * lookup table of its OWN residual `q - c_list` against the residual
+    * codebooks — the LUT depends on (query, list) because the residual
+    * frame of reference does.
+    *
+    * Scale shape: the per-(query, probed-list) LUT table is
+    * O(nQueries x nProbe x M x K) — still kilobytes, still broadcast; the
+    * corpus-side work stays ONE narrow scan emitting (list, codes), rows of
+    * unprobed lists die in the broadcast join, and selection is the same
+    * bounded-heap partial aggregate. Same 4-byte storage, same probe
+    * count, strictly lower quantization error than raw-PQ [[ivfpqTopK]] —
+    * the reason every production IVF-PQ index quantizes residuals. */
+  def ivfrpqTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
+                 nLists: Int = 8, nProbe: Int = 2, nIters: Int = 1): DataFrame = {
+    // persisted: feeds the coarse collects, the residual codebook collects,
+    // the probe window, and the final scan (see ivfpqTopK's rationale)
+    val e = graft.core.Parallelism.forCompute(emb).persist()
+    val coarse @ (matrix, listIds) = IvfIndex.trainCoarse(e, nLists, nIters)
+    val ds = VectorFunctions.squared_distances(col("embedding"), matrix)
+    val pos = array_position(ds, array_min(ds)).cast("int")
+    val rframe = e.select(
+      col("vec_id"),
+      element_at(listIds, pos).as("list"),
+      zip_with(col("embedding").cast("array<double>"), element_at(matrix, pos),
+        (x, c) => x - c).as("embedding"))
+    val packed = train(rframe, nIters)
+    val cs = codeExprs(packed).zipWithIndex
+      .map { case (c, s) => c.cast("long").as(s"code_$s") }
+    val corpus = rframe.select(col("vec_id").as("n_id") +: col("list") +: cs: _*)
+    // per-(query, probed list) residual LUTs: q re-expressed in the probed
+    // list's frame, then the usual fused-kernel table per subspace
+    val lpos = array_position(listIds, col("list")).cast("int")
+    val luts = array((0 until M).map { s =>
+      VectorFunctions.squared_distances(
+        slice(col("qresid"), s * SubDim + 1, SubDim), packed(s)._1)
+    }: _*)
+    val qluts = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+      .join(IvfIndex.probes(e, coarse, nQueries, nProbe), "q_id")
+      .select(col("q_id"), col("list"),
+        zip_with(col("embedding").cast("array<double>"), element_at(matrix, lpos),
+          (x, c) => x - c).as("qresid"))
+      .select(col("q_id"), col("list"), luts.as("luts"))
+    val scored = corpus
+      .join(broadcast(qluts), Seq("list"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adist", adistExpr(packed))
+    minKSelect(scored, k)
+  }
+
+  private[graft] def debugRpqTerms(emb: DataFrame, qId: Long,
+                                   nId: Long): Seq[String] = {
+    val e = graft.core.Parallelism.forCompute(emb).persist()
+    val coarse @ (matrix, listIds) = IvfIndex.trainCoarse(e, 8, 1)
+    val ds = VectorFunctions.squared_distances(col("embedding"), matrix)
+    val pos = array_position(ds, array_min(ds)).cast("int")
+    val rframe = e.select(
+      col("vec_id"),
+      element_at(listIds, pos).as("list"),
+      zip_with(col("embedding").cast("array<double>"), element_at(matrix, pos),
+        (x, c) => x - c).as("embedding"))
+    val packed = train(rframe, 1)
+    val cs = codeExprs(packed).zipWithIndex
+      .map { case (c, s) => c.cast("long").as(s"code_$s") }
+    val codesRow = rframe.filter(col("vec_id") === nId)
+      .select(col("list") +: cs: _*).collect()(0)
+    val nList = codesRow.getLong(0)
+    val lpos = array_position(listIds, lit(nList)).cast("int")
+    val qresid = e.filter(col("vec_id") === qId)
+      .select(zip_with(col("embedding").cast("array<double>"), element_at(matrix, lpos),
+        (x, c) => x - c).as("qresid"))
+    (0 until M).map { s =>
+      val code = codesRow.getLong(s + 1)
+      val term = qresid.select(
+        element_at(
+          VectorFunctions.squared_distances(
+            slice(col("qresid"), s * SubDim + 1, SubDim), packed(s)._1),
+          array_position(packed(s)._2, lit(code)).cast("int")).cast("string"))
+        .collect()(0).getString(0)
+      s"s=$s code=$code list=$nList term=$term"
+    }
+  }
+
   def ivfpqTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
                 nLists: Int = 8, nProbe: Int = 2, nIters: Int = 1): DataFrame = {
     // persisted: the frame feeds FOUR training actions (two coarse collects,

@@ -92,4 +92,32 @@ class PqIndexSpec extends SparkSpec {
       assert(r.getAs[Long]("rk") >= 1 && r.getAs[Long]("rk") <= 5)
     }
   }
+
+  test("ivfrpq is deterministic under repartitioning and structurally sound") {
+    val emb = Tables.embeddings(spark, sf)
+    val a = PqIndex.ivfrpqTopK(emb, nQueries = 4, k = 5).collect().toSeq
+    val b = PqIndex.ivfrpqTopK(emb.repartition(7), nQueries = 4, k = 5)
+      .collect().toSeq
+    assert(a == b)
+    assert(a.length == 4 * 5)
+    a.foreach { r =>
+      assert(r.getAs[Long]("q_id") != r.getAs[Long]("n_id"))
+      assert(r.getAs[Long]("rk") >= 1 && r.getAs[Long]("rk") <= 5)
+    }
+  }
+
+  test("ivfrpq pruning can only push rank-r distance up, never down") {
+    // probing fewer lists removes candidates, so the rank-r survivor under
+    // nProbe=2 must sit at >= the rank-r distance when every list is probed
+    val emb = Tables.embeddings(spark, sf)
+    def byRank(nProbe: Int): Map[(Long, Long), BigDecimal] =
+      PqIndex.ivfrpqTopK(emb, nQueries = 4, k = 5, nLists = 8, nProbe = nProbe)
+        .collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rk")) ->
+          BigDecimal(r.getAs[String]("adist")))
+        .toMap
+    val pruned = byRank(2)
+    val all = byRank(8)
+    pruned.foreach { case (key, d) => assert(d >= all(key), s"$key: $d < ${all(key)}") }
+  }
 }
