@@ -539,6 +539,14 @@ object SparkEntry {
     // per-(query, probed-list) lookup tables
     "q_sim_topk_ivfrpq" -> ((s, dir) =>
       PqIndex.ivfrpqTopK(Tables.embeddings(s, dir))),
+    // index maintenance: assign a new ingest batch under the FROZEN coarse
+    // quantizer (history vec_id < 400 trains; the rest is the batch)
+    "q_vec_assign_new" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      IvfIndex.assignNewBatch(
+        emb.filter(col("vec_id") < 400),
+        emb.filter(col("vec_id") >= 400))
+    }),
 
     // ---- capstone: end-to-end training-data curation ----
     "q_curation" -> ((s, dir) => CurationPipeline.keptDocuments(s, dir)),
@@ -676,11 +684,11 @@ object SparkEntry {
     * assignment + per-query probe lists), CTE names prefixed so the chain
     * can compose with [[pqCtes]] (whose ve/seed/c0/d0/a1/c1/d1/a2 names it
     * would otherwise shadow) in the IVF-PQ oracle. */
-  private def ivfCtes(p: String): String =
+  private def ivfCtes(p: String, where: String = ""): String =
     s"""${p}ve AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim,
        |          CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
-       |        FROM embeddings CROSS JOIN range(1, 65) r(i)),
-       |${p}seed AS (SELECT vec_id, vec_id % 8 AS list FROM embeddings),
+       |        FROM embeddings CROSS JOIN range(1, 65) r(i) $where),
+       |${p}seed AS (SELECT vec_id, vec_id % 8 AS list FROM embeddings $where),
        |${p}c0 AS (SELECT list, dim,
        |         CAST(CAST(sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / count(*) AS c
        |       FROM ${p}ve JOIN ${p}seed USING (vec_id) GROUP BY list, dim),
@@ -1705,6 +1713,27 @@ object SparkEntry {
            |      FROM adc)
            |SELECT q_id, rk, n_id, CAST(adist AS VARCHAR) AS adist
            |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+      "q_vec_assign_new" ->
+        s"""WITH ${ivfCtes("h_", "WHERE vec_id < 400")},
+           |bve AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+           |          CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+           |        FROM embeddings CROSS JOIN range(1, 65) r(i) WHERE vec_id >= 400),
+           |bd AS (SELECT vec_id, list,
+           |         sum(CAST((v - c) * (v - c) AS DECIMAL(38,18))) AS dist2
+           |       FROM bve JOIN h_c1 USING (dim) GROUP BY vec_id, list),
+           |ba AS (SELECT vec_id, list FROM (
+           |         SELECT vec_id, list,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, list) AS rn
+           |         FROM bd) x WHERE rn = 1),
+           |hc AS (SELECT list, count(*) AS n_history FROM h_a2 GROUP BY list),
+           |bc AS (SELECT list, count(*) AS n_new FROM ba GROUP BY list)
+           |SELECT CAST(list AS BIGINT) AS list,
+           |       CAST(coalesce(n_history, 0) AS BIGINT) AS n_history,
+           |       CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+           |       CAST(coalesce(n_history, 0) + coalesce(n_new, 0) AS BIGINT) AS n_total,
+           |       CAST(coalesce(n_new, 0) AS DOUBLE)
+           |         / CAST(coalesce(n_history, 0) + coalesce(n_new, 0) AS DOUBLE) AS new_share
+           |FROM hc FULL OUTER JOIN bc USING (list) ORDER BY list""".stripMargin,
       "q_dedup_embcos" ->
         s"""WITH $sketchCte,
            |cand AS (SELECT DISTINCT a.vec_id AS a_id, a.emb AS a_emb,

@@ -77,7 +77,14 @@ object Classifier {
     * collect, same budget as the IVF/PQ codebooks), and scoring folds over
     * the token array per row. No explode, no join, no exchange: at 100 TB
     * this is a pure narrow map over the scan. */
-  def score(docs: DataFrame, nFeatures: Int = NFeatures): DataFrame = {
+  def score(docs: DataFrame, nFeatures: Int = NFeatures): DataFrame =
+    scoreUnsorted(docs, nFeatures).orderBy("doc_id")
+
+  /** [[score]] without the presentation sort — the form a STREAMING
+    * pipeline uses directly: stateless, zero-exchange, so it runs
+    * per-micro-batch with no watermark or state store at all
+    * (stream/batch agreement is asserted in `StreamingOpsSpec`). */
+  def scoreUnsorted(docs: DataFrame, nFeatures: Int = NFeatures): DataFrame = {
     val spark = docs.sparkSession
     val weights: Map[Long, Long] = model(spark, nFeatures)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -89,6 +96,5 @@ object Classifier {
         size(tokens(col("text"))).cast("long").as("n_feats"),
         aggregate(perTok, lit(0L), (acc, x) => acc + x).as("score"))
       .withColumn("label", col("score") > 0)
-      .orderBy("doc_id")
   }
 }

@@ -170,4 +170,39 @@ object IvfIndex {
       .select("q_id", "rk", "n_id", "cos")
       .orderBy("q_id", "rk")
   }
+
+  /** Incremental index MAINTENANCE: assign a new ingest batch to the
+    * EXISTING coarse quantizer — the daily-update path of a deployed ANN
+    * index, where retraining the quantizer would invalidate every stored
+    * code (residuals are relative to the centroids), so new vectors are
+    * assigned under the frozen centroids and the balance report tells the
+    * operator when drift has skewed the lists enough to justify a rebuild.
+    *
+    * Scale shape: history is scanned ONCE to train (centroid state is
+    * O(nLists x dims), collected like any k-means); the batch assignment
+    * is a pure narrow map over the broadcast centroid matrix — the batch
+    * never joins history rows, so yesterday's 100 TB never reshuffles to
+    * ingest today's slice. Output is the per-list balance: history/new/
+    * total counts and the new-vector share (exact integer counts, exact
+    * double division — engine-identical). */
+  def assignNewBatch(history: DataFrame, batch: DataFrame,
+                     nLists: Int = 8, nIters: Int = 1): DataFrame = {
+    // persisted: feeds the two coarse-centroid collects plus the history
+    // assignment scan
+    val h = graft.core.Parallelism.forCompute(history).persist()
+    val coarse = trainCoarse(h, nLists, nIters)
+    val hCounts = h.select(listExpr(coarse).as("list"))
+      .groupBy("list").agg(count(lit(1)).as("n_history"))
+    val bCounts = graft.core.Parallelism.forCompute(batch)
+      .select(listExpr(coarse).as("list"))
+      .groupBy("list").agg(count(lit(1)).as("n_new"))
+    hCounts.join(bCounts, Seq("list"), "full_outer")
+      .select(col("list").cast("long").as("list"),
+        coalesce(col("n_history"), lit(0L)).as("n_history"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("n_total", col("n_history") + col("n_new"))
+      .withColumn("new_share",
+        col("n_new").cast("double") / col("n_total").cast("double"))
+      .orderBy("list")
+  }
 }

@@ -106,6 +106,24 @@ class PqIndexSpec extends SparkSpec {
     }
   }
 
+  test("assignNewBatch freezes the quantizer: history balance is unchanged by ingest") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val history = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    val report = IvfIndex.assignNewBatch(history, batch).collect()
+    // totals conserve: every history and batch vector lands in exactly one list
+    assert(report.map(_.getAs[Long]("n_history")).sum == history.count())
+    assert(report.map(_.getAs[Long]("n_new")).sum == batch.count())
+    // frozen centroids: history-side counts equal training on history alone
+    val solo = IvfIndex.assignments(history, 8, 1)
+      .groupBy("list").count().collect()
+      .map(r => r.getAs[Long]("list") -> r.getAs[Long]("count")).toMap
+    report.foreach { r =>
+      assert(solo.getOrElse(r.getAs[Long]("list"), 0L) == r.getAs[Long]("n_history"))
+    }
+  }
+
   test("ivfrpq pruning can only push rank-r distance up, never down") {
     // probing fewer lists removes candidates, so the rank-r survivor under
     // nProbe=2 must sit at >= the rank-r distance when every list is probed

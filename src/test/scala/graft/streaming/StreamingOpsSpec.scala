@@ -378,6 +378,31 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("classifier inference streams stateless and agrees with the batch scores") {
+    // the map-literal form has no aggregation across rows, so it runs in
+    // append mode with NO watermark and NO state store — model inference
+    // over a document stream is just the narrow map per micro-batch
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(rows.take(rows.length / 2))
+    val q = graft.operators.Classifier.scoreUnsorted(
+        stream.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("clf_out").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(rows.drop(rows.length / 2)) // second trigger
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("clf_out").orderBy("doc_id").collect().toSeq
+    val batch = graft.operators.Classifier.score(
+      rows.toDF("doc_id", "text")).collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming upsertLatest update mode: per-batch emissions carry current winners") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
