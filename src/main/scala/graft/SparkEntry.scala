@@ -455,6 +455,18 @@ object SparkEntry {
     // edits (vs q_doc_chunks' fixed-size split) — the chunk-dedup form
     "q_chunk_cdc" -> ((s, dir) =>
       ContentChunking.cdcChunks(Tables.documents(s, dir))),
+    // the CDC payoff measured: re-chunk an edited corpus version (every
+    // third doc loses its first token — the worst case for fixed chunking)
+    // and count content-addressed chunk reuse against the original
+    "q_chunk_cdc_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val w = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
+      val edited = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+            array_join(slice(w, lit(2), greatest(size(w) - 1, lit(0))), " "))
+          .otherwise(col("text")).as("text"))
+      ContentChunking.chunkReuse(docs, edited)
+    }),
     "q_doc_chunks" -> ((s, dir) =>
       TextAnalysis.chunkDocuments(Tables.documents(s, dir))
         .orderBy("doc_id", "chunk_idx")),
@@ -844,6 +856,33 @@ object SparkEntry {
       |  SELECT *, sum(new_session) OVER
       |    (PARTITION BY user_id ORDER BY ts_sec, event_id
       |     ROWS UNBOUNDED PRECEDING) AS session_seq FROM f)""".stripMargin
+
+  /** Content-defined chunking chain over a (doc_id, w) tokens CTE: rolling
+    * 4-token window digests mark boundaries (mod 16), doc end always
+    * closes; final CTE `${p}chunks` carries per-chunk spans + digests. */
+  private def cdcCtes(p: String, toksCte: String): String =
+    s"""${p}cand AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS b
+       |  FROM $toksCte, LATERAL (SELECT unnest(range(4, len(w) + 1)) AS i) t
+       |  WHERE CAST('0x' || substr(md5(array_to_string(w[i-3:i], ' ')), 1, 15) AS BIGINT)
+       |          % 16 = 0),
+       |${p}bnds AS (
+       |  SELECT DISTINCT doc_id, b FROM (
+       |    SELECT doc_id, b FROM ${p}cand
+       |    UNION ALL
+       |    SELECT doc_id, CAST(len(w) AS BIGINT) AS b FROM $toksCte)),
+       |${p}ch AS (
+       |  SELECT doc_id, b,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY b) AS chunk_id,
+       |         coalesce(lag(b) OVER (PARTITION BY doc_id ORDER BY b), 0) + 1 AS chunk_start
+       |  FROM ${p}bnds),
+       |${p}chunks AS (
+       |  SELECT c.doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id,
+       |         CAST(c.chunk_start AS BIGINT) AS chunk_start,
+       |         CAST(c.b AS BIGINT) AS chunk_end,
+       |         CAST(c.b - c.chunk_start + 1 AS BIGINT) AS chunk_len,
+       |         md5(array_to_string(t.w[c.chunk_start:c.b], ' ')) AS chunk_md5
+       |  FROM ${p}ch c JOIN $toksCte t USING (doc_id))""".stripMargin
 
   /** simhash blocking -> signature levenshtein verify -> accepted pairs
     * (`eacc`) — shared by the pair listing and the survivor composition. */
@@ -2075,32 +2114,35 @@ object SparkEntry {
           |FROM tok JOIN dfreq USING (tok)
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "q_chunk_cdc" ->
-        """WITH toks AS (
-          |  SELECT doc_id,
-          |         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
-          |  FROM documents),
-          |cand AS (
-          |  SELECT doc_id, CAST(i AS BIGINT) AS b
-          |  FROM toks, LATERAL (SELECT unnest(range(4, len(w) + 1)) AS i) t
-          |  WHERE CAST('0x' || substr(md5(array_to_string(w[i-3:i], ' ')), 1, 15) AS BIGINT)
-          |          % 16 = 0),
-          |bnds AS (
-          |  SELECT DISTINCT doc_id, b FROM (
-          |    SELECT doc_id, b FROM cand
-          |    UNION ALL
-          |    SELECT doc_id, CAST(len(w) AS BIGINT) AS b FROM toks)),
-          |ch AS (
-          |  SELECT doc_id, b,
-          |         row_number() OVER (PARTITION BY doc_id ORDER BY b) AS chunk_id,
-          |         coalesce(lag(b) OVER (PARTITION BY doc_id ORDER BY b), 0) + 1 AS chunk_start
-          |  FROM bnds)
-          |SELECT c.doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id,
-          |       CAST(c.chunk_start AS BIGINT) AS chunk_start,
-          |       CAST(c.b AS BIGINT) AS chunk_end,
-          |       CAST(c.b - c.chunk_start + 1 AS BIGINT) AS chunk_len,
-          |       md5(array_to_string(t.w[c.chunk_start:c.b], ' ')) AS chunk_md5
-          |FROM ch c JOIN toks t USING (doc_id)
-          |ORDER BY c.doc_id, c.chunk_id""".stripMargin,
+        s"""WITH toks AS (
+           |  SELECT doc_id,
+           |         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+           |  FROM documents),
+           |${cdcCtes("", "toks")}
+           |SELECT doc_id, chunk_id, chunk_start, chunk_end, chunk_len, chunk_md5
+           |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+      "q_chunk_cdc_dedup" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id,
+           |         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+           |  FROM documents),
+           |newtoks AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 3 = 0
+           |              THEN string_split(array_to_string(w[2:len(w)], ' '), ' ')
+           |              ELSE w END AS w
+           |  FROM toks),
+           |${cdcCtes("o_", "toks")},
+           |${cdcCtes("n_", "newtoks")},
+           |ncnt AS (SELECT doc_id, count(*) AS n_chunks FROM n_chunks GROUP BY doc_id),
+           |nreu AS (SELECT doc_id, count(*) AS n_reused FROM n_chunks
+           |  WHERE chunk_md5 IN (SELECT chunk_md5 FROM o_chunks) GROUP BY doc_id)
+           |SELECT c.doc_id, CAST(c.n_chunks AS BIGINT) AS n_chunks,
+           |       CAST(coalesce(r.n_reused, 0) AS BIGINT) AS n_reused,
+           |       CAST(coalesce(r.n_reused, 0) AS DOUBLE)
+           |         / CAST(c.n_chunks AS DOUBLE) AS reused_ratio
+           |FROM ncnt c LEFT JOIN nreu r USING (doc_id)
+           |ORDER BY c.doc_id""".stripMargin,
       "q_doc_chunks" ->
         """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
           |s AS (SELECT doc_id, w,

@@ -64,4 +64,34 @@ object ContentChunking {
             col("c.chunk_end") - col("c.chunk_start") + 1), " ")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_id")
   }
+
+  /** Cross-version chunk dedup — the CDC payoff as an operator: chunk two
+    * corpus versions content-defined, then count per doc how many of the
+    * NEW version's chunks already exist in the old version (anywhere — the
+    * match is content-addressed, not position-addressed). Under fixed-size
+    * chunking a one-token edit shifts every downstream chunk and the reuse
+    * rate collapses; under CDC only the edit neighborhood re-stores.
+    *
+    * Scale shape: both sides reduce to (digest) sets BEFORE meeting — the
+    * only co-shuffle carries 16-byte digests, never text; the join is
+    * digest-keyed (LEFT SEMI against the old version's distinct digests),
+    * then a per-doc count. At 100 TB this is the incremental-storage
+    * estimator for a corpus refresh: `reused_ratio` near 1 means the
+    * refresh stores (and re-embeds, re-tokenizes…) almost nothing. */
+  def chunkReuse(oldDocs: DataFrame, newDocs: DataFrame,
+                 window: Int = 4, divisor: Int = 16): DataFrame = {
+    val oldDigests = cdcChunks(oldDocs, window, divisor)
+      .select("chunk_md5").distinct()
+    val newChunks = cdcChunks(newDocs, window, divisor)
+      .select("doc_id", "chunk_md5")
+    val reused = newChunks.join(oldDigests, Seq("chunk_md5"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_reused"))
+    newChunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      .join(reused, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_reused"), lit(0L)).as("n_reused"))
+      .withColumn("reused_ratio",
+        col("n_reused").cast("double") / col("n_chunks").cast("double"))
+      .orderBy("doc_id")
+  }
 }

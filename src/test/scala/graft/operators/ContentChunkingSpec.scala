@@ -56,6 +56,29 @@ class ContentChunkingSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("chunkReuse: identical corpora reuse everything; edits only lose their neighborhood") {
+    val identical = ContentChunking.chunkReuse(docs, docs)
+      .filter(col("reused_ratio") =!= 1.0).count()
+    assert(identical == 0L)
+    // prefix-edit every doc (worst case for fixed chunking): content-defined
+    // chunks keep the majority of each multi-chunk doc
+    val w = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
+    val edited = docs.select(col("doc_id"),
+      array_join(slice(w, lit(2), greatest(size(w) - 1, lit(0))), " ").as("text"))
+    val r = ContentChunking.chunkReuse(docs, edited)
+      .filter(col("n_chunks") >= 3)
+      .agg(avg("reused_ratio")).head().getDouble(0)
+    assert(r > 0.5, s"multi-chunk docs only reused $r after a 1-token prefix edit")
+  }
+
+  test("chunkReuse exchanges carry digests, never text or token arrays") {
+    val p = ContentChunking.chunkReuse(docs, docs).queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(exchanges.forall(l => !l.contains("text") && !l.contains("w#")),
+      exchanges.mkString("\n"))
+  }
+
   test("short docs (fewer tokens than the window) yield one whole-doc chunk") {
     val tiny = Seq((9L, "alpha beta")).toDF("doc_id", "text")
     val rows = ContentChunking.cdcChunks(tiny).collect()
