@@ -410,6 +410,13 @@ object SparkEntry {
     // hottest shuffle keys + global skew factor — the pre-join diagnostic
     "q_skew_report" -> ((s, dir) =>
       Validate.skewReport(Tables.events(s, dir), "user_id")),
+    // language-mix drift between a snapshot and its curated refresh (every
+    // fifth doc dropped — a deterministic stand-in for a curation pass)
+    "q_drift_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Validate.driftReport(docs,
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "lang")
+    }),
 
     // ---- extension: deterministic content-addressed train/val/test split ----
     "q_train_split" -> ((s, dir) =>
@@ -1361,6 +1368,21 @@ object SparkEntry {
           |       CAST(n_rows_key AS DOUBLE) / CAST(nr AS DOUBLE) AS share,
           |       CAST(mx AS DOUBLE) * CAST(nk AS DOUBLE) / CAST(nr AS DOUBLE) AS skew_factor
           |FROM c, g ORDER BY n_rows_key DESC, user_id ASC LIMIT 10""".stripMargin,
+      "q_drift_report" ->
+        """WITH o AS (SELECT lang, count(*) AS n_old FROM documents GROUP BY lang),
+          |og AS (SELECT sum(n_old) AS t FROM o),
+          |n AS (SELECT lang, count(*) AS n_new FROM documents
+          |      WHERE doc_id % 5 <> 0 GROUP BY lang),
+          |ng AS (SELECT sum(n_new) AS t FROM n),
+          |m AS (SELECT lang,
+          |        coalesce(o.n_old, 0) AS n_old, coalesce(n.n_new, 0) AS n_new,
+          |        CAST(o.n_old AS DOUBLE) / CAST(og.t AS DOUBLE) AS share_old,
+          |        CAST(n.n_new AS DOUBLE) / CAST(ng.t AS DOUBLE) AS share_new
+          |      FROM o FULL OUTER JOIN n USING (lang), og, ng)
+          |SELECT lang, CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+          |       share_old, share_new,
+          |       (share_new - share_old) * (share_new - share_old) / share_old AS chi2_term
+          |FROM m ORDER BY lang""".stripMargin,
       "q_json_props" ->
         """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
           |FROM events ORDER BY event_id""".stripMargin,

@@ -80,6 +80,41 @@ object Validate {
       .limit(topK)
   }
 
+  /** Distribution-drift report between two corpus snapshots, keyed by a
+    * categorical column (language, domain, quality tier): per key value,
+    * both snapshots' counts and shares plus the chi-square drift term
+    * `(share_new - share_old)² / share_old` — the additive pieces of a
+    * population-stability check, kept as exact arithmetic on exact count
+    * ratios (no ln(): the PSI logarithm is 1-ulp-unstable across engines,
+    * the chi-square form is plain +,-,*,/ on IEEE doubles and therefore
+    * bit-identical). A key present in only one snapshot reports a null
+    * term — appearance/disappearance is its own signal, not an infinity.
+    *
+    * Scale shape: each side reduces to O(|key domain|) counts via map-side
+    * combined aggregation before the full-outer merge; two 100 TB
+    * snapshots meet in a kilobyte join. The per-side totals ride a 1-row
+    * broadcast each. */
+  def driftReport(oldDf: DataFrame, newDf: DataFrame, key: String): DataFrame = {
+    def sideCounts(df: DataFrame, tag: String): DataFrame = {
+      val counts = df.groupBy(col(key)).agg(count(lit(1)).as(s"n_$tag"))
+      counts.crossJoin(broadcast(
+          counts.agg(sum(col(s"n_$tag")).as(s"__total_$tag"))))
+        .select(col(key), col(s"n_$tag"),
+          (col(s"n_$tag").cast("double") / col(s"__total_$tag").cast("double"))
+            .as(s"share_$tag"))
+    }
+    sideCounts(oldDf, "old")
+      .join(sideCounts(newDf, "new"), Seq(key), "full_outer")
+      .select(col(key),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        col("share_old"), col("share_new"))
+      .withColumn("chi2_term",
+        (col("share_new") - col("share_old")) * (col("share_new") - col("share_old"))
+          / col("share_old"))
+      .orderBy(key)
+  }
+
   /** Corpus-statistics report over the documents table — the one-page
     * summary a curation run starts and ends with (what the dedup/quality
     * stages changed, in integers): doc/language counts, size totals and

@@ -114,6 +114,23 @@ class AsofSkewSpec extends SparkSpec {
       "top-k must be a bounded heap, not a global sort: " + plan.take(500))
   }
 
+  test("driftReport: identical snapshots are flat; one-sided keys report null terms") {
+    import spark.implicits._
+    val a = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "fr")).toDF("doc_id", "lang")
+    val flat = Validate.driftReport(a, a, "lang").collect()
+    flat.foreach { r =>
+      assert(r.getAs[Double]("chi2_term") == 0.0)
+      assert(r.getAs[Double]("share_old") == r.getAs[Double]("share_new"))
+    }
+    val b = Seq((1L, "en"), (2L, "es")).toDF("doc_id", "lang")
+    val drift = Validate.driftReport(a, b, "lang")
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    assert(drift("es").isNullAt(drift("es").fieldIndex("share_old")))
+    assert(drift("es").isNullAt(drift("es").fieldIndex("chi2_term")))
+    assert(drift("de").getAs[Long]("n_new") == 0L)
+    assert(drift("en").getAs[Double]("share_new") == 0.5)
+  }
+
   test("GraftExtensions exposes the native expressions as SQL functions") {
     graft.GraftExtensions.registerAll(spark)
     val r = spark.sql(
