@@ -125,6 +125,8 @@ object SparkEntry {
 
     // ---- §2.5 relational algebra (absent in ref, table stakes here) ----
     "q1_pricing_summary"   -> ((s, dir) => Relational.pricingSummary(s, dir)),
+    "q7_volume_shipping"   -> ((s, dir) => Relational.volumeShipping(s, dir)),
+    "q10_returned_items"   -> ((s, dir) => Relational.returnedItemRevenue(s, dir)),
     "q3_shipping_priority" -> ((s, dir) => Relational.shippingPriority(s, dir)),
     "q5_local_supplier"    -> ((s, dir) => Relational.localSupplierVolume(s, dir)),
     "q_topk_per_group"     -> ((s, dir) => Relational.topKPerGroup(s, dir)),
@@ -1043,6 +1045,31 @@ object SparkEntry {
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS csv_qty,
           |  count(*) AS csv_n
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "q7_volume_shipping" ->
+        """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+          |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+          |FROM lineitem
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |  AND l_shipdate < TIMESTAMP '1998-01-01'
+          |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+      "q10_returned_items" ->
+        """SELECT c_custkey, c_name, n_name,
+          |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |WHERE l_returnflag = 'R'
+          |GROUP BY 1, 2, 3
+          |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

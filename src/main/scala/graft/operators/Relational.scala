@@ -79,6 +79,53 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** TPC-H Q7-style volume shipping: revenue between two nations per
+    * direction per ship year. The double-nation join is TWO broadcasts of
+    * the same 25-row dim under different aliases; the only real shuffle is
+    * lineitem⨝orders on the order key. The symmetric pair filter pushes
+    * into the broadcast joins before the exchange. */
+  def volumeShipping(spark: SparkSession, dir: String,
+                     nationA: String = "NATION_1",
+                     nationB: String = "NATION_2"): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    li
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+              (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(28,10)")).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q10-style returned-item ranking: which customers returned the
+    * most revenue. customer/nation broadcast; the one shuffle is
+    * lineitem⨝orders; final selection is a bounded TakeOrdered (limit k on
+    * a sorted frame), never a global sort of all customers. */
+  def returnedItemRevenue(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(28,10)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(k)
+  }
+
   /** Per-group top-k via ranking window — partitioned (scales: one shuffle on
     * the partition key, no global funnel). */
   def topKPerGroup(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {

@@ -24,6 +24,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("q7 double-nation join: four broadcasts, facts meet in one shuffle join") {
+    val p = plan(Relational.volumeShipping(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(2000))
+  }
+
+  test("q10 final selection is a bounded TakeOrdered, not a global sort+limit") {
+    val p = plan(Relational.returnedItemRevenue(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
   test("range predicate pushes down to the parquet scan") {
     val df = Tables.lineitem(spark, sf)
       .filter(col("l_orderkey") >= 100L && col("l_orderkey") < 200L)
