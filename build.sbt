@@ -31,4 +31,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Diagnostics hook: extra JVM flags (e.g. -Xlog:gc) without editing the
+  // build — used to chase the round-5 local[32] bench cliff.
+  sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)

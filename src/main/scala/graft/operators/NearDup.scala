@@ -185,9 +185,10 @@ object NearDup {
     * Output is IDENTICAL to the brute-force join (the DuckDB oracle runs the
     * brute form to prove it), but the join touches only rare tokens. */
   def jaccardJoin(docs: DataFrame, threshold: Double = 0.5, words: Int = 3,
-                  collapseExact: Boolean = false): DataFrame = {
+                  collapseExact: Boolean = false,
+                  candidateBudget: Option[Long] = None): DataFrame = {
     if (!collapseExact) {
-      val (sigs, _, cand) = jaccardStages(docs, threshold, words)
+      val (sigs, _, cand) = jaccardStages(docs, threshold, words, candidateBudget)
       jaccardVerify(cand, sigs)
         .filter(col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
@@ -257,9 +258,10 @@ object NearDup {
     * exactly as [[jaccardJoin]] consumes them; exposed so profiling
     * (`graft.ProfileNearDup`) times the real stages, not a drifting copy. */
   def jaccardStages(docs: DataFrame, threshold: Double = 0.5,
-                    words: Int = 3): (DataFrame, DataFrame, DataFrame) = {
+                    words: Int = 3,
+                    candidateBudget: Option[Long] = None): (DataFrame, DataFrame, DataFrame) = {
     val sigs = signatures(docs, words).select("doc_id", "sh").localCheckpoint(false)
-    val (prefixes, cand) = prefixCandidates(sigs, threshold)
+    val (prefixes, cand) = prefixCandidates(sigs, threshold, candidateBudget)
     (sigs, prefixes, cand)
   }
 
@@ -271,10 +273,39 @@ object NearDup {
                                             threshold: Double): DataFrame =
     candidatesFromSigs(sigs, threshold)
 
+  /** Buckets for the partition ("suffix") filter — a per-doc histogram of
+    * token-hash buckets. 16 ints per doc is the whole exchange cost. */
+  private val SuffixBuckets = 16
+
   /** PPJoin prefix table + filtered candidate pairs from a pre-built
-    * (doc_id, sh) signature frame. */
-  private def prefixCandidates(sigs: DataFrame,
-                               threshold: Double): (DataFrame, DataFrame) = {
+    * (doc_id, sh) signature frame.
+    *
+    * Three lossless prunes run in sequence (output identical to the brute
+    * join — the DuckDB oracle runs the brute form):
+    *   1. length filter at the token join;
+    *   2. ACCUMULATED positional filter at the candidate aggregation —
+    *      both the classic per-match bound and the tighter accumulated
+    *      bound `m + min(na - max(pa), nb - max(pb))` (m = matched prefix
+    *      tokens). Soundness: arrays are sorted by the one global (df, tok)
+    *      order, so any shared token ranked below the LAST matched token
+    *      sits inside both prefixes and would itself have matched — hence
+    *      every unmatched shared token lies strictly after the last match
+    *      in BOTH suffixes, and the remaining overlap is bounded by the
+    *      shorter remaining suffix. This is PPJoin's real positional
+    *      filter; the per-match max form (round 4) is strictly weaker on
+    *      multi-match pairs.
+    *   3. SUFFIX (partition) filter before the verify exchange: each doc
+    *      carries a [[SuffixBuckets]]-bucket token-hash histogram; for a
+    *      candidate pair |A∩B| <= sum_k min(histA[k], histB[k]) because
+    *      intersection elements land in equal buckets. Pairs whose
+    *      histogram bound can't reach alpha die here — BEFORE the full
+    *      shingle arrays are exchanged for exact verification. This is the
+    *      PPJoin+ suffix-filter idea (bound the unseen overlap by content
+    *      partitioning) in a shuffle-friendly static form: 16 ints join
+    *      instead of the token arrays, and the bound is engine-portable
+    *      because it only ever FILTERS (never contributes to output). */
+  private def prefixCandidates(sigs: DataFrame, threshold: Double,
+                               candidateBudget: Option[Long] = None): (DataFrame, DataFrame) = {
     val tokens = sigs.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("tok"))
     val dfreq = tokens.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -294,6 +325,22 @@ object NearDup {
           slice(array_sort(col("toks")), lit(1), prefixLen),
           s => s.getField("tok"))).as(Seq("pos0", "tok")))
       .select(col("doc_id"), col("n_sh"), (col("pos0") + 1).as("pos"), col("tok"))
+    // Candidate-budget guard (opt-in): the prefix-token df table prices the
+    // token join EXACTLY — a prefix token shared by f docs contributes
+    // ~f^2/2 raw pairs — for the cost of one id-only aggregation. The sf1
+    // probe measured the exact lane quadratic (125k -> 51.5M candidates at
+    // 10x data); with a budget set, a corpus in that regime fails in
+    // seconds with the measured count instead of burning a cluster-day.
+    candidateBudget.foreach { budget =>
+      val est = prefixes.groupBy("tok").agg(count(lit(1)).as("f"))
+        .agg(sum(col("f") * (col("f") - 1) / 2).as("pairs"))
+        .head().getLong(0)
+      if (est > budget) throw new IllegalStateException(
+        s"jaccardJoin candidate budget exceeded: ~$est raw prefix-token pairs " +
+        s"(budget $budget). The exact lane is quadratic on this corpus " +
+        "(hot tokens reach the prefixes); run NearDup.minhashPairs " +
+        "corpus-wide, or jaccardJoin per-stratum / with collapseExact = true.")
+    }
     val aT = prefixes.select(col("doc_id").as("a_id"), col("n_sh").as("na"),
       col("pos").as("pa"), col("tok"))
     val bT = prefixes.select(col("doc_id").as("b_id"), col("n_sh").as("nb"),
@@ -309,11 +356,23 @@ object NearDup {
     val lengthOk = col("nb") * threshold <= col("na") &&
       col("na") * threshold <= col("nb")
     val alpha = ceil(lit(threshold / (1 + threshold)) * (col("na") + col("nb")))
-    val cand = aT.join(bT, Seq("tok")).filter(col("a_id") < col("b_id") && lengthOk)
+    val filtered = aT.join(bT, Seq("tok")).filter(col("a_id") < col("b_id") && lengthOk)
       .groupBy("a_id", "b_id")
       .agg(max(least(col("na") - col("pa"), col("nb") - col("pb")) + 1).as("ub"),
+           (count(lit(1)) +
+             least(first("na") - max("pa"), first("nb") - max("pb"))).as("ub_acc"),
            first("na").as("na"), first("nb").as("nb"))
-      .filter(col("ub") >= alpha)
+      .filter(col("ub") >= alpha && col("ub_acc") >= alpha)
+    // suffix (partition) filter: join the 16-int histograms, not the arrays
+    val hist = sigs.select(col("doc_id"),
+      transform(sequence(lit(0), lit(SuffixBuckets - 1)),
+        k => size(filter(col("sh"), t => pmod(hash(t), lit(SuffixBuckets)) === k)))
+        .as("hist"))
+    val cand = filtered
+      .join(hist.select(col("doc_id").as("a_id"), col("hist").as("ha")), "a_id")
+      .join(hist.select(col("doc_id").as("b_id"), col("hist").as("hb")), "b_id")
+      .filter(aggregate(zip_with(col("ha"), col("hb"), (x, y) => least(x, y)),
+        lit(0), (acc, x) => acc + x) >= alpha)
       .select("a_id", "b_id")
     (prefixes, cand)
   }

@@ -250,17 +250,36 @@ object TextAnalysis {
   def qualityBuckets(docs: DataFrame, nBuckets: Int = 3,
                      score: Column = col("chars_per_token"),
                      id: String = "doc_id"): DataFrame = {
-    require(nBuckets >= 2, "need nBuckets >= 2")
     val scored = qualityScore(docs).select(col(id), score.as("__score"))
+    bucketAssign(scored, qualityCuts(docs, nBuckets, score), id)
+  }
+
+  /** The percentile boundaries behind [[qualityBuckets]] as a standalone
+    * 1-row frame — the FROZEN-CUTS form: real pipelines compute boundaries
+    * once per corpus snapshot and assign buckets against them for days of
+    * ingest (recomputing per batch would let tier meaning drift). The
+    * streaming twin ([[graft.streaming.StreamingOps.qualityBucketAssign]])
+    * broadcasts exactly this frame. */
+  def qualityCuts(docs: DataFrame, nBuckets: Int = 3,
+                  score: Column = col("chars_per_token"),
+                  id: String = "doc_id"): DataFrame = {
+    require(nBuckets >= 2, "need nBuckets >= 2")
     val probs = array((1 until nBuckets).map(i =>
       lit(i.toDouble / nBuckets)): _*)
-    val bounds = scored.agg(
-      percentile_approx(col("__score"), probs, lit(10000)).as("__cuts"))
-    scored.crossJoin(broadcast(bounds))
+    qualityScore(docs).select(col(id), score.as("__score"))
+      .agg(percentile_approx(col("__score"), probs, lit(10000)).as("__cuts"))
+  }
+
+  /** Stateless bucket assignment against a precomputed 1-row cuts frame —
+    * shared by the batch op and the streaming twin so the bucket rule can
+    * never drift between them. */
+  private[graft] def bucketAssign(scored: DataFrame, cuts: DataFrame,
+                                  id: String): DataFrame =
+    scored.withColumn("__k", lit(1))
+      .join(broadcast(cuts.withColumn("__k", lit(1))), "__k")
       .withColumn("bucket",
         size(filter(col("__cuts"), c => col("__score") > c)).cast("long"))
       .select(col(id), col("__score").as("score"), col("bucket"))
-  }
 
   /** Contamination ATTRIBUTION: which benchmark document leaked into which
     * training document, and by how many shared `n`-grams — the pair-level

@@ -210,4 +210,48 @@ object StreamingOps {
           }
         })
   }
+
+  /** Streaming passage-duplication detection — the streaming twin of the
+    * digest stage behind `Dedup.duplicatedSpans`: per-doc sliding-window
+    * md5 digests explode map-side (stateless), and the only state is ONE
+    * COUNT PER DISTINCT DIGEST — counts merge associatively, so stream
+    * accumulation over any trigger split lands on the batch counts exactly
+    * (the spec asserts it). Digests with `n_copies > 1` are the duplicated
+    * passages; the per-doc island/span arithmetic is deterministic per-doc
+    * work that runs downstream of this state, batch-side, on the flagged
+    * minority.
+    *
+    * Same digest construction as the batch lane (window tokens, normalized
+    * lowercase alnum) — a drifted digest would silently miss cross-lane
+    * duplicates. Update mode re-emits a digest's count whenever it grows;
+    * sinks read the max (counts are monotone). */
+  def duplicatedDigestCounts(docs: DataFrame, window: Int = 16,
+                             text: String = "text"): DataFrame = {
+    require(window > 1, "need window > 1")
+    val w = split(trim(regexp_replace(lower(col(text)), "[^a-z0-9]+", " ")), " ")
+    docs.select(w.as("__w"))
+      .filter(size(col("__w")) >= window)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__w")) - (window - 1)),
+        i => md5(concat_ws(" ", slice(col("__w"), i, lit(window)))))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n_copies"))
+  }
+
+  /** Streaming quality-bucket assignment — the streaming twin of
+    * `TextAnalysis.qualityBuckets` in its production shape: percentile
+    * boundaries are FROZEN from a reference snapshot
+    * (`TextAnalysis.qualityCuts`, a 1-row frame that broadcasts) and each
+    * arriving document is assigned statelessly — per-row score, broadcast
+    * lookup, no state store, append mode. Recomputing boundaries per
+    * micro-batch would make tier membership depend on arrival batching;
+    * freezing them is both the correct semantics and the only
+    * bounded-state one. Shares the assignment expression with the batch op
+    * so the bucket rule cannot drift. */
+  def qualityBucketAssign(docs: DataFrame, cuts: DataFrame,
+                          score: org.apache.spark.sql.Column = col("chars_per_token"),
+                          id: String = "doc_id"): DataFrame = {
+    val scored = graft.operators.TextAnalysis.qualityScore(docs, id = id)
+      .select(col(id), score.as("__score"))
+    graft.operators.TextAnalysis.bucketAssign(scored, cuts, id)
+  }
 }

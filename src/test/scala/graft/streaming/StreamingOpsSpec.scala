@@ -439,4 +439,75 @@ class StreamingOpsSpec extends SparkSpec {
       info(s"batch-2 update-mode emissions: $batch2")
     } finally q.stop()
   }
+
+  test("streaming passage-digest counts accumulate to the batch counts exactly") {
+    // digest-count state is mergeable (plain counts), so accumulating the
+    // corpus over TWO triggers must land on the same per-digest counts as
+    // one batch pass — and the >1 digests must be exactly the passages the
+    // batch span detector builds its islands from
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.duplicatedDigestCounts(
+        stream.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("pass_out").start()
+    try {
+      stream.addData(rows.take(rows.length / 2)); q.processAllAvailable()
+      stream.addData(rows.drop(rows.length / 2)); q.processAllAvailable()
+    } finally q.stop()
+    // update mode re-emits a digest per trigger that grew it; counts are
+    // monotone, so max = final
+    val streamed = spark.table("pass_out")
+      .groupBy("h").agg(max("n_copies").as("n_copies"))
+      .as[(String, Long)].collect().toMap
+    val batch = StreamingOps.duplicatedDigestCounts(docs)
+      .as[(String, Long)].collect().toMap
+    assert(streamed == batch)
+    val dupDigests = batch.filter(_._2 > 1)
+    assert(dupDigests.nonEmpty, "fixture plants duplicated passages")
+    // the digest state IS the cross-doc signal: the docs the batch lane
+    // reports as passage-duplicated are exactly the docs carrying at least
+    // one globally-duplicated digest
+    val flagged = graft.operators.Dedup.duplicatedPassages(docs)
+      .select("doc_id").as[Long].collect().toSet
+    val dupSet = dupDigests.keySet
+    val w = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
+    val window = 16
+    val carriers = docs.select(col("doc_id"), w.as("__w"))
+      .filter(size(col("__w")) >= window)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("__w")) - (window - 1)),
+        i => md5(concat_ws(" ", slice(col("__w"), i, lit(window)))))).as("h"))
+      .filter(col("h").isin(dupSet.toSeq: _*))
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(carriers == flagged)
+  }
+
+  test("streaming quality-bucket assignment with frozen cuts agrees with batch") {
+    // production shape: boundaries frozen from a reference snapshot
+    // broadcast to the stream; assignment is stateless append mode
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val cuts = graft.operators.TextAnalysis.qualityCuts(docs)
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.qualityBucketAssign(
+        stream.toDF().toDF("doc_id", "text"), cuts)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("qb_out").start()
+    try {
+      stream.addData(rows.take(rows.length / 2)); q.processAllAvailable()
+      stream.addData(rows.drop(rows.length / 2)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("qb_out")
+      .orderBy("doc_id").as[(Long, Double, Long)].collect().toSeq
+    val batch = graft.operators.TextAnalysis.qualityBuckets(docs)
+      .orderBy("doc_id").as[(Long, Double, Long)].collect().toSeq
+    assert(streamed == batch)
+    assert(batch.map(_._3).distinct.size >= 2, "cuts split the corpus")
+  }
 }
