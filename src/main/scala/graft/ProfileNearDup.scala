@@ -27,6 +27,18 @@ object ProfileNearDup {
 
     val docs = Tables.documents(spark, sfDir)
     time("warmup")(noop(spark.range(1000).selectExpr("sum(id) s")))
+    // focused mode for the sf1 probe: only the jaccardJoin stage split
+    // (the full minhash/collapsed sections cost minutes at 10x data)
+    if (sys.env.get("SPARK_GRAFT_PROFILE_ONLY").contains("jj")) {
+      val (sigs2, prefixes, cand) = NearDup.jaccardStages(docs, 0.5)
+      time("jj: signatures (ckpt)")(noop(sigs2))
+      time("jj: prefixes")(noop(prefixes))
+      time("jj: candidates")(noop(cand))
+      println("jj candidate pairs (post all filters): " + cand.count())
+      time("jj: verify")(noop(NearDup.jaccardVerify(cand, sigs2)
+        .filter(org.apache.spark.sql.functions.col("jaccard") >= 0.5)))
+      spark.stop(); return
+    }
     time("shingles only")(noop(docs.select(NearDup.shingles(
       org.apache.spark.sql.functions.col("text")).as("sh"))))
     time("signatures")(noop(NearDup.signatures(docs)))

@@ -24,8 +24,21 @@ import org.apache.spark.sql.functions._
   *   - every other table: copied through unchanged (dims stay dims). The
   *     output dir is sized for the probe queries, not the full suite.
   *
-  * Usage: runMain graft.ScaleUp <srcDir> <dstDir> [factor=10]
-  */
+  * Usage: runMain graft.ScaleUp <srcDir> <dstDir> [factor=10] [mode=permute]
+  *
+  * `mode=perturb` additionally REPLACES ~1/17 of each replica's words with
+  * replica-salted tokens (deterministic: xxhash64(word, permKey) % 17).
+  * Purpose: constant-DUPLICATION-RATE scaling for the blocking+verify
+  * lanes. Plain permutation preserves each doc's word MULTISET, so the
+  * order-free fingerprints (simhash) of a doc's `factor` replicas are
+  * IDENTICAL — every replica group is a planted duplicate cluster whose
+  * pair output grows as factor^2 (the round-5 probe measured exactly that
+  * on `q_dedup_editdist`: fixture-output-bound 22x at 10x data). Token
+  * substitution pushes replicas ~2 x |doc|/17 token edits apart —
+  * far beyond any verify acceptance — while keeping length, token count,
+  * and per-doc duplicate structure (the sf0.1 planted pairs replicate
+  * per-replica), i.e. the real-corpus regime where duplication rate does
+  * not grow with corpus size. */
 object ScaleUp {
 
   private val Stride = 100000000L
@@ -36,6 +49,8 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val (src, dst) = (args(0), args(1))
     val factor = if (args.length > 2) args(2).toInt else 10
+    val mode = if (args.length > 3) args(3) else "permute"
+    require(mode == "permute" || mode == "perturb", s"unknown mode $mode")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -57,8 +72,17 @@ object ScaleUp {
     // cross-doc shingle overlap at chance level, like natural text.
     val w = split(col("text"), " ")
     val permKey = col("doc_id") * lit(1000L) + col("__k")
+    // perturb: replica-salted substitution BEFORE the permutation sort, so
+    // the word multiset itself differs per replica (breaks order-free
+    // fingerprint identity across replicas; see the mode note above)
+    val wordsIn =
+      if (mode == "perturb")
+        transform(w, x => when(pmod(xxhash64(x, permKey), lit(17L)) === 0,
+          concat(lit("r"), col("__k").cast("string"), lit("x"),
+            abs(xxhash64(x, permKey)).cast("string"))).otherwise(x))
+      else w
     val permuted = concat_ws(" ", transform(
-      array_sort(transform(w,
+      array_sort(transform(wordsIn,
         x => struct(xxhash64(x, permKey).as("h"), x.as("w")))),
       s => s("w")))
     val docs = replicate(spark.read.parquet(s"$src/documents.parquet"), factor)

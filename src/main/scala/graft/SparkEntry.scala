@@ -328,6 +328,8 @@ object SparkEntry {
     // ---- extension: near-dup dedup (ext_dedup_near) ----
     "q_dedup_minhash" -> ((s, dir) =>
       NearDup.minhashPairs(Tables.documents(s, dir), 0.5)),
+    "q_dedup_minhash_auto" -> ((s, dir) =>
+      NearDup.minhashPairsAuto(Tables.documents(s, dir), 0.5)),
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.dedupClusters(NearDup.minhashPairs(Tables.documents(s, dir), 0.5))),
     "q_dedup_survivors" -> ((s, dir) => {
@@ -661,6 +663,30 @@ object SparkEntry {
        |    CAST(len(sa.sh) + len(sb.sh) AS BIGINT)
        |      - CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS BIGINT) AS uni
        |  FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)""".stripMargin
+
+  /** [[minhashPairCtes]] generalized to any (numHashes, numBands) — the
+    * oracle side of `NearDup.autoTuneBanding`'s pick. The auto-tuner is
+    * deterministic (content-addressed sample, exact percentile, grid-snap),
+    * so the pick on the sf0.01 fixture is a constant the oracle can mirror:
+    * Banding(4 bands, 1 row) = 4 hashes (`q_dedup_minhash_auto`). */
+  private def minhashPairCtesFor(numHashes: Int, numBands: Int): String = {
+    val r = numHashes / numBands
+    s"""$shingleCtes,
+       |sig AS (SELECT doc_id, sh,
+       |  list_transform(range(0, $numHashes), s -> list_min(list_transform(sh,
+       |    x -> md5(CAST(s AS VARCHAR) || '_' || x)))) AS sig FROM sh),
+       |bands AS (SELECT doc_id, b AS band,
+       |    md5(array_to_string(list_slice(sig, b * $r + 1, b * $r + $r), '|')) AS key
+       |  FROM sig CROSS JOIN range(0, $numBands) r(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |jac AS (SELECT a_id, b_id,
+       |    CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS BIGINT) AS inter,
+       |    CAST(len(sa.sh) + len(sb.sh) AS BIGINT)
+       |      - CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS BIGINT) AS uni
+       |  FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)""".stripMargin
+  }
 
   /** BPE merge-training chain, one (count -> argmax -> regex-apply) CTE
     * block per step — the unrolled mirror of [[BpeTrainer.merges]]'s driver
@@ -1551,6 +1577,14 @@ object SparkEntry {
           |ORDER BY doc_id""".stripMargin,
       "q_dedup_minhash" ->
         s"""WITH $minhashPairCtes
+           |SELECT a_id, b_id, inter, uni,
+           |       CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+           |FROM jac WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5
+           |ORDER BY a_id, b_id""".stripMargin,
+      // mirrors autoTuneBanding's deterministic pick on the sf0.01 fixture:
+      // 500 docs, s95 snapped to 0.01 -> Banding(4 bands x 1 row) = 4 hashes
+      "q_dedup_minhash_auto" ->
+        s"""WITH ${minhashPairCtesFor(4, 4)}
            |SELECT a_id, b_id, inter, uni,
            |       CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
            |FROM jac WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5

@@ -45,8 +45,8 @@ object NearDup {
     * Computed by the per-row native expression (one JVM call per row instead
     * of numHashes x |shingles| interpreted lambdas — see
     * graft.functions.MinHashSignature; results identical, oracle-enforced). */
-  def minhashSig(sh: Column): Column =
-    graft.functions.TextHashFunctions.minhash_signature(sh, NumHashes)
+  def minhashSig(sh: Column, numHashes: Int = NumHashes): Column =
+    graft.functions.TextHashFunctions.minhash_signature(sh, numHashes)
 
   /** The portable higher-order-function form of [[minhashSig]], kept for
     * cross-checking in tests. */
@@ -60,19 +60,21 @@ object NearDup {
     * file arrives as ONE split, which would serialize numHashes x |shingles|
     * md5s per doc onto a single core — partition compute-heavy narrow maps by
     * cores, not by file splits. */
-  def signatures(docs: DataFrame, words: Int = 3): DataFrame = {
+  def signatures(docs: DataFrame, words: Int = 3,
+                 numHashes: Int = NumHashes): DataFrame = {
     val sh = shingles(col("text"), words)
     graft.core.Parallelism.forCompute(docs)
       .select(col("doc_id"), sh.as("sh"))
-      .withColumn("sig", minhashSig(col("sh")))
+      .withColumn("sig", minhashSig(col("sh"), numHashes))
   }
 
   /** (doc_id, band, key) LSH band table for a signature frame — shared by
     * the symmetric self-join ([[lshCandidates]]) and the asymmetric
     * batch-vs-history lane ([[nearDupSurvivorsVsHistory]]). */
-  private def bandFrame(sigs: DataFrame): DataFrame = {
-    val r = NumHashes / NumBands
-    val bands = transform(sequence(lit(0), lit(NumBands - 1)),
+  private def bandFrame(sigs: DataFrame, numHashes: Int = NumHashes,
+                        numBands: Int = NumBands): DataFrame = {
+    val r = numHashes / numBands
+    val bands = transform(sequence(lit(0), lit(numBands - 1)),
       b => struct(b.as("band"),
         md5(concat_ws("|", slice(col("sig"), b * r + 1, lit(r)))).as("key")))
     sigs.select(col("doc_id"), explode(bands).as("bk"))
@@ -81,8 +83,9 @@ object NearDup {
 
   /** LSH banding: band key b = md5(join(sig[b*r+1 .. b*r+r])); docs sharing
     * any band key become candidate pairs. One shuffle on (band, key). */
-  def lshCandidates(sigs: DataFrame): DataFrame = {
-    val exploded = bandFrame(sigs)
+  def lshCandidates(sigs: DataFrame, numHashes: Int = NumHashes,
+                    numBands: Int = NumBands): DataFrame = {
+    val exploded = bandFrame(sigs, numHashes, numBands)
     val a = exploded.alias("a")
     val b = exploded.alias("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -160,15 +163,99 @@ object NearDup {
   }
 
   /** End-to-end MinHash/LSH near-dup pairs above a Jaccard threshold. */
-  def minhashPairs(docs: DataFrame, threshold: Double = 0.5, words: Int = 3): DataFrame = {
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.5, words: Int = 3,
+                   numHashes: Int = NumHashes, numBands: Int = NumBands): DataFrame = {
     // the signature table feeds 4 plan branches (both self-join sides of the
     // band join + both verify sides); checkpointing materializes the sketch
     // pass once instead of 4x — at 100 TB this is the "sketch once, reuse"
     // discipline, not an optimization detail
-    val sigs = signatures(docs, words).localCheckpoint(false)
-    jaccardVerify(lshCandidates(sigs), sigs)
+    val sigs = signatures(docs, words, numHashes).localCheckpoint(false)
+    jaccardVerify(lshCandidates(sigs, numHashes, numBands), sigs)
       .filter(col("jaccard") >= threshold)
       .orderBy("a_id", "b_id")
+  }
+
+  /** Chosen LSH banding: `numHashes = numBands * rowsPerBand` minhashes,
+    * one table per band. */
+  final case class Banding(numBands: Int, rowsPerBand: Int) {
+    def numHashes: Int = numBands * rowsPerBand
+  }
+
+  /** Auto-tuned LSH banding from the corpus itself — SCALE.md's "banding
+    * parameters must scale with corpus cardinality" made executable. The
+    * static (16, 4) default is tuned for ~10^4-10^5 docs; at larger n the
+    * chance-collision candidate count grows ~n^2 * p_fp and the band count
+    * must be re-derived, not guessed.
+    *
+    * Derivation (the standard S-curve fit, no free parameters left to
+    * taste):
+    *   - recall constraint: a pair AT the threshold t must collide in at
+    *     least one of b bands of r rows with probability >= recallTarget,
+    *     i.e. 1 - (1 - t^r)^b >= recallTarget — gives minimal b per r;
+    *   - cost constraint: expected chance candidates
+    *     ~ C(n,2) * (1 - (1 - s95^r)^b) must stay <= candidateFactor * n,
+    *     where s95 is the 95th-percentile BACKGROUND similarity measured on
+    *     a deterministic content-addressed sample (docs with
+    *     xxhash64(doc_id) % mod == 0 — no RNG, same pick on every engine
+    *     and every run; ~[[AutoTuneSampleSize]] docs, all pairs verified
+    *     exactly);
+    *   - among (r, b) meeting both, take the cheapest sketch (minimal
+    *     b * r, then minimal b); if nothing meets the cost bound within
+    *     [[AutoTuneMaxHashes]] hashes the corpus's background similarity is
+    *     the problem (boilerplate regime) — return the most selective
+    *     admissible (max r) so the caller still gets the recall guarantee,
+    *     and the exact lanes' candidate-budget guard is the backstop.
+    *
+    * Runs two small actions (a count and the sample's pair quantile) at
+    * call time — the price of tuning from data; at 100 TB both read the
+    * persisted signature table's sample stratum, not the raw corpus. */
+  def autoTuneBanding(docs: DataFrame, threshold: Double, words: Int = 3,
+                      recallTarget: Double = 0.9,
+                      candidateFactor: Double = 20.0): Banding = {
+    require(threshold > 0 && threshold < 1, "threshold in (0,1)")
+    val n = docs.count().max(2L)
+    val mod = math.max(1L, n / AutoTuneSampleSize)
+    val sample = signatures(
+      docs.filter(pmod(xxhash64(col("doc_id")), lit(mod)) === 0), words)
+      .select("doc_id", "sh").localCheckpoint(false)
+    // EXACT percentile over the sample's ~20k pairs (trivial at sample
+    // size, deterministic under any partitioning — a sketch quantile's
+    // merge-order wobble could flip the pick and break oracle agreement),
+    // then snapped UP to a 0.01 grid so the chosen banding is stable under
+    // fixture-scale noise and never optimistic about background collisions.
+    val s95raw = jaccardVerify(
+        sample.select(col("doc_id").as("a_id")).crossJoin(
+          sample.select(col("doc_id").as("b_id")))
+          .filter(col("a_id") < col("b_id")),
+        sample)
+      .agg(expr("percentile(jaccard, 0.95)")).head().getDouble(0)
+    val s95 = math.max(0.01, math.ceil(s95raw * 100) / 100)
+    val nPairs = n.toDouble * (n.toDouble - 1) / 2
+    val budget = candidateFactor * n.toDouble
+    val options = for {
+      r <- 1 to 16
+      tr = math.pow(threshold, r)
+      if tr > 1e-12
+      b = math.max(1, math.ceil(math.log1p(-recallTarget) / math.log1p(-tr)).toInt)
+      if b * r <= AutoTuneMaxHashes
+      fp = nPairs * (1 - math.pow(1 - math.pow(s95, r), b))
+    } yield (r, b, fp)
+    val admissible = options.filter(_._3 <= budget)
+    val (r, b, _) =
+      if (admissible.nonEmpty) admissible.minBy { case (r, b, _) => (b * r, b) }
+      else options.maxBy(_._1) // most selective within the hash budget
+    Banding(b, r)
+  }
+
+  private val AutoTuneSampleSize = 200L
+  private val AutoTuneMaxHashes = 128
+
+  /** [[minhashPairs]] with [[autoTuneBanding]]'s pick — the form to run on
+    * a corpus whose cardinality the static default wasn't tuned for. */
+  def minhashPairsAuto(docs: DataFrame, threshold: Double = 0.5,
+                       words: Int = 3): DataFrame = {
+    val tuned = autoTuneBanding(docs, threshold, words)
+    minhashPairs(docs, threshold, words, tuned.numHashes, tuned.numBands)
   }
 
   /** Exact n-gram Jaccard similarity join with PREFIX FILTERING — the
@@ -333,7 +420,7 @@ object NearDup {
     // seconds with the measured count instead of burning a cluster-day.
     candidateBudget.foreach { budget =>
       val est = prefixes.groupBy("tok").agg(count(lit(1)).as("f"))
-        .agg(sum(col("f") * (col("f") - 1) / 2).as("pairs"))
+        .agg(sum((col("f") * (col("f") - 1) / 2).cast("long")).as("pairs"))
         .head().getLong(0)
       if (est > budget) throw new IllegalStateException(
         s"jaccardJoin candidate budget exceeded: ~$est raw prefix-token pairs " +

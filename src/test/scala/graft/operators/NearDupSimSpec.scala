@@ -283,4 +283,53 @@ class NearDupSimSpec extends SparkSpec {
     // spark tf=3 df=2; flink tf=2 df=2 (beam tf=1 cut by k=2)
     assert(v.toSeq == Seq((1L, "spark", 3L, 2L), (2L, "flink", 2L, 2L)))
   }
+
+  test("auto-tuned banding: no false positives, recall vs brute force at two SFs") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = Tables.documents(spark, dir)
+      val tuned = NearDup.autoTuneBanding(docs, 0.5)
+      assert(tuned.numBands >= 1 && tuned.rowsPerBand >= 1 &&
+        tuned.numHashes <= 128, s"$dir pick $tuned")
+      val auto = NearDup
+        .minhashPairs(docs, 0.5, 3, tuned.numHashes, tuned.numBands)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      val sigs = NearDup.signatures(docs).select("doc_id", "sh").localCheckpoint(false)
+      val brute = NearDup.jaccardVerify(
+          sigs.select(col("doc_id").as("a_id")).crossJoin(
+            sigs.select(col("doc_id").as("b_id")))
+            .filter(col("a_id") < col("b_id")),
+          sigs)
+        .filter(col("jaccard") >= 0.5)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      assert(brute.nonEmpty, s"$dir fixture plants qualifying pairs")
+      // exact verification makes false positives impossible...
+      assert(auto.subsetOf(brute), s"$dir emitted non-qualifying pairs")
+      // ...so the tuner's only quality axis is recall: the S-curve solve
+      // targets 0.9 AT the threshold; planted pairs sit above it
+      val recall = auto.intersect(brute).size.toDouble / brute.size
+      info(s"$dir: pick $tuned, recall $recall (${auto.size}/${brute.size})")
+      assert(recall >= 0.75, s"$dir recall $recall")
+    }
+  }
+
+  test("candidate-budget guard fails fast on a boilerplate-heavy corpus") {
+    // half the corpus is ONE identical boilerplate text: every trigram is
+    // hot AND fills each member's prefix, the sf1 probe's measured
+    // quadratic nucleus in miniature
+    val docs = ((1 to 30).map(i =>
+        (i.toLong, "alpha beta gamma delta epsilon zeta")) ++
+      (31 to 60).map(i =>
+        (i.toLong, s"unique$i standalone$i content$i about$i topic$i")))
+      .toDF("doc_id", "text")
+    val ex = intercept[IllegalStateException](
+      NearDup.jaccardJoin(docs, 0.5, candidateBudget = Some(100L)).collect())
+    assert(ex.getMessage.contains("candidate budget exceeded"))
+    assert(ex.getMessage.contains("minhashPairs"))
+    // an adequate budget runs through and matches the unguarded result
+    val guarded = NearDup.jaccardJoin(docs, 0.5, candidateBudget = Some(1000000L))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    val unguarded = NearDup.jaccardJoin(docs, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    assert(guarded == unguarded && guarded.nonEmpty)
+  }
 }
