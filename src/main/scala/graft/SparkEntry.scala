@@ -374,6 +374,11 @@ object SparkEntry {
       IvfIndex.topK(Tables.embeddings(s, dir))),
     "q_tfidf_topk" -> ((s, dir) =>
       TfIdf.topKSimilar(Tables.documents(s, dir))),
+    // contrastive-training data op: per-anchor top-k cross-label neighbors
+    "q_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(Tables.embeddings(s, dir))),
+    "q_hard_negatives_ivf" -> ((s, dir) =>
+      Similarity.hardNegativesIvf(Tables.embeddings(s, dir))),
 
     // ---- extension: as-of join (time-series point-in-time lookup) ----
     "q_asof_join" -> ((s, dir) =>
@@ -1711,6 +1716,33 @@ object SparkEntry {
            |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
            |      FROM s)
            |SELECT q_id, rk, n_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+      "q_hard_negatives" ->
+        s"""WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           |           FROM embeddings),
+           |s AS (SELECT q.vec_id AS q_id, CAST(q.label AS BIGINT) AS q_label,
+           |        c.vec_id AS n_id, CAST(c.label AS BIGINT) AS n_label,
+           |        ${cosSql("q.emb", "c.emb")} AS cos
+           |      FROM v c CROSS JOIN v q
+           |      WHERE q.vec_id < 8 AND q.label <> c.label),
+           |r AS (SELECT q_id, q_label, n_id, n_label, cos,
+           |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
+           |      FROM s)
+           |SELECT q_id, q_label, rk, n_id, n_label, cos FROM r WHERE rk <= 5
+           |ORDER BY q_id, rk""".stripMargin,
+      "q_hard_negatives_ivf" ->
+        s"""WITH ${ivfCtes("")},
+           |v2 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           |       FROM embeddings),
+           |s AS (SELECT q_id, CAST(q.label AS BIGINT) AS q_label,
+           |        n_id, CAST(n.label AS BIGINT) AS n_label,
+           |        ${cosSql("q.emb", "n.emb")} AS cos
+           |      FROM cand JOIN v2 q ON q.vec_id = q_id JOIN v2 n ON n.vec_id = n_id
+           |      WHERE q.label <> n.label),
+           |r AS (SELECT q_id, q_label, n_id, n_label, cos,
+           |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
+           |      FROM s)
+           |SELECT q_id, q_label, rk, n_id, n_label, cos FROM r WHERE rk <= 5
+           |ORDER BY q_id, rk""".stripMargin,
       "q_sim_topk_lsh" ->
         s"""WITH $sketchCte,
            |q AS (SELECT vec_id AS q_id, emb AS q_emb, tbl, key FROM sk WHERE vec_id < 8),

@@ -190,4 +190,62 @@ object Similarity {
       .select("a_id", "b_id", "cos")
       .orderBy("a_id", "b_id")
   }
+
+  /** HARD-NEGATIVE mining for contrastive training: for each anchor
+    * (vec_id < nQueries), the k highest-cosine vectors with a DIFFERENT
+    * label — the negatives that look most like positives, which is what a
+    * contrastive objective needs to sharpen a decision boundary (random
+    * negatives are trivially separable and carry no gradient). Brute exact
+    * form — the baseline and the oracle; [[hardNegativesIvf]] is the scale
+    * path.
+    *
+    * Scale shape: anchors broadcast (the mined set is a training batch,
+    * not the corpus), one corpus scan, bounded per-anchor rank. */
+  def hardNegatives(emb: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val q = emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+      .filter(col("q_id") < nQueries)
+    val c = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      col("label").as("n_label"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_label") =!= col("n_label"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("q_id", "q_label", "rk", "n_id", "n_label", "cos")
+      .orderBy("q_id", "rk")
+  }
+
+  /** [[hardNegatives]] blocked by the IVF coarse quantizer: candidates come
+    * only from each anchor's nProbe nearest cells, then exact cosine
+    * re-rank — the shape that holds when the corpus no longer scans per
+    * mining batch. Hard negatives are by definition NEAR the anchor, which
+    * is exactly the regime where IVF recall is high (the same argument as
+    * ANN search; recall asserted vs the brute form in `NearDupSimSpec`).
+    * Candidate exchange carries ids only; embeddings rejoin from the base
+    * scan per side. */
+  def hardNegativesIvf(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
+                       nLists: Int = 8, nProbe: Int = 2, nIters: Int = 1): DataFrame = {
+    val (probes, finalAssign) =
+      IvfIndex.probeAndAssign(emb, nQueries, nLists, nProbe, nIters)
+    val members = finalAssign.select(col("vec_id").as("n_id"), col("list"))
+    val q = emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+      .filter(col("q_id") < nQueries)
+    val n = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      col("label").as("n_label"))
+    val cand = probes.join(members, "list")
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id").distinct()
+      .join(broadcast(q), "q_id")
+      .join(n, "n_id")
+      .filter(col("q_label") =!= col("n_label"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    cand.withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("q_id", "q_label", "rk", "n_id", "n_label", "cos")
+      .orderBy("q_id", "rk")
+  }
 }

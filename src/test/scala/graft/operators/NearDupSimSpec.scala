@@ -284,6 +284,25 @@ class NearDupSimSpec extends SparkSpec {
     assert(v.toSeq == Seq((1L, "spark", 3L, 2L), (2L, "flink", 2L, 2L)))
   }
 
+  test("hard negatives: cross-label only, correctly ranked; IVF full-probe equals brute") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Similarity.hardNegatives(emb).collect()
+    assert(brute.nonEmpty)
+    // every mined negative crosses the label boundary
+    assert(brute.forall(r =>
+      r.getAs[Number]("q_label").longValue != r.getAs[Number]("n_label").longValue))
+    // ranks are 1..k per anchor and cosines non-increasing within an anchor
+    brute.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to sorted.length))
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    // probing every list makes IVF blocking exhaustive -> identical output
+    val full = Similarity.hardNegativesIvf(emb, nProbe = 8, nLists = 8).collect()
+    assert(full.map(_.toString).toSeq == brute.map(_.toString).toSeq)
+  }
+
   test("auto-tuned banding: no false positives, recall vs brute force at two SFs") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val docs = Tables.documents(spark, dir)
