@@ -379,6 +379,9 @@ object SparkEntry {
       Similarity.hardNegatives(Tables.embeddings(s, dir))),
     "q_hard_negatives_ivf" -> ((s, dir) =>
       Similarity.hardNegativesIvf(Tables.embeddings(s, dir))),
+    // index-quality report: recall@k vs brute per probe depth, one training
+    "q_ivf_recall_report" -> ((s, dir) =>
+      IvfIndex.recallReport(Tables.embeddings(s, dir))),
 
     // ---- extension: as-of join (time-series point-in-time lookup) ----
     "q_asof_join" -> ((s, dir) =>
@@ -1743,6 +1746,36 @@ object SparkEntry {
            |      FROM s)
            |SELECT q_id, q_label, rk, n_id, n_label, cos FROM r WHERE rk <= 5
            |ORDER BY q_id, rk""".stripMargin,
+      "q_ivf_recall_report" ->
+        s"""WITH ${ivfCtes("")},
+           |pall AS (SELECT vec_id AS q_id, list,
+           |    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY dist2, list) AS BIGINT) AS probe_rank
+           |  FROM d1 WHERE vec_id < 8),
+           |cmin AS (SELECT q_id, m.vec_id AS n_id, min(probe_rank) AS first_probe
+           |  FROM pall JOIN a2 m USING (list) WHERE q_id <> m.vec_id GROUP BY 1, 2),
+           |v2 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           |       FROM embeddings),
+           |sc AS (SELECT q_id, n_id, first_probe, ${cosSql("q.emb", "n.emb")} AS cos
+           |  FROM cmin JOIN v2 q ON q.vec_id = q_id JOIN v2 n ON n.vec_id = n_id),
+           |pp AS (SELECT * FROM (VALUES (1),(2),(4),(8)) t(n_probe)),
+           |tk AS (SELECT n_probe, q_id, n_id FROM (
+           |    SELECT p.n_probe, s.q_id, s.n_id,
+           |      row_number() OVER (PARTITION BY p.n_probe, s.q_id ORDER BY s.cos DESC, s.n_id) AS rk
+           |    FROM sc s JOIN pp p ON s.first_probe <= p.n_probe) x WHERE rk <= 5),
+           |bs AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, ${cosSql("q.emb", "c.emb")} AS cos
+           |  FROM v2 c CROSS JOIN v2 q WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+           |bk AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+           |  FROM bs) x WHERE rk <= 5),
+           |h AS (SELECT n_probe, q_id, count(*) AS n_hit FROM tk
+           |  WHERE EXISTS (SELECT 1 FROM bk WHERE bk.q_id = tk.q_id AND bk.n_id = tk.n_id)
+           |  GROUP BY 1, 2)
+           |SELECT CAST(p.n_probe AS BIGINT) AS n_probe, q.vec_id AS q_id,
+           |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5 AS recall_at_k
+           |FROM embeddings q CROSS JOIN pp p
+           |LEFT JOIN h ON h.n_probe = p.n_probe AND h.q_id = q.vec_id
+           |WHERE q.vec_id < 8
+           |ORDER BY n_probe, q_id""".stripMargin,
       "q_sim_topk_lsh" ->
         s"""WITH $sketchCte,
            |q AS (SELECT vec_id AS q_id, emb AS q_emb, tbl, key FROM sk WHERE vec_id < 8),

@@ -205,4 +205,60 @@ object IvfIndex {
         col("n_new").cast("double") / col("n_total").cast("double"))
       .orderBy("list")
   }
+
+  /** ANN index-quality report: per-query recall@k of the IVF index against
+    * the exact brute-force top-k, at EVERY probe depth in `nProbes` — the
+    * number an operator actually tunes nProbe with ("how much recall does
+    * the next probe buy?"), measured from the deployed index itself rather
+    * than guessed.
+    *
+    * One training, one candidate pass: each (query, member) candidate
+    * carries the MINIMUM probe rank that reaches it (`min(probe_rank)` over
+    * its member lists), so "candidates at depth p" is a filter, not a
+    * re-probe — the nProbes axis explodes AFTER cosine scoring and ranks in
+    * a single window over (n_probe, q_id). Recall joins are id-only; the
+    * report is nProbes x nQueries rows. Exact arithmetic throughout
+    * (n_hit / k is one IEEE division — engine-identical). */
+  def recallReport(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
+                   nLists: Int = 8, nProbes: Seq[Int] = Seq(1, 2, 4, 8),
+                   nIters: Int = 1): DataFrame = {
+    require(nProbes.nonEmpty && nProbes.forall(_ >= 1), "need probe depths >= 1")
+    val ve = exploded(emb, "vec_id")
+    val finalCents = lloyd(emb, ve, nLists, nIters)
+    val finalAssign = argmin(distances(emb, finalCents))
+    val wProbe = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("list").asc)
+    val ranked = distances(emb.filter(col("vec_id") < nQueries), finalCents)
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .select(col("vec_id").as("q_id"), col("list"), col("probe_rank"))
+    val members = finalAssign.select(col("vec_id").as("n_id"), col("list"))
+    val qEmb = emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .filter(col("q_id") < nQueries)
+    val nEmb = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val scored = ranked.join(members, "list")
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy("q_id", "n_id").agg(min("probe_rank").as("first_probe"))
+      .join(broadcast(qEmb), "q_id")
+      .join(nEmb, "n_id")
+      .withColumn("cos", Similarity.cosine(col("q_emb"), col("n_emb")))
+      .select("q_id", "n_id", "first_probe", "cos")
+    val pAxis = explode(array(nProbes.map(lit): _*)).as("n_probe")
+    val w = Window.partitionBy("n_probe", "q_id")
+      .orderBy(col("cos").desc, col("n_id").asc)
+    val topk = scored.select(col("*"), pAxis)
+      .filter(col("first_probe") <= col("n_probe"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("n_probe", "q_id", "n_id")
+    val brute = Similarity.bruteForceTopK(emb, nQueries, k)
+      .select(col("q_id"), col("n_id"))
+    val hits = topk.join(brute, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("n_probe", "q_id").agg(count(lit(1)).as("n_hit"))
+    emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), pAxis)
+      .join(hits, Seq("n_probe", "q_id"), "left")
+      .select(col("n_probe").cast("long").as("n_probe"), col("q_id"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall_at_k"))
+      .orderBy("n_probe", "q_id")
+  }
 }

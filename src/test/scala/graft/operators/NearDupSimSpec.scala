@@ -303,6 +303,21 @@ class NearDupSimSpec extends SparkSpec {
     assert(full.map(_.toString).toSeq == brute.map(_.toString).toSeq)
   }
 
+  test("IVF recall report: monotone in probe depth, exactly 1.0 at full probe") {
+    val emb = Tables.embeddings(spark, sf)
+    val rep = IvfIndex.recallReport(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byQ = rep.groupBy(_._2)
+    byQ.foreach { case (q, rows) =>
+      val ordered = rows.sortBy(_._1).map(_._3)
+      // more probes can only add candidates -> recall never decreases
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b }, s"q=$q $ordered")
+    }
+    // probing all 8 of 8 lists IS brute force
+    assert(rep.filter(_._1 == 8L).forall(_._3 == 1.0))
+    assert(rep.length == 4 * 8) // nProbes x nQueries
+  }
+
   test("auto-tuned banding: no false positives, recall vs brute force at two SFs") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val docs = Tables.documents(spark, dir)
