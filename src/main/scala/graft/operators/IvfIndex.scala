@@ -249,13 +249,17 @@ object IvfIndex {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select("n_probe", "q_id", "n_id")
+    // brute top-k and the per-depth hit counts are nQueries x k / nProbes x
+    // nQueries rows — query-bounded, never corpus-bounded — but they sit
+    // behind aggregations where size estimation gives up, so hint the
+    // broadcasts explicitly (an SMJ here would sort for a 32-row join)
     val brute = Similarity.bruteForceTopK(emb, nQueries, k)
       .select(col("q_id"), col("n_id"))
-    val hits = topk.join(brute, Seq("q_id", "n_id"), "left_semi")
+    val hits = topk.join(broadcast(brute), Seq("q_id", "n_id"), "left_semi")
       .groupBy("n_probe", "q_id").agg(count(lit(1)).as("n_hit"))
     emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), pAxis)
-      .join(hits, Seq("n_probe", "q_id"), "left")
+      .join(broadcast(hits), Seq("n_probe", "q_id"), "left")
       .select(col("n_probe").cast("long").as("n_probe"), col("q_id"),
         (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(k.toDouble))
           .as("recall_at_k"))

@@ -126,6 +126,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("hard-negative mining (IVF): anchors broadcast, no sort-merge join") {
+    val df = Similarity.hardNegativesIvf(Tables.embeddings(spark, sf))
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("ivf recall report: one rank window over the depth axis, no corpus sort-merge") {
+    val df = IvfIndex.recallReport(Tables.embeddings(spark, sf))
+    df.collect()
+    val p = plan(df)
+    // four rank windows (argmin, probe rank, per-depth rank, brute top-k),
+    // printed twice by AQE (initial + final sections) = 8 — the depth axis
+    // is a filter inside ONE window; four re-probed plan copies would show
+    // 7 windows per section (14 lines)
+    assert(p.linesIterator.count(_.contains("Window [")) <= 8, p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("lm signal: the vocab head broadcasts into the scoring join") {
     val df = TextAnalysis.bigramFrequencySignal(Tables.documents(spark, sf))
     df.collect()
