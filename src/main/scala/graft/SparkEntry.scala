@@ -382,6 +382,9 @@ object SparkEntry {
     // index-quality report: recall@k vs brute per probe depth, one training
     "q_ivf_recall_report" -> ((s, dir) =>
       IvfIndex.recallReport(Tables.embeddings(s, dir))),
+    // MMR diversified selection over each anchor's retrieval neighborhood
+    "q_mmr_diverse" -> ((s, dir) =>
+      Similarity.mmrSelect(Tables.embeddings(s, dir))),
 
     // ---- extension: as-of join (time-series point-in-time lookup) ----
     "q_asof_join" -> ((s, dir) =>
@@ -671,6 +674,45 @@ object SparkEntry {
        |    CAST(len(sa.sh) + len(sb.sh) AS BIGINT)
        |      - CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS BIGINT) AS uni
        |  FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)""".stripMargin
+
+  /** Unrolled greedy MMR selection — one CTE block per pick, mirroring
+    * `Similarity.mmrSelect`'s driver loop step for step (the BpeTrainer
+    * oracle pattern: sequential algorithms unroll, they don't approximate).
+    * lambda is fixed at 0.5 (exactly representable) so `rel*0.5 -
+    * max_sim*0.5` is the same IEEE arithmetic on both engines. */
+  private def mmrSql(nCand: Int, k: Int): String = {
+    val steps = (2 to k).map { i =>
+      s"""s$i AS (SELECT q_id, CAST($i AS BIGINT) AS pick, n_id, rel FROM (
+         |  SELECT m.q_id, m.n_id, m.rel,
+         |    row_number() OVER (PARTITION BY m.q_id ORDER BY m.mmr DESC, m.n_id) AS rn
+         |  FROM (SELECT c.q_id, c.n_id, c.rel, c.rel * 0.5 - max(s.sim) * 0.5 AS mmr
+         |        FROM cand c
+         |        JOIN sims s ON s.q_id = c.q_id AND s.a_id = c.n_id
+         |        JOIN sel${i - 1} p ON p.q_id = s.q_id AND p.n_id = s.b_id
+         |        WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} e
+         |                          WHERE e.q_id = c.q_id AND e.n_id = c.n_id)
+         |        GROUP BY c.q_id, c.n_id, c.rel) m) x WHERE rn = 1),
+         |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |           FROM embeddings),
+       |bs AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, ${cosSql("q.emb", "c.emb")} AS cos
+       |  FROM v c CROSS JOIN v q WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+       |cand AS (SELECT q_id, n_id, cos AS rel FROM (SELECT q_id, n_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+       |  FROM bs) x WHERE rk <= $nCand),
+       |sims AS (SELECT ca.q_id, ca.n_id AS a_id, cb.n_id AS b_id,
+       |    ${cosSql("va.emb", "vb.emb")} AS sim
+       |  FROM cand ca JOIN cand cb ON ca.q_id = cb.q_id AND ca.n_id <> cb.n_id
+       |  JOIN v va ON va.vec_id = ca.n_id JOIN v vb ON vb.vec_id = cb.n_id),
+       |s1 AS (SELECT q_id, CAST(1 AS BIGINT) AS pick, n_id, rel FROM (
+       |  SELECT q_id, n_id, rel,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) AS rn
+       |  FROM cand) x WHERE rn = 1),
+       |sel1 AS (SELECT * FROM s1),
+       |$steps
+       |SELECT q_id, pick, n_id, rel FROM sel$k ORDER BY q_id, pick""".stripMargin
+  }
 
   /** [[minhashPairCtes]] generalized to any (numHashes, numBands) — the
     * oracle side of `NearDup.autoTuneBanding`'s pick. The auto-tuner is
@@ -1746,6 +1788,7 @@ object SparkEntry {
            |      FROM s)
            |SELECT q_id, q_label, rk, n_id, n_label, cos FROM r WHERE rk <= 5
            |ORDER BY q_id, rk""".stripMargin,
+      "q_mmr_diverse" -> mmrSql(nCand = 20, k = 5),
       "q_ivf_recall_report" ->
         s"""WITH ${ivfCtes("")},
            |pall AS (SELECT vec_id AS q_id, list,

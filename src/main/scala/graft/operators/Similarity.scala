@@ -217,6 +217,63 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** MMR (maximal marginal relevance) diversified top-k: per anchor, greedy
+    * selection of k results from its nCand nearest neighbors, trading
+    * relevance against redundancy — pick 1 is the most relevant candidate;
+    * pick i maximizes `lambda*rel - (1-lambda)*max_sim_to_already_picked`.
+    * The standard diversification step between retrieval and consumption
+    * (RAG context assembly, eval-set curation, dedup-aware sampling): plain
+    * top-k hands back five paraphrases of one document; MMR spends the
+    * same budget covering the neighborhood.
+    *
+    * Shape: greedy selection is INHERENTLY sequential in k, so k is a
+    * DRIVER loop of k-1 bounded joins (the [[graft.operators.BpeTrainer]]
+    * precedent) — but everything inside the loop is per-anchor data
+    * parallel and bounded by nCand: the candidate table is nQueries x
+    * nCand rows, the pairwise-sim table nQueries x nCand^2, both
+    * checkpointed once. The corpus is touched exactly once (the top-nCand
+    * scan); scale lives there, not in the k steps. lambda defaults to 0.5
+    * (exactly representable, so the scoring arithmetic is engine-identical
+    * IEEE; the DuckDB oracle unrolls the same k steps). */
+  def mmrSelect(emb: DataFrame, nQueries: Int = 8, nCand: Int = 20,
+                k: Int = 5, lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && nCand >= k, "need nCand >= k >= 1")
+    val cand = bruteForceTopK(emb, nQueries, nCand)
+      .select(col("q_id"), col("n_id"), col("cos").as("rel"))
+      .localCheckpoint(false)
+    val nEmb = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val ce = cand.join(nEmb, "n_id").select("q_id", "n_id", "n_emb")
+    // directed pairwise sims among each anchor's candidates (nCand^2/query)
+    val sims = ce.select(col("q_id"), col("n_id").as("a_id"), col("n_emb").as("a_emb"))
+      .join(ce.select(col("q_id"), col("n_id").as("b_id"), col("n_emb").as("b_emb")), "q_id")
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        cosine(col("a_emb"), col("b_emb")).as("sim"))
+      .localCheckpoint(false)
+    val w = Window.partitionBy("q_id")
+    var selected = cand
+      .withColumn("__rn", row_number().over(
+        w.orderBy(col("rel").desc, col("n_id").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("q_id"), lit(1L).as("pick"), col("n_id"), col("rel"))
+    for (i <- 2 to k) {
+      val sel = selected.select(col("q_id"), col("n_id").as("s_id"))
+      val remaining = cand.join(sel.withColumnRenamed("s_id", "n_id"),
+        Seq("q_id", "n_id"), "left_anti")
+      val next = remaining
+        .join(sims.withColumnRenamed("a_id", "n_id"), Seq("q_id", "n_id"))
+        .join(sel.withColumnRenamed("s_id", "b_id"), Seq("q_id", "b_id"))
+        .groupBy("q_id", "n_id", "rel").agg(max("sim").as("max_sim"))
+        .withColumn("mmr", col("rel") * lambda - col("max_sim") * (1 - lambda))
+        .withColumn("__rn", row_number().over(
+          w.orderBy(col("mmr").desc, col("n_id").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("q_id"), lit(i.toLong).as("pick"), col("n_id"), col("rel"))
+      selected = selected.unionByName(next).localCheckpoint(false)
+    }
+    selected.orderBy("q_id", "pick")
+  }
+
   /** [[hardNegatives]] blocked by the IVF coarse quantizer: candidates come
     * only from each anchor's nProbe nearest cells, then exact cosine
     * re-rank — the shape that holds when the corpus no longer scans per

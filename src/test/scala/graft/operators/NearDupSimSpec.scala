@@ -303,6 +303,29 @@ class NearDupSimSpec extends SparkSpec {
     assert(full.map(_.toString).toSeq == brute.map(_.toString).toSeq)
   }
 
+  test("MMR selection: pick 1 is the relevance argmax, picks distinct, diversity binds") {
+    val emb = Tables.embeddings(spark, sf)
+    val mmr = Similarity.mmrSelect(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val topk = Similarity.bruteForceTopK(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mmrByQ = mmr.groupBy(_._1); val topByQ = topk.groupBy(_._1)
+    mmrByQ.foreach { case (q, rows) =>
+      val ids = rows.sortBy(_._2).map(_._3)
+      assert(ids.distinct.length == ids.length, s"q=$q duplicate picks")
+      // greedy step 1 has no diversity term -> equals plain top-1
+      assert(ids.head == topByQ(q).minBy(_._2)._3, s"q=$q pick1")
+      // every pick comes from the candidate neighborhood (top-20 pool)
+      assert(rows.length == 5)
+    }
+    // with lambda=0.5 on clustered embeddings, at least one anchor's MMR
+    // set must diverge from its plain top-5 (that's what diversification
+    // is FOR; if every set were identical the operator would be top-k)
+    val diverged = mmrByQ.keys.count { q =>
+      mmrByQ(q).map(_._3).toSet != topByQ(q).map(_._3).toSet }
+    assert(diverged >= 1, "MMR never diverged from plain top-k")
+  }
+
   test("IVF recall report: monotone in probe depth, exactly 1.0 at full probe") {
     val emb = Tables.embeddings(spark, sf)
     val rep = IvfIndex.recallReport(emb)
