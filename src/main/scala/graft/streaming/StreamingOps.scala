@@ -237,6 +237,57 @@ object StreamingOps {
       .groupBy("h").agg(count(lit(1)).as("n_copies"))
   }
 
+  /** Streaming NEAR-dup detection against a static history — the online
+    * form of `NearDup.nearDupSurvivorsVsHistory`'s match stage: as
+    * documents arrive, each computes its shingle set + MinHash signature
+    * map-side (stateless narrow ops), its LSH band keys join the HISTORY's
+    * precomputed band table (stream-static equi-join; the history sketch
+    * is the batch-side artifact the incremental batch lane already
+    * persists), candidates verify with exact Jaccard against the history
+    * shingle sets, and one watermark-bounded `dropDuplicates` collapses
+    * multi-band hits to one row per matched stream doc. Downstream
+    * subtracts matched ids from the ingest — emitting HITS (not survivors)
+    * is what keeps every stage append-mode-legal.
+    *
+    * State: the dedup set of matched (doc_id) within the watermark horizon
+    * — NOT the history (static, broadcast by Spark's stream-static join
+    * planning) and NOT the stream. Same band scheme as the batch lane
+    * (bit-identical keys), so stream hits == batch match set, asserted in
+    * `StreamingOpsSpec`. */
+  def nearDupHitsVsHistory(docs: DataFrame, historySigs: DataFrame,
+                           threshold: Double = 0.5, words: Int = 3,
+                           watermarkDelay: String = "1 hour"): DataFrame = {
+    import graft.operators.NearDup
+    val r = NearDup.NumHashes / NearDup.NumBands
+    val sh = NearDup.shingles(col("text"), words)
+    val sig = NearDup.minhashSig(col("sh"))
+    val bands = transform(sequence(lit(0), lit(NearDup.NumBands - 1)),
+      b => struct(b.as("band"),
+        md5(concat_ws("|", slice(col("sig"), b * r + 1, lit(r)))).as("key")))
+    val hBands = historySigs.select(col("doc_id").as("h_id"),
+        explode(transform(sequence(lit(0), lit(NearDup.NumBands - 1)),
+          b => struct(b.as("band"),
+            md5(concat_ws("|", slice(col("sig"), b * r + 1, lit(r)))).as("key")))).as("bk"))
+      .select(col("h_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val hSets = historySigs.select(col("doc_id").as("h_id"), col("sh").as("h_sh"))
+    docs
+      .withColumn("sh", sh).withColumn("sig", sig)
+      .withColumn("ts", col("ts"))
+      .select(col("doc_id"), col("ts"), col("sh"), explode(bands).as("bk"))
+      .select(col("doc_id"), col("ts"), col("sh"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+      .join(hBands, Seq("band", "key"))
+      .join(hSets, Seq("h_id"))
+      .withColumn("inter", graft.functions.VectorFunctions
+        .sorted_intersect_count(col("sh"), col("h_sh")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        ((size(col("sh")) + size(col("h_sh"))).cast("long") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicates("doc_id")
+      .select("doc_id", "ts")
+  }
+
   /** Streaming quality-bucket assignment — the streaming twin of
     * `TextAnalysis.qualityBuckets` in its production shape: percentile
     * boundaries are FROZEN from a reference snapshot

@@ -486,6 +486,38 @@ class StreamingOpsSpec extends SparkSpec {
     assert(carriers == flagged)
   }
 
+  test("streaming near-dup hits vs static history agree with the batch lane") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val history = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    // the persisted history sketch (the batch lane's artifact)
+    val historySigs = graft.operators.NearDup.signatures(history)
+      .select("doc_id", "sh", "sig").localCheckpoint()
+    val rows = batch.as[(Long, String)].collect().toSeq
+    def ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingOps.nearDupHitsVsHistory(
+        stream.toDF().toDF("doc_id", "text", "ts"), historySigs)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ndh_out").start()
+    try {
+      stream.addData(rows.take(rows.length / 2).map(r => (r._1, r._2, ts0)))
+      q.processAllAvailable()
+      stream.addData(rows.drop(rows.length / 2).map(r => (r._1, r._2, ts0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ndh_out").select("doc_id").as[Long].collect().toSet
+    // batch truth: everything the survivor lane would NOT keep
+    val survivors = graft.operators.NearDup
+      .nearDupSurvivorsVsHistory(batch, history)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = rows.map(_._1).toSet -- survivors
+    assert(expected.nonEmpty, "fixture plants cross-set near-dups")
+    assert(streamed == expected)
+  }
+
   test("streaming quality-bucket assignment with frozen cuts agrees with batch") {
     // production shape: boundaries frozen from a reference snapshot
     // broadcast to the stream; assignment is stateless append mode
