@@ -158,7 +158,11 @@ object IvfIndex {
       .filter(col("q_id") < nQueries)
     val nEmb = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
 
-    val cand = probes.join(members, "list")
+    // the probe table is nQueries x nProbe rows — driver-bounded by
+    // construction — but it sits behind windows where size estimation
+    // drifts (and a cached corpus fragment shifts it further): hint the
+    // broadcast so unprobed members never shuffle for this join
+    val cand = broadcast(probes).join(members, "list")
       .filter(col("q_id") =!= col("n_id"))
       .select("q_id", "n_id").distinct()
       .join(broadcast(qEmb), "q_id")
@@ -234,7 +238,7 @@ object IvfIndex {
     val qEmb = emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .filter(col("q_id") < nQueries)
     val nEmb = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-    val scored = ranked.join(members, "list")
+    val scored = broadcast(ranked).join(members, "list")
       .filter(col("q_id") =!= col("n_id"))
       .groupBy("q_id", "n_id").agg(min("probe_rank").as("first_probe"))
       .join(broadcast(qEmb), "q_id")

@@ -292,7 +292,9 @@ object Similarity {
       .filter(col("q_id") < nQueries)
     val n = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
       col("label").as("n_label"))
-    val cand = probes.join(members, "list")
+    // probe table is driver-bounded (nQueries x nProbe) — broadcast it
+    // so unprobed members never shuffle for this join
+    val cand = broadcast(probes).join(members, "list")
       .filter(col("q_id") =!= col("n_id"))
       .select("q_id", "n_id").distinct()
       .join(broadcast(q), "q_id")
