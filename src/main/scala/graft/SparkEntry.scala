@@ -385,6 +385,9 @@ object SparkEntry {
     // MMR diversified selection over each anchor's retrieval neighborhood
     "q_mmr_diverse" -> ((s, dir) =>
       Similarity.mmrSelect(Tables.embeddings(s, dir))),
+    // Gopher-style rule bundle with first-failing-rule attribution
+    "q_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(Tables.documents(s, dir))),
 
     // ---- extension: as-of join (time-series point-in-time lookup) ----
     "q_asof_join" -> ((s, dir) =>
@@ -1789,6 +1792,32 @@ object SparkEntry {
            |SELECT q_id, q_label, rk, n_id, n_label, cos FROM r WHERE rk <= 5
            |ORDER BY q_id, rk""".stripMargin,
       "q_mmr_diverse" -> mmrSql(nCand = 20, k = 5),
+      "q_gopher_rules" ->
+        s"""WITH d AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM documents),
+           |m AS (SELECT doc_id,
+           |  CAST(len(w) AS BIGINT) AS n_words,
+           |  CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS tot_len,
+           |  CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+           |  CAST(len(list_filter(list_distinct(w), x -> list_contains(['the','a','of','and','to','in','is'], x))) AS BIGINT) AS n_stop,
+           |  CAST(coalesce(list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x)))), 0) AS BIGINT) AS max_tf
+           | FROM d),
+           |r AS (SELECT doc_id, n_words, max_tf,
+           |  n_words >= 10 AND n_words <= 100000 AS r_word_count,
+           |  3 * n_words <= tot_len AND tot_len <= 10 * n_words AS r_mean_word_len,
+           |  n_stop >= 2 AS r_stopwords,
+           |  5 * n_alpha >= 4 * n_words AS r_alpha_words,
+           |  10 * max_tf <= 3 * n_words AS r_repetition
+           | FROM m)
+           |SELECT doc_id, n_words, max_tf,
+           |  r_word_count, r_mean_word_len, r_stopwords, r_alpha_words, r_repetition,
+           |  r_word_count AND r_mean_word_len AND r_stopwords AND r_alpha_words
+           |    AND r_repetition AS keep,
+           |  CASE WHEN NOT r_word_count THEN 'word_count'
+           |       WHEN NOT r_mean_word_len THEN 'mean_word_len'
+           |       WHEN NOT r_stopwords THEN 'stopwords'
+           |       WHEN NOT r_alpha_words THEN 'alpha_words'
+           |       WHEN NOT r_repetition THEN 'repetition' END AS first_fail
+           |FROM r ORDER BY doc_id""".stripMargin,
       "q_ivf_recall_report" ->
         s"""WITH ${ivfCtes("")},
            |pall AS (SELECT vec_id AS q_id, list,

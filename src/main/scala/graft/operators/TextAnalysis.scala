@@ -247,6 +247,57 @@ object TextAnalysis {
     * driver-side quantile action. Exact-percentile bucketing would need the
     * full sort; the approx boundary moves a few docs near each cut, which
     * is immaterial to a tiering decision by construction. */
+  /** Gopher-style quality RULES: the published rule-bundle shape (word-count
+    * bounds, mean-word-length bounds, stopword presence, alphabetic-word
+    * fraction, single-token repetition cap) composed into per-rule booleans,
+    * an overall `keep`, and FIRST-FAILING-RULE attribution — the audit
+    * column a curation run needs to answer "why was this dropped" without
+    * re-deriving anything.
+    *
+    * Determinism engineering: every threshold comparison is INTEGER
+    * cross-multiplication (`3*n <= total_len`, `5*n_alpha >= 4*n`) — no
+    * ratio division anywhere, so the booleans are engine-exact by
+    * construction, not by float luck. Everything is per-row higher-order
+    * functions over the token array — zero exchange, codegen-friendly, the
+    * same narrow-map scale shape as [[qualityScore]]. max_tf is an
+    * O(|distinct| x |words|) per-row fold (bounded by document length, the
+    * classic space/compute trade of avoiding a token explode+shuffle). */
+  def gopherRules(docs: DataFrame,
+                  minWords: Int = 10, maxWords: Int = 100000,
+                  minMeanLen: Int = 3, maxMeanLen: Int = 10,
+                  minStopwords: Int = 2,
+                  text: String = "text", id: String = "doc_id"): DataFrame = {
+    val w = split(trim(regexp_replace(lower(col(text)), "[^a-z0-9]+", " ")), " ")
+    val n = size(col("__w")).cast("long")
+    val totLen = aggregate(col("__w"), lit(0L), (acc, x) => acc + length(x))
+    val nAlpha = size(filter(col("__w"), x => x.rlike("[a-z]"))).cast("long")
+    val nStop = size(array_intersect(array_distinct(col("__w")),
+      array(Stopwords.map(lit): _*))).cast("long")
+    val maxTf = coalesce(
+      array_max(transform(array_distinct(col("__w")),
+        x => size(filter(col("__w"), y => y === x)))).cast("long"), lit(0L))
+    docs.select(col(id), w.as("__w"))
+      .select(col(id), n.as("n_words"), totLen.as("__len"), nAlpha.as("__na"),
+        nStop.as("__ns"), maxTf.as("max_tf"))
+      .select(col(id), col("n_words"), col("max_tf"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords).as("r_word_count"),
+        (lit(minMeanLen) * col("n_words") <= col("__len") &&
+         col("__len") <= lit(maxMeanLen) * col("n_words")).as("r_mean_word_len"),
+        (col("__ns") >= minStopwords).as("r_stopwords"),
+        (lit(5L) * col("__na") >= lit(4L) * col("n_words")).as("r_alpha_words"),
+        (lit(10L) * col("max_tf") <= lit(3L) * col("n_words")).as("r_repetition"))
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") && col("r_stopwords") &&
+        col("r_alpha_words") && col("r_repetition"))
+      .withColumn("first_fail",
+        when(!col("r_word_count"), "word_count")
+          .when(!col("r_mean_word_len"), "mean_word_len")
+          .when(!col("r_stopwords"), "stopwords")
+          .when(!col("r_alpha_words"), "alpha_words")
+          .when(!col("r_repetition"), "repetition"))
+      .orderBy(id)
+  }
+
   def qualityBuckets(docs: DataFrame, nBuckets: Int = 3,
                      score: Column = col("chars_per_token"),
                      id: String = "doc_id"): DataFrame = {

@@ -146,4 +146,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(1L) == ((2L, 1L, 2L, 0.5)))
     assert(r(2L) == ((1L, 1L, 2L, 0.0)))
   }
+
+  test("gopher rules: each rule fails on its crafted document, attribution names it") {
+    import spark.implicits._
+    val stop = "the a of and to in is" // 7 distinct stopwords
+    val good = s"$stop quick brown foxes jump over many lazy dogs today quietly"
+    val docs = Seq(
+      1L -> good,                                     // passes everything
+      2L -> s"$stop xx",                              // 9 words < 10 -> word_count
+      3L -> (stop + " aa bb cc dd ee ff gg hh"),      // mean len < 3 -> mean_word_len
+      4L -> "quick brown foxes jump over many lazy dogs today quietly more words",
+                                                      // no stopwords -> stopwords
+      5L -> (stop + " 1111 2222 3333 4444 5555 6666 7777 8888"),
+                                                      // 7/15 alpha < 80% -> alpha_words
+                                                      // (4-char numbers keep mean len >= 3)
+      6L -> (stop + " spam spam spam spam spam spam spam spam")
+                                                      // 8/15 same token > 30% -> repetition
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs)
+      .select("doc_id", "keep", "first_fail")
+      .as[(Long, Boolean, Option[String])].collect()
+      .map { case (k, v, f) => k -> ((v, f)) }.toMap
+    assert(r(1L) == ((true, None)))
+    assert(r(2L) == ((false, Some("word_count"))))
+    assert(r(3L) == ((false, Some("mean_word_len"))))
+    assert(r(4L) == ((false, Some("stopwords"))))
+    assert(r(5L) == ((false, Some("alpha_words"))))
+    assert(r(6L) == ((false, Some("repetition"))))
+  }
 }
