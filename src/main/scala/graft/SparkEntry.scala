@@ -468,6 +468,14 @@ object SparkEntry {
           "doc_id", "lang",
           "n_tokens", Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.3), 20000L)
         .orderBy("doc_id")),
+    // epoch-denominated UPSAMPLING: 2.5 epochs of en, 1.25 de, 1 fr,
+    // 0.5 es, zh unmapped (dropped) — exercises whole+frac, frac-only, zero
+    "q_sample_epochs" -> ((s, dir) =>
+      Sampling.epochMixture(
+          Tables.documents(s, dir).select("doc_id", "lang"),
+          "doc_id", "lang",
+          Map("en" -> 2.5, "de" -> 1.25, "fr" -> 1.0, "es" -> 0.5))
+        .orderBy("doc_id", "copy")),
 
     // ---- extension: repetition ratio + PII scrub (text curation) ----
     "q_repetition" -> ((s, dir) =>
@@ -2280,6 +2288,21 @@ object SparkEntry {
           |         ELSE u END AS pri
           |  FROM p ORDER BY pri DESC LIMIT 100)
           |SELECT doc_id, lang, w, pri FROM t ORDER BY doc_id""".stripMargin,
+      "q_sample_epochs" ->
+        """WITH p AS (SELECT doc_id, lang,
+          |  (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft_epochs_v1'), 1, 13)) AS BIGINT) + 1)
+          |    / 4503599627370496.0 AS u,
+          |  CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 1 WHEN 'fr' THEN 1 ELSE 0 END AS whole,
+          |  CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE) WHEN 'de' THEN CAST(0.25 AS DOUBLE)
+          |            WHEN 'es' THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS frac
+          | FROM documents),
+          |c AS (SELECT doc_id, lang,
+          |  CAST(whole + CASE WHEN u <= frac THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+          | FROM p WHERE whole + CASE WHEN u <= frac THEN 1 ELSE 0 END > 0)
+          |SELECT doc_id, lang, n_copies,
+          |  CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy
+          |FROM c
+          |ORDER BY doc_id, copy""".stripMargin,
       "q_quota_cap" ->
         """SELECT doc_id, lang, rk FROM (
           |  SELECT doc_id, lang,

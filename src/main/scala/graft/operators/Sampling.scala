@@ -108,6 +108,42 @@ object Sampling {
       .withColumn("cum_tokens", col("cum_tokens").cast("long"))
   }
 
+  /** EPOCH-denominated UPSAMPLING mixture — the other half of the
+    * pretraining-mix knob: [[mixture]]/[[mixtureByTokens]] downsample to a
+    * budget, but real recipes also REPEAT scarce high-value strata ("2.5
+    * epochs of wikipedia, 0.5 of common crawl"). Every doc of a stratum
+    * with e epochs appears floor(e) times, and a deterministic
+    * content-addressed fraction (e - floor(e)) of its docs appears once
+    * more — P(extra copy) = frac exactly, since the per-doc uniform is
+    * [[unit]]'s exact 52-bit value and the comparison threshold is a
+    * literal. Unmapped strata get ZERO epochs (an explicit recipe is the
+    * point; silently passing a stratum through is how a mix drifts).
+    *
+    * Output = input columns + (n_copies, copy 1..n_copies): downstream
+    * keys stay unique as (key, copy), and copy-aware shuffling/packing can
+    * spread repeats across batches. Scale shape: one narrow map computes
+    * copies, one `explode(sequence)` emits them — zero exchange, output
+    * size = sum of stratum masses, exactly what an upsample must cost. */
+  def epochMixture(df: DataFrame, keyCol: String, strataCol: String,
+                   epochs: Map[String, Double],
+                   salt: String = "graft_epochs_v1"): DataFrame = {
+    require(epochs.nonEmpty && epochs.values.forall(e => e >= 0 && e <= 100),
+      "epochs must be in [0, 100]")
+    val whole: Column = epochs.toSeq.sortBy(_._1)
+      .foldLeft(lit(0L)) { case (acc, (stratum, e)) =>
+        when(col(strataCol) === stratum, lit(math.floor(e).toLong)).otherwise(acc)
+      }
+    val frac: Column = epochs.toSeq.sortBy(_._1)
+      .foldLeft(lit(0.0)) { case (acc, (stratum, e)) =>
+        when(col(strataCol) === stratum, lit(e - math.floor(e))).otherwise(acc)
+      }
+    val u = unit(col(keyCol), salt)
+    df.withColumn("n_copies",
+        (whole + when(u <= frac, 1L).otherwise(0L)).cast("long"))
+      .filter(col("n_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(1L), col("n_copies"))))
+  }
+
   /** Content-addressed uniform in (0,1]: 52 md5 bits (13 hex chars) + 1 over
     * 2^52. Every step is exact in doubles — the integer is < 2^52 so it
     * represents exactly, and the divisor is a power of two — so the value is

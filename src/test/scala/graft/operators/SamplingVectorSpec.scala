@@ -178,4 +178,36 @@ class SamplingVectorSpec extends SparkSpec {
     // doubling the input doubles every output bit-exactly (±1.0 mult is exact)
     assert(p2 == p1.map(_ * 2.0))
   }
+
+  test("epoch mixture: realized mass tracks epochs, copies contiguous, unmapped dropped") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01").select("doc_id", "lang")
+    val strata = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val epochs = Map("en" -> 2.5, "de" -> 1.25, "fr" -> 1.0, "es" -> 0.5)
+    val out = Sampling.epochMixture(docs, "doc_id", "lang", epochs)
+      .select("doc_id", "lang", "n_copies", "copy")
+      .as[(Long, String, Long, Long)].collect()
+    // unmapped stratum fully dropped
+    assert(!out.exists(_._2 == "zh"))
+    // copies are contiguous 1..n_copies per doc
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val n = rows.head._3
+      assert(rows.map(_._4).sorted.toSeq == (1L to n))
+    }
+    // realized per-stratum mass = epochs * stratum size, within the
+    // binomial noise of the fractional-copy draw (content-addressed, but
+    // the fixture is one sample of it)
+    epochs.foreach { case (lang, e) =>
+      val n = strata(lang).toDouble
+      val realized = out.count(_._2 == lang).toDouble
+      assert(math.abs(realized - e * n) <= 3 * math.sqrt(n) + 1,
+        s"$lang: $realized vs ${e * n}")
+    }
+    // determinism: same call, same rows
+    val again = Sampling.epochMixture(docs, "doc_id", "lang", epochs)
+      .select("doc_id", "lang", "n_copies", "copy")
+      .as[(Long, String, Long, Long)].collect()
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+  }
 }
