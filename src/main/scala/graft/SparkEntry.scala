@@ -385,9 +385,20 @@ object SparkEntry {
     // MMR diversified selection over each anchor's retrieval neighborhood
     "q_mmr_diverse" -> ((s, dir) =>
       Similarity.mmrSelect(Tables.embeddings(s, dir))),
+    // CLIP-filter shape: cosine to own-label centroid, bottom-10 flagged
+    "q_centroid_filter" -> ((s, dir) =>
+      Similarity.centroidOutliers(Tables.embeddings(s, dir))),
     // Gopher-style rule bundle with first-failing-rule attribution
     "q_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(Tables.documents(s, dir))),
+    // PMI collocation mining: ln-free lift, min-count floor, top-30
+    "q_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(Tables.documents(s, dir))),
+    // phrase-blocklist scrub with first-match attribution (word-boundary)
+    "q_blocklist_filter" -> ((s, dir) =>
+      TextAnalysis.blocklistFilter(Tables.documents(s, dir),
+        Seq("slow join", "fast scan", "merge batch part", "purple elephant"))
+        .orderBy("doc_id")),
 
     // ---- extension: as-of join (time-series point-in-time lookup) ----
     "q_asof_join" -> ((s, dir) =>
@@ -476,6 +487,19 @@ object SparkEntry {
           "doc_id", "lang",
           Map("en" -> 2.5, "de" -> 1.25, "fr" -> 1.0, "es" -> 0.5))
         .orderBy("doc_id", "copy")),
+    // DSIR-style importance resampling: hashed-unigram bucket weights from
+    // a target stratum (src0/src1), zero-exchange map-literal scoring,
+    // deterministic top-150 (temperature-0 DSIR)
+    "q_dsir_select" -> ((s, dir) =>
+      Dsir.select(Tables.documents(s, dir),
+        col("source").isin("src0", "src1"), 150)),
+    // OPTIMIZE-style compaction plan: docs stand in for files (source =
+    // partition dir, n_chars = bytes), 1000-byte target output files
+    "q_compaction_plan" -> ((s, dir) =>
+      Compaction.plan(
+        Tables.documents(s, dir).select(col("source").as("part"),
+          col("doc_id").as("file_id"), col("n_chars").as("bytes")),
+        1000L)),
 
     // ---- extension: repetition ratio + PII scrub (text curation) ----
     "q_repetition" -> ((s, dir) =>
@@ -1301,6 +1325,98 @@ object SparkEntry {
           |       sum(m.weight) > 0 AS label
           |FROM feat f JOIN model m USING (feature_id)
           |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
+      // centroid means mirror Spark's cast(double as decimal(28,12)) + exact
+      // decimal sum via the VARCHAR hop (the ivfCtes discipline); the cosine
+      // folds in dimension order (cosSql)
+      "q_centroid_filter" ->
+        s"""WITH ve AS (SELECT label, CAST(i - 1 AS INT) AS dim,
+           |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+           |  FROM embeddings CROSS JOIN range(1, 65) r(i)),
+           |c AS (SELECT label, dim,
+           |    CAST(CAST(sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
+           |      / count(*) AS c
+           |  FROM ve GROUP BY label, dim),
+           |cl AS (SELECT label, list(c ORDER BY dim) AS cent FROM c GROUP BY label),
+           |v AS (SELECT vec_id, label,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           |  FROM embeddings),
+           |s AS (SELECT vec_id, v.label AS label,
+           |    ${cosSql("v.emb", "cl.cent")} AS cos_centroid
+           |  FROM v JOIN cl ON v.label = cl.label),
+           |r AS (SELECT vec_id, label, cos_centroid,
+           |    CAST(row_number() OVER (PARTITION BY label
+           |      ORDER BY cos_centroid, vec_id) AS BIGINT) AS rk
+           |  FROM s)
+           |SELECT vec_id, label, cos_centroid, rk, rk <= 10 AS is_outlier
+           |FROM r ORDER BY vec_id""".stripMargin,
+      "q_compaction_plan" ->
+        """WITH f AS (SELECT source AS part, doc_id AS file_id, n_chars AS bytes
+          |  FROM documents),
+          |a AS (SELECT part, file_id, bytes,
+          |    coalesce(sum(bytes) OVER (PARTITION BY part ORDER BY file_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS byte_start
+          |  FROM f),
+          |b AS (SELECT part, file_id, bytes, byte_start,
+          |    byte_start // 1000 AS bin FROM a)
+          |SELECT part, CAST(bin AS BIGINT) AS bin, count(*) AS n_files,
+          |  CAST(sum(bytes) AS BIGINT) AS bytes_total,
+          |  min(file_id) AS first_file, max(file_id) AS last_file,
+          |  CAST(sum(bytes) AS BIGINT) < 1000 AS undersized
+          |FROM b GROUP BY part, bin ORDER BY part, bin""".stripMargin,
+      // exponentiated PMI (lift) keeps the ranking of PMI without ln; the
+      // double expression order matches Spark's exactly
+      "q_collocations" ->
+        """WITH d AS (SELECT doc_id,
+          |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+          |  FROM documents),
+          |pairs AS (SELECT w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+          |  FROM d, LATERAL (SELECT unnest(range(1, len(w))) AS i) t),
+          |bi AS (SELECT w1, w2, count(*) AS c_ab FROM pairs GROUP BY w1, w2
+          |       HAVING count(*) >= 5),
+          |uni AS (SELECT tok, count(*) AS c
+          |  FROM (SELECT unnest(w) AS tok FROM d) GROUP BY tok),
+          |nn AS (SELECT count(*) AS n FROM pairs),
+          |lift AS (SELECT w1, w2, c_ab, ua.c AS c_a, ub.c AS c_b,
+          |    (CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE))
+          |      / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS lift
+          |  FROM bi JOIN uni ua ON ua.tok = w1 JOIN uni ub ON ub.tok = w2
+          |  CROSS JOIN nn),
+          |sel AS (SELECT * FROM lift ORDER BY lift DESC, w1, w2 LIMIT 30)
+          |SELECT w1, w2, c_ab, c_a, c_b, lift FROM sel ORDER BY w1, w2""".stripMargin,
+      "q_blocklist_filter" ->
+        """WITH d AS (SELECT doc_id,
+          |    ' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) || ' ' AS n
+          |  FROM documents),
+          |h AS (SELECT doc_id,
+          |    list_filter(['slow join', 'fast scan', 'merge batch part', 'purple elephant'],
+          |                p -> contains(n, ' ' || p || ' ')) AS hits
+          |  FROM d)
+          |SELECT doc_id, len(hits) > 0 AS blocked, hits[1] AS hit
+          |FROM h ORDER BY doc_id""".stripMargin,
+      // weights are smoothed probability RATIOS (no ln — transcendentals are
+      // not engine-portable); the per-doc fold runs in token order via the
+      // 1-row weight MAP, mirroring Spark's aggregate(transform(...))
+      "q_dsir_select" ->
+        """WITH toks AS (SELECT doc_id, source,
+          |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+          |  FROM documents),
+          |feat AS (SELECT doc_id, source,
+          |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 256 AS f
+          |  FROM toks, LATERAL (SELECT unnest(w) AS tok) t),
+          |cnt AS (SELECT f, count(*) AS r,
+          |    sum(CASE WHEN source IN ('src0','src1') THEN 1 ELSE 0 END) AS tt
+          |  FROM feat GROUP BY f),
+          |tot AS (SELECT sum(r) AS rr, sum(tt) AS tz FROM cnt),
+          |wt AS (SELECT f, ((tt + 1.0) / (tz + 256.0)) / ((r + 1.0) / (rr + 256.0)) AS wgt
+          |  FROM cnt CROSS JOIN tot),
+          |wm AS (SELECT map(list(f ORDER BY f), list(wgt ORDER BY f)) AS m FROM wt),
+          |sc AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+          |    list_reduce(list_prepend(0.0, list_transform(w,
+          |      tok -> map_extract(m, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 256)[1])),
+          |      (a, b) -> a + b) AS score
+          |  FROM toks CROSS JOIN wm),
+          |sel AS (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 150)
+          |SELECT doc_id, n_tokens, score FROM sel ORDER BY doc_id""".stripMargin,
       "q_lang_id" ->
         """WITH s AS (
           |  SELECT doc_id,

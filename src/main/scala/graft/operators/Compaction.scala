@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction planner — the OPTIMIZE-style table-maintenance step:
+  * given per-file stats (file id, partition dir, bytes), bin-pack each
+  * partition's files into target-size output groups and report the rewrite
+  * plan (one row per output file: which inputs, how many bytes).
+  *
+  * Placement rule: files are taken in id order within their partition and a
+  * file lands in the bin holding its FIRST byte — `bin = (running bytes
+  * BEFORE the file) div target`, the [[Packing]] prefix-sum placement. This
+  * is the deterministic streaming-greedy packing (first-fit in arrival
+  * order), which is what table formats actually run: it never reorders
+  * files, so the plan is stable under re-planning and independent of
+  * partitioning.
+  *
+  * Scale shape: ONE window keyed by partition dir — compaction of separate
+  * partitions is embarrassingly parallel (this is the real shape: small-file
+  * pathology is per-partition). File-stat rows are metadata (bytes-sized),
+  * never the data itself; a single partition with millions of files would
+  * use [[Packing.packCounts]]'s bucketed-offsets trick, same placement. */
+object Compaction {
+
+  /** Per-input-file placement: (part, file_id, bytes, byte_start, bin). */
+  def assign(files: DataFrame, target: Long,
+             part: String = "part", id: String = "file_id",
+             bytes: String = "bytes"): DataFrame = {
+    require(target > 0, "target must be positive")
+    val w = Window.partitionBy(part).orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files.withColumn("byte_start",
+        coalesce(sum(bytes).over(w), lit(0L)))
+      .withColumn("bin", expr(s"byte_start div $target"))
+      .select(col(part), col(id), col(bytes), col("byte_start"), col("bin"))
+  }
+
+  /** The rewrite plan: one row per planned output file. `undersized` marks
+    * bins still below target (the partition's tail — only the last bin per
+    * partition can be undersized, which the spec asserts). */
+  def plan(files: DataFrame, target: Long,
+           part: String = "part", id: String = "file_id",
+           bytes: String = "bytes"): DataFrame =
+    assign(files, target, part, id, bytes)
+      .groupBy(col(part), col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(bytes).as("bytes_total"),
+        min(id).as("first_file"),
+        max(id).as("last_file"))
+      .withColumn("undersized", col("bytes_total") < target)
+      .orderBy(part, "bin")
+}

@@ -307,4 +307,44 @@ object Similarity {
       .select("q_id", "q_label", "rk", "n_id", "n_label", "cos")
       .orderBy("q_id", "rk")
   }
+
+  /** Embedding OUTLIER filter: cosine of every vector to its own label's
+    * centroid, bottom-`bottomK` per label flagged — the CLIP-score-filter
+    * shape (LAION-style): drop samples far from their class/modality
+    * centroid as likely mislabeled or junk before training.
+    *
+    * Determinism engineering: centroid means use the DECIMAL-exact
+    * component-sum discipline from [[IvfIndex]] (order-insensitive, so
+    * partial-aggregation order can't move a centroid); the per-vector
+    * cosine then folds float->double in dimension order.
+    *
+    * Scale shape: centroid state is O(nLabels x dims) — corpus-independent;
+    * it collects ONCE into a map literal, so scoring is a zero-exchange
+    * narrow map over the scan. The per-label rank window shuffles only
+    * (id, label, cos) — never the vectors. A production variant would
+    * replace the exact bottom-k window with an approx-percentile cutoff
+    * (the [[graft.operators.Relational]] winsorize discipline); the exact
+    * rank is what a bit-reproducible oracle can gate. */
+  def centroidOutliers(emb: DataFrame, bottomK: Int = 10): DataFrame = {
+    val ve = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val cents = ve.groupBy("label", "dim")
+      .agg((sum(col("v").cast("decimal(28,12)")).cast("double") /
+            count(lit(1))).as("c"))
+    // O(nLabels x dims) collect — the codebook budget; becomes a map
+    // literal so scoring never joins
+    val m: Map[Int, Seq[Double]] = cents.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (l, xs) => l -> xs.sortBy(_._2).map(_._3).toSeq }
+    val cmap = typedlit(m)
+    val w = Window.partitionBy("label")
+      .orderBy(col("cos_centroid").asc, col("vec_id").asc)
+    emb.select(col("vec_id"), col("label"),
+        cosineHof(col("embedding"), element_at(cmap, col("label")))
+          .as("cos_centroid"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("is_outlier", col("rk") <= bottomK)
+      .orderBy("vec_id")
+  }
 }

@@ -497,4 +497,66 @@ object TextAnalysis {
     aggregate(chars, lit(0L),
       (acc, c) => (acc * 31 + c.cast("long")) % 1000000007L)
   }
+
+  /** PMI collocation mining: adjacent word pairs whose observed bigram
+    * frequency beats the unigram-independence expectation — the classic
+    * corpus-linguistics tool for surfacing multiword expressions (and, in a
+    * curation pipeline, template/boilerplate phrases worth a blocklist
+    * entry).
+    *
+    * `lift = (c_ab * N) / (c_a * c_b)` with N = total bigram count — the
+    * exponentiated PMI. Ranking by lift IS ranking by PMI (log is monotone)
+    * without the transcendental: every step is an IEEE-exact double op, so
+    * the score is engine-portable (the repo-wide no-`ln` rule).
+    *
+    * Scale shape: two map-side-combined aggregations (bigrams, unigrams);
+    * the unigram table is vocab-sized and BROADCASTS into the join; N is a
+    * 1-row broadcast. min-count floor prunes the long tail before the join;
+    * top-k is a TakeOrdered. Nothing scales with corpus size except the two
+    * narrow gram scans. */
+  def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 30,
+                   text: String = "text", id: String = "doc_id"): DataFrame = {
+    val w = split(trim(regexp_replace(lower(col(text)), "[^a-z0-9]+", " ")), " ")
+    val n1 = greatest(size(w) - 1, lit(0))
+    val pairs = docs
+      .select(explode(zip_with(slice(w, lit(1), n1), slice(w, lit(2), n1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val uni = docs.select(explode(w).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = pairs.agg(count(lit(1)).as("n"))
+    bi.join(broadcast(uni.select(col("tok").as("w1"), col("c").as("c_a"))), Seq("w1"))
+      .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("c_b"))), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lift",
+        (col("c_ab").cast("double") * col("n").cast("double")) /
+          (col("c_a").cast("double") * col("c_b").cast("double")))
+      .select("w1", "w2", "c_ab", "c_a", "c_b", "lift")
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc).limit(k)
+      .orderBy("w1", "w2")
+  }
+
+  /** Phrase-blocklist filter with first-match attribution — the
+    * bad-words/bad-phrases scrub (LDNOOBW-style) every production corpus
+    * pipeline runs. Matching is word-boundary substring over normalized
+    * text (a phrase matches only as whole words); `hit` is the FIRST
+    * matching phrase in blocklist order, so downstream reporting can count
+    * drops per rule (the [[gopherRules]] attribution discipline).
+    *
+    * Scale shape: the blocklist rides into the expression as an array
+    * literal (real blocklists are hundreds of entries — closure-sized), and
+    * the whole filter is a zero-exchange codegen'd map over the scan: no
+    * join, no shuffle, no UDF. */
+  def blocklistFilter(docs: DataFrame, phrases: Seq[String],
+                      text: String = "text", id: String = "doc_id"): DataFrame = {
+    require(phrases.nonEmpty, "blocklist must not be empty")
+    val norm = concat(lit(" "),
+      trim(regexp_replace(lower(col(text)), "[^a-z0-9]+", " ")), lit(" "))
+    val plist = typedlit(phrases)
+    val hits = filter(plist, p => contains(norm, concat(lit(" "), p, lit(" "))))
+    docs.select(col(id), (size(hits) > 0).as("blocked"),
+      try_element_at(hits, lit(1)).as("hit"))
+  }
 }
