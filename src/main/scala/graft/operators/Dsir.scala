@@ -66,21 +66,45 @@ object Dsir {
       .select("f", "r", "t", "weight")
   }
 
+  /** Frozen-weights scoring — the train-batch / apply-anywhere form: weights
+    * learned once (from [[bucketWeights]] or a prior run) score any doc
+    * frame, INCLUDING a stream (stateless narrow map, no watermark, no
+    * state store — the [[Classifier.scoreUnsorted]] streaming contract;
+    * agreement asserted in `StreamingOpsSpec`). Unknown buckets (tokens
+    * never seen at training time) take the fully-smoothed weight for the
+    * given corpus totals. */
+  def scoreWith(docs: DataFrame, weights: Map[Long, Double],
+                defaultWeight: Double, nBuckets: Int = NBuckets): DataFrame = {
+    val wmap = typedlit(weights)
+    val toks = tokens(col("text"))
+    val perTok = transform(toks,
+      t => coalesce(element_at(wmap, bucketOf(t, nBuckets)), lit(defaultWeight)))
+    docs.select(col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      aggregate(perTok, lit(0.0), (acc, x) => acc + x).as("score"))
+  }
+
+  /** Collected (f -> weight) map plus the unseen-bucket smoothing weight —
+    * the O(nBuckets) codebook-sized driver round-trip. */
+  def trainedWeights(docs: DataFrame, targetPred: Column,
+                     nBuckets: Int = NBuckets): (Map[Long, Double], Double) = {
+    val rows = bucketWeights(docs, targetPred, nBuckets)
+      .select("f", "r", "t", "weight").collect()
+    val w = rows.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val rr = rows.map(_.getLong(1)).sum
+    val tt = rows.map(_.getLong(2)).sum
+    // ((0+1)/(T+B)) / ((0+1)/(R+B)) in the same op order as the column form
+    val default = (1.0 / (tt + nBuckets.toDouble)) / (1.0 / (rr + nBuckets.toDouble))
+    (w, default)
+  }
+
   /** Top-k raw documents by target-likeness score. Output ordered by doc_id
     * (selection order is (score desc, doc_id) — ties broken content-free). */
   def select(docs: DataFrame, targetPred: Column, k: Int = 150,
              nBuckets: Int = NBuckets): DataFrame = {
-    // O(nBuckets) collect — the justified codebook-sized driver round-trip;
     // weights become a map literal so scoring never joins or shuffles
-    val weights: Map[Long, Double] = bucketWeights(docs, targetPred, nBuckets)
-      .select("f", "weight").collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val wmap = typedlit(weights)
-    val toks = tokens(col("text"))
-    val perTok = transform(toks, t => element_at(wmap, bucketOf(t, nBuckets)))
-    docs.select(col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        aggregate(perTok, lit(0.0), (acc, x) => acc + x).as("score"))
+    val (weights, default) = trainedWeights(docs, targetPred, nBuckets)
+    scoreWith(docs, weights, default, nBuckets)
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
       .orderBy("doc_id")
   }

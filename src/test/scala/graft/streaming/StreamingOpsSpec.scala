@@ -542,4 +542,52 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed == batch)
     assert(batch.map(_._3).distinct.size >= 2, "cuts split the corpus")
   }
+
+  test("blocklist filtering streams stateless and agrees with the batch form") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val phrases = Seq("slow join", "fast scan", "purple elephant")
+    val rows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.operators.TextAnalysis.blocklistFilter(
+        stream.toDF().toDF("doc_id", "text"), phrases)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bl_out").start()
+    try {
+      stream.addData(rows.take(rows.length / 2)); q.processAllAvailable()
+      stream.addData(rows.drop(rows.length / 2)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("bl_out").orderBy("doc_id").collect().toSeq
+    val batch = graft.operators.TextAnalysis.blocklistFilter(
+      rows.toDF("doc_id", "text"), phrases).orderBy("doc_id").collect().toSeq
+    assert(streamed == batch)
+    assert(batch.exists(_.getBoolean(1)), "some docs hit the blocklist")
+  }
+
+  test("DSIR frozen-weight scoring streams stateless and agrees with batch") {
+    // train once on the static corpus, apply to the stream — the
+    // vec_assign_new contract for importance weights: history never rescans
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val (w, default) = graft.operators.Dsir.trainedWeights(
+      docs, col("source").isin("src0", "src1"))
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.operators.Dsir.scoreWith(
+        stream.toDF().toDF("doc_id", "text"), w, default)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dsir_out").start()
+    try {
+      stream.addData(rows.take(rows.length / 2)); q.processAllAvailable()
+      stream.addData(rows.drop(rows.length / 2)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("dsir_out").orderBy("doc_id").collect().toSeq
+    val batch = graft.operators.Dsir.scoreWith(
+        rows.toDF("doc_id", "text"), w, default)
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed == batch)
+  }
 }
