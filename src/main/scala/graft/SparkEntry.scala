@@ -624,6 +624,9 @@ object SparkEntry {
     // v4: + duplicated-passage scrub within the surviving set before chunking
     "q_curation_v4" -> ((s, dir) =>
       CurationPipeline.trainingManifest(s, dir, scrubPassages = true)),
+    // v5: + blocklist pre-gate at the scan and shard layout at the sink
+    "q_curation_v5" -> ((s, dir) =>
+      CurationPipeline.trainingManifestV5(s, dir)),
 
     // ---- capstone: the reference's entire pipeline composed end-to-end ----
     "q_ref_pipeline" -> ((s, dir) =>
@@ -912,19 +915,21 @@ object SparkEntry {
     * MinHash near-dup losers) as a reusable CTE chain: `q_curation` selects
     * the survivors; `q_curation_v2` chains the round-3 corpus-shaping stages
     * on top of the same kernel. */
-  private def curationCtes: String =
-    """q AS (
+  private def curationCtes: String = curationCtesFrom("documents")
+
+  private def curationCtesFrom(src: String): String =
+    s"""q AS (
       |  SELECT doc_id, text, lang,
       |    CAST(length(text) AS BIGINT) AS len,
       |    CAST(len(list_filter(string_split(text, ' '),
       |          t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-      |      / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS stop_ratio,
+      |      / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS stop_ratio,
       |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('der','und','die'))) AS BIGINT) AS s_de,
       |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','a','and'))) AS BIGINT) AS s_en,
       |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('el','la','y'))) AS BIGINT) AS s_es,
       |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('le','et','les'))) AS BIGINT) AS s_fr,
       |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ('de','shi','le'))) AS BIGINT) AS s_zh
-      |  FROM documents),
+      |  FROM $src),
       |gated AS (
       |  SELECT doc_id, text FROM q
       |  WHERE len BETWEEN 100 AND 520 AND stop_ratio >= 0.03
@@ -958,6 +963,84 @@ object SparkEntry {
       |         - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS j
       |  FROM cand2 JOIN sh2 sa ON sa.doc_id = a_id JOIN sh2 sb ON sb.doc_id = b_id) p
       |  WHERE j >= 0.5)""".stripMargin
+
+  /** kernel-survivors -> containment -> decontaminate -> passage scrub ->
+    * chunk -> pack manifest chain (the v4 body), ending in `mman` (the
+    * per-sequence manifest with pack_id + split) — shared by
+    * `q_curation_v4` and the shard-layout capstone `q_curation_v5`.
+    * Consumes `surv`/`losers` from [[curationCtesFrom]]. */
+  private def manifestScrubCtes: String =
+    s"""kept AS (SELECT s.doc_id, s.text FROM surv s
+       |  WHERE s.doc_id NOT IN (SELECT b_id FROM losers)),
+       |kd AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM kept),
+       |ksh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+       |          i -> array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 2), ' '))) AS sh FROM kd),
+       |ktok AS (SELECT doc_id, unnest(sh) AS tok FROM ksh),
+       |kn AS (SELECT doc_id, len(sh) AS n_sh FROM ksh),
+       |kinter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+       |  FROM ktok a JOIN ktok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |closers AS (SELECT DISTINCT b_id FROM kinter
+       |  JOIN kn na ON na.doc_id = a_id JOIN kn nb ON nb.doc_id = b_id
+       |  WHERE CAST(inter AS DOUBLE) / CAST(least(na.n_sh, nb.n_sh) AS DOUBLE) >= 0.8),
+       |ac AS (SELECT doc_id, text FROM kept
+       |  WHERE doc_id NOT IN (SELECT b_id FROM closers)),
+       |acg AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 7, 1) + 1),
+       |          i -> array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 7), ' '))) AS g
+       |  FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM ac) x),
+       |bench AS (SELECT DISTINCT unnest(g) AS gram FROM acg WHERE doc_id % 10 = 0),
+       |train AS (SELECT doc_id, g FROM acg WHERE doc_id % 10 <> 0),
+       |hits AS (SELECT t.doc_id, count(*) AS n_hit
+       |  FROM (SELECT doc_id, unnest(g) AS gram FROM train) t
+       |  JOIN bench USING (gram) GROUP BY t.doc_id),
+       |clean AS (SELECT tr.doc_id FROM train tr LEFT JOIN hits h USING (doc_id)
+       |  WHERE coalesce(h.n_hit, 0) = 0),
+       |cd0 AS (SELECT c.doc_id, string_split(trim(regexp_replace(lower(a.text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+       |  FROM clean c JOIN ac a USING (doc_id)),
+       |wins4 AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    md5(array_to_string(w[i:i+15], ' ')) AS h
+       |  FROM cd0, LATERAL (SELECT unnest(range(1, len(w) - 15 + 1)) AS i) t
+       |  WHERE len(w) >= 16),
+       |dup4 AS (SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c
+       |    FROM wins4) WHERE c > 1),
+       |isl4 AS (SELECT doc_id, pos,
+       |    CASE WHEN max(pos + 15) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |         OR pos > max(pos + 15) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+       |         THEN 1 ELSE 0 END AS nw
+       |  FROM dup4),
+       |isl24 AS (SELECT doc_id, pos,
+       |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM isl4),
+       |spans4 AS (SELECT doc_id, island,
+       |    min(pos) AS span_start, max(pos + 15) AS span_end
+       |  FROM isl24 GROUP BY doc_id, island),
+       |ktok4 AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i] AS tok
+       |  FROM cd0, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) t),
+       |kept4 AS (SELECT t.doc_id, t.pos, t.tok FROM ktok4 t
+       |  WHERE NOT EXISTS (SELECT 1 FROM spans4 s
+       |    WHERE s.doc_id = t.doc_id
+       |      AND t.pos BETWEEN s.span_start AND s.span_end)),
+       |cd AS (SELECT doc_id, list(tok ORDER BY pos) AS w
+       |  FROM kept4 GROUP BY doc_id),
+       |cs AS (SELECT doc_id, w,
+       |  unnest(range(1, greatest(len(w) - 63, 1) + 1, 48)) AS st FROM cd),
+       |chunks AS (SELECT doc_id, CAST((st - 1) / 48 AS BIGINT) AS chunk_idx,
+       |  CAST(least(len(w) - st + 1, 64) AS BIGINT) AS n_tokens FROM cs),
+       |p AS (SELECT doc_id, chunk_idx, n_tokens,
+       |  CAST(sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    - n_tokens AS token_start
+       |  FROM chunks),
+       |mman AS (SELECT doc_id, chunk_idx, n_tokens, token_start,
+       |  CAST(token_start // ${CurationPipeline.PackBudget} AS BIGINT) AS pack_id,
+       |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft_v1'), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+       |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft_v1'), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |  FROM p)""".stripMargin
 
   /** Gap-sessionization CTE chain (1800s gap) — shared by `q_sessionize`
     * and the binned range-join oracle, which re-derives the session windows
@@ -2670,77 +2753,29 @@ object SparkEntry {
       // chunking consumes the scrubbed normalized token stream
       "q_curation_v4" ->
         s"""WITH $curationCtes,
-           |kept AS (SELECT s.doc_id, s.text FROM surv s
-           |  WHERE s.doc_id NOT IN (SELECT b_id FROM losers)),
-           |kd AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM kept),
-           |ksh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
-           |          i -> array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 2), ' '))) AS sh FROM kd),
-           |ktok AS (SELECT doc_id, unnest(sh) AS tok FROM ksh),
-           |kn AS (SELECT doc_id, len(sh) AS n_sh FROM ksh),
-           |kinter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-           |  FROM ktok a JOIN ktok b ON a.tok = b.tok AND a.doc_id < b.doc_id
-           |  GROUP BY 1, 2),
-           |closers AS (SELECT DISTINCT b_id FROM kinter
-           |  JOIN kn na ON na.doc_id = a_id JOIN kn nb ON nb.doc_id = b_id
-           |  WHERE CAST(inter AS DOUBLE) / CAST(least(na.n_sh, nb.n_sh) AS DOUBLE) >= 0.8),
-           |ac AS (SELECT doc_id, text FROM kept
-           |  WHERE doc_id NOT IN (SELECT b_id FROM closers)),
-           |acg AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 7, 1) + 1),
-           |          i -> array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 7), ' '))) AS g
-           |  FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM ac) x),
-           |bench AS (SELECT DISTINCT unnest(g) AS gram FROM acg WHERE doc_id % 10 = 0),
-           |train AS (SELECT doc_id, g FROM acg WHERE doc_id % 10 <> 0),
-           |hits AS (SELECT t.doc_id, count(*) AS n_hit
-           |  FROM (SELECT doc_id, unnest(g) AS gram FROM train) t
-           |  JOIN bench USING (gram) GROUP BY t.doc_id),
-           |clean AS (SELECT tr.doc_id FROM train tr LEFT JOIN hits h USING (doc_id)
-           |  WHERE coalesce(h.n_hit, 0) = 0),
-           |cd0 AS (SELECT c.doc_id, string_split(trim(regexp_replace(lower(a.text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
-           |  FROM clean c JOIN ac a USING (doc_id)),
-           |wins4 AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-           |    md5(array_to_string(w[i:i+15], ' ')) AS h
-           |  FROM cd0, LATERAL (SELECT unnest(range(1, len(w) - 15 + 1)) AS i) t
-           |  WHERE len(w) >= 16),
-           |dup4 AS (SELECT doc_id, pos FROM (
-           |    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c
-           |    FROM wins4) WHERE c > 1),
-           |isl4 AS (SELECT doc_id, pos,
-           |    CASE WHEN max(pos + 15) OVER (PARTITION BY doc_id ORDER BY pos
-           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-           |         OR pos > max(pos + 15) OVER (PARTITION BY doc_id ORDER BY pos
-           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
-           |         THEN 1 ELSE 0 END AS nw
-           |  FROM dup4),
-           |isl24 AS (SELECT doc_id, pos,
-           |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-           |  FROM isl4),
-           |spans4 AS (SELECT doc_id, island,
-           |    min(pos) AS span_start, max(pos + 15) AS span_end
-           |  FROM isl24 GROUP BY doc_id, island),
-           |ktok4 AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i] AS tok
-           |  FROM cd0, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) t),
-           |kept4 AS (SELECT t.doc_id, t.pos, t.tok FROM ktok4 t
-           |  WHERE NOT EXISTS (SELECT 1 FROM spans4 s
-           |    WHERE s.doc_id = t.doc_id
-           |      AND t.pos BETWEEN s.span_start AND s.span_end)),
-           |cd AS (SELECT doc_id, list(tok ORDER BY pos) AS w
-           |  FROM kept4 GROUP BY doc_id),
-           |cs AS (SELECT doc_id, w,
-           |  unnest(range(1, greatest(len(w) - 63, 1) + 1, 48)) AS st FROM cd),
-           |chunks AS (SELECT doc_id, CAST((st - 1) / 48 AS BIGINT) AS chunk_idx,
-           |  CAST(least(len(w) - st + 1, 64) AS BIGINT) AS n_tokens FROM cs),
-           |p AS (SELECT doc_id, chunk_idx, n_tokens,
-           |  CAST(sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-           |    - n_tokens AS token_start
-           |  FROM chunks)
-           |SELECT doc_id, chunk_idx, n_tokens, token_start,
-           |  CAST(token_start // ${CurationPipeline.PackBudget} AS BIGINT) AS pack_id,
-           |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft_v1'), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
-           |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft_v1'), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
-           |       ELSE 'test' END AS split
-           |FROM p ORDER BY doc_id, chunk_idx""".stripMargin,
+           |$manifestScrubCtes
+           |SELECT doc_id, chunk_idx, n_tokens, token_start, pack_id, split
+           |FROM mman ORDER BY doc_id, chunk_idx""".stripMargin,
+      // v5: v4's manifest from a blocklist-pre-gated corpus, plus shard
+      // layout — packs bin into fixed-token output shards in pack order
+      // (the Compaction.assign placement over the pack relation)
+      "q_curation_v5" ->
+        s"""WITH docf AS (SELECT * FROM documents
+           |  WHERE NOT (len(list_filter(['slow join', 'fast scan'],
+           |    p -> contains(' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) || ' ',
+           |                  ' ' || p || ' '))) > 0)),
+           |${curationCtesFrom("docf")},
+           |$manifestScrubCtes,
+           |pk AS (SELECT pack_id, sum(n_tokens) AS ptok FROM mman GROUP BY pack_id),
+           |pa AS (SELECT pack_id,
+           |    coalesce(sum(ptok) OVER (ORDER BY pack_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      // ${CurationPipeline.ShardTokens} AS shard
+           |  FROM pk)
+           |SELECT m.doc_id, m.chunk_idx, m.n_tokens, m.token_start, m.pack_id,
+           |       m.split, CAST(pa.shard AS BIGINT) AS shard
+           |FROM mman m JOIN pa USING (pack_id)
+           |ORDER BY m.doc_id, m.chunk_idx""".stripMargin,
       "q_ref_pipeline" ->
         s"""SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
            |       CAST(l_linenumber AS VARCHAR) AS l_linenumber,

@@ -24,8 +24,15 @@ object CurationPipeline {
   val MaxLen = 520L
   val MinStopRatio = 0.03
 
-  def keptDocuments(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def keptDocuments(spark: SparkSession, dir: String,
+                    blockPhrases: Seq[String] = Nil): DataFrame = {
+    val raw = Tables.documents(spark, dir)
+    // blocklist pre-gate: a pure scan-fused predicate (no join, no
+    // exchange) — the cheapest stage runs first so blocked docs never
+    // reach any shuffle
+    val docs =
+      if (blockPhrases.isEmpty) raw
+      else raw.filter(!TextAnalysis.blockedBy(blockPhrases, col("text")))
 
     val quality = TextAnalysis.qualityScore(docs)
       .select(col("doc_id"), col("len"), col("stop_ratio"))
@@ -129,11 +136,12 @@ object CurationPipeline {
     * set; chunking/packing are narrow maps + the bucketed-offsets cumsum
     * (no global window); the split is a content-addressed map, no shuffle. */
   def trainingManifest(spark: SparkSession, dir: String,
-                       scrubPassages: Boolean = false): DataFrame = {
+                       scrubPassages: Boolean = false,
+                       blockPhrases: Seq[String] = Nil): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // kernel consumed by two chains (containment pairs + anti-join left
     // side): materialize once, lazily
-    val keptDocs = keptDocuments(spark, dir)
+    val keptDocs = keptDocuments(spark, dir, blockPhrases)
       .join(docs.select("doc_id", "text"), "doc_id")
       .localCheckpoint(false)
 
@@ -178,6 +186,41 @@ object CurationPipeline {
       .withColumn("chunk_idx", pmod(col("seq_id"), lit(SeqStride)).cast("long"))
       .join(Splits.assign(clean.select("doc_id"), "doc_id"), "doc_id")
       .select("doc_id", "chunk_idx", "n_tokens", "token_start", "pack_id", "split")
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val ShardTokens = 2048L
+  val BlockPhrases: Seq[String] = Seq("slow join", "fast scan")
+
+  /** Round-6 capstone v5: v4's manifest with the two ends of a production
+    * pipeline attached —
+    *
+    *   0. blocklist pre-gate ([[TextAnalysis.blockedBy]]): phrase-blocked
+    *      docs leave at the SCAN, before any shuffle (the cheapest filter
+    *      runs first)
+    *   7. shard layout ([[Compaction.assign]]): packs bin into
+    *      [[ShardTokens]]-token output shards in pack order — the
+    *      fixed-size files the trainer's data loader actually reads.
+    *
+    * Output: v4's per-sequence manifest + `shard`.
+    *
+    * Scale shape: the pre-gate is a narrow predicate fused into the scan;
+    * shard assignment runs over the PACK relation (corpus_tokens/budget
+    * rows — three orders smaller than the sequence stream) and joins back
+    * by pack_id. */
+  def trainingManifestV5(spark: SparkSession, dir: String): DataFrame = {
+    val man = trainingManifest(spark, dir, scrubPassages = true,
+        blockPhrases = BlockPhrases)
+      .localCheckpoint(false) // consumed by the pack rollup AND the join back
+    val packs = man.groupBy("pack_id").agg(sum("n_tokens").as("bytes"))
+      .withColumn("part", lit("corpus"))
+    val shards = Compaction.assign(
+        packs.select(col("part"), col("pack_id").as("file_id"), col("bytes")),
+        ShardTokens)
+      .select(col("file_id").as("pack_id"), col("bin").as("shard"))
+    man.join(shards, "pack_id")
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        col("token_start"), col("pack_id"), col("split"), col("shard"))
       .orderBy("doc_id", "chunk_idx")
   }
 }

@@ -552,11 +552,22 @@ object TextAnalysis {
   def blocklistFilter(docs: DataFrame, phrases: Seq[String],
                       text: String = "text", id: String = "doc_id"): DataFrame = {
     require(phrases.nonEmpty, "blocklist must not be empty")
-    val norm = concat(lit(" "),
-      trim(regexp_replace(lower(col(text)), "[^a-z0-9]+", " ")), lit(" "))
-    val plist = typedlit(phrases)
-    val hits = filter(plist, p => contains(norm, concat(lit(" "), p, lit(" "))))
+    val hits = blocklistHits(phrases, col(text))
     docs.select(col(id), (size(hits) > 0).as("blocked"),
       try_element_at(hits, lit(1)).as("hit"))
   }
+
+  /** The matching phrases (blocklist order) — shared by the report form
+    * above and the plain gate predicate [[blockedBy]]. */
+  def blocklistHits(phrases: Seq[String], text: Column): Column = {
+    val norm = concat(lit(" "),
+      trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), lit(" "))
+    filter(typedlit(phrases), p => contains(norm, concat(lit(" "), p, lit(" "))))
+  }
+
+  /** Gate predicate form: true when any blocklist phrase matches — composes
+    * into a scan-fused `filter` with zero exchange (the shape a curation
+    * pipeline wants ahead of its first shuffle). */
+  def blockedBy(phrases: Seq[String], text: Column): Column =
+    size(blocklistHits(phrases, text)) > 0
 }

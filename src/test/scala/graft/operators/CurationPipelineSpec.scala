@@ -23,4 +23,31 @@ class CurationPipelineSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(again == kept.collect().map(_.getLong(0)).toSeq)
   }
+
+  test("v5: blocklist gate bites, shards are monotone and full except the tail") {
+    val v5 = CurationPipeline.trainingManifestV5(spark, sf).collect()
+    assert(v5.nonEmpty)
+
+    // no blocklisted doc survives into the manifest
+    val docs = Tables.documents(spark, sf)
+    val blockedIds = docs
+      .filter(TextAnalysis.blockedBy(CurationPipeline.BlockPhrases, col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(blockedIds.nonEmpty, "fixture must exercise the gate")
+    assert(v5.map(_.getLong(0)).toSet.intersect(blockedIds).isEmpty)
+
+    // shard is monotone non-decreasing in pack_id; first-byte placement
+    // bounds a non-final shard's shortfall by one pack (a pack straddling
+    // the boundary stays in the shard holding its first token)
+    val byPack = v5.groupBy(_.getLong(4)).toSeq.sortBy(_._1)
+      .map { case (p, rs) => (p, rs.head.getLong(6), rs.map(_.getLong(2)).sum) }
+    assert(byPack.map(_._2) == byPack.map(_._2).sorted)
+    val maxPack = byPack.map(_._3).max
+    val byShard = byPack.groupBy(_._2).toSeq.sortBy(_._1)
+    byShard.dropRight(1).foreach { case (s, packs) =>
+      assert(packs.map(_._3).sum > CurationPipeline.ShardTokens - maxPack,
+        s"shard $s")
+    }
+    assert(byShard.length >= 2, "fixture must produce multiple shards")
+  }
 }
