@@ -500,6 +500,16 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("source").as("part"),
           col("doc_id").as("file_id"), col("n_chars").as("bytes")),
         1000L)),
+    // incremental placement of a new-file batch: history collapses to one
+    // running total per dir, never re-windows (matches from-scratch when
+    // new ids sort after history's — which the fixture split guarantees)
+    "q_compaction_incr" -> ((s, dir) => {
+      val f = Tables.documents(s, dir).select(col("source").as("part"),
+        col("doc_id").as("file_id"), col("n_chars").as("bytes"))
+      Compaction.assignIncremental(
+          f.filter(col("file_id") < 250), f.filter(col("file_id") >= 250), 1000L)
+        .orderBy("part", "file_id")
+    }),
 
     // ---- extension: repetition ratio + PII scrub (text curation) ----
     "q_repetition" -> ((s, dir) =>
@@ -1446,6 +1456,19 @@ object SparkEntry {
           |  min(file_id) AS first_file, max(file_id) AS last_file,
           |  CAST(sum(bytes) AS BIGINT) < 1000 AS undersized
           |FROM b GROUP BY part, bin ORDER BY part, bin""".stripMargin,
+      // the oracle is the FROM-SCRATCH plan restricted to the new batch —
+      // valid because new ids sort after history ids within every dir;
+      // matching it proves the incremental form loses nothing
+      "q_compaction_incr" ->
+        """WITH f AS (SELECT source AS part, doc_id AS file_id, n_chars AS bytes
+          |  FROM documents),
+          |a AS (SELECT part, file_id, bytes,
+          |    coalesce(sum(bytes) OVER (PARTITION BY part ORDER BY file_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS byte_start
+          |  FROM f)
+          |SELECT part, file_id, bytes, CAST(byte_start AS BIGINT) AS byte_start,
+          |  CAST(byte_start // 1000 AS BIGINT) AS bin
+          |FROM a WHERE file_id >= 250 ORDER BY part, file_id""".stripMargin,
       // exponentiated PMI (lift) keeps the ranking of PMI without ln; the
       // double expression order matches Spark's exactly
       "q_collocations" ->

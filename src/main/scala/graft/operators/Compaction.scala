@@ -37,6 +37,30 @@ object Compaction {
       .select(col(part), col(id), col(bytes), col("byte_start"), col("bin"))
   }
 
+  /** Incremental placement: new files continue each partition's packing
+    * from where the existing files end — history is reduced to ONE running
+    * total per partition dir (a broadcast-sized aggregate) and is never
+    * re-windowed or re-shuffled (the frozen-quantizer ingest discipline:
+    * history state, not history rows). When every new file id sorts after
+    * the partition's existing ids, the result is bit-identical to
+    * re-planning from scratch restricted to the new files — asserted in
+    * `CompactionSpec` and by the `q_compaction_incr` oracle. */
+  def assignIncremental(history: DataFrame, newFiles: DataFrame, target: Long,
+                        part: String = "part", id: String = "file_id",
+                        bytes: String = "bytes"): DataFrame = {
+    require(target > 0, "target must be positive")
+    val tail = history.groupBy(part).agg(sum(bytes).as("__hist"))
+    val w = Window.partitionBy(part).orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    newFiles
+      .join(broadcast(tail), Seq(part), "left")
+      .withColumn("byte_start",
+        coalesce(col("__hist"), lit(0L)) +
+          coalesce(sum(bytes).over(w), lit(0L)))
+      .withColumn("bin", expr(s"byte_start div $target"))
+      .select(col(part), col(id), col(bytes), col("byte_start"), col("bin"))
+  }
+
   /** The rewrite plan: one row per planned output file. `undersized` marks
     * bins still below target (the partition's tail — only the last bin per
     * partition can be undersized, which the spec asserts). */

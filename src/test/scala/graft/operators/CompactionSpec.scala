@@ -35,6 +35,24 @@ class CompactionSpec extends SparkSpec {
     }
   }
 
+  test("incremental placement equals from-scratch when new ids sort last") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .selectExpr("source as part", "doc_id as file_id", "n_chars as bytes")
+    val (hist, batch) =
+      (docs.filter($"file_id" < 250), docs.filter($"file_id" >= 250))
+    val incr = Compaction.assignIncremental(hist, batch, 1000L)
+      .orderBy("part", "file_id").collect().toSeq
+    val scratch = Compaction.assign(docs, 1000L)
+      .filter($"file_id" >= 250).orderBy("part", "file_id").collect().toSeq
+    assert(incr == scratch && incr.nonEmpty)
+    // history reaches the plan only as a per-dir aggregate broadcast: no
+    // sort-merge join, and the only window runs over the new batch
+    val p = Compaction.assignIncremental(hist, batch, 1000L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("plan on the fixture corpus: deterministic and partition-parallel") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .selectExpr("source as part", "doc_id as file_id", "n_chars as bytes")
