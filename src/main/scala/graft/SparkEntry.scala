@@ -439,6 +439,13 @@ object SparkEntry {
     // hottest shuffle keys + global skew factor — the pre-join diagnostic
     "q_skew_report" -> ((s, dir) =>
       Validate.skewReport(Tables.events(s, dir), "user_id")),
+    // RefinedWeb-style domain-level keep/drop verdicts with first-failing
+    // rule attribution (integer cross-multiplied thresholds)
+    "q_domain_report" -> ((s, dir) =>
+      Validate.domainReport(Tables.documents(s, dir))),
+    // per-doc keyword extraction: top-3 terms by tf x rational idf
+    "q_keywords" -> ((s, dir) =>
+      TfIdf.topTermsPerDoc(Tables.documents(s, dir))),
     // language-mix drift between a snapshot and its curated refresh (every
     // fifth doc dropped — a deterministic stand-in for a curation pass)
     "q_drift_report" -> ((s, dir) => {
@@ -1456,6 +1463,36 @@ object SparkEntry {
           |  min(file_id) AS first_file, max(file_id) AS last_file,
           |  CAST(sum(bytes) AS BIGINT) < 1000 AS undersized
           |FROM b GROUP BY part, bin ORDER BY part, bin""".stripMargin,
+      "q_domain_report" ->
+        """WITH d AS (SELECT source,
+          |    n_chars,
+          |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+          |  FROM documents),
+          |a AS (SELECT source, count(*) AS n_docs,
+          |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          |    CAST(count(CASE WHEN n_chars < 120 THEN 1 END) AS BIGINT) AS n_short,
+          |    CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dups
+          |  FROM d GROUP BY source)
+          |SELECT source, n_docs, total_chars, n_short, n_dups,
+          |  CASE WHEN n_short * 5 > n_docs THEN 'short_heavy'
+          |       WHEN n_dups * 10 > n_docs THEN 'dup_heavy'
+          |       ELSE 'keep' END AS verdict
+          |FROM a ORDER BY source""".stripMargin,
+      "q_keywords" ->
+        """WITH tok AS (SELECT doc_id, tok, count(*) AS tf
+          |  FROM (SELECT doc_id,
+          |          unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+          |        FROM documents) GROUP BY doc_id, tok),
+          |n AS (SELECT count(*) AS n_docs FROM documents),
+          |dfr AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+          |wt AS (SELECT tok, df, (n_docs - df + 0.5) / (df + 0.5) AS w
+          |  FROM dfr CROSS JOIN n),
+          |s AS (SELECT doc_id, t.tok, tf, df, w * CAST(tf AS DOUBLE) AS score
+          |  FROM tok t JOIN wt USING (tok)),
+          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+          |    ORDER BY score DESC, tok) AS BIGINT) AS rk FROM s)
+          |SELECT doc_id, rk, tok, tf, df, score FROM r WHERE rk <= 3
+          |ORDER BY doc_id, rk""".stripMargin,
       // the oracle is the FROM-SCRATCH plan restricted to the new batch —
       // valid because new ids sort after history ids within every dir;
       // matching it proves the incremental form loses nothing

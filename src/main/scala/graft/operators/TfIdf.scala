@@ -62,4 +62,30 @@ object TfIdf {
       .select("q_id", "rk", "n_id", "sim")
       .orderBy("q_id", "rk")
   }
+
+  /** KEYWORD EXTRACTION: each document's top-k terms by tf x idf — the
+    * per-doc summarization/tagging primitive (index keys, faceted browse,
+    * weak topic labels for mixture analysis). Same rational BM25-style idf
+    * as [[topKSimilar]] (no `ln`, engine-exact).
+    *
+    * Scale shape: the (vocab-sized) term-weight table broadcasts into the
+    * per-doc term stream; ranking is a per-doc window over that doc's own
+    * DISTINCT terms (bounded by doc length) — one doc-keyed shuffle
+    * total. */
+  def topTermsPerDoc(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tok = tokens(docs)
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .withColumn("w", (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+      .select("tok", "df", "w")
+    val rankW = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tok").asc)
+    tok.join(broadcast(dfreq), "tok")
+      .withColumn("score", col("w") * col("tf"))
+      .withColumn("rk", row_number().over(rankW).cast("long"))
+      .filter(col("rk") <= k)
+      .select("doc_id", "rk", "tok", "tf", "df", "score")
+      .orderBy("doc_id", "rk")
+  }
 }

@@ -140,4 +140,31 @@ object Validate {
       .select(col("kv.stat").as("stat"), col("kv.value").as("value"))
       .orderBy("stat")
   }
+
+  /** DOMAIN-level curation report: per source (domain), aggregate health
+    * stats and a keep/drop verdict with first-failing-rule attribution —
+    * the RefinedWeb-style decision layer that drops whole spammy domains
+    * instead of scoring their documents one by one. Rules use integer
+    * cross-multiplied thresholds (the gopherRules discipline — no ratio
+    * division in the gate): short_heavy = short docs > 20%, dup_heavy =
+    * exact dups > 10%.
+    *
+    * Scale shape: ONE map-side-combined aggregate to |domains| rows (the
+    * exact-dup count is a per-domain countDistinct — production swaps in
+    * an HLL sketch per the corpus_overlap pattern; exact is what the
+    * oracle can re-derive). Nothing downstream sees document rows. */
+  def domainReport(docs: DataFrame, shortChars: Long = 120): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    docs.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        count(when(col("n_chars") < shortChars, 1)).as("n_short"),
+        (count(lit(1)) - countDistinct(md5(norm))).as("n_dups"))
+      .withColumn("verdict",
+        when(col("n_short") * 5 > col("n_docs"), "short_heavy")
+          .when(col("n_dups") * 10 > col("n_docs"), "dup_heavy")
+          .otherwise("keep"))
+      .orderBy("source")
+  }
 }

@@ -68,4 +68,49 @@ class TextMiningSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(2000))
     assert(!p.contains("Exchange"), p.take(2000))
   }
+
+  test("keywords: k per doc, rarer terms outrank commoner ones at equal tf") {
+    val out = TfIdf.topTermsPerDoc(docs, k = 3).collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc.values.forall(_.length <= 3))
+    assert(byDoc.values.forall(rs => rs.map(_.getLong(1)).sorted.toSeq ==
+      (1L to rs.length).toSeq))
+    // within one doc: among rows with equal tf, df must be non-increasing
+    // with rank (idf is strictly decreasing in df)
+    byDoc.values.foreach { rs =>
+      rs.sortBy(_.getLong(1)).sliding(2).foreach {
+        case Array(a, b) =>
+          if (a.getLong(3) == b.getLong(3)) // equal tf
+            assert(a.getLong(4) <= b.getLong(4), s"df ordering in doc ${a.getLong(0)}")
+        case _ =>
+      }
+    }
+  }
+
+  test("domain report: verdict rules fire on constructed domains") {
+    val d = Seq(
+      // dup-heavy: 10 docs, 2 distinct texts
+      ("d0", 1L, "aaa bbb", 7L), ("d0", 2L, "aaa bbb", 7L), ("d0", 3L, "aaa bbb", 7L),
+      ("d0", 4L, "aaa bbb", 7L), ("d0", 5L, "ccc ddd", 7L), ("d0", 6L, "ccc ddd", 7L),
+      ("d0", 7L, "ccc ddd", 7L), ("d0", 8L, "ccc ddd", 7L), ("d0", 9L, "ccc ddd", 7L),
+      ("d0", 10L, "ccc ddd", 7L),
+      // short-heavy: 2 of 3 docs under 120 chars
+      ("d1", 11L, "x" * 50, 50L), ("d1", 12L, "y" * 50, 50L), ("d1", 13L, "z" * 200, 200L),
+      // clean
+      ("d2", 14L, "w" * 200, 200L), ("d2", 15L, "v" * 300, 300L),
+    ).toDF("source", "doc_id", "text", "n_chars")
+    val out = Validate.domainReport(d).collect()
+    val verdicts = out.map(r => r.getString(0) -> r.getString(5)).toMap
+    // d1 is ALSO dup-free/short-heavy; d0 trips short first? No: d0 docs are
+    // 7 chars — short_heavy fires before dup_heavy (attribution order)
+    assert(verdicts("d0") == "short_heavy")
+    assert(verdicts("d1") == "short_heavy")
+    assert(verdicts("d2") == "keep")
+    // rebuild d0 with long texts so the dup rule is the first to fail
+    val d0long = Seq.tabulate(10)(i =>
+      ("d3", 20L + i, ("longtext " * 20) + (if (i < 1) "unique" else "dup"), 200L))
+      .toDF("source", "doc_id", "text", "n_chars")
+    val v3 = Validate.domainReport(d0long).collect().head.getString(5)
+    assert(v3 == "dup_heavy")
+  }
 }
