@@ -686,6 +686,11 @@ object SparkEntry {
     "q_zorder_layout" -> ((s, dir) =>
       ZOrder.clusteringReport(Tables.lineitem(s, dir),
         Seq("l_partkey", "l_suppkey"), nBuckets = 32)),
+    // Hilbert-curve layout over the same columns — the locality-stronger
+    // curve (adjacency proven in HilbertSpec), directly comparable buckets
+    "q_hilbert_layout" -> ((s, dir) =>
+      Hilbert.clusteringReport(Tables.lineitem(s, dir),
+        Seq("l_partkey", "l_suppkey"), nBuckets = 32)),
 
     // ---- §2.4 equi-depth partition assignment (part_equidepth) ----
     "q_part_equidepth" -> ((s, dir) => {
@@ -2990,6 +2995,41 @@ object SparkEntry {
            |       CAST(min(l_suppkey) AS BIGINT) AS l_suppkey_min,
            |       CAST(max(l_suppkey) AS BIGINT) AS l_suppkey_max
            |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+      },
+      "q_hilbert_layout" -> {
+        // xy2d bit-walk unrolled to 8 CTE steps (rot(n) variant — keeps
+        // coordinates nonnegative), mirroring Hilbert.withHKey level for
+        // level in pure integer ops
+        val n = 1L << Hilbert.Bits
+        val steps = (0 until Hilbert.Bits).map { k =>
+          val s = n >> (k + 1)
+          s"""h${k + 1} AS (SELECT l_partkey, l_suppkey,
+             |  CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${n - 1} - y ELSE y END ELSE x END AS x,
+             |  CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${n - 1} - x ELSE x END ELSE y END AS y,
+             |  d + ${s * s} * xor(3 * rx, ry) AS d
+             |  FROM (SELECT l_partkey, l_suppkey, x, y, d,
+             |          CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+             |          CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+             |        FROM h$k) t)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH stats AS (
+           |  SELECT CAST(min(l_partkey) AS BIGINT) AS pmin, CAST(max(l_partkey) AS BIGINT) AS pmax,
+           |         CAST(min(l_suppkey) AS BIGINT) AS smin, CAST(max(l_suppkey) AS BIGINT) AS smax
+           |  FROM lineitem),
+           |h0 AS (
+           |  SELECT l_partkey, l_suppkey,
+           |         ((CAST(l_partkey AS BIGINT) - pmin) * ${n - 1}) // (pmax - pmin) AS x,
+           |         ((CAST(l_suppkey AS BIGINT) - smin) * ${n - 1}) // (smax - smin) AS y,
+           |         CAST(0 AS BIGINT) AS d
+           |  FROM lineitem, stats),
+           |$steps
+           |SELECT (d * 32) // ${1L << (2 * Hilbert.Bits)} AS bucket,
+           |       count(*) AS n_rows,
+           |       CAST(min(l_partkey) AS BIGINT) AS l_partkey_min,
+           |       CAST(max(l_partkey) AS BIGINT) AS l_partkey_max,
+           |       CAST(min(l_suppkey) AS BIGINT) AS l_suppkey_min,
+           |       CAST(max(l_suppkey) AS BIGINT) AS l_suppkey_max
+           |FROM h${Hilbert.Bits} GROUP BY bucket ORDER BY bucket""".stripMargin
       },
       "q_part_equidepth" ->
         """SELECT bucket, count(*) AS n_rows, min(ts_epoch) AS lo, max(ts_epoch) AS hi
