@@ -443,6 +443,13 @@ object SparkEntry {
     // rule attribution (integer cross-multiplied thresholds)
     "q_domain_report" -> ((s, dir) =>
       Validate.domainReport(Tables.documents(s, dir))),
+    // pre-join cardinality estimate: key-count join, data rows never meet
+    "q_join_cardinality" -> ((s, dir) =>
+      Validate.joinCardinality(Tables.events(s, dir),
+        Tables.events(s, dir).filter(col("event_type") =!= "view"), "user_id")),
+    // subword-per-word fertility per language (tokenizer health metric)
+    "q_fertility" -> ((s, dir) =>
+      TextAnalysis.fertilityReport(Tables.documents(s, dir))),
     // per-doc keyword extraction: top-3 terms by tf x rational idf
     "q_keywords" -> ((s, dir) =>
       TfIdf.topTermsPerDoc(Tables.documents(s, dir))),
@@ -1468,6 +1475,26 @@ object SparkEntry {
           |  min(file_id) AS first_file, max(file_id) AS last_file,
           |  CAST(sum(bytes) AS BIGINT) < 1000 AS undersized
           |FROM b GROUP BY part, bin ORDER BY part, bin""".stripMargin,
+      "q_join_cardinality" ->
+        """WITH la AS (SELECT user_id, count(*) AS ca FROM events GROUP BY user_id),
+          |rb AS (SELECT user_id, count(*) AS cb FROM events
+          |       WHERE event_type <> 'view' GROUP BY user_id),
+          |c AS (SELECT la.user_id, ca * cb AS contrib FROM la JOIN rb USING (user_id))
+          |SELECT count(*) AS n_matching_keys,
+          |       CAST(sum(contrib) AS BIGINT) AS est_rows,
+          |       CAST(max(contrib) AS BIGINT) AS max_key_rows,
+          |       CAST(max(contrib) AS DOUBLE) / CAST(sum(contrib) AS DOUBLE) AS max_key_share
+          |FROM c""".stripMargin,
+      "q_fertility" ->
+        """WITH t AS (SELECT lang,
+          |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws,
+          |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe
+          |  FROM documents)
+          |SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+          |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+          |  CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) AS fertility
+          |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
       "q_domain_report" ->
         """WITH d AS (SELECT source,
           |    n_chars,

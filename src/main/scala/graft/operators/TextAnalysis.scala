@@ -498,6 +498,23 @@ object TextAnalysis {
       (acc, c) => (acc * 31 + c.cast("long")) % 1000000007L)
   }
 
+  /** Tokenizer FERTILITY per language — subword tokens per whitespace word,
+    * the standard multilingual-tokenizer health metric (a language with
+    * fertility 2x the corpus mean pays 2x the context budget per word;
+    * recipe mixtures denominated in tokens must know this). Uses the
+    * BPE-ish regex tokenizer from [[tokenCounts]] against whitespace words;
+    * the ratio is an exact double division of exact integer sums. Scale:
+    * one map-side-combined aggregate to |languages| rows. */
+  def fertilityReport(docs: DataFrame, text: String = "text"): DataFrame =
+    tokenCounts(docs.select(col("lang"), col(text)), text, id = "lang")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_ws_tokens").as("ws_tokens"),
+        sum("n_bpe_tokens").as("bpe_tokens"))
+      .withColumn("fertility",
+        col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"))
+      .orderBy("lang")
+
   /** PMI collocation mining: adjacent word pairs whose observed bigram
     * frequency beats the unigram-independence expectation — the classic
     * corpus-linguistics tool for surfacing multiword expressions (and, in a

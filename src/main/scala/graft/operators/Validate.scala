@@ -141,6 +141,29 @@ object Validate {
       .orderBy("stat")
   }
 
+  /** Pre-join CARDINALITY estimate — the planning diagnostic run before
+    * committing a cluster to a join whose output might explode: exact
+    * per-key counts on both sides meet in a key-count join (each side
+    * reduced to |keys| rows first), and the predicted output size is
+    * `sum(cnt_a * cnt_b)` plus the hottest key's contribution and share.
+    * An estimate >> both inputs means fix the keys (or salt) BEFORE
+    * running the join, not after it stalls.
+    *
+    * Scale shape: two map-side-combined aggs to key cardinality, one
+    * key-count join (tiny), a 1-row rollup. The data rows never join. */
+  def joinCardinality(left: DataFrame, right: DataFrame, key: String): DataFrame = {
+    val la = left.groupBy(col(key)).agg(count(lit(1)).as("__ca"))
+    val rb = right.groupBy(col(key)).agg(count(lit(1)).as("__cb"))
+    la.join(rb, key)
+      .select(col(key), (col("__ca") * col("__cb")).as("__contrib"))
+      .agg(
+        count(lit(1)).as("n_matching_keys"),
+        sum(col("__contrib")).as("est_rows"),
+        max(col("__contrib")).as("max_key_rows"))
+      .withColumn("max_key_share",
+        col("max_key_rows").cast("double") / col("est_rows").cast("double"))
+  }
+
   /** DOMAIN-level curation report: per source (domain), aggregate health
     * stats and a keep/drop verdict with first-failing-rule attribution —
     * the RefinedWeb-style decision layer that drops whole spammy domains

@@ -87,6 +87,22 @@ class TextMiningSpec extends SparkSpec {
     }
   }
 
+  test("join cardinality estimate is exact and the hot key is identified") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    val right = ev.filter(col("event_type") =!= "view")
+    val est = Validate.joinCardinality(ev, right, "user_id").collect().head
+    val actual = ev.select("user_id")
+      .join(right.select("user_id"), "user_id").count()
+    assert(est.getLong(1) == actual, s"est ${est.getLong(1)} vs actual $actual")
+    assert(est.getDouble(3) > 0.0 && est.getDouble(3) <= 1.0)
+  }
+
+  test("fertility: bpe tokens >= whitespace words, one row per language") {
+    val f = TextAnalysis.fertilityReport(docs).collect()
+    assert(f.length == 5)
+    assert(f.forall(r => r.getDouble(4) >= 1.0), "regex splits at least per word")
+  }
+
   test("domain report: verdict rules fire on constructed domains") {
     val d = Seq(
       // dup-heavy: 10 docs, 2 distinct texts
