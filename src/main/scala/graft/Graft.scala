@@ -168,8 +168,30 @@ object Graft {
     SaltedJoin.salted(big, replicated, keys, saltBy, salts)
   def zorderLayout(df: DataFrame, cols: Seq[String], nBuckets: Int = 64): DataFrame =
     ZOrder.layout(df, cols, nBuckets)
+  def hilbertLayout(df: DataFrame, cols: Seq[String], nBuckets: Int = 64): DataFrame =
+    Hilbert.layout(df, cols, nBuckets)
   def skewReport(df: DataFrame, key: String, topK: Int = 10): DataFrame =
     Validate.skewReport(df, key, topK)
+  def joinCardinality(left: DataFrame, right: DataFrame, key: String): DataFrame =
+    Validate.joinCardinality(left, right, key)
+  def domainReport(docs: DataFrame): DataFrame = Validate.domainReport(docs)
+  def fertilityReport(docs: DataFrame): DataFrame =
+    TextAnalysis.fertilityReport(docs)
+  def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 30): DataFrame =
+    TextAnalysis.collocations(docs, minCount, k)
+  def blocklistFilter(docs: DataFrame, phrases: Seq[String]): DataFrame =
+    TextAnalysis.blocklistFilter(docs, phrases)
+  def keywords(docs: DataFrame, k: Int = 3): DataFrame =
+    TfIdf.topTermsPerDoc(docs, k)
+  def dsirSelect(docs: DataFrame, targetPred: Column, k: Int = 150): DataFrame =
+    Dsir.select(docs, targetPred, k)
+  def centroidOutliers(emb: DataFrame, bottomK: Int = 10): DataFrame =
+    Similarity.centroidOutliers(emb, bottomK)
+  def compactionPlan(files: DataFrame, target: Long): DataFrame =
+    Compaction.plan(files, target)
+  def compactionIncremental(history: DataFrame, newFiles: DataFrame,
+                            target: Long): DataFrame =
+    Compaction.assignIncremental(history, newFiles, target)
   def attributionJoin(events: DataFrame, leftType: String = "click",
                       rightType: String = "view",
                       lookbackSeconds: Long = 3600L): DataFrame =
