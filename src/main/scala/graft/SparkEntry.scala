@@ -684,6 +684,10 @@ object SparkEntry {
         .select("doc_id", "width", "height", "out_width", "out_height", "out_pixels")
         .orderBy("doc_id")),
     // audio lane: synthesize bit-correct WAV containers, RIFF-walk them back
+    // video modality: synthesize valid minimal MP4 (ftyp/moov[mvhd]/mdat),
+    // box-walk it back partition-wise
+    "q_mm_video" -> ((s, dir) =>
+      Multimodal.videoFeatures(Tables.documents(s, dir))),
     "q_mm_audio" -> ((s, dir) =>
       Multimodal.audioFeatures(Tables.documents(s, dir))),
 
@@ -2967,6 +2971,16 @@ object SparkEntry {
           |  CAST(doc_id % 384 + 1 AS INT) AS height,
           |  CAST(n_chars % 512 + 1 AS BIGINT) * CAST(doc_id % 384 + 1 AS INT) AS n_pixels,
           |  CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS content_type
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      // the oracle recomputes the expected features from the doc fields;
+      // the Spark side proves the byte round-trip (synth -> box walk)
+      "q_mm_video" ->
+        """SELECT doc_id,
+          |  CAST(600 AS BIGINT) AS timescale,
+          |  CAST((doc_id % 240 + 1) * 25 AS BIGINT) AS duration,
+          |  CAST((doc_id % 240 + 1) * 25 * 1000 // 600 AS BIGINT) AS duration_ms,
+          |  CAST(n_chars % 400 + 100 AS BIGINT) AS mdat_bytes,
+          |  CAST(3 AS BIGINT) AS n_boxes
           |FROM documents ORDER BY doc_id""".stripMargin,
       "q_mm_audio" ->
         """SELECT doc_id,

@@ -108,6 +108,52 @@ object WavHeader {
   }
 }
 
+/** Pure-JVM ISO-BMFF (MP4) box walking — the video counterpart of
+  * [[ImageHeader]]/[[WavHeader]]: top-level boxes of (4-byte BIG-endian
+  * size, 4cc type, body); `moov` nests child boxes the same way; `mvhd`
+  * version 0 carries timescale at body offset 12 and duration at 16;
+  * `mdat`'s size minus its header is the media payload size
+  * (ISO/IEC 14496-12 §8.2.2). */
+object Mp4Header {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1).toLong << 16) |
+      (u8(b, i + 2).toLong << 8) | u8(b, i + 3).toLong
+  private def tag(b: Array[Byte], i: Int): String =
+    new String(b.slice(i, i + 4), "US-ASCII")
+
+  /** (timescale, duration, mdat_bytes, n_top_boxes), None if malformed. */
+  def parse(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    var pos = 0
+    var ts = -1L; var dur = -1L; var mdat = -1L; var boxes = 0L
+    var sawFtyp = false
+    while (pos + 8 <= b.length) {
+      val size = be32(b, pos)
+      if (size < 8 || pos + size > b.length) return None
+      tag(b, pos + 4) match {
+        case "ftyp" => sawFtyp = true
+        case "mdat" => mdat = size - 8
+        case "moov" =>
+          var cp = pos + 8
+          while (cp + 8 <= pos + size.toInt) {
+            val cs = be32(b, cp)
+            if (cs < 8 || cp + cs > pos + size) return None
+            if (tag(b, cp + 4) == "mvhd" && u8(b, cp + 8) == 0 && cs >= 28) {
+              ts = be32(b, cp + 20)  // body offset 12 after 8-byte header
+              dur = be32(b, cp + 24)
+            }
+            cp += cs.toInt
+          }
+        case _ => ()
+      }
+      boxes += 1
+      pos += size.toInt
+    }
+    if (!sawFtyp || ts <= 0 || dur < 0 || mdat < 0) None
+    else Some((ts, dur, mdat, boxes))
+  }
+}
+
 /** Multimodal column handling (north star scope): media payloads are opaque
   * `binary` columns with typed metadata travelling alongside; decode /
   * feature-extraction runs partition-wise so batch-oriented decoders amortize
@@ -332,5 +378,70 @@ object Multimodal {
         col("height"), col("n_pixels")), "doc_id")
       .withColumn("content_type", concat(lit("image/"), col("format")))
       .orderBy("doc_id")
+  }
+
+  case class VideoFeatures(doc_id: Long, timescale: Long, duration: Long,
+                           duration_ms: Long, mdat_bytes: Long, n_boxes: Long)
+
+  /** Deterministic per-document video parameters (also the oracle's
+    * formulas): ~1-10 s clips at movie timescale 600. */
+  def mp4Timescale: Column = lit(600L)
+  def mp4Duration: Column = (pmod(col("doc_id"), lit(240)) + 1) * lit(25L)
+  def mp4MdatBytes: Column = pmod(col("n_chars"), lit(400)) + lit(100L)
+
+  /** Build a VALID minimal ISO-BMFF (MP4) container per document:
+    * `ftyp(isom)` + `moov[mvhd v0]` (timescale/duration at the spec's fixed
+    * offsets, identity matrix, rate 1.0) + a zero-filled `mdat`. Same
+    * discipline as [[imagePayload]]/[[audioPayload]]: the payload column is
+    * real bytes built from codegen'd built-ins, no UDF; big-endian box
+    * sizes per ISO 14496-12. */
+  def videoPayload(docs: DataFrame): DataFrame = {
+    val mvhd = concat(
+      bytesBE(lit(108L), 4), unhex(lit("6D766864")), // size + 'mvhd'
+      bytesBE(lit(0L), 4),                           // version 0 + flags
+      bytesBE(lit(0L), 4), bytesBE(lit(0L), 4),      // creation/modification
+      bytesBE(mp4Timescale, 4),
+      bytesBE(mp4Duration, 4),
+      unhex(lit("00010000")),                        // rate 1.0
+      unhex(lit("0100")),                            // volume 1.0
+      unhex(lit(("00" * 10))),                       // reserved
+      unhex(lit("000100000000000000000000000000000001000000000000000000000000000040000000")), // identity matrix
+      unhex(lit("00" * 24)),                         // pre_defined
+      bytesBE(lit(2L), 4))                           // next_track_ID
+    val mp4 = concat(
+      bytesBE(lit(20L), 4), unhex(lit("66747970")),  // 'ftyp'
+      unhex(lit("69736F6D")), bytesBE(lit(0L), 4),   // major 'isom', minor 0
+      unhex(lit("69736F6D")),                        // compatible 'isom'
+      bytesBE(lit(116L), 4), unhex(lit("6D6F6F76")), // 'moov' wrapping mvhd
+      mvhd,
+      bytesBE(mp4MdatBytes + 8, 4), unhex(lit("6D646174")), // 'mdat'
+      unhex(expr("repeat('00', cast(n_chars % 400 + 100 as int))")))
+    docs.select(col("doc_id"), mp4.as("payload"))
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+  }
+
+  /** Partition-wise MP4 box walk — the [[decodeAudio]] pattern over
+    * [[Mp4Header.parse]]. Malformed payloads degrade to zeros. */
+  def decodeVideo(media: Dataset[Media]): Dataset[VideoFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        Mp4Header.parse(m.payload) match {
+          case Some((ts, dur, mdat, boxes)) =>
+            VideoFeatures(m.doc_id, ts, dur,
+              if (ts > 0) dur * 1000L / ts else 0L, mdat, boxes)
+          case None => VideoFeatures(m.doc_id, 0L, 0L, 0L, 0L, 0L)
+        }
+      }
+    }
+  }
+
+  /** End-to-end video lane: synthesize MP4 bytes, box-walk them back. */
+  def videoFeatures(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    decodeVideo(videoPayload(docs)
+        .select(col("doc_id"), col("payload")).as[Media])
+      .toDF().orderBy("doc_id")
   }
 }

@@ -111,4 +111,36 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Long]("n_frames") == 4L) // 300/64 = 4 frames
     assert(frames.head.length == 64)
   }
+
+  test("Mp4Header walks a hand-built container and rejects malformed ones") {
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tag: String, body: Array[Byte]): Array[Byte] =
+      be32(8L + body.length) ++ tag.getBytes("US-ASCII") ++ body
+    val mvhd = box("mvhd",
+      Array.fill[Byte](4)(0) ++           // version 0 + flags
+      Array.fill[Byte](8)(0) ++           // creation/modification
+      be32(600L) ++ be32(1500L) ++        // timescale, duration
+      Array.fill[Byte](100 - 24)(0))      // rest of the v0 body
+    val mp4 = box("ftyp", "isom".getBytes ++ be32(0L) ++ "isom".getBytes) ++
+      box("moov", mvhd) ++ box("mdat", Array.fill[Byte](42)(0))
+    assert(Mp4Header.parse(mp4).contains((600L, 1500L, 42L, 3L)))
+    // truncated box size beyond buffer, and missing ftyp, both reject
+    assert(Mp4Header.parse(mp4.dropRight(10)).isEmpty)
+    assert(Mp4Header.parse(box("moov", mvhd)).isEmpty)
+    assert(Mp4Header.parse(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("videoPayload bytes round-trip through the box walker") {
+    val docs = graft.sources.Tables.documents(spark, sf).limit(50)
+    val feats = Multimodal.videoFeatures(docs).collect()
+    assert(feats.length == 50)
+    feats.foreach { r =>
+      assert(r.getLong(1) == 600L)                       // timescale
+      assert(r.getLong(3) == r.getLong(2) * 1000 / 600)  // duration_ms
+      assert(r.getLong(4) >= 100L && r.getLong(4) < 500L)
+      assert(r.getLong(5) == 3L)                         // ftyp/moov/mdat
+    }
+  }
 }
