@@ -127,6 +127,10 @@ object SparkEntry {
     "q1_pricing_summary"   -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "q7_volume_shipping"   -> ((s, dir) => Relational.volumeShipping(s, dir)),
     "q10_returned_items"   -> ((s, dir) => Relational.returnedItemRevenue(s, dir)),
+    "q14_promo_revenue"    -> ((s, dir) => Relational.promoRevenue(s, dir)),
+    "q19_disjunctive"      -> ((s, dir) => Relational.disjunctiveRevenue(s, dir)),
+    "q12_priority_shipping" -> ((s, dir) => Relational.priorityShipping(s, dir)),
+    "q18_large_orders"     -> ((s, dir) => Relational.largeOrders(s, dir)),
     "q3_shipping_priority" -> ((s, dir) => Relational.shippingPriority(s, dir)),
     "q5_local_supplier"    -> ((s, dir) => Relational.localSupplierVolume(s, dir)),
     "q_topk_per_group"     -> ((s, dir) => Relational.topKPerGroup(s, dir)),
@@ -492,6 +496,11 @@ object SparkEntry {
               " ")).cast("long").as("n_tokens")),
           "doc_id", "lang",
           "n_tokens", Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.3), 20000L)
+        .orderBy("doc_id")),
+    // alpha=0.5 temperature mixture: shares proportional to sqrt(count)
+    "q_sample_alpha" -> ((s, dir) =>
+      Sampling.alphaMixture(Tables.documents(s, dir).select("doc_id", "lang"),
+        "doc_id", "lang", 200L)
         .orderBy("doc_id")),
     // epoch-denominated UPSAMPLING: 2.5 epochs of en, 1.25 de, 1 fr,
     // 0.5 es, zh unmapped (dropped) — exercises whole+frac, frac-only, zero
@@ -1297,6 +1306,66 @@ object SparkEntry {
           |WHERE l_returnflag = 'R'
           |GROUP BY 1, 2, 3
           |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+      "q14_promo_revenue" ->
+        """SELECT
+          |  CAST(sum(CASE WHEN p_type = 'PROMO'
+          |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))
+          |    ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE) AS promo_rev,
+          |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS total_rev,
+          |  count(*) AS n_lines,
+          |  100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+          |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))
+          |    ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE)
+          |    / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS promo_share_pct
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+      "q19_disjunctive" ->
+        """SELECT
+          |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+          |  count(*) AS n_lines
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+          |       AND l_quantity BETWEEN 1 AND 20)
+          |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30
+          |       AND l_quantity BETWEEN 10 AND 35)
+          |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 50
+          |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
+      "q12_priority_shipping" ->
+        """SELECT l_returnflag,
+          |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01'
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "q18_large_orders" ->
+        """WITH big AS (
+          |  SELECT l_orderkey,
+          |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |  FROM lineitem GROUP BY l_orderkey
+          |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150),
+          |sel AS (
+          |  SELECT c_custkey, o_orderkey,
+          |    CAST(o_totalprice AS DOUBLE) AS o_totalprice, sum_qty
+          |  FROM orders JOIN big ON o_orderkey = l_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 20)
+          |SELECT * FROM sel ORDER BY o_orderkey""".stripMargin,
+      "q_sample_alpha" ->
+        """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+          |w AS (SELECT lang, sqrt(CAST(c AS DOUBLE)) AS w FROM c),
+          |t AS (SELECT CAST(CAST(sum(CAST(CAST(w AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS tw FROM w),
+          |q AS (SELECT lang, CAST(floor(200.0 * w / tw) AS BIGINT) AS quota
+          |      FROM w CROSS JOIN t),
+          |r AS (SELECT doc_id, lang,
+          |    CAST(row_number() OVER (PARTITION BY lang
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '|graft_mix_v1'), doc_id) AS BIGINT) AS mix_rk
+          |  FROM documents)
+          |SELECT doc_id, lang, mix_rk FROM r JOIN q USING (lang)
+          |WHERE mix_rk <= quota ORDER BY doc_id""".stripMargin,
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -611,4 +611,86 @@ object Relational {
       .agg(count(lit(1)).as("n"),
            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** TPC-H Q14 shape — promo revenue share: one month of lineitem joins the
+    * part dim (broadcast), a conditional decimal sum over the joined stream,
+    * one global 1-row aggregate. The filter hits the parquet scan
+    * (PushedFilters), so the join sees a month, not the table. */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp_ntz"))
+    val disc = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(28,10)")
+    li.join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast("decimal(28,10)")))
+          .cast("double").as("promo_rev"),
+        sum(disc).cast("double").as("total_rev"),
+        count(lit(1)).as("n_lines"))
+      .withColumn("promo_share_pct",
+        lit(100.0) * col("promo_rev") / col("total_rev"))
+  }
+
+  /** TPC-H Q19 shape — disjunctive multi-attribute predicates: an OR of
+    * brand/size/quantity conjunctions across the lineitem⨝part join. The
+    * interesting plan property: the per-side halves of the disjunction
+    * (l_quantity bounds, p_size bounds) are derivable and pushable, and the
+    * join stays a broadcast hash join with the residual OR as a join-level
+    * filter — no nested-loop fallback. */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val part = Tables.part(spark, dir)
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#19" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 35)) ||
+        (col("p_brand") === "Brand#15" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 50)))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(28,10)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q12 shape — conditional two-way counts across a fact-fact join:
+    * per returnflag, how many lines belong to urgent/high-priority orders
+    * vs the rest. One sort-merge join on orderkey; the CASE sums are
+    * map-side-combinable integers. */
+  def priorityShipping(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** TPC-H Q18 shape — large-quantity orders: a HAVING aggregate over the
+    * fact table feeds a semi-style join back to orders + the customer dim,
+    * then a bounded TakeOrdered selection. The heavy-hitter relation
+    * (orders over the threshold) is tiny and BROADCASTS back against
+    * orders — the fact table is aggregated exactly once. */
+  def largeOrders(spark: SparkSession, dir: String, minQty: Long = 150,
+                  k: Int = 20): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    Tables.orders(spark, dir)
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(k)
+      .orderBy("o_orderkey")
+  }
 }

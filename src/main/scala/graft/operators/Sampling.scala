@@ -181,4 +181,38 @@ object Sampling {
       .orderBy(col("pri").desc)
       .limit(k)
   }
+
+  /** TEMPERATURE-scaled (alpha = 0.5) mixture — the multilingual recipe
+    * knob: stratum shares proportional to sqrt(count) instead of count, so
+    * scarce languages are upsampled relative to their natural share without
+    * hand-written weights (the alpha-sampling of multilingual pretraining;
+    * alpha is FIXED at 0.5 because sqrt is IEEE-correctly-rounded on every
+    * engine where pow(x, 0.37) is not — the repo-wide transcendental rule).
+    *
+    * Quotas derive inside the plan (counts -> sqrt weights -> decimal-exact
+    * weight total -> floor share of `budget`), never in driver floats; the
+    * stratum-count relation is |strata| rows and broadcasts back. One
+    * window shuffle for the content-addressed fill order, same as
+    * [[mixture]]. */
+  def alphaMixture(df: DataFrame, keyCol: String, strataCol: String,
+                   budget: Long,
+                   salt: String = "graft_mix_v1"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val cnt = df.groupBy(strataCol).agg(count(lit(1)).as("__c"))
+      .withColumn("__w", sqrt(col("__c").cast("double")))
+    // |strata| doubles sum through DECIMAL so partial order can't move it
+    val tot = cnt.agg(
+      sum(col("__w").cast("decimal(38,18)")).cast("double").as("__tw"))
+    val quotas = cnt.crossJoin(broadcast(tot))
+      .select(col(strataCol),
+        floor(lit(budget.toDouble) * col("__w") / col("__tw"))
+          .cast("long").as("__quota"))
+    val win = Window.partitionBy(strataCol)
+      .orderBy(md5(concat(col(keyCol).cast("string"), lit("|" + salt))).asc,
+        col(keyCol).asc)
+    df.withColumn("mix_rk", row_number().over(win).cast("long"))
+      .join(broadcast(quotas), strataCol)
+      .filter(col("mix_rk") <= col("__quota"))
+      .drop("__quota")
+  }
 }

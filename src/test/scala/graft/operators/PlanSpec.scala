@@ -35,6 +35,39 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
   }
 
+  test("q14/q19 join part as a broadcast; q19's OR stays out of a nested loop") {
+    val p14 = plan(Relational.promoRevenue(spark, sf))
+    assert(p14.contains("BroadcastHashJoin"), p14.take(2000))
+    assert(p14.contains("PushedFilters: [IsNotNull(l_shipdate)"), p14.take(3000))
+    val p19 = plan(Relational.disjunctiveRevenue(spark, sf))
+    assert(p19.contains("BroadcastHashJoin"), p19.take(2000))
+    assert(!p19.contains("BroadcastNestedLoopJoin"), p19.take(2000))
+  }
+
+  test("q18 heavy-hitter relation broadcasts back; selection is TakeOrdered") {
+    val p = plan(Relational.largeOrders(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("alpha mixture: quotas broadcast, one window shuffle, sqrt shares sane") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+    val out = Sampling.alphaMixture(docs, "doc_id", "lang", 100L)
+    val p = plan(out)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    val rows = out.collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    val natural = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sqrt compression: the rarest stratum's share of the sample exceeds
+    // its share of the corpus; the commonest stratum's share shrinks
+    val total = rows.length.toDouble
+    val natTotal = natural.values.sum.toDouble
+    val rare = natural.minBy(_._2)._1; val common = natural.maxBy(_._2)._1
+    assert(byLang(rare) / total > natural(rare) / natTotal)
+    assert(byLang(common) / total < natural(common) / natTotal)
+  }
+
   test("range predicate pushes down to the parquet scan") {
     val df = Tables.lineitem(spark, sf)
       .filter(col("l_orderkey") >= 100L && col("l_orderkey") < 200L)
