@@ -392,6 +392,12 @@ object SparkEntry {
     // CLIP-filter shape: cosine to own-label centroid, bottom-10 flagged
     "q_centroid_filter" -> ((s, dir) =>
       Similarity.centroidOutliers(Tables.embeddings(s, dir))),
+    // 1-bit (sign) quantized first-stage retrieval + exact-cosine rerank
+    "q_sim_topk_binary" -> ((s, dir) =>
+      Similarity.binaryTopK(Tables.embeddings(s, dir))),
+    // Matryoshka adaptive retrieval: 8-dim prefix rank, full-vector rerank
+    "q_sim_topk_mrl" -> ((s, dir) =>
+      Similarity.mrlTopK(Tables.embeddings(s, dir))),
     // Gopher-style rule bundle with first-failing-rule attribution
     "q_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(Tables.documents(s, dir))),
@@ -1173,6 +1179,12 @@ object SparkEntry {
        |  i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)])), (x, y) -> x + y)""".stripMargin
   private def cosSql(a: String, b: String) =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+  /** [[dotSql]]/[[cosSql]] over the first `n` dims (MRL prefix ranking). */
+  private def dotSqlN(a: String, b: String, n: Int) =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${n + 1}),
+       |  i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)])), (x, y) -> x + y)""".stripMargin
+  private def cosSqlN(a: String, b: String, n: Int) =
+    s"${dotSqlN(a, b, n)} / (sqrt(${dotSqlN(a, a, n)}) * sqrt(${dotSqlN(b, b, n)}))"
   /** random-hyperplane bucket key: 8 sign bits from hashed ±1 planes. */
   private def bucketKeySql(v: String, t: String) =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 8), j ->
@@ -1510,6 +1522,50 @@ object SparkEntry {
           |       sum(m.weight) > 0 AS label
           |FROM feat f JOIN model m USING (feature_id)
           |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
+      // sign-bit signatures in two 32-bit halves (1<<63 overflows checked
+      // engines); Hamming funnel then exact-cosine rerank
+      "q_sim_topk_binary" ->
+        s"""WITH v AS (SELECT vec_id, embedding,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           |  FROM embeddings),
+           |sg AS (SELECT vec_id, emb,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 32)),
+           |      (a, i) -> a | (CASE WHEN embedding[CAST(i AS INT) + 1] > 0
+           |        THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)) AS lo,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 32)),
+           |      (a, i) -> a | (CASE WHEN embedding[CAST(i AS INT) + 33] > 0
+           |        THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)) AS hi
+           |  FROM v),
+           |h AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, q.emb AS q_emb, c.emb AS n_emb,
+           |    CAST(bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)) AS BIGINT) AS hamming
+           |  FROM sg c CROSS JOIN sg q
+           |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+           |cand AS (SELECT * FROM (SELECT *,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY hamming, n_id) AS hrk
+           |  FROM h) x WHERE hrk <= 20),
+           |s AS (SELECT q_id, n_id, hamming, ${cosSql("q_emb", "n_emb")} AS cos FROM cand),
+           |r AS (SELECT q_id, n_id, hamming, cos,
+           |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
+           |  FROM s)
+           |SELECT q_id, rk, n_id, hamming, cos FROM r WHERE rk <= 5
+           |ORDER BY q_id, rk""".stripMargin,
+      "q_sim_topk_mrl" ->
+        s"""WITH v AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           |  FROM embeddings),
+           |h AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, q.emb AS q_emb, c.emb AS n_emb,
+           |    ${cosSqlN("q.emb", "c.emb", 8)} AS pre_cos
+           |  FROM v c CROSS JOIN v q
+           |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+           |cand AS (SELECT * FROM (SELECT *,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY pre_cos DESC, n_id) AS prk
+           |  FROM h) x WHERE prk <= 20),
+           |s AS (SELECT q_id, n_id, pre_cos, ${cosSql("q_emb", "n_emb")} AS cos FROM cand),
+           |r AS (SELECT q_id, n_id, pre_cos, cos,
+           |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
+           |  FROM s)
+           |SELECT q_id, rk, n_id, pre_cos, cos FROM r WHERE rk <= 5
+           |ORDER BY q_id, rk""".stripMargin,
       // centroid means mirror Spark's cast(double as decimal(28,12)) + exact
       // decimal sum via the VARCHAR hop (the ivfCtes discipline); the cosine
       // folds in dimension order (cosSql)

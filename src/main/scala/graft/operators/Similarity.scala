@@ -308,6 +308,88 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** BINARY-quantized ANN — the 1-bit-per-dimension regime (sign of each
+    * component), the highest-compression point on the PQ family's axis:
+    * a 64-dim float vector becomes 8 BYTES, Hamming distance is two
+    * codegen'd `bit_count(xor)` ops, and the final answer re-ranks the
+    * Hamming-best candidates with exact cosine. Binary embeddings are the
+    * current production shape for billion-vector first-stage retrieval
+    * (sign-bit Matryoshka/binary-MRL stacks).
+    *
+    * The signature packs into TWO 32-bit halves rather than one 64-bit
+    * word: bit 63 of a BIGINT is its sign bit, and `1 << 63` is an
+    * overflow error on engines that check (DuckDB) while wrapping on the
+    * JVM — sub-31 shifts are portable everywhere, and the pair costs one
+    * extra `bit_count`.
+    *
+    * Scale shape: the sketch pass is a narrow map (corpus scanned once,
+    * 8-byte signatures); queries broadcast; the Hamming funnel keeps
+    * `rerank` candidates per query (a per-query rank over
+    * corpus-signature pairs — at 100 TB the signature relation is 0.4% of
+    * the float corpus, and the exact-cosine join touches only the
+    * surviving candidate ids). */
+  def binaryTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
+                 rerank: Int = 20): DataFrame = {
+    def half(offset: Int): Column =
+      aggregate(sequence(lit(0), lit(31)), lit(0L),
+        (acc, i) => acc.bitwiseOR(
+          when(element_at(col("embedding"), i + offset + 1) > 0f,
+            call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))))
+    val sigs = emb.select(col("vec_id"), col("embedding"),
+      half(0).as("sig_lo"), half(32).as("sig_hi"))
+    val q = sigs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi"))
+    val c = sigs.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      col("sig_lo").as("n_lo"), col("sig_hi").as("n_hi"))
+    val ham = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("hamming",
+        (bit_count(col("q_lo").bitwiseXOR(col("n_lo"))) +
+         bit_count(col("q_hi").bitwiseXOR(col("n_hi")))).cast("long"))
+    val wH = Window.partitionBy("q_id")
+      .orderBy(col("hamming").asc, col("n_id").asc)
+    val cand = ham.withColumn("hrk", row_number().over(wH))
+      .filter(col("hrk") <= rerank)
+    val wC = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    cand.withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rk", row_number().over(wC).cast("long"))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "n_id", "hamming", "cos")
+      .orderBy("q_id", "rk")
+  }
+
+  /** MATRYOSHKA (MRL-style) adaptive retrieval: rank cheaply on a PREFIX of
+    * the embedding (nested-representation models pack the most signal into
+    * the leading dims), keep `rerank` candidates, then re-rank with the
+    * full vector. The funnel shape of [[binaryTopK]] with a different
+    * first stage: prefix cosine reads `prefixDims/dims` of the bytes —
+    * with dimension-major column pruning (or a separate prefix column)
+    * the first pass scans an 8x smaller relation. */
+  def mrlTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
+              prefixDims: Int = 8, rerank: Int = 20): DataFrame = {
+    val pre = slice(col("embedding"), 1, prefixDims)
+    val vecs = emb.select(col("vec_id"), col("embedding"), pre.as("prefix"))
+    val q = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("prefix").as("q_pre"))
+    val c = vecs.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      col("prefix").as("n_pre"))
+    val wP = Window.partitionBy("q_id")
+      .orderBy(col("pre_cos").desc, col("n_id").asc)
+    val cand = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("pre_cos", cosine(col("q_pre"), col("n_pre")))
+      .withColumn("prk", row_number().over(wP))
+      .filter(col("prk") <= rerank)
+    val wC = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    cand.withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rk", row_number().over(wC).cast("long"))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "n_id", "pre_cos", "cos")
+      .orderBy("q_id", "rk")
+  }
+
   /** Embedding OUTLIER filter: cosine of every vector to its own label's
     * centroid, bottom-`bottomK` per label flagged — the CLIP-score-filter
     * shape (LAION-style): drop samples far from their class/modality

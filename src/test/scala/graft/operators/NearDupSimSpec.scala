@@ -389,4 +389,37 @@ class NearDupSimSpec extends SparkSpec {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
     assert(guarded == unguarded && guarded.nonEmpty)
   }
+
+  test("binary ANN with an unbounded rerank funnel equals brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count().toInt
+    val brute = Similarity.bruteForceTopK(emb, 4, 5)
+      .select("q_id", "rk", "n_id").collect().toSeq
+    val full = Similarity.binaryTopK(emb, 4, 5, rerank = n)
+      .select("q_id", "rk", "n_id").collect().toSeq
+    assert(full == brute) // nothing pruned -> exact
+    // the production funnel returns k ranked rows per query, hamming sane
+    val funneled = Similarity.binaryTopK(emb, 4, 5, rerank = 20).collect()
+    assert(funneled.length == 20)
+    assert(funneled.forall(r => r.getLong(3) >= 0 && r.getLong(3) <= 64))
+  }
+
+  test("MRL prefix funnel equals brute force when nothing is pruned") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count().toInt
+    val brute = Similarity.bruteForceTopK(emb, 4, 5)
+      .select("q_id", "rk", "n_id").collect().toSeq
+    val full = Similarity.mrlTopK(emb, 4, 5, prefixDims = 8, rerank = n)
+      .select("q_id", "rk", "n_id").collect().toSeq
+    assert(full == brute)
+    // prefix ranking carries signal well above chance — this fixture has no
+    // planted neighbor structure (the repo-wide LSH-recall caveat), so the
+    // floor is above-random, not high-recall: chance overlap of a 20-of-499
+    // funnel with the true top-5 is ~0.2 hits/query (~0.8 of 20 total)
+    val funneled = Similarity.mrlTopK(emb, 4, 5, prefixDims = 8, rerank = 20)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteSet = brute.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(funneled.intersect(bruteSet).size >= 3,
+      s"prefix recall ${funneled.intersect(bruteSet).size}/${bruteSet.size}")
+  }
 }
