@@ -398,6 +398,9 @@ object SparkEntry {
     // Matryoshka adaptive retrieval: 8-dim prefix rank, full-vector rerank
     "q_sim_topk_mrl" -> ((s, dir) =>
       Similarity.mrlTopK(Tables.embeddings(s, dir))),
+    // hybrid lexical+dense retrieval fused by reciprocal rank
+    "q_hybrid_rrf" -> ((s, dir) =>
+      Similarity.rrfFusion(Tables.documents(s, dir), Tables.embeddings(s, dir))),
     // Gopher-style rule bundle with first-failing-rule attribution
     "q_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(Tables.documents(s, dir))),
@@ -1522,6 +1525,52 @@ object SparkEntry {
           |       sum(m.weight) > 0 AS label
           |FROM feat f JOIN model m USING (feature_id)
           |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
+      // both rankings re-derived to depth 20, fused by 1/(60+rank) in fixed
+      // (text, vector) addition order — rank-based, so no score calibration
+      "q_hybrid_rrf" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, tok, count(*) AS tf FROM (
+           |    SELECT doc_id,
+           |      unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+           |    FROM documents) x GROUP BY doc_id, tok),
+           |n AS (SELECT count(*) AS n_docs FROM documents),
+           |dfq AS (SELECT tok, (n_docs - count(*) + 0.5) / (count(*) + 0.5) AS w
+           |        FROM tok CROSS JOIN n GROUP BY tok, n_docs),
+           |wt AS (SELECT doc_id, tok.tok AS tok, w * tf AS wt
+           |       FROM tok JOIN dfq ON tok.tok = dfq.tok),
+           |norms AS (SELECT doc_id,
+           |    sqrt(CAST(sum(CAST(wt * wt AS DECIMAL(38,8))) AS DOUBLE)) AS norm
+           |  FROM wt GROUP BY doc_id),
+           |dot AS (SELECT q.doc_id AS q_id, c.doc_id AS n_id,
+           |    CAST(sum(CAST(q.wt * c.wt AS DECIMAL(38,8))) AS DOUBLE) AS dot
+           |  FROM wt q JOIN wt c ON q.tok = c.tok
+           |  WHERE q.doc_id < 8 AND q.doc_id <> c.doc_id
+           |  GROUP BY q_id, n_id),
+           |tscored AS (SELECT q_id, n_id, dot / (qn.norm * nn.norm) AS sim
+           |  FROM dot
+           |  JOIN norms qn ON qn.doc_id = q_id
+           |  JOIN norms nn ON nn.doc_id = n_id),
+           |trank AS (SELECT q_id, n_id,
+           |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS text_rk
+           |  FROM tscored QUALIFY text_rk <= 20),
+           |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           |  FROM embeddings),
+           |vs AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, ${cosSql("q.emb", "c.emb")} AS cos
+           |  FROM v c CROSS JOIN v q WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+           |vrank AS (SELECT q_id, n_id,
+           |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS vec_rk
+           |  FROM vs QUALIFY vec_rk <= 20),
+           |fused AS (SELECT coalesce(t.q_id, vr.q_id) AS q_id,
+           |    coalesce(t.n_id, vr.n_id) AS n_id, t.text_rk, vr.vec_rk,
+           |    coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(t.text_rk AS DOUBLE)), CAST(0 AS DOUBLE))
+           |      + coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(vr.vec_rk AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf
+           |  FROM trank t FULL OUTER JOIN vrank vr
+           |    ON t.q_id = vr.q_id AND t.n_id = vr.n_id),
+           |r AS (SELECT q_id, n_id, text_rk, vec_rk, rrf,
+           |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, n_id) AS BIGINT) AS rk
+           |  FROM fused)
+           |SELECT q_id, rk, n_id, text_rk, vec_rk, rrf FROM r WHERE rk <= 5
+           |ORDER BY q_id, rk""".stripMargin,
       // sign-bit signatures in two 32-bit halves (1<<63 overflows checked
       // engines); Hamming funnel then exact-cosine rerank
       "q_sim_topk_binary" ->

@@ -390,6 +390,39 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** HYBRID retrieval via Reciprocal Rank Fusion — the standard way a RAG
+    * stack combines lexical (TF-IDF/BM25) and dense (embedding) rankings
+    * without score calibration: `rrf = sum over systems of 1/(c + rank)`,
+    * rank-based so the two systems' incomparable score scales never meet.
+    * Assumes aligned ids (document embeddings: vec_id == doc_id).
+    *
+    * Determinism: ranks are integers, each 1/(c+rank) is one exact-rounded
+    * division, and the two terms add in fixed (text, vector) order —
+    * engine-portable without any float fudge. A doc ranked by only one
+    * system contributes only that term (the standard RRF convention).
+    *
+    * Scale shape: both input rankings are already query-bounded
+    * (nQueries x depth rows); the fusion is a full-outer join + rank over
+    * that tiny relation — the corpus-scale work lives in the two upstream
+    * retrieval lanes, each with its own scale path (TF-IDF broadcast
+    * vocab, ANN funnels). */
+  def rrfFusion(docs: DataFrame, emb: DataFrame, nQueries: Int = 8,
+                k: Int = 5, depth: Int = 20, c: Long = 60): DataFrame = {
+    val text = TfIdf.topKSimilar(docs, nQueries, depth)
+      .select(col("q_id"), col("n_id"), col("rk").as("text_rk"))
+    val vec = bruteForceTopK(emb, nQueries, depth)
+      .select(col("q_id"), col("n_id"), col("rk").as("vec_rk"))
+    val fused = text.join(vec, Seq("q_id", "n_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(c.toDouble) + col("text_rk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c.toDouble) + col("vec_rk")), lit(0.0)))
+    val w = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("n_id").asc)
+    fused.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "n_id", "text_rk", "vec_rk", "rrf")
+      .orderBy("q_id", "rk")
+  }
+
   /** Embedding OUTLIER filter: cosine of every vector to its own label's
     * centroid, bottom-`bottomK` per label flagged — the CLIP-score-filter
     * shape (LAION-style): drop samples far from their class/modality

@@ -422,4 +422,25 @@ class NearDupSimSpec extends SparkSpec {
     assert(funneled.intersect(bruteSet).size >= 3,
       s"prefix recall ${funneled.intersect(bruteSet).size}/${bruteSet.size}")
   }
+
+  test("RRF fusion: both-system hits outrank single-system at equal ranks") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.rrfFusion(docs, emb, nQueries = 4, k = 5).collect()
+    assert(out.length == 20)
+    // every rrf matches its ranks by the exact formula
+    out.foreach { r =>
+      val t = if (r.isNullAt(3)) 0.0 else 1.0 / (60.0 + r.getLong(3))
+      val v = if (r.isNullAt(4)) 0.0 else 1.0 / (60.0 + r.getLong(4))
+      assert(r.getDouble(5) == t + v)
+    }
+    // a doc present in both depth-20 lists beats one present in only one
+    // list at any rank (1/61+1/80 > 1/61 max single): check ordering holds
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(1))
+      val rrfs = sorted.map(_.getDouble(5))
+      assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }
