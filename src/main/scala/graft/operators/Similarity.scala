@@ -440,24 +440,36 @@ object Similarity {
     * replace the exact bottom-k window with an approx-percentile cutoff
     * (the [[graft.operators.Relational]] winsorize discipline); the exact
     * rank is what a bit-reproducible oracle can gate. */
-  def centroidOutliers(emb: DataFrame, bottomK: Int = 10): DataFrame = {
+  /** Per-label decimal-exact centroids as frozen driver state — the
+    * O(nLabels x dims) codebook-budget collect shared by the batch outlier
+    * rank and the stateless streaming scorer. */
+  def labelCentroids(emb: DataFrame): Map[Int, Seq[Double]] = {
     val ve = emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .withColumn("v", col("v").cast("double"))
     val cents = ve.groupBy("label", "dim")
       .agg((sum(col("v").cast("decimal(28,12)")).cast("double") /
             count(lit(1))).as("c"))
-    // O(nLabels x dims) collect — the codebook budget; becomes a map
-    // literal so scoring never joins
-    val m: Map[Int, Seq[Double]] = cents.collect()
+    cents.collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
       .groupBy(_._1).map { case (l, xs) => l -> xs.sortBy(_._2).map(_._3).toSeq }
-    val cmap = typedlit(m)
+  }
+
+  /** Stateless scoring against FROZEN centroids: a zero-exchange narrow map
+    * (centroids ride as a map literal), so it runs unchanged on a stream —
+    * no watermark, no state store (agreement asserted in
+    * `StreamingOpsSpec`). */
+  def centroidScores(emb: DataFrame, cents: Map[Int, Seq[Double]]): DataFrame = {
+    val cmap = typedlit(cents)
+    emb.select(col("vec_id"), col("label"),
+      cosineHof(col("embedding"), element_at(cmap, col("label")))
+        .as("cos_centroid"))
+  }
+
+  def centroidOutliers(emb: DataFrame, bottomK: Int = 10): DataFrame = {
     val w = Window.partitionBy("label")
       .orderBy(col("cos_centroid").asc, col("vec_id").asc)
-    emb.select(col("vec_id"), col("label"),
-        cosineHof(col("embedding"), element_at(cmap, col("label")))
-          .as("cos_centroid"))
+    centroidScores(emb, labelCentroids(emb))
       .withColumn("rk", row_number().over(w).cast("long"))
       .withColumn("is_outlier", col("rk") <= bottomK)
       .orderBy("vec_id")

@@ -565,6 +565,43 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch.exists(_.getBoolean(1)), "some docs hit the blocklist")
   }
 
+  test("centroid scoring with frozen centroids streams stateless, flags agree") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val cents = graft.operators.Similarity.labelCentroids(emb)
+    // frozen per-label outlier thresholds: the bottomK-th cosine from the
+    // reference corpus (what a production stream would pin at deploy time)
+    val batch = graft.operators.Similarity.centroidOutliers(emb, bottomK = 5)
+      .collect()
+    val thresholds: Map[Int, Double] = batch.groupBy(_.getInt(1)).map {
+      case (l, rows) =>
+        l -> rows.filter(_.getBoolean(4)).map(_.getDouble(2)).max
+    }
+    val rows = emb.select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Array[Float], Int)].collect().toSeq
+    val stream = MemoryStream[(Long, Array[Float], Int)]
+    val q = graft.operators.Similarity.centroidScores(
+        stream.toDF().toDF("vec_id", "embedding", "label"), cents)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cent_out").start()
+    try {
+      stream.addData(rows.take(rows.length / 2)); q.processAllAvailable()
+      stream.addData(rows.drop(rows.length / 2)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cent_out").orderBy("vec_id").collect()
+    // scores bit-identical to the batch lane's cos_centroid column
+    assert(streamed.map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
+      batch.map(r => (r.getLong(0), r.getDouble(2))).toSeq)
+    // frozen-threshold flags reproduce the batch rank flags (cosines are
+    // distinct on this fixture, so threshold == rank semantics)
+    val streamFlags = streamed.map(r =>
+      r.getLong(0) -> (r.getDouble(2) <= thresholds(r.getInt(1)))).toMap
+    batch.foreach { r =>
+      assert(streamFlags(r.getLong(0)) == r.getBoolean(4), s"vec ${r.getLong(0)}")
+    }
+  }
+
   test("DSIR frozen-weight scoring streams stateless and agrees with batch") {
     // train once on the static corpus, apply to the stream — the
     // vec_assign_new contract for importance weights: history never rescans
