@@ -669,6 +669,11 @@ object SparkEntry {
     // v5: + blocklist pre-gate at the scan and shard layout at the sink
     "q_curation_v5" -> ((s, dir) =>
       CurationPipeline.trainingManifestV5(s, dir)),
+    // incremental admission funnel: gate the new batch against curated
+    // history (history read, never shuffled) with first-failing-stage
+    // attribution per document
+    "q_curation_incr" -> ((s, dir) =>
+      CurationPipeline.incrementalAdmission(s, dir)),
 
     // ---- capstone: the reference's entire pipeline composed end-to-end ----
     "q_ref_pipeline" -> ((s, dir) =>
@@ -3046,6 +3051,53 @@ object SparkEntry {
            |       m.split, CAST(pa.shard AS BIGINT) AS shard
            |FROM mman m JOIN pa USING (pack_id)
            |ORDER BY m.doc_id, m.chunk_idx""".stripMargin,
+      // one full-corpus MinHash pair chain serves BOTH near-dup stages:
+      // banding pairs over a subset equal the full chain restricted to the
+      // subset (signatures are per-doc). Stages attribute first-failing.
+      "q_curation_incr" ->
+        s"""WITH $minhashPairCtes,
+           |b AS (SELECT doc_id, text,
+           |    ' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) || ' ' AS n,
+           |    CAST(length(text) AS BIGINT) AS len,
+           |    CAST(len(list_filter(string_split(text, ' '),
+           |          t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+           |      / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS stop_ratio
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |fl AS (SELECT doc_id,
+           |    len(list_filter(['slow join'], p -> contains(n, ' ' || p || ' '))) > 0 AS blocked,
+           |    NOT (len BETWEEN 100 AND 520 AND stop_ratio >= 0.03) AS lowq
+           |  FROM b),
+           |g AS (SELECT doc_id FROM fl WHERE NOT blocked AND NOT lowq),
+           |fps AS (SELECT doc_id,
+           |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+           |  FROM documents),
+           |ex AS (SELECT g.doc_id FROM g JOIN fps bf USING (doc_id)
+           |  WHERE bf.fp IN (SELECT fp FROM fps WHERE doc_id % 5 <> 0)
+           |  UNION
+           |  SELECT doc_id FROM (
+           |    SELECT g.doc_id,
+           |      row_number() OVER (PARTITION BY bf.fp ORDER BY g.doc_id) AS rn
+           |    FROM g JOIN fps bf USING (doc_id)) x WHERE rn > 1),
+           |h AS (SELECT doc_id FROM g WHERE doc_id NOT IN (SELECT doc_id FROM ex)),
+           |nearh AS (SELECT DISTINCT CASE WHEN a_id % 5 = 0 THEN a_id ELSE b_id END AS doc_id
+           |  FROM jac
+           |  WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5
+           |    AND ((a_id % 5 = 0) <> (b_id % 5 = 0))
+           |    AND (CASE WHEN a_id % 5 = 0 THEN a_id ELSE b_id END)
+           |        IN (SELECT doc_id FROM h)),
+           |nearw AS (SELECT DISTINCT b_id AS doc_id FROM jac
+           |  WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5
+           |    AND a_id % 5 = 0 AND b_id % 5 = 0
+           |    AND a_id IN (SELECT doc_id FROM h)
+           |    AND b_id IN (SELECT doc_id FROM h)),
+           |nd AS (SELECT doc_id FROM nearh UNION SELECT doc_id FROM nearw)
+           |SELECT fl.doc_id,
+           |  CASE WHEN blocked THEN 'blocklist'
+           |       WHEN lowq THEN 'quality'
+           |       WHEN fl.doc_id IN (SELECT doc_id FROM ex) THEN 'exact_dup'
+           |       WHEN fl.doc_id IN (SELECT doc_id FROM nd) THEN 'near_dup'
+           |       ELSE 'kept' END AS stage
+           |FROM fl ORDER BY fl.doc_id""".stripMargin,
       "q_ref_pipeline" ->
         s"""SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
            |       CAST(l_linenumber AS VARCHAR) AS l_linenumber,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -191,6 +192,93 @@ object CurationPipeline {
 
   val ShardTokens = 2048L
   val BlockPhrases: Seq[String] = Seq("slow join", "fast scan")
+
+  /** INCREMENTAL admission — the daily-batch production shape: gate a NEW
+    * batch against an already-curated HISTORY without ever rescanning or
+    * re-shuffling the history corpus, and report per-document first-failing
+    * -stage attribution (the funnel report a data-ops dashboard shows):
+    *
+    *   blocklist -> quality -> exact_dup (within batch + vs history) ->
+    *   near_dup (within batch + vs history) -> kept
+    *
+    * History-touch budget, stage by stage: blocklist/quality are stateless
+    * batch-only maps; the exact stage sends the BATCH's fingerprint set to
+    * the history scan (broadcast semi-join — only matched fingerprints come
+    * back); the near stage bands history against the broadcast batch sketch
+    * ([[NearDup.nearDupSurvivorsVsHistory]]'s asymmetric contract). The
+    * history is read, never shuffled — the [[Compaction.assignIncremental]]
+    * / frozen-quantizer discipline applied to the whole admission funnel.
+    *
+    * Fixture split: batch = doc_id % 5 == 0 (the q_dedup_nearhist split).
+    * Output: (doc_id, stage) for every batch doc. */
+  def incrementalAdmission(spark: SparkSession, dir: String,
+                           blockPhrases: Seq[String] = Seq("slow join"),
+                           threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    admitBatch(docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      blockPhrases, threshold)
+  }
+
+  /** The funnel over explicit batch/history frames (each needs doc_id +
+    * text; the fixture split above is just one instantiation). */
+  def admitBatch(batchDocs: DataFrame, historyDocs: DataFrame,
+                 blockPhrases: Seq[String] = Seq("slow join"),
+                 threshold: Double = 0.5): DataFrame = {
+    val batch = batchDocs
+    val history = historyDocs.select("doc_id", "text")
+    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+
+    val quality = TextAnalysis.qualityScore(batch)
+      .select(col("doc_id"), col("len"), col("stop_ratio"))
+    val flagged = batch.join(quality, "doc_id")
+      .withColumn("__blocked", TextAnalysis.blockedBy(blockPhrases, col("text")))
+      .withColumn("__lowq",
+        !(col("len").between(MinLen, MaxLen) &&
+          col("stop_ratio") >= MinStopRatio))
+      .select("doc_id", "text", "__blocked", "__lowq")
+      .localCheckpoint(false) // feeds every later stage + the final report
+    val g = flagged.filter(!col("__blocked") && !col("__lowq"))
+
+    // exact stage: batch fingerprints -> history semi-join (matched fps
+    // only come back); within-batch keeps the smallest doc_id per fp
+    val fpB = g.select(col("doc_id"), md5(norm).as("fp"))
+      .localCheckpoint(false)
+    val fpHits = history.select(md5(norm).as("fp"))
+      .join(broadcast(fpB.select("fp").distinct()), Seq("fp"), "left_semi")
+      .select("fp").distinct()
+    val exactVsHist = fpB.join(broadcast(fpHits), Seq("fp"), "left_semi")
+      .select("doc_id")
+    val wFp = Window.partitionBy("fp").orderBy("doc_id")
+    val exactWithin = fpB
+      .withColumn("__rn", row_number().over(wFp))
+      .filter(col("__rn") > 1).select("doc_id")
+    val exactDrop = exactVsHist.union(exactWithin).distinct()
+      .localCheckpoint(false)
+    val h = g.join(exactDrop, Seq("doc_id"), "left_anti")
+      .select("doc_id", "text").localCheckpoint(false)
+
+    // near stage: vs history (asymmetric, history never shuffles) and
+    // within the surviving batch (larger id of each pair drops)
+    val nearSurvivors = NearDup
+      .nearDupSurvivorsVsHistory(h, history, threshold).select("doc_id")
+    val nearVsHist = h.select("doc_id")
+      .join(nearSurvivors, Seq("doc_id"), "left_anti")
+    val nearWithin = NearDup.minhashPairs(h, threshold)
+      .select(col("b_id").as("doc_id")).distinct()
+    val nearDrop = nearVsHist.union(nearWithin).distinct()
+
+    flagged
+      .join(exactDrop.withColumn("__exact", lit(true)), Seq("doc_id"), "left")
+      .join(nearDrop.withColumn("__near", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__blocked"), "blocklist")
+          .when(col("__lowq"), "quality")
+          .when(col("__exact").isNotNull, "exact_dup")
+          .when(col("__near").isNotNull, "near_dup")
+          .otherwise("kept").as("stage"))
+      .orderBy("doc_id")
+  }
 
   /** Round-6 capstone v5: v4's manifest with the two ends of a production
     * pipeline attached —

@@ -24,6 +24,43 @@ class CurationPipelineSpec extends SparkSpec {
     assert(again == kept.collect().map(_.getLong(0)).toSeq)
   }
 
+  test("incremental admission: every stage fires on a planted batch, history untouched") {
+    import spark.implicits._
+    // ~290 chars, stopword-bearing: passes the len/stop-ratio quality gate
+    val base =
+      ("the quick brown fox jumps over a lazy dog of summer and winter " +
+       "to spring in autumn is nice ") * 3
+    val base2 =
+      ("a stormy night sails the dark sea of stars and moons " +
+       "to drift in silence is calm ") * 3
+    def doc(id: Long, t: String) = (id, t.trim)
+    val history = Seq(
+      doc(1L, base + "one"),
+      doc(2L, base2 + "anchor tail")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      doc(10L, "slow join " + base),          // blocklist (first stage wins)
+      doc(11L, "short"),                      // quality (too short)
+      doc(12L, base + "one"),                 // exact vs history doc 1
+      doc(13L, base2 + "anchor tail extra"),  // near-dup of history doc 2
+      doc(14L, ("the iron gate creaks while a raven calls of omens and " +
+        "dust to settle in ruins is grim ") * 3),            // kept
+      doc(15L, ("a copper kettle sings when the steam rises of dawn and " +
+        "frost to melt in sunlight is warm ") * 3),  // within-batch exact seed
+      doc(16L, ("a copper kettle sings when the steam rises of dawn and " +
+        "frost to melt in sunlight is warm ") * 3)   // exact dup of 15
+    ).toDF("doc_id", "text")
+    val out = CurationPipeline.admitBatch(batch, history,
+        Seq("slow join"), 0.5).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(10L) == "blocklist")
+    assert(out(11L) == "quality")
+    assert(out(12L) == "exact_dup")
+    assert(out(13L) == "near_dup")
+    assert(out(15L) == "kept")       // smaller id survives the within pair
+    assert(out(16L) == "exact_dup")  // within-batch duplicate of 15
+  }
+
   test("v5: blocklist gate bites, shards are monotone and full except the tail") {
     val v5 = CurationPipeline.trainingManifestV5(spark, sf).collect()
     assert(v5.nonEmpty)
