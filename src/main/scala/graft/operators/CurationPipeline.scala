@@ -224,7 +224,8 @@ object CurationPipeline {
     * text; the fixture split above is just one instantiation). */
   def admitBatch(batchDocs: DataFrame, historyDocs: DataFrame,
                  blockPhrases: Seq[String] = Seq("slow join"),
-                 threshold: Double = 0.5): DataFrame = {
+                 threshold: Double = 0.5,
+                 withinBatch: Boolean = true): DataFrame = {
     val batch = batchDocs
     val history = historyDocs.select("doc_id", "text")
     val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
@@ -253,7 +254,9 @@ object CurationPipeline {
     val exactWithin = fpB
       .withColumn("__rn", row_number().over(wFp))
       .filter(col("__rn") > 1).select("doc_id")
-    val exactDrop = exactVsHist.union(exactWithin).distinct()
+    val exactDrop =
+      (if (withinBatch) exactVsHist.union(exactWithin) else exactVsHist)
+        .distinct()
       .localCheckpoint(false)
     val h = g.join(exactDrop, Seq("doc_id"), "left_anti")
       .select("doc_id", "text").localCheckpoint(false)
@@ -266,7 +269,9 @@ object CurationPipeline {
       .join(nearSurvivors, Seq("doc_id"), "left_anti")
     val nearWithin = NearDup.minhashPairs(h, threshold)
       .select(col("b_id").as("doc_id")).distinct()
-    val nearDrop = nearVsHist.union(nearWithin).distinct()
+    val nearDrop =
+      (if (withinBatch) nearVsHist.union(nearWithin) else nearVsHist)
+        .distinct()
 
     flagged
       .join(exactDrop.withColumn("__exact", lit(true)), Seq("doc_id"), "left")

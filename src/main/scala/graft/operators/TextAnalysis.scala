@@ -45,16 +45,24 @@ object TextAnalysis {
 
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean token
     * length — the standard cheap filters for pretraining corpora. */
+  /** len / stop-ratio as reusable COLUMNS — one definition shared by
+    * [[qualityScore]] and the batch/streaming admission gates, so the flag
+    * semantics cannot drift between the two forms. */
+  def docLen(text: Column): Column = length(text).cast("long")
+  def stopRatio(text: Column): Column =
+    countIn(text, Stopwords).cast("double") /
+      size(split(trim(text), "\\s+")).cast("double")
+
   def qualityScore(df: DataFrame, text: String = "text", id: String = "doc_id"): DataFrame = {
     val t = col(text)
     val nTok = size(split(trim(t), "\\s+")).cast("double")
     val nChar = length(t).cast("double")
     df.select(
       col(id),
-      length(t).cast("long").as("len"),
+      docLen(t).as("len"),
       (length(regexp_replace(t, "[a-z0-9\\s]", "")).cast("double") / nChar)
         .as("punct_ratio"),
-      (countIn(t, Stopwords).cast("double") / nTok).as("stop_ratio"),
+      stopRatio(t).as("stop_ratio"),
       (nChar / nTok).as("chars_per_token"))
   }
 

@@ -288,6 +288,84 @@ object StreamingOps {
       .select("doc_id", "ts")
   }
 
+  /** STREAMING ADMISSION funnel — the streaming twin of
+    * `CurationPipeline.admitBatch` against FROZEN history state (the
+    * within-batch stages belong to the batch job; a stream admits each doc
+    * against history only):
+    *
+    *   blocklist/quality: stateless flags (shared column definitions with
+    *   the batch op — the gates cannot drift);
+    *   exact: stream-static LEFT SEMI / ANTI against the history
+    *   fingerprint relation;
+    *   near: band-key equi-join against the history signature bands with
+    *   the exact-Jaccard verify in the join condition.
+    *
+    * Funnel resolution without unbounded state: every branch emits
+    * (doc_id, ts, priority) rows — including a baseline `kept` row for
+    * each exact-surviving doc — and ONE watermark-bounded windowed
+    * `min(priority)` aggregation picks each document's first failing
+    * stage. All of a doc's rows carry its own event time, so they land in
+    * one window; state is bounded by the watermark horizon. */
+  def admitStream(docs: DataFrame, historyFps: DataFrame,
+                  historySigs: DataFrame,
+                  phrases: Seq[String] = Seq("slow join"),
+                  threshold: Double = 0.5, words: Int = 3,
+                  watermarkDelay: String = "1 hour"): DataFrame = {
+    import graft.operators.{CurationPipeline, NearDup, TextAnalysis}
+    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    val flagged = docs.select(col("doc_id"), col("text"), col("ts"),
+      TextAnalysis.blockedBy(phrases, col("text")).as("__blocked"),
+      (!(TextAnalysis.docLen(col("text"))
+          .between(CurationPipeline.MinLen, CurationPipeline.MaxLen) &&
+        TextAnalysis.stopRatio(col("text")) >= CurationPipeline.MinStopRatio))
+        .as("__lowq"))
+    def pri(df: DataFrame, p: Int): DataFrame =
+      df.select(col("doc_id"), col("ts"), lit(p).as("pri"))
+    val blocked = pri(flagged.filter(col("__blocked")), 0)
+    val lowq = pri(flagged.filter(!col("__blocked") && col("__lowq")), 1)
+    val g = flagged.filter(!col("__blocked") && !col("__lowq"))
+      .withColumn("fp", md5(norm))
+    val exact = pri(g.join(historyFps, Seq("fp"), "left_semi"), 2)
+    val nonExact = g.join(historyFps, Seq("fp"), "left_anti")
+
+    val r = NearDup.NumHashes / NearDup.NumBands
+    val bands = transform(sequence(lit(0), lit(NearDup.NumBands - 1)),
+      b => struct(b.as("band"),
+        md5(concat_ws("|", slice(col("sig"), b * r + 1, lit(r)))).as("key")))
+    val sBand = nonExact
+      .withColumn("sh", NearDup.shingles(col("text"), words))
+      .withColumn("sig", NearDup.minhashSig(col("sh")))
+      .select(col("doc_id"), col("ts"), col("sh"), explode(bands).as("bk"))
+      .select(col("doc_id"), col("ts"), col("sh"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val hBandSets = historySigs.select(
+        explode(transform(sequence(lit(0), lit(NearDup.NumBands - 1)),
+          b => struct(b.as("band"),
+            md5(concat_ws("|", slice(col("sig"), b * r + 1, lit(r)))).as("key"))))
+          .as("bk"),
+        col("sh").as("h_sh"))
+      .select(col("bk.band").as("h_band"), col("bk.key").as("h_key"), col("h_sh"))
+    val inter = graft.functions.VectorFunctions
+      .sorted_intersect_count(col("sh"), col("h_sh"))
+    val jac = inter.cast("double") /
+      ((size(col("sh")) + size(col("h_sh"))).cast("long") - inter).cast("double")
+    val near = pri(sBand.join(hBandSets,
+      col("band") === col("h_band") && col("key") === col("h_key") &&
+        jac >= threshold, "left_semi"), 3)
+    val baseline = pri(nonExact, 4)
+
+    blocked.union(lowq).union(exact).union(near).union(baseline)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("doc_id"))
+      .agg(min("pri").as("__pri"))
+      .select(col("doc_id"),
+        when(col("__pri") === 0, "blocklist")
+          .when(col("__pri") === 1, "quality")
+          .when(col("__pri") === 2, "exact_dup")
+          .when(col("__pri") === 3, "near_dup")
+          .otherwise("kept").as("stage"))
+  }
+
   /** Streaming quality-bucket assignment — the streaming twin of
     * `TextAnalysis.qualityBuckets` in its production shape: percentile
     * boundaries are FROZEN from a reference snapshot

@@ -565,6 +565,43 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch.exists(_.getBoolean(1)), "some docs hit the blocklist")
   }
 
+  test("streaming admission funnel agrees with the batch form (history-only stages)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val history = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    val historyFps = history.select(md5(norm).as("fp")).distinct()
+    val historySigs = graft.operators.NearDup
+      .signatures(history.select("doc_id", "text"))
+
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = batch.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => (id, t, ts0) }.toSeq
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingOps.admitStream(
+        stream.toDF().toDF("doc_id", "text", "ts"), historyFps, historySigs)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("admit_out").start()
+    try {
+      stream.addData(rows.take(rows.length / 2)); q.processAllAvailable()
+      stream.addData(rows.drop(rows.length / 2)); q.processAllAvailable()
+      // watermark nudge to close the window
+      stream.addData(Seq((-1L, "nudge",
+        java.sql.Timestamp.valueOf("2030-01-01 00:00:00"))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("admit_out").filter(col("doc_id") >= 0)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val batchRes = graft.operators.CurationPipeline
+      .admitBatch(batch, history, withinBatch = false)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(streamed == batchRes)
+    assert(streamed.map(_._2).distinct.size >= 3, "several stages fire")
+  }
+
   test("centroid scoring with frozen centroids streams stateless, flags agree") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
