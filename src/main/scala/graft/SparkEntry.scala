@@ -506,6 +506,17 @@ object SparkEntry {
           "doc_id", "lang",
           "n_tokens", Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.3), 20000L)
         .orderBy("doc_id")),
+    // stride-interleaved training order: strata spread uniformly through
+    // the epoch (ordered output = the written training order)
+    "q_interleave" -> ((s, dir) =>
+      Sampling.strideInterleave(
+          Tables.documents(s, dir).select("doc_id", "lang"), "doc_id", "lang")
+        .orderBy("vtime", "lang", "rank_in_stratum")),
+    // admission-funnel dashboard report: drops per stage
+    "q_admission_report" -> ((s, dir) =>
+      CurationPipeline.incrementalAdmission(s, dir)
+        .groupBy("stage").agg(count(lit(1)).as("n_docs"))
+        .orderBy("stage")),
     // alpha=0.5 temperature mixture: shares proportional to sqrt(count)
     "q_sample_alpha" -> ((s, dir) =>
       Sampling.alphaMixture(Tables.documents(s, dir).select("doc_id", "lang"),
@@ -1374,6 +1385,63 @@ object SparkEntry {
           |  JOIN customer ON o_custkey = c_custkey
           |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 20)
           |SELECT * FROM sel ORDER BY o_orderkey""".stripMargin,
+      "q_interleave" ->
+        """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+          |r AS (SELECT doc_id, lang,
+          |    CAST(row_number() OVER (PARTITION BY lang
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '|graft_mix_v1'), doc_id) AS BIGINT)
+          |      AS rank_in_stratum
+          |  FROM documents)
+          |SELECT doc_id, lang, rank_in_stratum,
+          |  (CAST(rank_in_stratum AS DOUBLE) - 0.5) / CAST(n AS DOUBLE) AS vtime
+          |FROM r JOIN c USING (lang)
+          |ORDER BY vtime, lang, rank_in_stratum""".stripMargin,
+      "q_admission_report" ->
+        s"""WITH $minhashPairCtes,
+           |b AS (SELECT doc_id, text,
+           |    ' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) || ' ' AS n,
+           |    CAST(length(text) AS BIGINT) AS len,
+           |    CAST(len(list_filter(string_split(text, ' '),
+           |          t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+           |      / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS stop_ratio
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |fl AS (SELECT doc_id,
+           |    len(list_filter(['slow join'], p -> contains(n, ' ' || p || ' '))) > 0 AS blocked,
+           |    NOT (len BETWEEN 100 AND 520 AND stop_ratio >= 0.03) AS lowq
+           |  FROM b),
+           |g AS (SELECT doc_id FROM fl WHERE NOT blocked AND NOT lowq),
+           |fps AS (SELECT doc_id,
+           |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+           |  FROM documents),
+           |ex AS (SELECT g.doc_id FROM g JOIN fps bf USING (doc_id)
+           |  WHERE bf.fp IN (SELECT fp FROM fps WHERE doc_id % 5 <> 0)
+           |  UNION
+           |  SELECT doc_id FROM (
+           |    SELECT g.doc_id,
+           |      row_number() OVER (PARTITION BY bf.fp ORDER BY g.doc_id) AS rn
+           |    FROM g JOIN fps bf USING (doc_id)) x WHERE rn > 1),
+           |h AS (SELECT doc_id FROM g WHERE doc_id NOT IN (SELECT doc_id FROM ex)),
+           |nearh AS (SELECT DISTINCT CASE WHEN a_id % 5 = 0 THEN a_id ELSE b_id END AS doc_id
+           |  FROM jac
+           |  WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5
+           |    AND ((a_id % 5 = 0) <> (b_id % 5 = 0))
+           |    AND (CASE WHEN a_id % 5 = 0 THEN a_id ELSE b_id END)
+           |        IN (SELECT doc_id FROM h)),
+           |nearw AS (SELECT DISTINCT b_id AS doc_id FROM jac
+           |  WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5
+           |    AND a_id % 5 = 0 AND b_id % 5 = 0
+           |    AND a_id IN (SELECT doc_id FROM h)
+           |    AND b_id IN (SELECT doc_id FROM h)),
+           |nd AS (SELECT doc_id FROM nearh UNION SELECT doc_id FROM nearw),
+           |staged AS (SELECT fl.doc_id,
+           |  CASE WHEN blocked THEN 'blocklist'
+           |       WHEN lowq THEN 'quality'
+           |       WHEN fl.doc_id IN (SELECT doc_id FROM ex) THEN 'exact_dup'
+           |       WHEN fl.doc_id IN (SELECT doc_id FROM nd) THEN 'near_dup'
+           |       ELSE 'kept' END AS stage
+           |  FROM fl)
+           |SELECT stage, count(*) AS n_docs FROM staged
+           |GROUP BY stage ORDER BY stage""".stripMargin,
       "q_sample_alpha" ->
         """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
           |w AS (SELECT lang, sqrt(CAST(c AS DOUBLE)) AS w FROM c),

@@ -182,6 +182,36 @@ object Sampling {
       .limit(k)
   }
 
+  /** Deterministic STRIDE INTERLEAVING — the training-order counterpart of
+    * the mixture samplers: having chosen WHAT to train on, emit the order
+    * to train in, with strata spread evenly through the epoch instead of
+    * concatenated (a run of one domain early in training is a curriculum
+    * accident). Stride scheduling: stratum s's i-th doc (content-addressed
+    * hash order, 1-based rank r) gets virtual time `(r - 0.5) / n_s` —
+    * exact double arithmetic — and the global order sorts by (vtime,
+    * stratum, rank). Equal-share strata alternate perfectly; a stratum
+    * with k-fold more docs appears k times as often, uniformly.
+    *
+    * Scale shape: one window shuffle for per-stratum ranks (the mixture
+    * shape) and a broadcast of the |strata|-row count relation. The
+    * (vtime, stratum, rank) tuple IS the training order — the writer
+    * range-partitions + sorts on it (the sort it pays anyway); an absolute
+    * position column would cost a global single-task window (the
+    * boundariesDistributed trap) and adds nothing the sort key lacks. */
+  def strideInterleave(df: DataFrame, keyCol: String, strataCol: String,
+                       salt: String = "graft_mix_v1"): DataFrame = {
+    val win = Window.partitionBy(strataCol)
+      .orderBy(md5(concat(col(keyCol).cast("string"), lit("|" + salt))).asc,
+        col(keyCol).asc)
+    val cnt = df.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+    df.withColumn("rank_in_stratum", row_number().over(win).cast("long"))
+      .join(broadcast(cnt), strataCol)
+      .withColumn("vtime",
+        (col("rank_in_stratum").cast("double") - lit(0.5)) /
+          col("__n").cast("double"))
+      .drop("__n")
+  }
+
   /** TEMPERATURE-scaled (alpha = 0.5) mixture — the multilingual recipe
     * knob: stratum shares proportional to sqrt(count) instead of count, so
     * scarce languages are upsampled relative to their natural share without

@@ -60,4 +60,46 @@ object AppendSink {
   def appendPartitioned(df: DataFrame, path: String,
                         partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path)
+
+  /** EXACTLY-ONCE append: each batch writes into its own
+    * `__batch_id=<id>` partition directory plus a commit marker, and a
+    * replay of an already-committed batch is a NO-OP — the idempotent-sink
+    * contract every at-least-once orchestrator (retries, streaming
+    * restarts, backfills) needs. The marker is written AFTER the data
+    * commit: a crash between the two leaves an uncommitted directory that
+    * the next attempt overwrites (never duplicates), because the batch
+    * writes with Overwrite INTO ITS OWN partition path.
+    *
+    * Readers take only committed batches via [[readCommitted]] — an
+    * uncommitted partial write is invisible. Returns true when this call
+    * performed the write, false when the batch was already committed. */
+  def appendIdempotent(df: DataFrame, path: String, batchId: Long): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/__batch_id=$batchId")
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$path/_committed_batch_$batchId")
+    val fs = dir.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    if (fs.exists(marker)) false
+    else {
+      df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+      fs.create(marker, true).close()
+      true
+    }
+  }
+
+  /** Committed-batches view over an [[appendIdempotent]] destination. */
+  def readCommitted(spark: SparkSession, path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val committed =
+      if (!fs.exists(root)) Seq.empty[String]
+      else fs.listStatus(root).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("_committed_batch_"))
+        .map(_.stripPrefix("_committed_batch_"))
+    if (committed.isEmpty)
+      spark.emptyDataFrame
+    else
+      spark.read.parquet(
+        committed.map(b => s"$path/__batch_id=$b"): _*)
+  }
 }

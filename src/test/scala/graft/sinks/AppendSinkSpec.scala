@@ -40,4 +40,23 @@ class AppendSinkSpec extends SparkSpec {
     AppendSink.append(df, dest)              // append
     assert(AppendSink.readBack(spark, dest).count() == 4L)
   }
+
+  test("idempotent sink: replayed batches are no-ops, partials invisible") {
+    import spark.implicits._
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft_idem").toString + "/t"
+    val b1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val b2 = Seq((3L, "c")).toDF("id", "v")
+    assert(AppendSink.appendIdempotent(b1, dest, 1L))       // first write
+    assert(!AppendSink.appendIdempotent(b1, dest, 1L))      // replay: no-op
+    assert(AppendSink.readCommitted(spark, dest).count() == 2L)
+    assert(AppendSink.appendIdempotent(b2, dest, 2L))
+    assert(AppendSink.readCommitted(spark, dest).count() == 3L)
+    // a crash between data and marker: uncommitted dir exists but readers
+    // never see it, and the retry overwrites (not duplicates) it
+    b2.write.mode("overwrite").parquet(s"$dest/__batch_id=3")
+    assert(AppendSink.readCommitted(spark, dest).count() == 3L)
+    assert(AppendSink.appendIdempotent(b2, dest, 3L))       // retry commits
+    assert(AppendSink.readCommitted(spark, dest).count() == 4L)
+  }
 }
