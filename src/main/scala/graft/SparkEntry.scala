@@ -131,6 +131,14 @@ object SparkEntry {
     "q19_disjunctive"      -> ((s, dir) => Relational.disjunctiveRevenue(s, dir)),
     "q12_priority_shipping" -> ((s, dir) => Relational.priorityShipping(s, dir)),
     "q18_large_orders"     -> ((s, dir) => Relational.largeOrders(s, dir)),
+    "q4_order_priority"    -> ((s, dir) => Relational.orderPriorityCheck(s, dir)),
+    "q6_forecast_revenue"  -> ((s, dir) => Relational.forecastRevenue(s, dir)),
+    "q8_market_share"      -> ((s, dir) => Relational.marketShare(s, dir)),
+    "q13_cust_distribution" -> ((s, dir) => Relational.custOrderDistribution(s, dir)),
+    "q15_top_supplier"     -> ((s, dir) => Relational.topSupplier(s, dir)),
+    "q17_small_qty_revenue" -> ((s, dir) => Relational.smallQtyRevenue(s, dir)),
+    "q21_waiting_suppliers" -> ((s, dir) => Relational.waitingSuppliers(s, dir)),
+    "q22_sales_opportunity" -> ((s, dir) => Relational.salesOpportunity(s, dir)),
     "q3_shipping_priority" -> ((s, dir) => Relational.shippingPriority(s, dir)),
     "q5_local_supplier"    -> ((s, dir) => Relational.localSupplierVolume(s, dir)),
     "q_topk_per_group"     -> ((s, dir) => Relational.topKPerGroup(s, dir)),
@@ -1385,6 +1393,111 @@ object SparkEntry {
           |  JOIN customer ON o_custkey = c_custkey
           |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 20)
           |SELECT * FROM sel ORDER BY o_orderkey""".stripMargin,
+      "q4_order_priority" ->
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM orders o
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1996-04-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem l
+          |              WHERE l.l_orderkey = o.o_orderkey
+          |                AND l.l_shipdate > o.o_orderdate)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "q6_forecast_revenue" ->
+        """SELECT
+          |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+          |  count(*) AS n_lines
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01'
+          |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+      // sums re-round to DECIMAL scale 4 before the double cast: DuckDB's
+      // decimal(38,10)->double cast double-rounds past 2^53; at scale 4 the
+      // cast is exact in both engines
+      "q8_market_share" ->
+        """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          |  CAST(CAST(sum(CASE WHEN sn.n_name = 'NATION_7'
+          |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))
+          |    ELSE CAST(0 AS DECIMAL(28,10)) END) AS DECIMAL(28,4)) AS DOUBLE) AS nation_rev,
+          |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(28,4)) AS DOUBLE) AS total_rev,
+          |  CAST(CAST(sum(CASE WHEN sn.n_name = 'NATION_7'
+          |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))
+          |    ELSE CAST(0 AS DECIMAL(28,10)) END) AS DECIMAL(28,4)) AS DOUBLE)
+          |   / CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(28,4)) AS DOUBLE) AS mkt_share
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation cn ON c_nationkey = cn.n_nationkey
+          |JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation sn ON s_nationkey = sn.n_nationkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q13_cust_distribution" ->
+        """WITH per_cust AS (
+          |  SELECT o_custkey, count(*) AS c_count FROM orders
+          |  WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey)
+          |SELECT coalesce(c_count, 0) AS c_count, count(*) AS custdist
+          |FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+          |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+      "q15_top_supplier" ->
+        """WITH rev AS (
+          |  SELECT l_suppkey,
+          |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS total_rev
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |    AND l_shipdate < TIMESTAMP '1996-04-01'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, total_rev
+          |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+          |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+          |ORDER BY s_suppkey""".stripMargin,
+      "q17_small_qty_revenue" ->
+        """WITH li AS (
+          |  SELECT l_partkey, l_quantity, l_extendedprice
+          |  FROM lineitem JOIN part ON l_partkey = p_partkey
+          |  WHERE p_brand = 'Brand#4'),
+          |avg_qty AS (
+          |  SELECT l_partkey AS a_partkey,
+          |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+          |  FROM li GROUP BY 1)
+          |SELECT
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+          |  count(*) AS n_lines
+          |FROM li JOIN avg_qty ON l_partkey = a_partkey
+          |WHERE l_quantity < 0.5 * avg_qty""".stripMargin,
+      // oracle runs the textbook EXISTS / NOT-EXISTS self-join form; the
+      // Spark operator runs the single-pass per-order aggregate
+      // reformulation — a hash match proves them equivalent
+      "q21_waiting_suppliers" ->
+        """WITH sel AS (
+          |  SELECT s_suppkey, s_name, count(*) AS numwait
+          |  FROM lineitem l1
+          |  JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+          |  JOIN supplier ON l1.l_suppkey = s_suppkey
+          |  WHERE l1.l_shipdate > o_orderdate
+          |    AND EXISTS (SELECT 1 FROM lineitem l2
+          |      WHERE l2.l_orderkey = l1.l_orderkey
+          |        AND l2.l_suppkey <> l1.l_suppkey)
+          |    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          |      JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+          |      WHERE l3.l_orderkey = l1.l_orderkey
+          |        AND l3.l_suppkey <> l1.l_suppkey
+          |        AND l3.l_shipdate > o3.o_orderdate)
+          |  GROUP BY 1, 2
+          |  ORDER BY numwait DESC, s_suppkey LIMIT 25)
+          |SELECT * FROM sel ORDER BY s_suppkey""".stripMargin,
+      "q22_sales_opportunity" ->
+        """WITH avg_bal AS (
+          |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+          |  FROM customer WHERE c_acctbal > 0),
+          |recent AS (
+          |  SELECT DISTINCT o_custkey FROM orders
+          |  WHERE o_orderdate >= TIMESTAMP '2000-06-01')
+          |SELECT CAST(c_nationkey AS BIGINT) AS nation, count(*) AS numcust,
+          |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+          |FROM customer, avg_bal
+          |WHERE c_acctbal > avg_bal
+          |  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       "q_interleave" ->
         """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
           |r AS (SELECT doc_id, lang,

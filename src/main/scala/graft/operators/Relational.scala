@@ -693,4 +693,190 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(k)
       .orderBy("o_orderkey")
   }
+
+  /** The fixture's `l_shipdate > o_orderdate` stands in for TPC-H's
+    * commit/receipt-date lateness (those columns are absent from the
+    * synthetic schema); the predicate keeps the original's join-level
+    * inequality, which is the part that exercises the plan. */
+  private def lateShip: Column =
+    col("l_shipdate") > col("o_orderdate")
+
+  private def discounted: Column =
+    (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(28,10)")
+
+  /** TPC-H Q4 shape — order-priority checking: a quarter of orders,
+    * EXISTS-reduced against lineitem on orderkey plus a join-level
+    * inequality (late shipment). Plans as one LEFT SEMI join on the
+    * orderkey — the probe side never duplicates orders however many
+    * lines match, so the count is join-shape-independent. */
+  def orderPriorityCheck(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+              col("o_orderdate") < lit("1996-04-01").cast("timestamp_ntz"))
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    ord.join(li, col("o_orderkey") === col("l_orderkey") && lateShip, "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q6 shape — forecast-revenue change: the canonical pushdown
+    * showcase. All three predicates (shipdate range, discount band,
+    * quantity cap) are scan-pushable conjuncts over one table; the plan is
+    * scan -> partial agg -> 1-row final. At 100 TB this reads only the
+    * min/max-pruned row groups of three columns. */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+              col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(
+        sum((col("l_extendedprice") * col("l_discount")).cast("decimal(28,10)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q8 shape — national market share: per order year, the share of
+    * revenue (customer region = EUROPE) delivered by suppliers of one
+    * nation. lineitem⨝orders is the single fact-fact shuffle; customer,
+    * both nation roles, and region broadcast. The share is a conditional
+    * decimal sum over the joined stream — no second pass. */
+  def marketShare(spark: SparkSession, dir: String,
+                  supplierNation: String = "NATION_7",
+                  custRegion: String = "EUROPE"): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+    val custEu = Tables.customer(spark, dir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === custRegion)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val suppNat = Tables.supplier(spark, dir)
+      .join(broadcast(nat.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custEu), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        // re-round the exact sum to scale 4 before the double cast: DuckDB's
+        // decimal->double cast double-rounds when the scaled integer exceeds
+        // 2^53 (10-digit scale does at ~1e8), Spark's BigDecimal does not —
+        // at scale 4 the cast is exact in both engines
+        sum(when(col("supp_nation") === supplierNation, discounted)
+          .otherwise(lit(0).cast("decimal(28,10)")))
+          .cast("decimal(28,4)").cast("double").as("nation_rev"),
+        sum(discounted).cast("decimal(28,4)").cast("double").as("total_rev"))
+      .withColumn("mkt_share", col("nation_rev") / col("total_rev"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q13 shape — customer order-count distribution: orders pre-
+    * aggregate to one row per customer BEFORE the outer join (the join
+    * input shrinks from |orders| to |customers|), then a second tiny
+    * aggregation over counts. Both shuffles key on custkey/c_count;
+    * nothing rides the join but two longs. */
+  def custOrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("c_count"))
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q15 shape — top supplier: quarterly revenue per supplier, then
+    * selection of the max-revenue row(s) via a 1-row broadcast of the max
+    * joined back — the view+scalar-subquery form without recomputing the
+    * revenue aggregate (it is reused across both sides). */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp_ntz"))
+      .groupBy("l_suppkey")
+      .agg(sum(discounted).cast("double").as("total_rev"))
+    val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev.join(broadcast(maxRev), col("total_rev") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q17 shape — small-quantity-order revenue: the correlated
+    * per-part average decorrelates into one aggregate over the SAME
+    * filtered fact slice, broadcast back by partkey. The brand filter
+    * prunes part first, and the pruned key set semi-reduces lineitem
+    * before either aggregate runs. */
+  def smallQtyRevenue(spark: SparkSession, dir: String,
+                      brand: String = "Brand#4"): DataFrame = {
+    val pk = Tables.part(spark, dir).filter(col("p_brand") === brand)
+      .select("p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    // divisions happen in DOUBLE on exactly-summed decimals: decimal/decimal
+    // division scale rules differ across engines, double division is IEEE
+    val avgQty = li.groupBy(col("l_partkey").as("a_partkey"))
+      .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+            count(lit(1))).as("avg_qty"))
+    li.join(broadcast(avgQty), col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(
+        (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
+          lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q21 shape — suppliers who kept orders waiting: the textbook
+    * form is a self-join with EXISTS (another supplier in the order) and
+    * NOT EXISTS (another LATE supplier). Decorrelated here into ONE
+    * aggregate over the order: distinct-supplier count and distinct-late-
+    * supplier count per orderkey, broadcast back against the late lines —
+    * lineitem is scanned twice but shuffled on orderkey once, vs the
+    * textbook plan's two additional self-join passes. The oracle runs the
+    * EXISTS/NOT-EXISTS form, proving the reformulation equivalent. */
+  def waitingSuppliers(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    val lo = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+    val perOrder = lo.groupBy(col("l_orderkey").as("po_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(lateShip, col("l_suppkey"))).as("n_late_supp"))
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+    lo.filter(lateShip)
+      .join(broadcast(perOrder), col("l_orderkey") === col("po_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey").asc)
+      .limit(k).orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q22 shape — sales opportunity: customers above the global
+    * positive-balance average with no RECENT orders (every fixture
+    * customer has some order, so the anti join keys on the recent window
+    * — same plan shape as the original's NOT EXISTS). The scalar average
+    * is a 1-row broadcast; the anti side pre-distincts to one row per
+    * customer before the join. */
+  def salesOpportunity(spark: SparkSession, dir: String,
+                       recentSince: String = "2000-06-01"): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+            count(lit(1))).as("avg_bal"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(recentSince).cast("timestamp_ntz"))
+      .select("o_custkey").distinct()
+    cust.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast("long").as("nation"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("totacctbal"))
+      .orderBy("nation")
+  }
 }

@@ -50,6 +50,62 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("q4 order-priority check plans as one LEFT SEMI join (no order duplication)") {
+    val p = plan(Relational.orderPriorityCheck(spark, sf))
+    assert(p.linesIterator.exists(l => l.contains("Join") && l.contains("LeftSemi")),
+      p.take(2000))
+  }
+
+  test("q6 forecast revenue: all predicates reach the scan; no exchange before partial agg") {
+    val p = plan(Relational.forecastRevenue(spark, sf))
+    assert(p.contains("PushedFilters") && p.contains("l_discount"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("q8 market share: one fact-fact join, every dim side broadcasts") {
+    val p = plan(Relational.marketShare(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(3000))
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size <= 2, p.take(3000))
+  }
+
+  test("q13 distribution pre-aggregates orders before the outer join") {
+    val df = Relational.custOrderDistribution(spark, sf)
+    df.collect()
+    val p = plan(df)
+    // the aggregate must appear below the outer join: the join's input is
+    // one row per customer, not one row per order
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(aggIdx >= 0, p.take(2000))
+    assert(p.contains("LeftOuter") || p.contains("RightOuter"), p.take(3000))
+  }
+
+  test("q15 top supplier reuses the revenue aggregate; max broadcasts back") {
+    val p = plan(Relational.topSupplier(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q17 avg-per-part broadcasts back; part prune semi-reduces lineitem first") {
+    val p = plan(Relational.smallQtyRevenue(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("q21 reformulation: per-order stats broadcast; no self-join shuffle pair") {
+    val df = Relational.waitingSuppliers(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("q22 anti join keys on the pre-distincted recent set; scalar avg broadcasts") {
+    val df = Relational.salesOpportunity(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.linesIterator.exists(l => l.contains("Join") && l.contains("LeftAnti")),
+      p.take(3000))
+  }
+
   test("alpha mixture: quotas broadcast, one window shuffle, sqrt shares sane") {
     val docs = Tables.documents(spark, sf).select("doc_id", "lang")
     val out = Sampling.alphaMixture(docs, "doc_id", "lang", 100L)
