@@ -288,6 +288,10 @@ object SparkEntry {
       JsonOps.slidingCounts(Tables.events(s, dir))),
     "q_sessionize" -> ((s, dir) =>
       JsonOps.sessionize(Tables.events(s, dir))),
+    "q_funnel" -> ((s, dir) =>
+      Funnel.conversionFunnel(Tables.events(s, dir))),
+    "q_cohort_retention" -> ((s, dir) =>
+      Funnel.cohortRetention(Tables.events(s, dir))),
 
     // ---- extension: exact dedup (ext_dedup_exact) ----
     "q_dedup_exact" -> ((s, dir) =>
@@ -406,6 +410,10 @@ object SparkEntry {
     // Matryoshka adaptive retrieval: 8-dim prefix rank, full-vector rerank
     "q_sim_topk_mrl" -> ((s, dir) =>
       Similarity.mrlTopK(Tables.embeddings(s, dir))),
+    // int8 scalar-quantization coarse rank (exact integer dots,
+    // bounded-heap selection) + exact-cosine rerank
+    "q_sim_topk_sq" -> ((s, dir) =>
+      Similarity.sqTopK(Tables.embeddings(s, dir))),
     // hybrid lexical+dense retrieval fused by reciprocal rank
     "q_hybrid_rrf" -> ((s, dir) =>
       Similarity.rrfFusion(Tables.documents(s, dir), Tables.embeddings(s, dir))),
@@ -456,6 +464,8 @@ object SparkEntry {
 
     // ---- extension: data-quality validation report ----
     "q_validate" -> ((s, dir) => Validate.report(s, dir)),
+    "q_k_anonymize" -> ((s, dir) =>
+      Validate.kAnonymize(Tables.customer(s, dir), "c_nationkey", "c_mktsegment")),
     "q_corpus_report" -> ((s, dir) => Validate.corpusReport(s, dir)),
     // hottest shuffle keys + global skew factor — the pre-join diagnostic
     "q_skew_report" -> ((s, dir) =>
@@ -707,6 +717,8 @@ object SparkEntry {
     // ---- extension: time-series resample + forward fill ----
     "q_resample_ffill" -> ((s, dir) =>
       Resample.ffill(Tables.events(s, dir))),
+    "q_resample_interp" -> ((s, dir) =>
+      Resample.interpolate(Tables.events(s, dir))),
     "q_window_rolling" -> ((s, dir) =>
       JsonOps.rollingWindow(Tables.events(s, dir))),
 
@@ -1784,6 +1796,35 @@ object SparkEntry {
            |  FROM s)
            |SELECT q_id, rk, n_id, hamming, cos FROM r WHERE rk <= 5
            |ORDER BY q_id, rk""".stripMargin,
+      // int8 codes: floor(x * (127/max|x|)) — integer dot products are
+      // exact, so the coarse candidate set matches the operator bit-for-bit
+      "q_sim_topk_sq" ->
+        s"""WITH v AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           |  FROM embeddings),
+           |m AS (SELECT vec_id, emb,
+           |    list_max(list_transform(emb, x -> abs(x))) AS max_abs FROM v),
+           |codes AS (SELECT vec_id, emb,
+           |    list_transform(emb, x -> CASE WHEN max_abs = 0 THEN CAST(0 AS BIGINT)
+           |      ELSE CAST(floor(x * (127.0 / max_abs)) AS BIGINT) END) AS qv
+           |  FROM m),
+           |sc AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           |    q.emb AS q_emb, c.emb AS n_emb,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(range(1, 65),
+           |        i -> q.qv[CAST(i AS INT)] * c.qv[CAST(i AS INT)])),
+           |      (a, b) -> a + b) AS iscore
+           |  FROM codes c CROSS JOIN codes q
+           |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+           |cand AS (SELECT * FROM (SELECT *,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY iscore DESC, n_id) AS crk
+           |  FROM sc) x WHERE crk <= 20),
+           |s AS (SELECT q_id, n_id, iscore, ${cosSql("q_emb", "n_emb")} AS cos FROM cand),
+           |r AS (SELECT q_id, n_id, iscore, cos,
+           |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
+           |  FROM s)
+           |SELECT q_id, rk, n_id, iscore, cos FROM r WHERE rk <= 5
+           |ORDER BY q_id, rk""".stripMargin,
       "q_sim_topk_mrl" ->
         s"""WITH v AS (SELECT vec_id,
            |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -2169,6 +2210,41 @@ object SparkEntry {
           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
           |FROM m GROUP BY win_start, event_type
           |ORDER BY win_start, event_type""".stripMargin,
+      // epoch MICROseconds on both sides: no truncation ties in the
+      // strict after-previous-stage comparisons
+      "q_funnel" ->
+        """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+          |s1 AS (SELECT user_id, min(t) AS t1 FROM e
+          |       WHERE event_type = 'view' GROUP BY 1),
+          |s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+          |       WHERE event_type = 'click' AND t > t1 AND t <= t1 + 604800000000
+          |       GROUP BY 1),
+          |s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 ON e.user_id = s2.user_id
+          |       WHERE event_type = 'purchase' AND t > t2 AND t <= t2 + 604800000000
+          |       GROUP BY 1),
+          |c AS (
+          |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step,
+          |         (SELECT count(*) FROM s1) AS n_users
+          |  UNION ALL SELECT CAST(2 AS BIGINT), 'click', (SELECT count(*) FROM s2)
+          |  UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM s3))
+          |SELECT stage, step, n_users,
+          |  CASE WHEN stage = 1 THEN CAST(100.0 AS DOUBLE)
+          |       ELSE CAST(100.0 AS DOUBLE) * n_users
+          |            / lag(n_users) OVER (ORDER BY stage) END AS pct_prev
+          |FROM c ORDER BY stage""".stripMargin,
+      "q_cohort_retention" ->
+        """WITH uw AS (SELECT DISTINCT user_id,
+          |    CAST(floor(epoch(date_trunc('week', ts))) AS BIGINT) AS week FROM events),
+          |c AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1),
+          |s AS (SELECT cohort_week, count(*) AS cohort_n FROM c GROUP BY 1),
+          |a AS (SELECT c.cohort_week,
+          |        (week - c.cohort_week) // 604800 AS offset_weeks,
+          |        count(DISTINCT uw.user_id) AS n_active
+          |      FROM uw JOIN c ON uw.user_id = c.user_id GROUP BY 1, 2)
+          |SELECT a.cohort_week, offset_weeks, n_active, cohort_n,
+          |  CAST(100.0 AS DOUBLE) * n_active / cohort_n AS retention_pct
+          |FROM a JOIN s ON a.cohort_week = s.cohort_week
+          |ORDER BY a.cohort_week, offset_weeks""".stripMargin,
       "q_outer_join" ->
         """SELECT c_custkey,
           |  CAST(count(o_orderkey) AS BIGINT) AS n_orders,
@@ -2897,6 +2973,22 @@ object SparkEntry {
           |        CAST(floor(epoch(ts)) AS BIGINT) AS valid_from FROM events) e
           |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
           |ORDER BY user_id, event_type, valid_from, event_id""".stripMargin,
+      "q_k_anonymize" ->
+        """WITH c0 AS (SELECT CAST(c_nationkey AS VARCHAR) AS qi1,
+          |         CAST(c_mktsegment AS VARCHAR) AS qi2, count(*) AS n
+          |       FROM customer GROUP BY 1, 2),
+          |c1 AS (SELECT qi1, CAST(sum(n) AS BIGINT) AS n
+          |       FROM c0 WHERE n < 25 GROUP BY 1),
+          |k0 AS (SELECT qi1, qi2, n, CAST(0 AS BIGINT) AS level
+          |       FROM c0 WHERE n >= 25),
+          |k1 AS (SELECT qi1, '*' AS qi2, n, CAST(1 AS BIGINT) AS level
+          |       FROM c1 WHERE n >= 25),
+          |k2 AS (SELECT '*' AS qi1, '*' AS qi2, CAST(sum(n) AS BIGINT) AS n,
+          |         CAST(2 AS BIGINT) AS level
+          |       FROM c1 WHERE n < 25 HAVING sum(n) IS NOT NULL)
+          |SELECT qi1, qi2, n, level FROM (
+          |  SELECT * FROM k0 UNION ALL SELECT * FROM k1 UNION ALL SELECT * FROM k2)
+          |ORDER BY level, qi1, qi2""".stripMargin,
       "q_validate" ->
         """SELECT rule, n_violations FROM (
           |  SELECT 'li_orderkey_null' AS rule,
@@ -3358,6 +3450,43 @@ object SparkEntry {
           |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_event
           |  FROM tagged)
           |SELECT user_id, t AS slot_sec, ffill_event, ffill_value
+          |FROM f WHERE side = 1 ORDER BY user_id, slot_sec""".stripMargin,
+      // same tagged-union skeleton as ffill plus a backward pass; the
+      // interpolation arithmetic is IEEE double in the identical
+      // parenthesization as the operator, so the hash matches bit-exactly
+      "q_resample_interp" ->
+        """WITH obs AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+          |                    event_id, value FROM events),
+          |b AS (SELECT user_id,
+          |        CAST(floor(min(t) / 3600) * 3600 AS BIGINT) AS lo,
+          |        CAST(floor(max(t) / 3600) * 3600 AS BIGINT) AS hi
+          |      FROM obs GROUP BY user_id),
+          |grid AS (SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS t FROM b),
+          |tagged AS (
+          |  SELECT user_id, t, 0 AS side, event_id, value FROM obs
+          |  UNION ALL
+          |  SELECT user_id, t, 1 AS side, NULL AS event_id, NULL AS value FROM grid),
+          |f AS (SELECT user_id, t, side,
+          |  last_value(value IGNORE NULLS) OVER
+          |    (PARTITION BY user_id ORDER BY t, side, event_id NULLS LAST
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+          |  last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER
+          |    (PARTITION BY user_id ORDER BY t, side, event_id NULLS LAST
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+          |  first_value(value IGNORE NULLS) OVER
+          |    (PARTITION BY user_id ORDER BY t, side, event_id NULLS LAST
+          |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+          |  first_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER
+          |    (PARTITION BY user_id ORDER BY t, side, event_id NULLS LAST
+          |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tn
+          |  FROM tagged)
+          |SELECT user_id, t AS slot_sec,
+          |  CASE WHEN tp IS NULL THEN vn
+          |       WHEN tn IS NULL THEN vp
+          |       WHEN tn = tp THEN vp
+          |       ELSE vp + (vn - vp) *
+          |            (CAST(t - tp AS DOUBLE) / CAST(tn - tp AS DOUBLE)) END
+          |    AS interp_value
           |FROM f WHERE side = 1 ORDER BY user_id, slot_sec""".stripMargin,
       "q_mm_metadata" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

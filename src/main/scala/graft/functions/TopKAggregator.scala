@@ -59,6 +59,38 @@ object TopKAggregator {
     override def outputEncoder: Encoder[Seq[RankedHit]] = ExpressionEncoder[Seq[RankedHit]]()
   }
 
+  /** Integer-scored ANN candidate (SQ coarse phase: int8-code dot products
+    * are exact longs — no decimal machinery needed). */
+  case class ScoredL(q_id: Long, n_id: Long, iscore: Long)
+  case class RankedHitL(rk: Long, n_id: Long, iscore: Long)
+
+  /** Keeps the k largest (iscore desc, n_id asc) candidates per group —
+    * same bounded-heap discipline as [[MinKByDist]] for integer scores. */
+  class MaxKByScore(k: Int) extends Aggregator[ScoredL, List[(Long, Long)], Seq[RankedHitL]] {
+    private def better(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+    override def zero: List[(Long, Long)] = Nil
+
+    override def reduce(buf: List[(Long, Long)], row: ScoredL): List[(Long, Long)] =
+      insert(buf, (row.iscore, row.n_id))
+
+    private def insert(buf: List[(Long, Long)], x: (Long, Long)): List[(Long, Long)] = {
+      val (pre, post) = buf.span(better(_, x))
+      (pre ::: x :: post).take(k)
+    }
+
+    override def merge(a: List[(Long, Long)], b: List[(Long, Long)]): List[(Long, Long)] =
+      b.foldLeft(a)(insert)
+
+    override def finish(buf: List[(Long, Long)]): Seq[RankedHitL] =
+      buf.zipWithIndex.map { case ((s, id), i) => RankedHitL(i + 1L, id, s) }
+
+    override def bufferEncoder: Encoder[List[(Long, Long)]] =
+      ExpressionEncoder[List[(Long, Long)]]()
+    override def outputEncoder: Encoder[Seq[RankedHitL]] = ExpressionEncoder[Seq[RankedHitL]]()
+  }
+
   /** Keeps the k largest (o_totalprice desc, o_orderkey asc) rows. */
   class TopKByPrice(k: Int) extends Aggregator[OrderRow, List[(Double, Long)], Seq[TopHit]] {
     private def better(a: (Double, Long), b: (Double, Long)): Boolean =

@@ -48,4 +48,58 @@ object Resample {
         col("ffill_event"), col("ffill_value"))
       .orderBy("user_id", "slot_sec")
   }
+
+  /** Linear interpolation onto the same per-key grid: each slot takes
+    * prev + (next - prev) * (t - t_prev) / (t_next - t_prev) between its
+    * bracketing observations, the nearest observed value beyond the edges
+    * (flat extrapolation). Same single shuffle as [[ffill]]; the backward
+    * pass is a second window over the SAME partitioning (no new exchange).
+    * The arithmetic is plain IEEE double in an engine-independent
+    * parenthesization, so an oracle reproduces it bit-exactly. */
+  def interpolate(events: DataFrame, stepSeconds: Long = 3600L): DataFrame = {
+    val obs = events.select(
+      col("user_id"),
+      col("ts").cast("timestamp").cast("long").as("t"),
+      col("event_id"), col("value"))
+
+    val grid = obs.groupBy("user_id")
+      .agg((floor(min(col("t")) / stepSeconds) * stepSeconds).cast("long").as("lo"),
+           (floor(max(col("t")) / stepSeconds) * stepSeconds).cast("long").as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), lit(stepSeconds))).as("t"))
+
+    // observations sort BEFORE the grid slot at the same t for the backward
+    // pass and AFTER it for... no: one consistent order (obs first) works for
+    // both directions because the windows exclude/include the current row
+    // symmetrically via the side filter, not the frame bound
+    val tagged = obs
+      .select(col("user_id"), col("t"), lit(0).as("side"),
+        col("event_id"), col("value"))
+      .unionAll(grid.select(col("user_id"), col("t"), lit(1).as("side"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("double").as("value")))
+
+    val ord = Seq(col("t").asc, col("side").asc, col("event_id").asc_nulls_last)
+    val wPrev = Window.partitionBy("user_id").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("user_id").orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // multiple observations in one second: prev takes the LAST of the tied
+    // group (event_id order), next takes the FIRST — both deterministic
+    val tObs = when(col("side") === 0, col("t"))
+    val out = tagged
+      .withColumn("vp", last("value", ignoreNulls = true).over(wPrev))
+      .withColumn("tp", last(tObs, ignoreNulls = true).over(wPrev))
+      .withColumn("vn", first("value", ignoreNulls = true).over(wNext))
+      .withColumn("tn", first(tObs, ignoreNulls = true).over(wNext))
+      .filter(col("side") === 1)
+    out.select(col("user_id"), col("t").as("slot_sec"),
+        when(col("tp").isNull, col("vn"))
+          .when(col("tn").isNull, col("vp"))
+          .when(col("tn") === col("tp"), col("vp"))
+          .otherwise(col("vp") + (col("vn") - col("vp")) *
+            ((col("t") - col("tp")).cast("double") / (col("tn") - col("tp")).cast("double")))
+          .as("interp_value"))
+      .orderBy("user_id", "slot_sec")
+  }
 }

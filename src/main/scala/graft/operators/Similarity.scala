@@ -359,6 +359,55 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Scalar-quantization (int8) ANN funnel: coarse ranking on EXACT integer
+    * dot products of symmetric int8 codes ([[VectorOps.quantizedInt8]] —
+    * 1 byte/dim instead of 4), then exact full-precision cosine re-rank on
+    * the surviving `rerank` candidates per query. The 4x-smaller code
+    * relation is what scans at 100 TB; full vectors are touched for
+    * O(nQueries x rerank) rows only.
+    *
+    * Coarse selection is the bounded-heap typed aggregate
+    * ([[graft.functions.TopKAggregator.MaxKByScore]]), NOT a
+    * `row_number().over(partitionBy(q_id))` window — the window form
+    * funnels a query's entire scored corpus into one task. Integer scores
+    * make the coarse phase engine-exact: the oracle reproduces the
+    * candidate set bit-for-bit, no float-tie hazard. */
+  def sqTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
+             rerank: Int = 20): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import graft.functions.TopKAggregator.{MaxKByScore, ScoredL}
+    val staged = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("max_abs", VectorOps.maxAbs(col("embedding")))
+      .withColumn("codes", VectorOps.quantizedInt8(col("embedding"), col("max_abs")))
+    val q = staged.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("codes").as("q_codes"))
+    val cand = staged.select(col("vec_id").as("n_id"), col("codes").as("n_codes"))
+      .crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("iscore",
+        aggregate(zip_with(col("q_codes"), col("n_codes"), (x, y) => x * y),
+          lit(0L), (a, x) => a + x))
+      .select(col("q_id"), col("n_id"), col("iscore")).as[ScoredL]
+      .groupByKey(_.q_id)
+      .agg(new MaxKByScore(rerank).toColumn.name("hits"))
+      .flatMap { case (qid, hits) => hits.map(h => (qid, h.n_id, h.iscore)) }
+      .toDF("q_id", "n_id", "iscore")
+    // re-rank: candidates (tiny) broadcast against the base embedding scan —
+    // full vectors never rode the coarse shuffle
+    val qe = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id2"), col("embedding").as("q_emb"))
+    val withQ = cand.join(broadcast(qe), col("q_id") === col("q_id2"))
+    val wC = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    emb.select(col("vec_id").as("n_id2"), col("embedding").as("n_emb"))
+      .join(broadcast(withQ), col("n_id2") === col("n_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rk", row_number().over(wC).cast("long"))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "n_id", "iscore", "cos")
+      .orderBy("q_id", "rk")
+  }
+
   /** MATRYOSHKA (MRL-style) adaptive retrieval: rank cheaply on a PREFIX of
     * the embedding (nested-representation models pack the most signal into
     * the leading dims), keep `rerank` candidates, then re-rank with the

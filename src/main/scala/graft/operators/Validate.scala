@@ -190,4 +190,31 @@ object Validate {
           .otherwise("keep"))
       .orderBy("source")
   }
+
+  /** k-anonymity generalization over a two-column quasi-identifier: an
+    * equivalence class smaller than k suppresses its MOST SPECIFIC
+    * attribute (qi2 -> '*') and re-pools; classes still under k fully
+    * suppress ('*','*'). Output is the final equivalence-class table —
+    * every class of level <= 1 has >= k members by construction.
+    *
+    * Scale shape: everything happens on CLASS COUNTS, never re-touching
+    * the row stream — groupBy(qi1, qi2) is the single row-grain pass; the
+    * cascade re-aggregates the (tiny) under-k class table twice. */
+  def kAnonymize(df: DataFrame, qi1: String, qi2: String, k: Long = 25L): DataFrame = {
+    val c0 = df.groupBy(
+        col(qi1).cast("string").as("qi1"), col(qi2).cast("string").as("qi2"))
+      .agg(count(lit(1)).as("n"))
+    val keep0 = c0.filter(col("n") >= k)
+      .select(col("qi1"), col("qi2"), col("n"), lit(0L).as("level"))
+    val c1 = c0.filter(col("n") < k)
+      .groupBy("qi1").agg(sum(col("n")).as("n"))
+    val keep1 = c1.filter(col("n") >= k)
+      .select(col("qi1"), lit("*").as("qi2"), col("n"), lit(1L).as("level"))
+    val keep2 = c1.filter(col("n") < k)
+      .agg(sum(col("n")).as("n"))
+      .filter(col("n").isNotNull)
+      .select(lit("*").as("qi1"), lit("*").as("qi2"), col("n"), lit(2L).as("level"))
+    keep0.unionAll(keep1).unionAll(keep2)
+      .orderBy("level", "qi1", "qi2")
+  }
 }

@@ -1,0 +1,99 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Semantic units for the event-analytics and privacy lanes (the oracle
+  * proves engine parity; these pin the SEMANTICS on hand-built inputs). */
+class FunnelSpec extends SparkSpec {
+
+  private def ev(rows: (Long, String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.zipWithIndex.map { case ((u, tpe, ts), i) =>
+      (i.toLong, Timestamp.valueOf(ts), u, tpe, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("funnel: ordered steps only — a purchase BEFORE the click never counts") {
+    val events = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 11:00:00"),
+      (1L, "purchase", "2024-01-01 12:00:00"), // converts fully
+      (2L, "view", "2024-01-01 10:00:00"),
+      (2L, "purchase", "2024-01-01 10:30:00"), // purchase precedes click
+      (2L, "click", "2024-01-01 11:00:00"),
+      (3L, "click", "2024-01-01 09:00:00"), // click without view: stage 1 miss
+      (3L, "purchase", "2024-01-01 10:00:00"))
+    val got = Funnel.conversionFunnel(events).collect()
+      .map(r => (r.getAs[Long]("stage"), r.getAs[Long]("n_users"))).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("funnel: the conversion window bounds each stage hop") {
+    val events = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-20 10:00:00"), // 19 days after view: outside 7d
+      (2L, "view", "2024-01-01 10:00:00"),
+      (2L, "click", "2024-01-03 10:00:00")) // inside
+    val got = Funnel.conversionFunnel(events).collect()
+      .map(r => (r.getAs[Long]("stage"), r.getAs[Long]("n_users"))).toMap
+    assert(got(1L) === 2L && got(2L) === 1L)
+  }
+
+  test("retention: offsets count from each user's own first week") {
+    val events = ev(
+      (1L, "view", "2024-01-01 10:00:00"), // Monday, week W0
+      (1L, "view", "2024-01-09 10:00:00"), // week W0+1
+      (2L, "view", "2024-01-08 10:00:00"), // first seen W0+1
+      (2L, "view", "2024-01-16 10:00:00")) // their offset 1
+    val got = Funnel.cohortRetention(events).collect()
+      .map(r => ((r.getAs[Long]("cohort_week"), r.getAs[Long]("offset_weeks")),
+        (r.getAs[Long]("n_active"), r.getAs[Long]("cohort_n"))))
+      .toMap
+    val w0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+    val w1 = w0 + 604800
+    assert(got((w0, 0L)) === ((1L, 1L)))
+    assert(got((w0, 1L)) === ((1L, 1L)))
+    assert(got((w1, 0L)) === ((1L, 1L)))
+    assert(got((w1, 1L)) === ((1L, 1L)))
+  }
+
+  test("interpolate: midpoints are exact; edges extrapolate flat") {
+    val events = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "view", "2024-01-01 14:00:00"))
+      .withColumn("value",
+        when(col("event_id") === 0, 10.0).otherwise(30.0))
+    val got = Resample.interpolate(events, 3600L).collect()
+      .map(r => r.getAs[Long]("slot_sec") -> r.getAs[Double]("interp_value")).toMap
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+    assert(got(t0) === 10.0)           // on the observation
+    assert(got(t0 + 3600) === 15.0)    // quarter of the way
+    assert(got(t0 + 2 * 3600) === 20.0)
+    assert(got(t0 + 3 * 3600) === 25.0)
+    assert(got(t0 + 4 * 3600) === 30.0)
+  }
+
+  test("kAnonymize: every surviving class of level <= 1 has >= k members; total preserved") {
+    val cust = Tables.customer(spark, sf)
+    val out = Validate.kAnonymize(cust, "c_nationkey", "c_mktsegment", 10L)
+    val rows = out.collect()
+    rows.filter(_.getAs[Long]("level") <= 1L)
+      .foreach(r => assert(r.getAs[Long]("n") >= 10L, r.toString))
+    assert(rows.map(_.getAs[Long]("n")).sum === cust.count())
+  }
+
+  test("sqTopK with rerank = corpus recovers the exact brute-force top-k") {
+    val emb = Tables.embeddings(spark, sf).limit(60)
+    val n = emb.count().toInt
+    val brute = Similarity.bruteForceTopK(emb, nQueries = 3, k = 4)
+      .select("q_id", "rk", "n_id").collect().toSeq
+    val sq = Similarity.sqTopK(emb, nQueries = 3, k = 4, rerank = n)
+      .select("q_id", "rk", "n_id").collect().toSeq
+    assert(sq === brute)
+  }
+}
