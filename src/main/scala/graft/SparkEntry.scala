@@ -604,6 +604,10 @@ object SparkEntry {
       TextAnalysis.vocabulary(Tables.documents(s, dir))),
     "q_heavy_hitters" -> ((s, dir) =>
       TextAnalysis.heavyHitters(Tables.documents(s, dir))),
+    // count-min sketch: per-token exact count vs sketch estimate (the
+    // estimate is engine-exact — the oracle rebuilds the same sketch)
+    "q_cms_accuracy" -> ((s, dir) =>
+      TextAnalysis.cmsAccuracy(Tables.documents(s, dir))),
     "q_bpe_merges" -> ((s, dir) =>
       BpeTrainer.merges(Tables.documents(s, dir))),
     // apply half of the trainer: per-doc token counts under the learned
@@ -2163,6 +2167,23 @@ object SparkEntry {
           |FROM toks, n GROUP BY tok, total
           |HAVING CAST(count(*) AS DOUBLE) >= 0.01 * CAST(total AS DOUBLE)
           |ORDER BY tf DESC, tok""".stripMargin,
+      // the oracle rebuilds the d x w sketch with the same md5 bucket
+      // scheme, so estimates (not just verdicts) hash-match
+      "q_cms_accuracy" ->
+        """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+          |cells AS (SELECT r,
+          |    CAST(('0x' || substr(md5('cms' || r || '_' || token), 1, 8)) AS BIGINT) % 256 AS bucket
+          |  FROM tok CROSS JOIN range(0, 4) t(r)),
+          |sk AS (SELECT r, bucket, count(*) AS n FROM cells GROUP BY 1, 2),
+          |ex AS (SELECT token, count(*) AS exact_n FROM tok
+          |       GROUP BY 1 HAVING count(*) >= 400),
+          |pr AS (SELECT token, exact_n, r,
+          |    CAST(('0x' || substr(md5('cms' || r || '_' || token), 1, 8)) AS BIGINT) % 256 AS bucket
+          |  FROM ex CROSS JOIN range(0, 4) t(r))
+          |SELECT token, exact_n, min(n) AS est_n,
+          |       min(n) - exact_n AS overcount
+          |FROM pr JOIN sk USING (r, bucket)
+          |GROUP BY token, exact_n ORDER BY token""".stripMargin,
       // result must equal the plain join — salting is pure physical planning
       "q_salted_join" ->
         """SELECT o_orderstatus, count(*) AS n_li,

@@ -595,4 +595,61 @@ object TextAnalysis {
     * pipeline wants ahead of its first shuffle). */
   def blockedBy(phrases: Seq[String], text: Column): Column =
     size(blocklistHits(phrases, text)) > 0
+
+  /** Count-min bucket: row r's hash of a token into [0, w) — the engine-
+    * portable md5 scheme ([[Splits.bucket]]'s idiom), so an oracle and a
+    * streaming twin reproduce the sketch bit-for-bit. */
+  private[graft] def cmsBucket(token: Column, r: Int, w: Int): Column =
+    pmod(conv(substr(md5(concat(lit(s"cms${r}_"), token)), lit(1), lit(8)),
+      16, 10).cast("long"), lit(w.toLong))
+
+  /** Count-min sketch of corpus token frequencies: d hash rows x w buckets,
+    * each bucket the summed count of colliding tokens. The sketch is d*w
+    * rows — kilobytes at ANY corpus size — built in one map-side-combinable
+    * pass (each token emits its d cells from a single explode) and MERGEABLE
+    * by bucket-wise addition: shard sketches, day sketches, and the
+    * streaming twin's state all add into the same structure. */
+  /** The d (sketch_row, bucket) cells of every corpus token — shared by the
+    * batch sketch and the streaming twin so the hash scheme cannot drift. */
+  private[graft] def cmsCells(docs: DataFrame, d: Int, w: Int,
+                              text: String): DataFrame =
+    docs
+      .select(explode(split(col(text), " ")).as("token"))
+      .select(explode(array((0 until d).map { r =>
+        struct(lit(r.toLong).as("sketch_row"),
+          cmsBucket(col("token"), r, w).as("bucket"))
+      }: _*)).as("e"))
+      .select(col("e.sketch_row").as("sketch_row"), col("e.bucket").as("bucket"))
+
+  def cmsSketch(docs: DataFrame, d: Int = 4, w: Int = 256,
+                text: String = "text"): DataFrame =
+    cmsCells(docs, d, w, text)
+      .groupBy("sketch_row", "bucket")
+      .agg(count(lit(1)).as("n"))
+
+  /** Sketch-accuracy report: for every token at or above `minCount`, the
+    * exact corpus count next to the sketch estimate
+    * `min_r sketch[r][h_r(token)]` and the (always non-negative)
+    * overcount. The exact side exists for the report; a production query
+    * path joins the d sketch cells only — the sketch BROADCASTS (d*w rows)
+    * so lookups are exchange-free. */
+  def cmsAccuracy(docs: DataFrame, d: Int = 4, w: Int = 256,
+                  minCount: Long = 400L, text: String = "text"): DataFrame = {
+    val sketch = cmsSketch(docs, d, w, text)
+    val exact = docs.select(explode(split(col(text), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("exact_n"))
+      .filter(col("exact_n") >= minCount)
+    val probes = exact.select(col("token"), col("exact_n"),
+      explode(array((0 until d).map { r =>
+        struct(lit(r.toLong).as("sketch_row"),
+          cmsBucket(col("token"), r, w).as("bucket"))
+      }: _*)).as("e"))
+      .select(col("token"), col("exact_n"),
+        col("e.sketch_row").as("sketch_row"), col("e.bucket").as("bucket"))
+    probes.join(broadcast(sketch), Seq("sketch_row", "bucket"))
+      .groupBy("token", "exact_n")
+      .agg(min(col("n")).as("est_n"))
+      .withColumn("overcount", col("est_n") - col("exact_n"))
+      .orderBy("token")
+  }
 }

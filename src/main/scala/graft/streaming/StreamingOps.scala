@@ -383,4 +383,63 @@ object StreamingOps {
       .select(col(id), score.as("__score"))
     graft.operators.TextAnalysis.bucketAssign(scored, cuts, id)
   }
+
+  /** Streaming count-min sketch maintenance — the online twin of
+    * `TextAnalysis.cmsSketch`. Cell counts are pure monotone sums, so
+    * stream accumulation over ANY trigger split lands on the batch sketch
+    * exactly (asserted in the spec). State is d*w rows — bounded forever,
+    * no watermark needed. Update mode re-emits a cell when it grows; sinks
+    * keep the max. */
+  def cmsCounts(docs: DataFrame, d: Int = 4, w: Int = 256,
+                text: String = "text"): DataFrame =
+    graft.operators.TextAnalysis.cmsCells(docs, d, w, text)
+      .groupBy("sketch_row", "bucket")
+      .count().withColumnRenamed("count", "n")
+
+  case class FunnelEvent(event_id: Long, user_id: Long,
+                         ts: java.sql.Timestamp, event_type: String)
+  case class FunnelState(stageTimes: List[Long])
+  case class FunnelOut(user_id: Long, stage_reached: Long, stage_ts: Long)
+
+  /** Streaming conversion funnel — the online twin of
+    * `graft.operators.Funnel.conversionFunnel`. State per user is ONE list
+    * of attained stage times (micros), at most `steps.length` longs.
+    *
+    * Events are processed in event-time order within each micro-batch
+    * (sorted); across batches the state advances monotonically — stage i+1
+    * attaches to the FIRST qualifying event after the stored stage-i time,
+    * exactly the batch chain when events arrive watermark-ordered (the
+    * agreement test's split respects event time, as a watermarked pipeline
+    * guarantees for closed windows). Update-mode emissions carry the user's
+    * current deepest stage; sinks upsert by user. */
+  def conversionFunnel(events: Dataset[FunnelEvent],
+                       steps: Seq[String] = Seq("view", "click", "purchase"),
+                       windowSeconds: Long = 7 * 24 * 3600L): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    val winMicros = windowSeconds * 1000000L
+    val stepIdx = steps.zipWithIndex.toMap
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) => {
+          val sorted = rows.toSeq
+            .filter(e => stepIdx.contains(e.event_type))
+            .sortBy(e => (e.ts.getTime, e.event_id))
+          var times = state.getOption.map(_.stageTimes).getOrElse(Nil)
+          sorted.foreach { e =>
+            val i = stepIdx(e.event_type)
+            val t = e.ts.getTime * 1000L
+            if (i == 0 && times.isEmpty) times = List(t)
+            else if (i == times.length && i > 0) {
+              val prev = times.last
+              if (t > prev && t <= prev + winMicros) times = times :+ t
+            }
+          }
+          if (times.nonEmpty) {
+            state.update(FunnelState(times))
+            Iterator(FunnelOut(userId, times.length.toLong, times.last))
+          } else Iterator.empty
+        })
+  }
 }

@@ -664,4 +664,71 @@ class StreamingOpsSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(streamed == batch)
   }
+
+  test("streaming funnel's final stage counts agree with the batch funnel") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamingOps.{FunnelEvent, FunnelOut}
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1 converts fully; user 2's purchase precedes its click (stops at
+    // 2); user 3 clicks without viewing (stage 0); user 4's click falls
+    // outside the 7-day window
+    val rows = Seq(
+      FunnelEvent(1, 1, ts("2024-01-01 10:00:00"), "view"),
+      FunnelEvent(2, 1, ts("2024-01-01 11:00:00"), "click"),
+      FunnelEvent(3, 2, ts("2024-01-01 10:00:00"), "view"),
+      FunnelEvent(4, 2, ts("2024-01-01 10:30:00"), "purchase"),
+      FunnelEvent(5, 3, ts("2024-01-01 09:00:00"), "click"),
+      FunnelEvent(6, 4, ts("2024-01-01 10:00:00"), "view"),
+      // --- batch 2 (later event times: watermark-ordered split) ---
+      FunnelEvent(7, 1, ts("2024-01-01 12:00:00"), "purchase"),
+      FunnelEvent(8, 2, ts("2024-01-01 13:00:00"), "click"),
+      FunnelEvent(9, 4, ts("2024-01-20 10:00:00"), "click"))
+    val stream = MemoryStream[FunnelEvent]
+    val q = StreamingOps.conversionFunnel(stream.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnel_out").start()
+    try {
+      stream.addData(rows.take(6)); q.processAllAvailable()
+      stream.addData(rows.drop(6)); q.processAllAvailable()
+    } finally q.stop()
+
+    // update mode: the LAST emission per user is the final state
+    val emitted = spark.table("funnel_out").as[FunnelOut].collect()
+    val finalStage = emitted.groupBy(_.user_id)
+      .view.mapValues(_.maxBy(_.stage_reached).stage_reached).toMap
+    // batch counts per stage == number of users at-or-past that stage
+    val batchEvents = rows
+      .map(e => (e.event_id, e.ts, e.user_id, e.event_type, 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batch = graft.operators.Funnel.conversionFunnel(batchEvents).collect()
+      .map(r => r.getAs[Long]("stage") -> r.getAs[Long]("n_users")).toMap
+    (1 to 3).foreach { s =>
+      val streamedN = finalStage.values.count(_ >= s).toLong
+      assert(streamedN === batch(s.toLong), s"stage $s: $finalStage vs $batch")
+    }
+    assert(finalStage === Map(1L -> 3L, 2L -> 2L, 4L -> 1L))
+  }
+
+  test("streaming count-min cells accumulate to EXACTLY the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.cmsCounts(
+        stream.toDF().toDF("doc_id", "text"), d = 2, w = 64)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cms_out").start()
+    try {
+      stream.addData(docs.take(docs.length / 2)); q.processAllAvailable()
+      stream.addData(docs.drop(docs.length / 2)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cms_out")
+      .orderBy("sketch_row", "bucket").collect().toSeq
+    val batch = graft.operators.TextAnalysis.cmsSketch(
+        docs.toDF("doc_id", "text"), d = 2, w = 64)
+      .orderBy("sketch_row", "bucket").collect().toSeq
+    assert(streamed == batch)
+  }
 }
