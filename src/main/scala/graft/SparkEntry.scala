@@ -224,6 +224,17 @@ object SparkEntry {
     // sketch-estimated content overlap between two corpora: estimates are
     // Spark-sketch-specific, so the checkable output is exact counts (also
     // computed here) + error-bound booleans (the approxSketches pattern)
+    // KMV twin of the corpus-overlap lane: same split, same 8-gram items,
+    // but the ESTIMATES hash-match the oracle (md5 order statistics + IEEE
+    // division are engine-exact, unlike HLL register state)
+    "q_kmv_overlap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def grams(df: org.apache.spark.sql.DataFrame) =
+        df.select(explode(TextAnalysis.wordGrams(col("text"), 8)).as("item"))
+      Merge.kmvOverlap(
+        grams(docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)),
+        grams(docs.filter(pmod(col("doc_id"), lit(2)) =!= 0)))
+    }),
     "q_corpus_overlap" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val a = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
@@ -414,6 +425,10 @@ object SparkEntry {
     // bounded-heap selection) + exact-cosine rerank
     "q_sim_topk_sq" -> ((s, dir) =>
       Similarity.sqTopK(Tables.embeddings(s, dir))),
+    // retrieval-quality metrics (precision/recall@k, MRR) vs same-label
+    // relevance — rational arithmetic only, engine-exact
+    "q_retrieval_eval" -> ((s, dir) =>
+      Similarity.retrievalEval(Tables.embeddings(s, dir))),
     // hybrid lexical+dense retrieval fused by reciprocal rank
     "q_hybrid_rrf" -> ((s, dir) =>
       Similarity.rrfFusion(Tables.documents(s, dir), Tables.embeddings(s, dir))),
@@ -540,6 +555,13 @@ object SparkEntry {
       Sampling.alphaMixture(Tables.documents(s, dir).select("doc_id", "lang"),
         "doc_id", "lang", 200L)
         .orderBy("doc_id")),
+    // Neyman (variance-optimal) allocation: quotas prop. to N_s * sigma_s
+    "q_sample_neyman" -> ((s, dir) =>
+      Sampling.neymanAllocation(
+          Tables.documents(s, dir).select("doc_id", "lang", "n_chars"),
+          "doc_id", "lang", "n_chars", 120L)
+        .select("doc_id", "lang", "sel_rk", "stratum_n", "stratum_sigma")
+        .orderBy("lang", "sel_rk")),
     // epoch-denominated UPSAMPLING: 2.5 epochs of en, 1.25 de, 1 fr,
     // 0.5 es, zh unmapped (dropped) — exercises whole+frac, frac-only, zero
     "q_sample_epochs" -> ((s, dir) =>
@@ -1571,6 +1593,32 @@ object SparkEntry {
            |  FROM fl)
            |SELECT stage, count(*) AS n_docs FROM staged
            |GROUP BY stage ORDER BY stage""".stripMargin,
+      // decimal casts hop through VARCHAR (Spark's double->decimal goes via
+      // the shortest string; DuckDB's direct cast uses the full binary
+      // expansion) and back out (direct decimal->double double-rounds past
+      // 2^53 scaled) — the round-1/alpha-lane lesson
+      "q_sample_neyman" ->
+        """WITH st AS (SELECT lang, count(*) AS n,
+          |    CAST(sum(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) AS s,
+          |    CAST(sum(CAST(n_chars * n_chars AS DECIMAL(38,6))) AS DOUBLE) AS ss
+          |  FROM documents GROUP BY 1),
+          |wt AS (SELECT lang, n,
+          |    n * sqrt(greatest((ss - (s * s) / n) / n, 0.0)) AS w,
+          |    sqrt(greatest((ss - (s * s) / n) / n, 0.0)) AS sigma
+          |  FROM st),
+          |t AS (SELECT CAST(CAST(sum(CAST(CAST(w AS VARCHAR) AS DECIMAL(38,12)))
+          |                   AS VARCHAR) AS DOUBLE) AS tw FROM wt),
+          |q AS (SELECT lang, CAST(floor(CAST(120 AS DOUBLE) * w / tw) AS BIGINT) AS quota,
+          |    n AS stratum_n, sigma AS stratum_sigma
+          |  FROM wt CROSS JOIN t),
+          |r AS (SELECT doc_id, lang,
+          |    CAST(row_number() OVER (PARTITION BY lang
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '|graft_neyman_v1'), doc_id)
+          |      AS BIGINT) AS sel_rk
+          |  FROM documents)
+          |SELECT doc_id, lang, sel_rk, stratum_n, stratum_sigma
+          |FROM r JOIN q USING (lang) WHERE sel_rk <= quota
+          |ORDER BY lang, sel_rk""".stripMargin,
       "q_sample_alpha" ->
         """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
           |w AS (SELECT lang, sqrt(CAST(c AS DOUBLE)) AS w FROM c),
@@ -1800,6 +1848,27 @@ object SparkEntry {
            |  FROM s)
            |SELECT q_id, rk, n_id, hamming, cos FROM r WHERE rk <= 5
            |ORDER BY q_id, rk""".stripMargin,
+      "q_retrieval_eval" ->
+        s"""WITH v AS (SELECT vec_id, label,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           |  FROM embeddings),
+           |s AS (SELECT q.vec_id AS q_id, q.label AS q_label,
+           |    c.vec_id AS n_id, c.label AS n_label,
+           |    ${cosSql("q.emb", "c.emb")} AS cos
+           |  FROM v q CROSS JOIN v c
+           |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+           |r AS (SELECT *, row_number() OVER
+           |    (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk FROM s),
+           |t AS (SELECT q_id, q_label,
+           |    CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_at_k,
+           |    max(CASE WHEN n_label = q_label THEN CAST(1 AS DOUBLE) / rk END) AS mrr0
+           |  FROM r WHERE rk <= 10 GROUP BY 1, 2),
+           |z AS (SELECT label, count(*) AS n_label FROM v GROUP BY 1)
+           |SELECT q_id, CAST(q_label AS BIGINT) AS q_label, n_rel_at_k,
+           |  CAST(n_rel_at_k AS DOUBLE) / CAST(10 AS DOUBLE) AS precision_at_k,
+           |  CAST(n_rel_at_k AS DOUBLE) / CAST(n_label - 1 AS DOUBLE) AS recall_at_k,
+           |  coalesce(mrr0, CAST(0 AS DOUBLE)) AS mrr
+           |FROM t JOIN z ON q_label = label ORDER BY q_id""".stripMargin,
       // int8 codes: floor(x * (127/max|x|)) — integer dot products are
       // exact, so the coarse candidate set matches the operator bit-for-bit
       "q_sim_topk_sq" ->
@@ -2890,6 +2959,45 @@ object SparkEntry {
           |       (SELECT count(*) FROM (SELECT g FROM ga UNION SELECT g FROM gb)) AS n_union,
           |       (SELECT count(*) FROM (SELECT g FROM ga INTERSECT SELECT g FROM gb)) AS n_overlap,
           |       TRUE AS ok_a, TRUE AS ok_b, TRUE AS ok_union, TRUE AS ok_overlap""".stripMargin,
+      "q_kmv_overlap" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+          |  FROM documents),
+          |ga AS (SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS g
+          |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(w) - 7, 1) + 1)) AS i) t
+          |  WHERE doc_id % 3 <> 0),
+          |gb AS (SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS g
+          |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(w) - 7, 1) + 1)) AS i) t
+          |  WHERE doc_id % 2 <> 0),
+          |ha AS (SELECT DISTINCT CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h FROM ga),
+          |hb AS (SELECT DISTINCT CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h FROM gb),
+          |ska AS (SELECT list(h ORDER BY h) AS sa
+          |        FROM (SELECT h FROM ha ORDER BY h LIMIT 64) t),
+          |skb AS (SELECT list(h ORDER BY h) AS sb
+          |        FROM (SELECT h FROM hb ORDER BY h LIMIT 64) t),
+          |sku AS (SELECT list(h ORDER BY h) AS su FROM (
+          |          SELECT DISTINCT h FROM (
+          |            SELECT unnest(sa) AS h FROM ska
+          |            UNION ALL SELECT unnest(sb) AS h FROM skb) u
+          |          ORDER BY h LIMIT 64) t),
+          |ex AS (SELECT (SELECT count(*) FROM ha) AS n_a,
+          |              (SELECT count(*) FROM hb) AS n_b,
+          |              (SELECT count(*) FROM ha JOIN hb USING (h)) AS n_inter_exact)
+          |SELECT n_a, n_b, n_inter_exact,
+          |  CAST(63 AS DOUBLE)
+          |    / (CAST(sa[64] AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)) AS d_a_est,
+          |  CAST(63 AS DOUBLE)
+          |    / (CAST(sb[64] AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)) AS d_b_est,
+          |  CAST(63 AS DOUBLE)
+          |    / (CAST(su[64] AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)) AS d_union_est,
+          |  CAST(len(list_filter(su, x -> list_contains(sa, x) AND list_contains(sb, x))) AS DOUBLE)
+          |    / CAST(64 AS DOUBLE) AS jaccard_est,
+          |  (CAST(len(list_filter(su, x -> list_contains(sa, x) AND list_contains(sb, x))) AS DOUBLE)
+          |    / CAST(64 AS DOUBLE))
+          |  * (CAST(63 AS DOUBLE)
+          |    / (CAST(su[64] AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE))) AS inter_est
+          |FROM ska, skb, sku, ex""".stripMargin,
       "q_snapshot_diff" ->
         """WITH o AS (SELECT doc_id, md5(text) AS ofp FROM documents WHERE doc_id % 7 <> 0),
           |n AS (SELECT doc_id,

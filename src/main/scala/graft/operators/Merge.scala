@@ -198,6 +198,64 @@ object Merge {
         col("n_overlap_est").cast("double") / col("n_union_est").cast("double"))
   }
 
+  /** KMV (k-minimum-values) overlap estimation between two item sets — the
+    * DIRECT-intersection companion to [[corpusOverlap]]'s HLL
+    * inclusion-exclusion: the union sketch is the k smallest hashes of
+    * both sides combined, the Jaccard estimate is the fraction of those
+    * present in BOTH side sketches, and the intersection estimate is
+    * jaccard x distinct-union. Every number here is engine-exact (md5
+    * hashes + IEEE division), so the oracle hash-matches the ESTIMATES —
+    * not just verdict booleans (HLL's register state is Spark-specific,
+    * which is why [[corpusOverlap]] checks exact counts + bounds instead).
+    *
+    * Scale shape: per-side distinct on 8-byte hashes is the only row-grain
+    * exchange; min-k selection is the bounded-heap typed Aggregator (O(k)
+    * state per task, k rows per partition shuffle); everything downstream
+    * operates on two k-element arrays in 1-row frames. Sketches merge by
+    * "union then take k smallest" — shard/day/stream sketches compose. */
+  def kmvOverlap(a: DataFrame, b: DataFrame, k: Int = 64,
+                 item: String = "item"): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    import graft.functions.TopKAggregator.{MaxKByScore, ScoredL}
+    def hashes(df: DataFrame) = df
+      .select(conv(substr(md5(col(item)), lit(1), lit(15)), 16, 10)
+        .cast("long").as("h"))
+      .distinct()
+    // min-k as max-k of the negation: 15 hex digits < 2^60, negation safe;
+    // hits surface (iscore desc) = hash ascending
+    def sketch(df: DataFrame, name: String) = hashes(df)
+      .select(lit(0L).as("q_id"), col("h").as("n_id"), (-col("h")).as("iscore"))
+      .as[ScoredL]
+      .groupByKey(_.q_id)
+      .agg(new MaxKByScore(k).toColumn.name("hits"))
+      .map { case (_, hits) => hits.map(_.n_id).toArray }
+      .toDF(name)
+
+    val pow60 = math.pow(2, 60) // exact double
+    def dEst(arr: Column): Column =
+      lit((k - 1).toDouble) / (element_at(arr, k).cast("double") / lit(pow60))
+
+    val exact = hashes(a).agg(count(lit(1)).as("n_a"))
+      .crossJoin(hashes(b).agg(count(lit(1)).as("n_b")))
+      .crossJoin(hashes(a).join(hashes(b), "h")
+        .agg(count(lit(1)).as("n_inter_exact")))
+
+    sketch(a, "ska").crossJoin(sketch(b, "skb")).crossJoin(exact)
+      .withColumn("su",
+        slice(array_sort(array_distinct(concat(col("ska"), col("skb")))), 1, k))
+      .withColumn("jaccard_est",
+        size(filter(col("su"), x =>
+          array_contains(col("ska"), x) && array_contains(col("skb"), x)))
+          .cast("double") / lit(k.toDouble))
+      .select(col("n_a"), col("n_b"), col("n_inter_exact"),
+        dEst(col("ska")).as("d_a_est"),
+        dEst(col("skb")).as("d_b_est"),
+        dEst(col("su")).as("d_union_est"),
+        col("jaccard_est"),
+        (col("jaccard_est") * dEst(col("su"))).as("inter_est"))
+  }
+
   /** Type-2 SCD derivation from a row-version log: each key's versions get
     * half-open validity ranges [valid_from, valid_to) in epoch seconds, the
     * open (current) version marked with valid_to NULL. Deterministic under

@@ -245,4 +245,45 @@ object Sampling {
       .filter(col("mix_rk") <= col("__quota"))
       .drop("__quota")
   }
+
+  /** Neyman-allocation stratified sampling: stratum quotas proportional to
+    * N_s * sigma_s (optimal variance for estimating the mean of `valueCol`
+    * under a fixed budget — high-variance strata get oversampled relative
+    * to proportional allocation). Selection inside each stratum is the same
+    * content-addressed rank as [[alphaMixture]] — stable across runs,
+    * engines, and partitionings.
+    *
+    * Engine-exact numerics: moments accumulate as DECIMAL (exact,
+    * order-free), the variance/sqrt/quota arithmetic is IEEE double in a
+    * fixed parenthesization. Population variance (the allocation weight
+    * convention); single-row strata carry sigma 0 and win no quota beyond
+    * flooring. */
+  def neymanAllocation(df: DataFrame, keyCol: String, strataCol: String,
+                       valueCol: String, budget: Long,
+                       salt: String = "graft_neyman_v1"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val stats = df.groupBy(strataCol).agg(
+      count(lit(1)).as("__n"),
+      sum(col(valueCol).cast("decimal(28,6)")).cast("double").as("__s"),
+      sum((col(valueCol) * col(valueCol)).cast("decimal(38,6)"))
+        .cast("double").as("__ss"))
+    val weighted = stats.withColumn("__var",
+        (col("__ss") - (col("__s") * col("__s")) / col("__n")) / col("__n"))
+      .withColumn("__w", col("__n") * sqrt(greatest(col("__var"), lit(0.0))))
+    val tot = weighted.agg(
+      sum(col("__w").cast("decimal(38,12)")).cast("double").as("__tw"))
+    val quotas = weighted.crossJoin(broadcast(tot))
+      .select(col(strataCol),
+        floor(lit(budget.toDouble) * col("__w") / col("__tw"))
+          .cast("long").as("__quota"),
+        col("__n").as("stratum_n"),
+        sqrt(greatest(col("__var"), lit(0.0))).as("stratum_sigma"))
+    val win = Window.partitionBy(strataCol)
+      .orderBy(md5(concat(col(keyCol).cast("string"), lit("|" + salt))).asc,
+        col(keyCol).asc)
+    df.withColumn("sel_rk", row_number().over(win).cast("long"))
+      .join(broadcast(quotas), strataCol)
+      .filter(col("sel_rk") <= col("__quota"))
+      .drop("__quota")
+  }
 }

@@ -359,6 +359,41 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Retrieval-quality evaluation against same-label relevance: for each
+    * query, precision@k, recall@k, and MRR over the exact cosine ranking
+    * (label = relevance judgment, the standard embedding-eval setup).
+    * All metrics are RATIONAL arithmetic (counts and 1/rank) — engine-exact,
+    * no transcendental (the reason NDCG's log2 discount is omitted: libm
+    * rounding is not reproducible across engines; rank-reciprocal metrics
+    * order systems the same way).
+    *
+    * Scale shape: the ranking lane does the corpus work; metrics touch
+    * nQueries x k rows, label sizes come from one map-side count. */
+  def retrievalEval(emb: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
+    val hits = bruteForceTopK(emb, nQueries, k)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_label"))
+    val q = labels.select(col("vec_id").as("__qid"), col("label").as("q_label"))
+    val n = labels.select(col("vec_id").as("__nid"), col("label").as("n_label_v"))
+    hits
+      .join(broadcast(q), col("q_id") === col("__qid"))
+      .join(broadcast(n), col("n_id") === col("__nid"))
+      .withColumn("rel", (col("q_label") === col("n_label_v")).cast("long"))
+      .groupBy("q_id", "q_label")
+      .agg(
+        sum(col("rel")).as("n_rel_at_k"),
+        max(when(col("rel") === 1L, lit(1.0) / col("rk"))).as("__mrr"))
+      .join(broadcast(sizes), col("q_label") === col("label"))
+      .select(col("q_id"),
+        col("q_label").cast("long").as("q_label"),
+        col("n_rel_at_k"),
+        (col("n_rel_at_k").cast("double") / lit(k.toDouble)).as("precision_at_k"),
+        (col("n_rel_at_k").cast("double") / (col("n_label") - 1L).cast("double"))
+          .as("recall_at_k"),
+        coalesce(col("__mrr"), lit(0.0)).as("mrr"))
+      .orderBy("q_id")
+  }
+
   /** Scalar-quantization (int8) ANN funnel: coarse ranking on EXACT integer
     * dot products of symmetric int8 codes ([[VectorOps.quantizedInt8]] —
     * 1 byte/dim instead of 4), then exact full-precision cosine re-rank on
