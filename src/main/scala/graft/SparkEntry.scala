@@ -139,6 +139,11 @@ object SparkEntry {
     "q17_small_qty_revenue" -> ((s, dir) => Relational.smallQtyRevenue(s, dir)),
     "q21_waiting_suppliers" -> ((s, dir) => Relational.waitingSuppliers(s, dir)),
     "q22_sales_opportunity" -> ((s, dir) => Relational.salesOpportunity(s, dir)),
+    "q2_min_cost_supplier"  -> ((s, dir) => Relational.minCostSupplier(s, dir)),
+    "q9_product_profit"     -> ((s, dir) => Relational.productProfit(s, dir)),
+    "q11_important_parts"   -> ((s, dir) => Relational.importantParts(s, dir)),
+    "q16_supplier_count"    -> ((s, dir) => Relational.supplierCountByPart(s, dir)),
+    "q20_promotion_suppliers" -> ((s, dir) => Relational.promotionSuppliers(s, dir)),
     "q3_shipping_priority" -> ((s, dir) => Relational.shippingPriority(s, dir)),
     "q5_local_supplier"    -> ((s, dir) => Relational.localSupplierVolume(s, dir)),
     "q_topk_per_group"     -> ((s, dir) => Relational.topKPerGroup(s, dir)),
@@ -1536,6 +1541,84 @@ object SparkEntry {
           |WHERE c_acctbal > avg_bal
           |  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      // Q2/Q16/Q20 run over the derived supply relation (distinct shipped
+      // (partkey, suppkey) pairs with min unit price standing in for the
+      // absent partsupp table) — both engines derive it identically
+      "q2_min_cost_supplier" ->
+        """WITH supply AS (
+          |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+          |    min(l_extendedprice / l_quantity) AS ps_unit_cost
+          |  FROM lineitem GROUP BY 1, 2),
+          |es AS (
+          |  SELECT s_suppkey, s_name, s_acctbal, n_name
+          |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          |  JOIN region ON n_regionkey = r_regionkey
+          |  WHERE r_name = 'EUROPE'),
+          |sup AS (
+          |  SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_unit_cost, ps_partkey
+          |  FROM supply
+          |  JOIN part ON ps_partkey = p_partkey AND p_type = 'ECONOMY'
+          |  JOIN es ON ps_suppkey = s_suppkey),
+          |mc AS (SELECT ps_partkey AS mc_partkey, min(ps_unit_cost) AS min_cost
+          |  FROM sup GROUP BY 1),
+          |sel AS (
+          |  SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_unit_cost
+          |  FROM sup JOIN mc ON ps_partkey = mc_partkey AND ps_unit_cost = min_cost
+          |  ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100)
+          |SELECT * FROM sel ORDER BY p_partkey, s_name""".stripMargin,
+      "q9_product_profit" ->
+        """SELECT n_name AS nation, year(l_shipdate) AS o_year,
+          |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+          |      - 0.5 * p_retailprice * l_quantity AS DECIMAL(28,10))) AS DOUBLE)
+          |    AS sum_profit
+          |FROM lineitem
+          |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+      "q11_important_parts" ->
+        """WITH supp AS (
+          |  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          |  WHERE n_name = 'NATION_7'),
+          |slice AS (
+          |  SELECT l_partkey, l_extendedprice * (1.0 - l_discount) AS v
+          |  FROM lineitem JOIN supp ON l_suppkey = s_suppkey),
+          |per_part AS (
+          |  SELECT l_partkey,
+          |    CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) AS part_value
+          |  FROM slice GROUP BY 1),
+          |total AS (
+          |  SELECT CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) * 0.001 AS threshold
+          |  FROM slice)
+          |SELECT l_partkey, part_value FROM per_part, total
+          |WHERE part_value > threshold
+          |ORDER BY part_value DESC, l_partkey""".stripMargin,
+      "q16_supplier_count" ->
+        """WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+          |SELECT p_brand, p_type, p_size,
+          |  count(DISTINCT l_suppkey) AS supplier_cnt
+          |FROM supply JOIN part ON l_partkey = p_partkey
+          |WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'SMALL%'
+          |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+          |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+          |GROUP BY 1, 2, 3
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+      // oracle runs the textbook correlated EXISTS form; the Spark operator
+      // runs the single conditional-sum pass + LEFT SEMI reformulation
+      "q20_promotion_suppliers" ->
+        """WITH q AS (
+          |  SELECT l_suppkey, l_partkey,
+          |    CAST(sum(CAST(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+          |        AND l_shipdate < TIMESTAMP '1998-01-01'
+          |        THEN l_quantity ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS qty_1997,
+          |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_total
+          |  FROM lineitem JOIN part ON l_partkey = p_partkey
+          |  WHERE p_name LIKE 'small%'
+          |  GROUP BY 1, 2)
+          |SELECT s_suppkey, s_name, s_acctbal FROM supplier
+          |WHERE EXISTS (SELECT 1 FROM q
+          |  WHERE l_suppkey = s_suppkey AND qty_1997 > 0.3 * qty_total)
+          |ORDER BY s_suppkey""".stripMargin,
       "q_interleave" ->
         """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
           |r AS (SELECT doc_id, lang,

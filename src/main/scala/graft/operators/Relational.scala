@@ -856,6 +856,138 @@ object Relational {
       .limit(k).orderBy("s_suppkey")
   }
 
+  /** Derived supply relation standing in for TPC-H's absent `partsupp`
+    * table: one row per (partkey, suppkey) that actually shipped, with the
+    * observed minimum unit price as the supply cost. One shuffle on the
+    * composite key; every Q2/Q16/Q20 shape below starts from it, so at
+    * scale it is the materialize-once input (same pre-aggregation the
+    * textbook plans get for free from the real partsupp table). */
+  private def supplyRelation(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_unit_cost"),
+           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("ps_total_qty"))
+
+  /** TPC-H Q2 shape — minimum-cost supplier: for each ECONOMY part, the
+    * supplier(s) in EUROPE offering the lowest observed unit price. The
+    * correlated MIN subquery decorrelates into a per-part aggregate over
+    * the SAME region-filtered supply slice, joined back on partkey —
+    * supply is shuffled on partkey once and the min table rides the same
+    * partitioning. Dims (part/supplier/nation/region) all broadcast. */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val europeSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val parts = Tables.part(spark, dir).filter(col("p_type") === "ECONOMY")
+      .select("p_partkey", "p_brand", "p_size")
+    val supply = supplyRelation(spark, dir)
+      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(europeSupp), col("ps_suppkey") === col("s_suppkey"))
+    val minCost = supply.groupBy(col("ps_partkey").as("mc_partkey"))
+      .agg(min(col("ps_unit_cost")).as("min_cost"))
+    supply.join(minCost, col("ps_partkey") === col("mc_partkey") &&
+        col("ps_unit_cost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+        col("p_brand"), col("ps_unit_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100).orderBy("p_partkey", "s_name")
+  }
+
+  /** TPC-H Q9 shape — product-type profit by nation and year. The fixture
+    * schema has no ps_supplycost; the cost proxy is half the part's retail
+    * price per unit (deterministic, documented — the plan shape is what's
+    * exercised: fact ⨝ filtered-part ⨝ supplier ⨝ nation, all dims
+    * broadcast, one groupBy shuffle on (nation, year)). */
+  def productProfit(spark: SparkSession, dir: String): DataFrame = {
+    val gearParts = Tables.part(spark, dir).filter(col("p_name").contains("gear"))
+      .select("p_partkey", "p_retailprice")
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(gearParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("l_shipdate")).cast("long").as("o_year"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+            lit(0.5) * col("p_retailprice") * col("l_quantity"))
+          .cast("decimal(28,10)")).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 shape — important inventory value: per-part shipped value
+    * restricted to one nation's suppliers, kept where it exceeds a fixed
+    * fraction of that slice's total. The scalar total is a 1-row broadcast
+    * (crossJoin), the per-part aggregate is the one real shuffle. */
+  def importantParts(spark: SparkSession, dir: String,
+                     nationName: String = "NATION_7",
+                     fraction: Double = 0.001): DataFrame = {
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val slice = Tables.lineitem(spark, dir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("v"))
+    val perPart = slice.groupBy("l_partkey")
+      .agg(sum(col("v").cast("decimal(28,10)")).cast("double").as("part_value"))
+    val total = slice.agg(
+      (sum(col("v").cast("decimal(28,10)")).cast("double") * fraction).as("threshold"))
+    perPart.join(broadcast(total))
+      .filter(col("part_value") > col("threshold"))
+      .select("l_partkey", "part_value")
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q16 shape — supplier count by part attributes: distinct
+    * suppliers per (brand, type, size) over the derived supply relation,
+    * excluding one brand, one type prefix, and a NOT-IN supplier set
+    * (negative account balance stands in for the original's complaints
+    * filter). Anti join broadcasts the tiny excluded set; the distinct
+    * count is the one real shuffle. */
+  def supplierCountByPart(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1" && !col("p_type").startsWith("SMALL") &&
+        col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val excluded = Tables.supplier(spark, dir).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("x_suppkey"))
+    supplyRelation(spark, dir)
+      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("ps_suppkey") === col("x_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q20 shape — promotion-eligible suppliers: suppliers having some
+    * 'small' part whose shipments in 1997 exceeded 30% of their all-time
+    * shipments of that part. The nested correlated aggregate collapses to
+    * ONE conditional-sum pass over the part-filtered fact (no second scan),
+    * and the supplier list is a LEFT SEMI join on the qualifying suppkeys —
+    * the oracle runs the textbook EXISTS form to prove equivalence. */
+  def promotionSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val smallParts = Tables.part(spark, dir).filter(col("p_name").startsWith("small"))
+      .select("p_partkey")
+    val in1997 = col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+      col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz")
+    val qualifying = Tables.lineitem(spark, dir)
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(when(in1997, col("l_quantity")).otherwise(lit(0.0))
+            .cast("decimal(18,2)")).cast("double").as("qty_1997"),
+           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty_total"))
+      .filter(col("qty_1997") > lit(0.3) * col("qty_total"))
+      .select("l_suppkey").distinct()
+    Tables.supplier(spark, dir)
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+
   /** TPC-H Q22 shape — sales opportunity: customers above the global
     * positive-balance average with no RECENT orders (every fixture
     * customer has some order, so the anti join keys on the recent window
