@@ -240,6 +240,15 @@ object SparkEntry {
         grams(docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)),
         grams(docs.filter(pmod(col("doc_id"), lit(2)) =!= 0)))
     }),
+    // single-side KMV sketch builder (order statistics + estimate
+    // hash-match; the streaming twin accumulates to this exact sketch)
+    "q_kmv_sketch" -> ((s, dir) =>
+      Merge.kmvSketch(Tables.documents(s, dir)
+          .select(explode(TextAnalysis.wordGrams(col("text"), 8)).as("item")))
+        .select(col("n_in_sketch"),
+          element_at(col("kmv"), 1).as("kmv_min"),
+          element_at(col("kmv"), size(col("kmv"))).as("kmv_kth"),
+          col("d_est"))),
     "q_corpus_overlap" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val a = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
@@ -426,6 +435,10 @@ object SparkEntry {
     // Matryoshka adaptive retrieval: 8-dim prefix rank, full-vector rerank
     "q_sim_topk_mrl" -> ((s, dir) =>
       Similarity.mrlTopK(Tables.embeddings(s, dir))),
+    // ColBERT-style late interaction: pooled-cosine recall stage, MaxSim
+    // (sum of per-sub-vector max cosines) precision rerank
+    "q_sim_maxsim" -> ((s, dir) =>
+      Similarity.maxSimTopK(Tables.embeddings(s, dir))),
     // int8 scalar-quantization coarse rank (exact integer dots,
     // bounded-heap selection) + exact-cosine rerank
     "q_sim_topk_sq" -> ((s, dir) =>
@@ -486,6 +499,17 @@ object SparkEntry {
     "q_validate" -> ((s, dir) => Validate.report(s, dir)),
     "q_k_anonymize" -> ((s, dir) =>
       Validate.kAnonymize(Tables.customer(s, dir), "c_nationkey", "c_mktsegment")),
+    // l-diversity audit over the same quasi-identifiers: sensitive attr =
+    // order priority of the customer's orders (class size AND value spread)
+    "q_l_diversity" -> ((s, dir) =>
+      Validate.lDiversity(
+        Tables.customer(s, dir).join(Tables.orders(s, dir),
+          col("c_custkey") === col("o_custkey")),
+        "c_nationkey", "c_mktsegment", "o_orderpriority", k = 100L, l = 3L)),
+    // deterministic Poisson-bootstrap CI for mean document length: one
+    // map-side fan-out x64, B-row exchange, order-statistic bounds
+    "q_bootstrap_ci" -> ((s, dir) =>
+      Validate.bootstrapCI(Tables.documents(s, dir), "n_chars", "doc_id")),
     "q_corpus_report" -> ((s, dir) => Validate.corpusReport(s, dir)),
     // hottest shuffle keys + global skew factor — the pre-join diagnostic
     "q_skew_report" -> ((s, dir) =>
@@ -652,6 +676,9 @@ object SparkEntry {
       TextAnalysis.decontaminateAttribution(Tables.documents(s, dir))),
     // CCNet-style quality tiers; approx boundaries aren't engine-reproducible,
     // so the checkable output is size/ordering verdicts (approx pattern)
+    // cross-domain calibration: score -> percent-rank within its source
+    "q_quantile_norm" -> ((s, dir) =>
+      TextAnalysis.quantileNormalize(Tables.documents(s, dir))),
     "q_quality_buckets" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val b = TextAnalysis.qualityBuckets(Tables.documents(s, dir))
@@ -1255,6 +1282,13 @@ object SparkEntry {
        |  i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)])), (x, y) -> x + y)""".stripMargin
   private def cosSqlN(a: String, b: String, n: Int) =
     s"${dotSqlN(a, b, n)} / (sqrt(${dotSqlN(a, a, n)}) * sqrt(${dotSqlN(b, b, n)}))"
+  /** [[dotSql]]/[[cosSql]] over an `n`-dim SUB-vector at 0-based offsets
+    * `oa`/`ob` of each list (MaxSim late-interaction scoring). */
+  private def dotSqlSub(a: String, b: String, oa: Int, ob: Int, n: Int) =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${n + 1}),
+       |  i -> $a[CAST(i AS INT) + $oa] * $b[CAST(i AS INT) + $ob])), (x, y) -> x + y)""".stripMargin
+  private def cosSqlSub(a: String, b: String, oa: Int, ob: Int, n: Int) =
+    s"${dotSqlSub(a, b, oa, ob, n)} / (sqrt(${dotSqlSub(a, a, oa, oa, n)}) * sqrt(${dotSqlSub(b, b, ob, ob, n)}))"
   /** random-hyperplane bucket key: 8 sign bits from hashed ±1 planes. */
   private def bucketKeySql(v: String, t: String) =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 8), j ->
@@ -1998,6 +2032,28 @@ object SparkEntry {
            |  FROM s)
            |SELECT q_id, rk, n_id, pre_cos, cos FROM r WHERE rk <= 5
            |ORDER BY q_id, rk""".stripMargin,
+      "q_sim_maxsim" -> {
+        val maxSim = (0 until 4).map { i =>
+          "greatest(" + (0 until 4).map(j =>
+            cosSqlSub("q_emb", "n_emb", i * 16, j * 16, 16)).mkString(", ") + ")"
+        }.mkString(" + ")
+        s"""WITH v AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           |  FROM embeddings),
+           |h AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, q.emb AS q_emb, c.emb AS n_emb,
+           |    ${cosSql("q.emb", "c.emb")} AS pool_cos
+           |  FROM v c CROSS JOIN v q
+           |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+           |cand AS (SELECT * FROM (SELECT *,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY pool_cos DESC, n_id) AS prk
+           |  FROM h) x WHERE prk <= 20),
+           |s AS (SELECT q_id, n_id, pool_cos, $maxSim AS maxsim FROM cand),
+           |r AS (SELECT q_id, n_id, pool_cos, maxsim,
+           |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY maxsim DESC, n_id) AS BIGINT) AS rk
+           |  FROM s)
+           |SELECT q_id, rk, n_id, pool_cos, maxsim FROM r WHERE rk <= 5
+           |ORDER BY q_id, rk""".stripMargin
+      },
       // centroid means mirror Spark's cast(double as decimal(28,12)) + exact
       // decimal sum via the VARCHAR hop (the ivfCtes discipline); the cosine
       // folds in dimension order (cosSql)
@@ -3081,6 +3137,76 @@ object SparkEntry {
           |  * (CAST(63 AS DOUBLE)
           |    / (CAST(su[64] AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE))) AS inter_est
           |FROM ska, skb, sku, ex""".stripMargin,
+      "q_kmv_sketch" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+          |  FROM documents),
+          |g AS (SELECT array_to_string(w[i:i+7], ' ') AS g
+          |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(w) - 7, 1) + 1)) AS i) t),
+          |h AS (SELECT DISTINCT CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h FROM g),
+          |sk AS (SELECT list(h ORDER BY h) AS kmv
+          |       FROM (SELECT h FROM h ORDER BY h LIMIT 64) t)
+          |SELECT CAST(len(kmv) AS BIGINT) AS n_in_sketch,
+          |  kmv[1] AS kmv_min, kmv[len(kmv)] AS kmv_kth,
+          |  CASE WHEN len(kmv) < 64 THEN CAST(len(kmv) AS DOUBLE)
+          |       ELSE CAST(63 AS DOUBLE)
+          |         / (CAST(kmv[64] AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)) END AS d_est
+          |FROM sk""".stripMargin,
+      // percent_rank ties share rank -> tie-order-insensitive, engine-exact
+      "q_quantile_norm" ->
+        """SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS score,
+          |  percent_rank() OVER (PARTITION BY source
+          |    ORDER BY CAST(n_chars AS DOUBLE)) AS pct_in_group
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      // dominant value picked by (count DESC, value DESC) — mirrors Spark's
+      // max(struct(n, sv)) lexicographic tiebreak
+      "q_l_diversity" ->
+        """WITH j AS (
+          |  SELECT CAST(c_nationkey AS VARCHAR) AS qi1, c_mktsegment AS qi2,
+          |         o_orderpriority AS sv
+          |  FROM customer JOIN orders ON c_custkey = o_custkey),
+          |cells AS (SELECT qi1, qi2, sv, count(*) AS n FROM j GROUP BY 1, 2, 3),
+          |cls AS (SELECT qi1, qi2, CAST(sum(n) AS BIGINT) AS n_rows,
+          |         count(*) AS l_distinct FROM cells GROUP BY 1, 2),
+          |dom AS (SELECT qi1, qi2, sv, n,
+          |         row_number() OVER (PARTITION BY qi1, qi2
+          |           ORDER BY n DESC, sv DESC) AS rn FROM cells)
+          |SELECT c.qi1, c.qi2, c.n_rows, c.l_distinct,
+          |  d.sv AS dominant_value,
+          |  CAST(d.n AS DOUBLE) / CAST(c.n_rows AS DOUBLE) AS dominant_share,
+          |  (c.n_rows >= 100 AND c.l_distinct >= 3) AS ok
+          |FROM cls c JOIN dom d ON c.qi1 = d.qi1 AND c.qi2 = d.qi2 AND d.rn = 1
+          |ORDER BY c.qi1, c.qi2""".stripMargin,
+      // every Poisson(1) draw recomputed from md5(doc_id, b) — the bootstrap
+      // is content-addressed, so the CI hash-matches across engines
+      "q_bootstrap_ci" ->
+        """WITH grid AS (
+          |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS v, b
+          |  FROM documents CROSS JOIN range(0, 64) r(b)),
+          |ww AS (SELECT doc_id, v, b,
+          |  CASE WHEN u < 0.36787944117144233 THEN 0.0
+          |       WHEN u < 0.7357588823428846 THEN 1.0
+          |       WHEN u < 0.9196986029286058 THEN 2.0
+          |       WHEN u < 0.981011843123846 THEN 3.0
+          |       WHEN u < 0.9963401531726563 THEN 4.0
+          |       WHEN u < 0.9994058151824183 THEN 5.0
+          |       ELSE 6.0 END AS w
+          |  FROM (SELECT doc_id, v, b,
+          |    CAST(('0x' || substr(md5(doc_id || '_' || b || '_' || 'graft_boot_v1'), 1, 13)) AS BIGINT)
+          |      / 4503599627370496.0 AS u FROM grid) t),
+          |means AS (SELECT b,
+          |    CAST(sum(CAST(v * w AS DECIMAL(28,6))) AS DOUBLE)
+          |      / CAST(sum(CAST(w AS DECIMAL(18,2))) AS DOUBLE) AS mean_b
+          |  FROM ww GROUP BY b),
+          |rk AS (SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS rn FROM means),
+          |pt AS (SELECT CAST(sum(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS mean,
+          |         count(*) AS n_rows FROM documents)
+          |SELECT pt.mean, pt.n_rows, lo.ci_lo, hi.ci_hi,
+          |  CAST(64 AS BIGINT) AS n_resamples
+          |FROM pt,
+          |  (SELECT mean_b AS ci_lo FROM rk WHERE rn = 2) lo,
+          |  (SELECT mean_b AS ci_hi FROM rk WHERE rn = 63) hi""".stripMargin,
       "q_snapshot_diff" ->
         """WITH o AS (SELECT doc_id, md5(text) AS ofp FROM documents WHERE doc_id % 7 <> 0),
           |n AS (SELECT doc_id,

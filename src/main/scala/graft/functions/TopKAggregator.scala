@@ -91,6 +91,29 @@ object TopKAggregator {
     override def outputEncoder: Encoder[Seq[RankedHitL]] = ExpressionEncoder[Seq[RankedHitL]]()
   }
 
+  /** Keeps the k smallest DISTINCT longs, ascending — the KMV sketch state.
+    * Insert dedupes, so the input stream needs NO separate distinct pass:
+    * that is what lets the same code run as a SINGLE streaming aggregation
+    * (two stacked stateful ops — distinct then min-k — would be rejected by
+    * Structured Streaming). Min-k-distinct is associative, commutative and
+    * idempotent, so partial/merge order and stream/batch split can never
+    * change the sketch. */
+  class MinKDistinct(k: Int) extends Aggregator[Long, List[Long], Seq[Long]] {
+    override def zero: List[Long] = Nil
+
+    private def insert(buf: List[Long], x: Long): List[Long] = {
+      val (pre, post) = buf.span(_ < x)
+      if (post.headOption.contains(x)) buf else (pre ::: x :: post).take(k)
+    }
+
+    override def reduce(buf: List[Long], x: Long): List[Long] = insert(buf, x)
+    override def merge(a: List[Long], b: List[Long]): List[Long] = b.foldLeft(a)(insert)
+    override def finish(buf: List[Long]): Seq[Long] = buf
+
+    override def bufferEncoder: Encoder[List[Long]] = ExpressionEncoder[List[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
   /** Keeps the k largest (o_totalprice desc, o_orderkey asc) rows. */
   class TopKByPrice(k: Int) extends Aggregator[OrderRow, List[(Double, Long)], Seq[TopHit]] {
     private def better(a: (Double, Long), b: (Double, Long)): Boolean =

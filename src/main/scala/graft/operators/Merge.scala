@@ -256,6 +256,34 @@ object Merge {
         (col("jaccard_est") * dEst(col("su"))).as("inter_est"))
   }
 
+  /** One-sided KMV sketch builder: the k smallest md5 hashes of the item
+    * column (ascending) plus the distinct-count estimate. Unlike
+    * [[kmvOverlap]]'s internal sketch there is NO separate distinct pass —
+    * the `MinKDistinct` aggregator dedupes inside its O(k) buffer, which is
+    * exactly what lets the SAME code run as a single streaming aggregation
+    * (`StreamingOps.kmvDistinct`, complete mode): stream accumulation over
+    * any trigger split lands on the batch sketch EXACTLY (asserted in the
+    * streaming spec). Below k distinct items the sketch IS the distinct
+    * set, so the estimate switches to the exact fill count. */
+  def kmvSketch(df: DataFrame, k: Int = 64, item: String = "item"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.functions.TopKAggregator.MinKDistinct
+    val pow60 = math.pow(2, 60) // exact double
+    df.select(conv(substr(md5(col(item)), lit(1), lit(15)), 16, 10)
+        .cast("long").as("h"))
+      .as[Long]
+      .groupByKey(_ => 0L)
+      .agg(new MinKDistinct(k).toColumn.name("kmv"))
+      .map { case (_, ks) => ks.toArray }
+      .toDF("kmv")
+      .withColumn("n_in_sketch", size(col("kmv")).cast("long"))
+      .withColumn("d_est",
+        when(col("n_in_sketch") < k, col("n_in_sketch").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (element_at(col("kmv"), k).cast("double") / lit(pow60))))
+  }
+
   /** Type-2 SCD derivation from a row-version log: each key's versions get
     * half-open validity ranges [valid_from, valid_to) in epoch seconds, the
     * open (current) version marked with valid_to NULL. Deterministic under

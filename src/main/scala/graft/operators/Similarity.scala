@@ -474,6 +474,52 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** LATE-INTERACTION (ColBERT-style MaxSim) retrieval: each embedding is
+    * read as `nSub` contiguous sub-vectors (the multi-vector representation
+    * late-interaction models emit — one vector per token/segment);
+    * relevance = Σ over query sub-vectors of the MAX cosine against any
+    * candidate sub-vector. The funnel is the production shape: stage 1
+    * ranks with the cheap single pooled-vector cosine (1 cosine/pair —
+    * at scale this is where the ANN index goes), keeps `rerank`
+    * candidates, stage 2 re-scores just those with the nSub² cosine
+    * MaxSim.
+    *
+    * Determinism: each sub-cosine folds float→double in dimension order
+    * ([[cosine]]); MAX over candidates is order-insensitive; the outer sum
+    * adds in fixed sub-vector order (left fold) — engine-portable.
+    *
+    * Scale shape: MaxSim cost is nSub² cosines but only on nQueries×rerank
+    * pairs; the corpus-grain pass stays 1 cosine/pair. The final window
+    * partitions by q_id over ≤rerank rows. */
+  def maxSimTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
+                 nSub: Int = 4, rerank: Int = 20): DataFrame = {
+    val dims = 64
+    val sub = dims / nSub
+    def subs(c: Column): Column =
+      array((0 until nSub).map(i => slice(c, i * sub + 1, sub)): _*)
+    val vecs = emb.select(col("vec_id"), col("embedding"), subs(col("embedding")).as("sv"))
+    val q = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("sv").as("q_sv"))
+    val c = vecs.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      col("sv").as("n_sv"))
+    val wP = Window.partitionBy("q_id").orderBy(col("pool_cos").desc, col("n_id").asc)
+    val cand = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("pool_cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("prk", row_number().over(wP))
+      .filter(col("prk") <= rerank)
+    val maxSim = (0 until nSub).map { i =>
+      greatest((0 until nSub).map(j =>
+        cosine(col("q_sv").getItem(i), col("n_sv").getItem(j))): _*)
+    }.reduce(_ + _)
+    val wC = Window.partitionBy("q_id").orderBy(col("maxsim").desc, col("n_id").asc)
+    cand.withColumn("maxsim", maxSim)
+      .withColumn("rk", row_number().over(wC).cast("long"))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "n_id", "pool_cos", "maxsim")
+      .orderBy("q_id", "rk")
+  }
+
   /** HYBRID retrieval via Reciprocal Rank Fusion — the standard way a RAG
     * stack combines lexical (TF-IDF/BM25) and dense (embedding) rankings
     * without score calibration: `rrf = sum over systems of 1/(c + rank)`,

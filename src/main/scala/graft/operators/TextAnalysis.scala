@@ -340,6 +340,32 @@ object TextAnalysis {
         size(filter(col("__cuts"), c => col("__score") > c)).cast("long"))
       .select(col(id), col("__score").as("score"), col("bucket"))
 
+  /** Cross-domain score CALIBRATION via per-group quantile normalization:
+    * each document's quality score becomes its percent-rank WITHIN its
+    * source/domain, so one global threshold means the same thing in every
+    * domain — the fix for "domain A's classifier scores run hot, so a raw
+    * cutoff keeps all of A and none of B". The complement of
+    * [[qualityBuckets]] (global sketch tiers): this one equalizes
+    * per-domain distributions instead of pooling them.
+    *
+    * Determinism: percent_rank = (rank-1)/(n-1) with ties sharing rank —
+    * tie-order-insensitive, so no tiebreak column is needed and the result
+    * is engine-exact.
+    *
+    * Scale shape: ONE window partitioned by group — parallel across
+    * domains, sorted within each. For a pathologically large single domain
+    * the sketch path ([[qualityCuts]] per group) is the escape hatch; for
+    * real corpora domain cardinality x domain size makes the partitioned
+    * sort the cheaper and exact choice. */
+  def quantileNormalize(docs: DataFrame, group: String = "source",
+                        score: Column = col("n_chars"),
+                        id: String = "doc_id"): DataFrame = {
+    docs.select(col(id), col(group), score.cast("double").as("score"))
+      .withColumn("pct_in_group", percent_rank().over(
+        Window.partitionBy(group).orderBy(col("score"))))
+      .orderBy(id)
+  }
+
   /** Contamination ATTRIBUTION: which benchmark document leaked into which
     * training document, and by how many shared `n`-grams — the pair-level
     * evidence behind [[decontaminate]]'s per-doc flag. Real scrub runs need

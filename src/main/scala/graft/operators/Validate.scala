@@ -217,4 +217,82 @@ object Validate {
     keep0.unionAll(keep1).unionAll(keep2)
       .orderBy("level", "qi1", "qi2")
   }
+
+  /** l-diversity audit on top of k-anonymity: a quasi-identifier class can
+    * be ≥k rows yet still leak — if everyone in it shares one sensitive
+    * value, membership alone reveals it. Per (qi1, qi2) class this reports
+    * size, distinct-sensitive-value count, and the dominant value's share;
+    * `ok` requires BOTH ≥k members and ≥l distinct sensitive values.
+    *
+    * Scale shape: one groupBy over the row stream to (class, sensitive)
+    * counts, then class-grain re-aggregation — row data never moves twice.
+    * max_by picks the dominant value with a deterministic (count, value)
+    * tiebreak so the report is engine-exact. */
+  def lDiversity(df: DataFrame, qi1: String, qi2: String, sensitive: String,
+                 k: Long = 25L, l: Long = 3L): DataFrame = {
+    val cells = df.groupBy(
+        col(qi1).cast("string").as("qi1"), col(qi2).cast("string").as("qi2"),
+        col(sensitive).cast("string").as("sv"))
+      .agg(count(lit(1)).as("n"))
+    cells.groupBy("qi1", "qi2")
+      .agg(
+        sum(col("n")).as("n_rows"),
+        count(lit(1)).as("l_distinct"),
+        max(struct(col("n"), col("sv"))).as("__dom"))
+      .withColumn("dominant_value", col("__dom.sv"))
+      .withColumn("dominant_share",
+        col("__dom.n").cast("double") / col("n_rows").cast("double"))
+      .withColumn("ok", col("n_rows") >= k && col("l_distinct") >= l)
+      .select("qi1", "qi2", "n_rows", "l_distinct", "dominant_value",
+        "dominant_share", "ok")
+      .orderBy("qi1", "qi2")
+  }
+
+  /** Metric uncertainty via the deterministic POISSON BOOTSTRAP: each of B
+    * resamples weights every row by a Poisson(1) draw derived from
+    * md5(id, b) — the classic streaming/distributed bootstrap (one pass, no
+    * per-resample shuffles of the data, resamples independent of partition
+    * layout). Reports the point estimate of mean(value) with order-statistic
+    * CI bounds over the B resample means.
+    *
+    * Content-addressed randomness (hash of id×b, no RNG): the same corpus
+    * gives the same CI on any cluster, any partitioning, any engine — the
+    * DuckDB oracle reproduces every draw exactly.
+    *
+    * Scale shape: the row stream fans out ×B map-side (B is small, 64) and
+    * immediately partial-aggregates to B running sums per task — the only
+    * exchange is B rows to the final aggregation; the CI then sorts B
+    * numbers. Decimal sums keep the means order-insensitive. */
+  def bootstrapCI(df: DataFrame, valueCol: String, idCol: String,
+                  b: Int = 64, alpha: Double = 0.05,
+                  tag: String = "graft_boot_v1"): DataFrame = {
+    // Poisson(1) inverse CDF thresholds (cumulative), exact double literals
+    val cdf = Seq(0.36787944117144233, 0.7357588823428846, 0.9196986029286058,
+      0.981011843123846, 0.9963401531726563, 0.9994058151824183)
+    val u = conv(substring(md5(concat_ws("_", col(idCol).cast("string"),
+        col("b").cast("string"), lit(tag))), 1, 13), 16, 10)
+      .cast("double") / lit(4503599627370496.0) // 2^52
+    val w = cdf.zipWithIndex.foldRight(lit(cdf.size)) {
+      case ((t, i), rest) => when(u < t, lit(i)).otherwise(rest)
+    }.cast("double")
+    val means = df.select(col(idCol), col(valueCol).cast("double").as("v"))
+      .crossJoin(broadcast(df.sparkSession.range(b).select(col("id").as("b"))))
+      .groupBy("b")
+      .agg((sum((col("v") * w).cast("decimal(28,6)")).cast("double") /
+            sum(w.cast("decimal(18,2)")).cast("double")).as("mean_b"))
+    val loRank = math.max(1, math.ceil(alpha / 2 * b).toInt)
+    val hiRank = math.min(b, math.ceil((1 - alpha / 2) * b).toInt)
+    val ranked = means.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy(
+        col("mean_b"), col("b"))))
+    val point = df.agg(
+      (sum(col(valueCol).cast("decimal(28,6)")).cast("double") /
+        count(lit(1))).as("mean"), count(lit(1)).as("n_rows"))
+    point
+      .crossJoin(broadcast(ranked.filter(col("rn") === loRank)
+        .select(col("mean_b").as("ci_lo"))))
+      .crossJoin(broadcast(ranked.filter(col("rn") === hiRank)
+        .select(col("mean_b").as("ci_hi"))))
+      .withColumn("n_resamples", lit(b.toLong))
+  }
 }

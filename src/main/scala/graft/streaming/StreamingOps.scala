@@ -396,6 +396,19 @@ object StreamingOps {
       .groupBy("sketch_row", "bucket")
       .count().withColumnRenamed("count", "n")
 
+  /** Streaming KMV distinct-count maintenance — the online twin of
+    * `Merge.kmvSketch` and the ESTIMATE-exact companion to
+    * [[distinctCounts]]' HLL: state is the k smallest distinct md5 hashes
+    * (one O(k) buffer), maintained by the same `MinKDistinct` aggregator
+    * the batch builder uses, so stream accumulation over any trigger split
+    * lands on the batch sketch EXACTLY — array and estimate, not just the
+    * verdict. One stateful op (the aggregator dedupes internally; a
+    * distinct-then-min-k chain would be two and Structured Streaming
+    * rejects it). Complete mode re-emits the current 1-row sketch. */
+  def kmvDistinct(items: DataFrame, k: Int = 64,
+                  item: String = "item"): DataFrame =
+    graft.operators.Merge.kmvSketch(items, k, item)
+
   case class FunnelEvent(event_id: Long, user_id: Long,
                          ts: java.sql.Timestamp, event_type: String)
   case class FunnelState(stageTimes: List[Long])

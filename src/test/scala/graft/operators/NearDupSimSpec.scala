@@ -443,4 +443,34 @@ class NearDupSimSpec extends SparkSpec {
       assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("maxSim: self-pair scores nSub exactly; rerank output is valid and bounded") {
+    val emb = Tables.embeddings(spark, sf)
+    // a duplicate of query 0 under a fresh id: every sub-vector matches
+    // itself, so MaxSim = nSub exactly and the dup must rank first
+    val dup = emb.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(90001L))
+    val out = Similarity.maxSimTopK(emb.unionByName(dup), nQueries = 1, k = 5)
+      .collect()
+    assert(out.length == 5)
+    val top = out.head
+    assert(top.getAs[Long]("n_id") == 90001L)
+    assert(math.abs(top.getAs[Double]("maxsim") - 4.0) < 1e-9)
+    // MaxSim >= pooled cosine is NOT guaranteed, but both must be bounded
+    assert(out.forall { r =>
+      val m = r.getAs[Double]("maxsim"); m >= -4.0 && m <= 4.0 + 1e-9 })
+    // ranks strictly ordered by maxsim desc
+    val ms = out.map(_.getAs[Double]("maxsim")).toSeq
+    assert(ms.zip(ms.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("maxSim funnel: pooled recall stage only reorders within candidates, never invents") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.maxSimTopK(emb, nQueries = 4, k = 5, rerank = 20)
+    val cand = Similarity.bruteForceTopK(emb, nQueries = 4, k = 20)
+    val candSet = cand.collect().map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    assert(out.collect().forall(r =>
+      candSet((r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))))
+  }
 }

@@ -731,4 +731,25 @@ class StreamingOpsSpec extends SparkSpec {
       .orderBy("sketch_row", "bucket").collect().toSeq
     assert(streamed == batch)
   }
+
+  test("streaming KMV sketch accumulates to EXACTLY the batch sketch and estimate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // items with heavy cross-batch duplication: the aggregator's internal
+    // dedupe (one stateful op) must land on the batch result bit-for-bit
+    val items = (0 until 3000).map(i => s"item_${i % 1000}")
+    val stream = MemoryStream[String]
+    val q = StreamingOps.kmvDistinct(stream.toDF().toDF("item"), k = 64)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("kmv_out").start()
+    try {
+      stream.addData(items.take(1000)); q.processAllAvailable()
+      stream.addData(items.drop(1000)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("kmv_out").collect().head
+    val batch = graft.operators.Merge.kmvSketch(items.toDF("item"), k = 64)
+      .collect().head
+    assert(streamed.getAs[scala.collection.Seq[Long]]("kmv") == batch.getAs[scala.collection.Seq[Long]]("kmv"))
+    assert(streamed.getAs[Double]("d_est") == batch.getAs[Double]("d_est"))
+  }
 }
