@@ -415,6 +415,12 @@ object SparkEntry {
       IvfIndex.topK(Tables.embeddings(s, dir))),
     "q_tfidf_topk" -> ((s, dir) =>
       TfIdf.topKSimilar(Tables.documents(s, dir))),
+    // full BM25: rational idf + TF saturation + length normalization
+    "q_bm25_topk" -> ((s, dir) =>
+      TfIdf.bm25TopK(Tables.documents(s, dir))),
+    // per-source vocabulary health: TTR, Gini-Simpson, effective types
+    "q_lexical_diversity" -> ((s, dir) =>
+      TextAnalysis.lexicalDiversity(Tables.documents(s, dir))),
     // contrastive-training data op: per-anchor top-k cross-label neighbors
     "q_hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(Tables.embeddings(s, dir))),
@@ -2854,6 +2860,48 @@ object SparkEntry {
           |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rk
           |      FROM scored)
           |SELECT q_id, rk, n_id, sim FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+      "q_bm25_topk" ->
+        """WITH tok AS (
+          |  SELECT doc_id, tok, count(*) AS tf FROM (
+          |    SELECT doc_id,
+          |      unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+          |    FROM documents) x GROUP BY doc_id, tok),
+          |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+          |avgdl AS (SELECT CAST(sum(CAST(dl AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS avgdl FROM dl),
+          |n AS (SELECT count(*) AS n_docs FROM documents),
+          |idf AS (SELECT tok, (n_docs - count(*) + 0.5) / (count(*) + 0.5) AS idf
+          |        FROM tok CROSS JOIN n GROUP BY tok, n_docs),
+          |cand AS (SELECT tok.doc_id AS n_id, tok.tok AS tok,
+          |    idf * (tf * (1.2 + 1.0)) /
+          |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS w
+          |  FROM tok JOIN idf ON tok.tok = idf.tok
+          |  JOIN dl ON tok.doc_id = dl.doc_id
+          |  CROSS JOIN avgdl),
+          |scored AS (SELECT q.doc_id AS q_id, c.n_id AS n_id,
+          |    CAST(sum(CAST(c.w AS DECIMAL(38,8))) AS DOUBLE) AS bm25
+          |  FROM cand c JOIN tok q ON c.tok = q.tok
+          |  WHERE q.doc_id < 8 AND q.doc_id <> c.n_id
+          |  GROUP BY q_id, n_id),
+          |r AS (SELECT q_id, n_id, bm25,
+          |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, n_id) AS BIGINT) AS rk
+          |      FROM scored)
+          |SELECT q_id, rk, n_id, bm25 FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+      // integer accumulators only (Σ n_i(n_i-1), N, V); divisions once in double
+      "q_lexical_diversity" ->
+        """WITH tok AS (
+          |  SELECT source, tok, count(*) AS n FROM (
+          |    SELECT source,
+          |      unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+          |    FROM documents) x WHERE tok <> '' GROUP BY source, tok),
+          |agg AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+          |    count(*) AS n_types, CAST(sum(n * (n - 1)) AS BIGINT) AS pairs
+          |  FROM tok GROUP BY source)
+          |SELECT source, n_tokens, n_types,
+          |  CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+          |  CAST(pairs AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE)) AS simpson,
+          |  CASE WHEN pairs > 0 THEN 1.0 / (CAST(pairs AS DOUBLE)
+          |    / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE))) END AS effective_types
+          |FROM agg ORDER BY source""".stripMargin,
       // the IVF training chain through the final assignment (a2), trimmed
       // of the query-side probe CTEs — same decimal-exact discipline
       "q_vec_clusters" ->

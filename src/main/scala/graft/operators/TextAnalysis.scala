@@ -340,6 +340,44 @@ object TextAnalysis {
         size(filter(col("__cuts"), c => col("__score") > c)).cast("long"))
       .select(col(id), col("__score").as("score"), col("bucket"))
 
+  /** Lexical DIVERSITY report per corpus slice — the vocabulary-health
+    * companion to [[fertilityReport]]: type-token ratio (distinct/total
+    * tokens), Simpson's index λ (probability two random tokens are the
+    * SAME type — 1 means one token repeated, →0 means spread out), and
+    * effective vocabulary size (inverse Simpson 1/λ — "how many equally
+    * common types would look like this"). A slice whose diversity collapses
+    * is template/boilerplate-heavy even when raw dedup passes it.
+    *
+    * Determinism: everything accumulates in INTEGERS (Σ nᵢ(nᵢ−1), N, V) —
+    * order-insensitive by construction; the three divisions happen once at
+    * the end in IEEE double. No entropy/log formulation precisely because
+    * float p·ln p sums are partial-aggregation-order-dependent.
+    *
+    * Scale shape: one (slice, token) count pass, one slice-grain
+    * re-aggregation — the same two-level shape as [[lDiversity]]. */
+  def lexicalDiversity(docs: DataFrame, group: String = "source",
+                       text: String = "text"): DataFrame = {
+    val toks = docs.select(col(group),
+        explode(split(trim(regexp_replace(lower(col(text)), "[^a-z0-9]+", " ")),
+          "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col(group), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    toks.groupBy(group)
+      .agg(
+        sum(col("n")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("n") * (col("n") - 1)).cast("long").as("__pairs"))
+      .withColumn("ttr", col("n_types").cast("double") / col("n_tokens"))
+      .withColumn("simpson",
+        col("__pairs").cast("double") /
+          (col("n_tokens").cast("double") * (col("n_tokens") - lit(1L)).cast("double")))
+      .withColumn("effective_types",
+        when(col("simpson") > 0.0, lit(1.0) / col("simpson")))
+      .select(group, "n_tokens", "n_types", "ttr", "simpson", "effective_types")
+      .orderBy(group)
+  }
+
   /** Cross-domain score CALIBRATION via per-group quantile normalization:
     * each document's quality score becomes its percent-rank WITHIN its
     * source/domain, so one global threshold means the same thing in every

@@ -63,6 +63,54 @@ object TfIdf {
       .orderBy("q_id", "rk")
   }
 
+  /** Full BM25 ranking — [[topKSimilar]]'s idf plus the two things BM25
+    * actually adds: TF SATURATION (a term's 50th occurrence is worth
+    * almost nothing more than its 5th — k1 caps the contribution) and
+    * LENGTH NORMALIZATION (b discounts long documents toward the corpus
+    * average length). Query docs (doc_id < nQueries) score candidates over
+    * their DISTINCT terms, the standard short-query convention.
+    *
+    * Determinism: idf is rational (no ln — same discipline as
+    * [[topKSimilar]]); the per-term weight is a fixed-order chain of IEEE
+    * double ops; the per-pair sum goes through decimal(38,8) so partial
+    * aggregation order can't move it.
+    *
+    * Scale shape: identical to [[topKSimilar]] — vocab-sized (term, idf)
+    * table broadcasts, query term set broadcasts, ONE (query, candidate)
+    * groupBy carries the corpus-grain work; avgdl is a 1-row broadcast. */
+  def bm25TopK(docs: DataFrame, nQueries: Int = 8, k: Int = 5,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tok = tokens(docs)
+    val dl = tok.groupBy("doc_id")
+      .agg(sum(col("tf")).cast("long").as("dl"))
+    val avgdl = dl.agg(
+      (sum(col("dl").cast("decimal(28,2)")).cast("double") /
+        count(lit(1))).as("avgdl"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val idf = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(n)
+      .withColumn("idf",
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+      .select("tok", "idf")
+    val q = tok.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("tok"))
+    val cand = tok.join(broadcast(idf), "tok")
+      .join(dl, "doc_id").crossJoin(broadcast(avgdl))
+      .select(col("doc_id").as("n_id"), col("tok"),
+        (col("idf") * (col("tf") * (lit(k1) + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+            lit(b) * col("dl").cast("double") / col("avgdl")))).as("w"))
+    val scored = cand.join(broadcast(q), "tok")
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy("q_id", "n_id")
+      .agg(sum(col("w").cast("decimal(38,8)")).cast("double").as("bm25"))
+    val w = Window.partitionBy("q_id").orderBy(col("bm25").desc, col("n_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "n_id", "bm25")
+      .orderBy("q_id", "rk")
+  }
+
   /** KEYWORD EXTRACTION: each document's top-k terms by tf x idf — the
     * per-doc summarization/tagging primitive (index keys, faceted browse,
     * weak topic labels for mixture analysis). Same rational BM25-style idf

@@ -129,4 +129,49 @@ class TextMiningSpec extends SparkSpec {
     val v3 = Validate.domainReport(d0long).collect().head.getString(5)
     assert(v3 == "dup_heavy")
   }
+
+  test("bm25: exact copy of the query outranks partial overlap; saturation caps tf") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta"),          // exact copy of the query
+      (2L, "alpha beta something else here"),  // partial overlap
+      (3L, "alpha " * 50),                     // tf-stuffed single term
+      (4L, "unrelated words entirely distinct"))
+      .toDF("doc_id", "text")
+    val r = TfIdf.bm25TopK(docs, nQueries = 1, k = 4).collect()
+    assert(r.head.getAs[Long]("n_id") == 1L, r.mkString("; "))
+    // saturation + length norm: 50x'alpha' must NOT outrank the 2-term overlap
+    val byId = r.map(x => x.getAs[Long]("n_id") -> x.getAs[Long]("rk")).toMap
+    assert(byId(3L) > byId(2L), byId.toString)
+  }
+
+  test("bm25: b=0 removes length normalization (long doc score rises)") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta"),
+      (1L, "alpha beta " + ("filler " * 100)), // relevant but long
+      (2L, "gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    def score(b: Double) = TfIdf.bm25TopK(docs, nQueries = 1, k = 2, b = b)
+      .filter(col("n_id") === 1L).collect().head.getAs[Double]("bm25")
+    assert(score(0.0) > score(0.75), "length penalty must hurt the long doc")
+  }
+
+  test("lexicalDiversity: hand-checked integers on a constructed corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      ("mono", 1L, "spam spam spam spam"),       // V=1, N=4, pairs=12
+      ("rich", 2L, "one two three four"))        // V=4, N=4, pairs=0
+      .toDF("source", "doc_id", "text")
+    val byS = TextAnalysis.lexicalDiversity(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val m = byS("mono")
+    assert(m.getAs[Long]("n_tokens") == 4L && m.getAs[Long]("n_types") == 1L)
+    assert(m.getAs[Double]("simpson") == 1.0) // two random tokens always equal
+    assert(m.getAs[Double]("effective_types") == 1.0)
+    val r2 = byS("rich")
+    assert(r2.getAs[Double]("ttr") == 1.0 && r2.getAs[Double]("simpson") == 0.0)
+    assert(r2.isNullAt(r2.fieldIndex("effective_types"))) // 1/0 guarded to NULL
+  }
 }
