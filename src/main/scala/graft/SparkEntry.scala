@@ -496,6 +496,28 @@ object SparkEntry {
         .select("user_id", "event_type", "event_id",
           "valid_from", "valid_to", "is_current")
         .orderBy("user_id", "event_type", "valid_from", "event_id")),
+    // time travel: reconstruct each key's live version at a probe instant
+    "q_scd2_asof" -> ((s, dir) =>
+      Merge.scd2AsOf(
+          Merge.scd2History(Tables.events(s, dir),
+            Seq("user_id", "event_type"), col("ts"), Seq(col("event_id"))),
+          asOfEpoch = 1705276800L) // 2024-01-15 00:00:00 UTC, mid-fixture
+        .select("user_id", "event_type", "event_id", "valid_from", "valid_to")
+        .orderBy("user_id", "event_type", "event_id")),
+    // CDC maintenance with deletions: signed count/sum folds, keys whose
+    // live count hits 0 leave the snapshot
+    "q_incremental_agg_retract" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val base = ev.filter(col("event_id") <= 700).withColumn("op", lit(1))
+      val snap = Merge.retractSnapshot(base, Seq("user_id", "event_type"), "value")
+      val delta = ev.filter(col("event_id") > 700).withColumn("op", lit(1))
+        .unionByName(base.filter(col("event_id") % 10 === 0)
+          .withColumn("op", lit(-1)))
+      Merge.incrementalAggRetract(snap, delta, Seq("user_id", "event_type"), "value")
+        .select(col("user_id"), col("event_type"), col("n"),
+          col("sum_v").cast("double").as("sum_v"))
+        .orderBy("user_id", "event_type")
+    }),
 
     // ---- extension: binned range join (equi-join on bucket, no BNLJ) ----
     "q_range_join" -> ((s, dir) =>
@@ -3359,6 +3381,27 @@ object SparkEntry {
           |        CAST(floor(epoch(ts)) AS BIGINT) AS valid_from FROM events) e
           |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
           |ORDER BY user_id, event_type, valid_from, event_id""".stripMargin,
+      "q_scd2_asof" ->
+        """WITH h AS (
+          |  SELECT user_id, event_type, event_id, valid_from,
+          |         lead(valid_from) OVER w AS valid_to
+          |  FROM (SELECT user_id, event_type, event_id, ts,
+          |          CAST(floor(epoch(ts)) AS BIGINT) AS valid_from FROM events) e
+          |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+          |SELECT user_id, event_type, event_id, valid_from, valid_to
+          |FROM h
+          |WHERE valid_from <= 1705276800
+          |  AND (valid_to IS NULL OR valid_to > 1705276800)
+          |ORDER BY user_id, event_type, event_id""".stripMargin,
+      // the oracle aggregates the SURVIVING row set directly — equality
+      // proves the signed-fold maintenance path correct
+      "q_incremental_agg_retract" ->
+        """SELECT user_id, event_type, count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_v
+          |FROM events
+          |WHERE event_id > 700 OR event_id % 10 <> 0
+          |GROUP BY user_id, event_type
+          |ORDER BY user_id, event_type""".stripMargin,
       "q_k_anonymize" ->
         """WITH c0 AS (SELECT CAST(c_nationkey AS VARCHAR) AS qi1,
           |         CAST(c_mktsegment AS VARCHAR) AS qi2, count(*) AS n

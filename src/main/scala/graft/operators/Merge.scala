@@ -256,6 +256,51 @@ object Merge {
         (col("jaccard_est") * dEst(col("su"))).as("inter_est"))
   }
 
+  /** Signed aggregate snapshot for CDC feeds WITH DELETIONS: `op` is +1
+    * (insert) / -1 (retract); n and sum_v fold as signed sums. The
+    * retractable companion to [[aggSnapshot]]. */
+  def retractSnapshot(rows: DataFrame, keys: Seq[String], valueCol: String,
+                      op: String = "op"): DataFrame =
+    rows.groupBy(keys.map(col): _*)
+      .agg(
+        sum(col(op)).cast("long").as("n"),
+        sum((col(op) * col(valueCol)).cast("decimal(28,2)"))
+          .cast("decimal(28,2)").as("sum_v"))
+
+  /** CDC aggregate maintenance WITH RETRACTIONS: the delta carries op = +1
+    * (insert) / -1 (delete of a previously-inserted row); counts and sums
+    * are signed and fold associatively, so maintenance stays one
+    * full-outer join per batch — no re-read of history. min/max are
+    * deliberately ABSENT from this form: deleting the current min needs
+    * the runner-up, i.e. the group's raw rows — the standard split between
+    * retractable (count/sum/avg) and non-retractable (min/max/distinct)
+    * maintenance, and [[incrementalAgg]] keeps min/max for append-only
+    * feeds. Keys whose live count reaches 0 leave the snapshot entirely
+    * (state shrinks with the data, as a maintained view must). */
+  def incrementalAggRetract(snapshot: DataFrame, delta: DataFrame,
+                            keys: Seq[String], valueCol: String,
+                            op: String = "op"): DataFrame = {
+    val d = retractSnapshot(delta, keys, valueCol, op)
+      .withColumnRenamed("n", "__dn").withColumnRenamed("sum_v", "__dsum")
+    snapshot.join(d, keys, "full_outer")
+      .select(keys.map(col) ++ Seq(
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n"),
+        (coalesce(col("sum_v"), lit(0).cast("decimal(28,2)"))
+          + coalesce(col("__dsum"), lit(0).cast("decimal(28,2)")))
+          .cast("decimal(28,2)").as("sum_v")): _*)
+      .filter(col("n") =!= 0L)
+  }
+
+  /** AS-OF snapshot reconstruction from [[scd2History]]'s validity ranges:
+    * the table state at time `asOfEpoch` is every key's version whose
+    * half-open [valid_from, valid_to) covers it. One filter over the
+    * history — no window re-run; at scale the history's valid_from range
+    * partitioning (or date partitioning of the lake table) prunes the
+    * scan to ranges overlapping the probe. */
+  def scd2AsOf(history: DataFrame, asOfEpoch: Long): DataFrame =
+    history.filter(col("valid_from") <= asOfEpoch &&
+      (col("valid_to").isNull || col("valid_to") > asOfEpoch))
+
   /** One-sided KMV sketch builder: the k smallest md5 hashes of the item
     * column (ascending) plus the distinct-count estimate. Unlike
     * [[kmvOverlap]]'s internal sketch there is NO separate distinct pass —

@@ -147,4 +147,36 @@ class MergeSpec extends SparkSpec {
     val p = merged.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(3000))
   }
+
+  test("incrementalAggRetract: deletes cancel exactly; fully-retracted keys vanish") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.5, 1), (1L, "a", 2.25, 1), (2L, "b", 7.0, 1))
+      .toDF("k", "t", "value", "op")
+    val snap = Merge.retractSnapshot(base, Seq("k", "t"), "value")
+    // delete one of key 1's rows, BOTH == ALL of key 2's rows, insert key 3
+    val delta = Seq((1L, "a", 2.25, -1), (2L, "b", 7.0, -1), (3L, "c", 5.0, 1))
+      .toDF("k", "t", "value", "op")
+    val out = Merge.incrementalAggRetract(snap, delta, Seq("k", "t"), "value")
+      .collect().map(r => (r.getLong(0), r.getLong(2),
+        r.getDecimal(3).doubleValue)).sortBy(_._1)
+    // key 2 fully retracted -> gone; key 1 keeps the exact remaining sum
+    assert(out.toSeq == Seq((1L, 1L, 10.5), (3L, 1L, 5.0)), out.mkString(";"))
+  }
+
+  test("scd2AsOf: exactly one live version per key that existed at the probe") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val log = Seq(
+      (1L, "v1", ts("2024-01-01 00:00:00")),
+      (1L, "v2", ts("2024-01-10 00:00:00")),
+      (1L, "v3", ts("2024-01-20 00:00:00")),
+      (2L, "w1", ts("2024-01-18 00:00:00"))) // born after some probes
+      .toDF("k", "payload", "ts")
+    val h = Merge.scd2History(log, Seq("k"), col("ts"), Seq(col("payload")))
+    def liveAt(s: String) = Merge.scd2AsOf(h, ts(s).getTime / 1000)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("payload")).toMap
+    assert(liveAt("2024-01-05 00:00:00") == Map(1L -> "v1"))
+    assert(liveAt("2024-01-15 00:00:00") == Map(1L -> "v2"))
+    assert(liveAt("2024-01-25 00:00:00") == Map(1L -> "v3", 2L -> "w1"))
+  }
 }
