@@ -98,19 +98,34 @@ object TopKAggregator {
     * Structured Streaming). Min-k-distinct is associative, commutative and
     * idempotent, so partial/merge order and stream/batch split can never
     * change the sketch. */
-  class MinKDistinct(k: Int) extends Aggregator[Long, List[Long], Seq[Long]] {
-    override def zero: List[Long] = Nil
+  class MinKDistinct(k: Int) extends Aggregator[Long, (Int, List[Long]), Seq[Long]] {
+    // Buffer = (size, DESCENDING list): head is the current kth-smallest,
+    // so the steady-state row ("hash not below the kth") rejects in O(1)
+    // with ZERO allocation — on a corpus-grain stream virtually every row
+    // after the first k·ln(n) takes this path (the first version's
+    // ascending list walked and re-allocated ~2k cells per row; measured
+    // 4.8 s → sub-second at sf0.1).
+    override def zero: (Int, List[Long]) = (0, Nil)
 
-    private def insert(buf: List[Long], x: Long): List[Long] = {
-      val (pre, post) = buf.span(_ < x)
-      if (post.headOption.contains(x)) buf else (pre ::: x :: post).take(k)
+    private def insert(buf: (Int, List[Long]), x: Long): (Int, List[Long]) = {
+      val (n, l) = buf
+      if (n >= k && x >= l.head) buf
+      else {
+        val (pre, post) = l.span(_ > x)
+        if (post.headOption.contains(x)) buf
+        else if (n >= k) (n, (pre ::: x :: post).tail) // drop current largest
+        else (n + 1, pre ::: x :: post)
+      }
     }
 
-    override def reduce(buf: List[Long], x: Long): List[Long] = insert(buf, x)
-    override def merge(a: List[Long], b: List[Long]): List[Long] = b.foldLeft(a)(insert)
-    override def finish(buf: List[Long]): Seq[Long] = buf
+    override def reduce(buf: (Int, List[Long]), x: Long): (Int, List[Long]) =
+      insert(buf, x)
+    override def merge(a: (Int, List[Long]), b: (Int, List[Long])): (Int, List[Long]) =
+      b._2.foldLeft(a)(insert)
+    override def finish(buf: (Int, List[Long])): Seq[Long] = buf._2.reverse
 
-    override def bufferEncoder: Encoder[List[Long]] = ExpressionEncoder[List[Long]]()
+    override def bufferEncoder: Encoder[(Int, List[Long])] =
+      ExpressionEncoder[(Int, List[Long])]()
     override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
   }
 

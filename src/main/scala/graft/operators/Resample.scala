@@ -82,16 +82,25 @@ object Resample {
     val ord = Seq(col("t").asc, col("side").asc, col("event_id").asc_nulls_last)
     val wPrev = Window.partitionBy("user_id").orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.partitionBy("user_id").orderBy(ord: _*)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // forward pass: `first(...) over (currentRow, unboundedFollowing)` is
+    // the ONE window frame Spark executes by reprocessing the frame per row
+    // — O(n²) per partition (measured: 13.5 s at sf0.1 vs 0.9 s for the
+    // backward pass). The fix is the standard reversal: sort DESCENDING
+    // (exact mirror order, asc_nulls_last → desc_nulls_first) and take the
+    // running `last(...)` over the O(n) unboundedPreceding frame — "nearest
+    // following observation" becomes "most recent in reverse order".
+    val ordRev = Seq(col("t").desc, col("side").desc,
+      col("event_id").desc_nulls_first)
+    val wNextRev = Window.partitionBy("user_id").orderBy(ordRev: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // multiple observations in one second: prev takes the LAST of the tied
     // group (event_id order), next takes the FIRST — both deterministic
     val tObs = when(col("side") === 0, col("t"))
     val out = tagged
+      .withColumn("vn", last("value", ignoreNulls = true).over(wNextRev))
+      .withColumn("tn", last(tObs, ignoreNulls = true).over(wNextRev))
       .withColumn("vp", last("value", ignoreNulls = true).over(wPrev))
       .withColumn("tp", last(tObs, ignoreNulls = true).over(wPrev))
-      .withColumn("vn", first("value", ignoreNulls = true).over(wNext))
-      .withColumn("tn", first(tObs, ignoreNulls = true).over(wNext))
       .filter(col("side") === 1)
     out.select(col("user_id"), col("t").as("slot_sec"),
         when(col("tp").isNull, col("vn"))
