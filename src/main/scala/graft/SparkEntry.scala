@@ -550,6 +550,10 @@ object SparkEntry {
     "q_join_cardinality" -> ((s, dir) =>
       Validate.joinCardinality(Tables.events(s, dir),
         Tables.events(s, dir).filter(col("event_type") =!= "view"), "user_id")),
+    // robust (median/MAD) outlier days per event type — the ingest-health
+    // diagnostic; threshold 2.0 so the fixture's mild variation surfaces
+    "q_event_anomaly" -> ((s, dir) =>
+      Validate.rateAnomalies(Tables.events(s, dir), threshold = 2.0)),
     // subword-per-word fertility per language (tokenizer health metric)
     "q_fertility" -> ((s, dir) =>
       TextAnalysis.fertilityReport(Tables.documents(s, dir))),
@@ -3138,6 +3142,22 @@ object SparkEntry {
           |       THEN (CAST(n_chars AS DOUBLE) - mean) / std END AS z
           |FROM documents d JOIN b ON d.lang = b.lang
           |ORDER BY doc_id""".stripMargin,
+      "q_event_anomaly" ->
+        """WITH daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |m AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+          |      FROM daily GROUP BY 1),
+          |d AS (SELECT daily.event_type, day, n, med,
+          |        abs(CAST(n AS DOUBLE) - med) AS adev
+          |      FROM daily JOIN m USING (event_type)),
+          |md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+          |       FROM d GROUP BY 1)
+          |SELECT d.event_type, day, n,
+          |  CASE WHEN mad > 0 THEN (CAST(n AS DOUBLE) - med) / mad END AS rz,
+          |  (mad > 0 AND abs((CAST(n AS DOUBLE) - med) / mad) > 2.0) AS is_anomaly
+          |FROM d JOIN md USING (event_type)
+          |ORDER BY event_type, day""".stripMargin,
       "q_zscore_robust" ->
         """WITH m AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
           |           FROM documents GROUP BY lang),

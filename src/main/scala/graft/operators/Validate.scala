@@ -248,6 +248,33 @@ object Validate {
       .orderBy("qi1", "qi2")
   }
 
+  /** Event-rate ANOMALY report — robust outlier days per event type: daily
+    * counts, each day scored by its robust z (median/MAD) WITHIN its type —
+    * median/MAD because a genuine traffic spike must not drag its own
+    * baseline the way mean/std would; days beyond `threshold` flag. The
+    * drop-everything diagnostic a pipeline runs before trusting a day's
+    * ingest.
+    *
+    * Scale shape: ONE row-grain pass (the (type, day) count — map-side
+    * combined); the median/MAD passes run over the types×days relation
+    * (hundreds of rows at any corpus size) and broadcast back. */
+  def rateAnomalies(events: DataFrame, threshold: Double = 3.5): DataFrame = {
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val med = daily.groupBy("event_type")
+      .agg(percentile(col("n"), lit(0.5)).as("__med"))
+    val withMed = daily.join(broadcast(med), Seq("event_type"))
+    val mad = withMed.groupBy("event_type")
+      .agg(percentile(abs(col("n").cast("double") - col("__med")), lit(0.5))
+        .as("__mad"))
+    withMed.join(broadcast(mad), Seq("event_type"))
+      .withColumn("rz", when(col("__mad") > 0.0,
+        (col("n").cast("double") - col("__med")) / col("__mad")))
+      .withColumn("is_anomaly", col("rz").isNotNull && abs(col("rz")) > threshold)
+      .select("event_type", "day", "n", "rz", "is_anomaly")
+      .orderBy("event_type", "day")
+  }
+
   /** Metric uncertainty via the deterministic POISSON BOOTSTRAP: each of B
     * resamples weights every row by a Poisson(1) draw derived from
     * md5(id, b) — the classic streaming/distributed bootstrap (one pass, no

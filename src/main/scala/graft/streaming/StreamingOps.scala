@@ -396,6 +396,17 @@ object StreamingOps {
       .groupBy("sketch_row", "bucket")
       .count().withColumnRenamed("count", "n")
 
+  /** Streaming CDC aggregate maintenance WITH RETRACTIONS — the online twin
+    * of `Merge.incrementalAggRetract`: signed count/sum folds are plain
+    * sums, so the maintained view is ONE streaming aggregation; update mode
+    * re-emits keys that received input. A key whose live count reaches 0
+    * still EMITS (n=0) rather than vanishing — a streaming agg cannot
+    * retract an output row, so n=0 is the delete marker the sink applies
+    * (the standard changelog convention; the batch form filters instead). */
+  def retractCounts(updates: DataFrame, keys: Seq[String], valueCol: String,
+                    op: String = "op"): DataFrame =
+    graft.operators.Merge.retractSnapshot(updates, keys, valueCol, op)
+
   /** Streaming KMV distinct-count maintenance — the online twin of
     * `Merge.kmvSketch` and the ESTIMATE-exact companion to
     * [[distinctCounts]]' HLL: state is the k smallest distinct md5 hashes

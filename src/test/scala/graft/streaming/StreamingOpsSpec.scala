@@ -752,4 +752,31 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed.getAs[scala.collection.Seq[Long]]("kmv") == batch.getAs[scala.collection.Seq[Long]]("kmv"))
     assert(streamed.getAs[Double]("d_est") == batch.getAs[Double]("d_est"))
   }
+
+  test("streaming retraction counts accumulate to the batch signed-fold state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val inserts = Seq((1L, "a", 10.5, 1), (1L, "a", 2.25, 1), (2L, "b", 7.0, 1))
+    val deletes = Seq((1L, "a", 2.25, -1), (2L, "b", 7.0, -1))
+    val stream = MemoryStream[(Long, String, Double, Int)]
+    val q = StreamingOps.retractCounts(
+        stream.toDF().toDF("k", "t", "value", "op"), Seq("k", "t"), "value")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("retract_out").start()
+    try {
+      stream.addData(inserts); q.processAllAvailable()
+      stream.addData(deletes); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("retract_out").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(2),
+        r.getDecimal(3).doubleValue)).toSeq
+    // key 2 fully retracted: the stream EMITS n=0 (delete marker) — sinks
+    // apply it; the batch form filters. Compare against the unfiltered fold.
+    val batch = graft.operators.Merge.retractSnapshot(
+        (inserts ++ deletes).toDF("k", "t", "value", "op"), Seq("k", "t"), "value")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(2),
+        r.getDecimal(3).doubleValue)).toSeq
+    assert(streamed == batch)
+    assert(streamed.exists { case (k, n, _) => k == 2L && n == 0L })
+  }
 }
