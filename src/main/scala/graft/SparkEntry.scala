@@ -317,6 +317,12 @@ object SparkEntry {
       Funnel.conversionFunnel(Tables.events(s, dir))),
     "q_cohort_retention" -> ((s, dir) =>
       Funnel.cohortRetention(Tables.events(s, dir))),
+    // OLS slope of daily volume per type — exact integer moments
+    "q_trend_report" -> ((s, dir) =>
+      Funnel.volumeTrend(Tables.events(s, dir))),
+    // two-proportion z-test between hash-parity arms
+    "q_ab_test" -> ((s, dir) =>
+      Funnel.abTest(Tables.events(s, dir))),
 
     // ---- extension: exact dedup (ext_dedup_exact) ----
     "q_dedup_exact" -> ((s, dir) =>
@@ -2506,6 +2512,55 @@ object SparkEntry {
           |  CAST(100.0 AS DOUBLE) * n_active / cohort_n AS retention_pct
           |FROM a JOIN s ON a.cohort_week = s.cohort_week
           |ORDER BY a.cohort_week, offset_weeks""".stripMargin,
+      "q_trend_report" ->
+        """WITH daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |ix AS (SELECT event_type,
+          |        CAST(day - DATE '2024-01-01' AS BIGINT) AS x, n FROM daily),
+          |m AS (SELECT event_type, count(*) AS n_days,
+          |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(n) AS BIGINT) AS sy,
+          |        CAST(sum(x * n) AS BIGINT) AS sxy,
+          |        CAST(sum(x * x) AS BIGINT) AS sxx
+          |      FROM ix GROUP BY 1),
+          |r AS (SELECT event_type, n_days,
+          |        CAST(n_days * sxy - sx * sy AS DOUBLE)
+          |          / CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope,
+          |        sx, sy FROM m)
+          |SELECT event_type, n_days, slope,
+          |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+          |    / CAST(n_days AS DOUBLE) AS intercept,
+          |  CAST(sy AS DOUBLE) / n_days AS mean_daily,
+          |  CASE WHEN slope > 0.002 * (CAST(sy AS DOUBLE) / n_days) THEN 'growing'
+          |       WHEN slope < -0.002 * (CAST(sy AS DOUBLE) / n_days) THEN 'shrinking'
+          |       ELSE 'flat' END AS verdict
+          |FROM r ORDER BY event_type""".stripMargin,
+      "q_ab_test" ->
+        """WITH u AS (SELECT user_id,
+          |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15
+          |         THEN 1 ELSE 0 END AS converted,
+          |    CAST(user_id % 2 AS INT) AS arm
+          |  FROM events GROUP BY user_id),
+          |arms AS (SELECT arm, count(*) AS n, CAST(sum(converted) AS BIGINT) AS k
+          |         FROM u GROUP BY arm),
+          |ab AS (SELECT
+          |    (SELECT n FROM arms WHERE arm = 0) AS n_a,
+          |    (SELECT k FROM arms WHERE arm = 0) AS k_a,
+          |    (SELECT n FROM arms WHERE arm = 1) AS n_b,
+          |    (SELECT k FROM arms WHERE arm = 1) AS k_b)
+          |SELECT n_a, k_a, n_b, k_b,
+          |  CAST(k_a AS DOUBLE) / n_a AS p_a,
+          |  CAST(k_b AS DOUBLE) / n_b AS p_b,
+          |  CAST(k_a + k_b AS DOUBLE) / (n_a + n_b) AS p_pool,
+          |  (CAST(k_a AS DOUBLE) / n_a - CAST(k_b AS DOUBLE) / n_b)
+          |    / sqrt((CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
+          |      * (1.0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
+          |      * (1.0 / n_a + 1.0 / n_b)) AS z,
+          |  abs((CAST(k_a AS DOUBLE) / n_a - CAST(k_b AS DOUBLE) / n_b)
+          |    / sqrt((CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
+          |      * (1.0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
+          |      * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant
+          |FROM ab""".stripMargin,
       "q_outer_join" ->
         """SELECT c_custkey,
           |  CAST(count(o_orderkey) AS BIGINT) AS n_orders,

@@ -88,4 +88,81 @@ object Funnel {
         col("cohort_n"), col("retention_pct"))
       .orderBy("cohort_week", "offset_weeks")
   }
+
+  /** Volume TREND per event type: ordinary-least-squares slope/intercept of
+    * daily counts against the day index — the "is this feed growing,
+    * flat, or dying" line behind every ingest dashboard. Exactness: x is
+    * a small integer day index and y an integer count, so ALL four OLS
+    * moments (Σx, Σy, Σxy, Σx²) accumulate as exact integers; slope and
+    * intercept are then two IEEE divisions — engine-portable with zero
+    * tolerance. Slope units: events/day.
+    *
+    * Scale shape: one row-grain (type, day) count; the regression runs
+    * over the metadata-sized daily relation. Verdict thresholds are
+    * relative (0.2% of mean daily volume) so they survive any corpus
+    * size. */
+  def volumeTrend(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val indexed = daily
+      .withColumn("x", datediff(col("day"), lit("2024-01-01").cast("date"))
+        .cast("long"))
+    indexed.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"),
+        sum(col("n")).as("sy"),
+        sum(col("x") * col("n")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope",
+        (col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("intercept",
+        (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+          col("n_days").cast("double"))
+      .withColumn("mean_daily", col("sy").cast("double") / col("n_days"))
+      .withColumn("verdict",
+        when(col("slope") > lit(0.002) * col("mean_daily"), "growing")
+          .when(col("slope") < lit(-0.002) * col("mean_daily"), "shrinking")
+          .otherwise("flat"))
+      .select("event_type", "n_days", "slope", "intercept", "mean_daily", "verdict")
+      .orderBy("event_type")
+  }
+
+  /** Two-proportion z-test between experiment arms — the A/B-test readout:
+    * conversion = the user emitted `convertType` at least `minCount` times
+    * (a threshold rather than any-occurrence, because on a dense event
+    * fixture every user fires every type at least once and p=1 makes the
+    * statistic degenerate); arms split by user-id parity (stand-in for an
+    * assignment column). z = (p1-p2)/sqrt(p̂(1-p̂)(1/n1+1/n2)) from exact
+    * integer counts; `significant` at |z| > 1.96. No p-value (erf is not
+    * engine-portable) — the z statistic and the 5% verdict are.
+    *
+    * Scale shape: one per-user pass (map-side combinable), then
+    * 1-row arithmetic. */
+  def abTest(events: DataFrame, convertType: String = "purchase",
+             minCount: Long = 15L): DataFrame = {
+    val users = events.groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === convertType, 1L).otherwise(0L))
+          >= minCount, 1L).otherwise(0L)
+        .as("converted"))
+      .withColumn("arm", pmod(col("user_id"), lit(2)).cast("int"))
+    val arms = users.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum(col("converted")).cast("long").as("k"))
+    val a = arms.filter(col("arm") === 0)
+      .select(col("n").as("n_a"), col("k").as("k_a"))
+    val b = arms.filter(col("arm") === 1)
+      .select(col("n").as("n_b"), col("k").as("k_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("p_a", col("k_a").cast("double") / col("n_a"))
+      .withColumn("p_b", col("k_b").cast("double") / col("n_b"))
+      .withColumn("p_pool",
+        (col("k_a") + col("k_b")).cast("double") / (col("n_a") + col("n_b")))
+      .withColumn("z",
+        (col("p_a") - col("p_b")) /
+          sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+            (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+      .withColumn("significant", abs(col("z")) > 1.96)
+  }
 }

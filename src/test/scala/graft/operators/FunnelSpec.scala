@@ -96,4 +96,39 @@ class FunnelSpec extends SparkSpec {
       .select("q_id", "rk", "n_id").collect().toSeq
     assert(sq === brute)
   }
+
+  test("volumeTrend: hand-built rising and flat series get the right slope and verdict") {
+    import spark.implicits._
+    // 'up': 10,20,30,40 events on days 0..3 (slope 10); 'flat': 20 each day
+    val rows = (0 until 4).flatMap { d =>
+      val day = Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00")
+      (0 until (10 + 10 * d)).map(i => (d * 1000L + i, day, "up")) ++
+        (0 until 20).map(i => (d * 1000L + 500 + i, day, "flat"))
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id_ignored")
+      .withColumnRenamed("user_id_ignored", "event_type")
+      .withColumn("user_id", col("event_id"))
+    val got = Funnel.volumeTrend(ev).collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("slope"),
+        r.getString(r.fieldIndex("verdict")))).toMap
+    assert(math.abs(got("up")._1 - 10.0) < 1e-12 && got("up")._2 == "growing")
+    assert(math.abs(got("flat")._1) < 1e-12 && got("flat")._2 == "flat")
+  }
+
+  test("abTest: planted conversion imbalance yields the right z sign and significance") {
+    import spark.implicits._
+    def ts0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    // arm 0 (even ids): 90/100 users convert; arm 1 (odd): 10/100
+    val rows = (0 until 200).flatMap { u =>
+      val converts = if (u % 2 == 0) u < 180 else u < 20
+      val purchases = if (converts) 15 else 0
+      (0 until purchases).map(i => (u * 1000L + i, u.toLong, ts0, "purchase")) :+
+        ((u * 1000L + 999, u.toLong, ts0, "view"))
+    }
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type")
+    val r = Funnel.abTest(ev).collect().head
+    assert(r.getAs[Long]("n_a") == 100L && r.getAs[Long]("n_b") == 100L)
+    assert(r.getAs[Double]("p_a") == 0.9 && r.getAs[Double]("p_b") == 0.1)
+    assert(r.getAs[Double]("z") > 1.96 && r.getAs[Boolean]("significant"))
+  }
 }
