@@ -320,6 +320,14 @@ object SparkEntry {
     // OLS slope of daily volume per type — exact integer moments
     "q_trend_report" -> ((s, dir) =>
       Funnel.volumeTrend(Tables.events(s, dir))),
+    // Markov transition matrix over per-user event sequences
+    "q_transition_matrix" -> ((s, dir) =>
+      Funnel.transitionMatrix(Tables.events(s, dir))),
+    // Spearman rank correlation (tie-corrected, integer moments)
+    "q_spearman" -> ((s, dir) => Relational.spearmanCorr(s, dir)),
+    // term -> df + capped sorted posting list (search/audit index build)
+    "q_inverted_index" -> ((s, dir) =>
+      TfIdf.invertedIndex(Tables.documents(s, dir))),
     // two-proportion z-test between hash-parity arms
     "q_ab_test" -> ((s, dir) =>
       Funnel.abTest(Tables.events(s, dir))),
@@ -2535,6 +2543,56 @@ object SparkEntry {
           |       WHEN slope < -0.002 * (CAST(sy AS DOUBLE) / n_days) THEN 'shrinking'
           |       ELSE 'flat' END AS verdict
           |FROM r ORDER BY event_type""".stripMargin,
+      "q_transition_matrix" ->
+        """WITH s AS (
+          |  SELECT user_id, event_type,
+          |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |      AS next_type
+          |  FROM events),
+          |p AS (SELECT event_type AS from_type, next_type AS to_type,
+          |        count(*) AS n
+          |      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+          |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+          |      FROM p GROUP BY 1)
+          |SELECT from_type, to_type, n, row_total,
+          |  CAST(n AS DOUBLE) / row_total AS p
+          |FROM p JOIN t USING (from_type)
+          |ORDER BY from_type, to_type""".stripMargin,
+      // doubled average ranks are integers (2*min_rank + ties - 1); Pearson
+      // is affine-invariant, so the rho of the doubled ranks IS Spearman
+      "q_spearman" ->
+        """WITH r AS (
+          |  SELECT l_returnflag,
+          |    2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+          |      + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rx,
+          |    2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+          |      + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS ry
+          |  FROM lineitem),
+          |m AS (SELECT l_returnflag, count(*) AS n,
+          |        sum(CAST(rx AS DECIMAL(20,0))) AS sx,
+          |        sum(CAST(ry AS DECIMAL(20,0))) AS sy,
+          |        sum(CAST(rx * ry AS DECIMAL(30,0))) AS sxy,
+          |        sum(CAST(rx * rx AS DECIMAL(30,0))) AS sxx,
+          |        sum(CAST(ry * ry AS DECIMAL(30,0))) AS syy
+          |      FROM r GROUP BY 1)
+          |SELECT l_returnflag, n,
+          |  CAST(n * sxy - sx * sy AS DOUBLE)
+          |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+          |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS spearman_rho
+          |FROM m ORDER BY l_returnflag""".stripMargin,
+      "q_inverted_index" ->
+        """WITH tok AS (
+          |  SELECT DISTINCT doc_id, tok FROM (
+          |    SELECT doc_id,
+          |      unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+          |    FROM documents) x WHERE tok <> ''),
+          |g AS (SELECT tok, count(*) AS df,
+          |        array_to_string(list_transform(list_sort(list(doc_id))[1:20],
+          |          v -> CAST(v AS VARCHAR)), ',') AS postings
+          |      FROM tok GROUP BY tok),
+          |sel AS (SELECT * FROM g WHERE df >= 5
+          |        ORDER BY df DESC, tok LIMIT 100)
+          |SELECT tok, df, postings FROM sel ORDER BY tok""".stripMargin,
       "q_ab_test" ->
         """WITH u AS (SELECT user_id,
           |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-funnel and cohort analytics over the `events` stream table — the
@@ -128,6 +129,29 @@ object Funnel {
           .otherwise("flat"))
       .select("event_type", "n_days", "slope", "intercept", "mean_daily", "verdict")
       .orderBy("event_type")
+  }
+
+  /** First-order TRANSITION MATRIX over each user's event sequence — the
+    * Markov-chain summary behind next-event models and journey analysis:
+    * P(to | from) from adjacent-pair counts. Probabilities are one double
+    * division from exact integer counts.
+    *
+    * Scale shape: ONE window pass partitioned by user (each user's events
+    * sort locally — parallel across users), then a count shuffle whose
+    * cardinality is |types|² rows; the row totals broadcast back. */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type")
+      .agg(sum(col("n")).cast("long").as("row_total"))
+    pairs.join(broadcast(totals), "from_type")
+      .withColumn("p", col("n").cast("double") / col("row_total"))
+      .select("from_type", "to_type", "n", "row_total", "p")
+      .orderBy("from_type", "to_type")
   }
 
   /** Two-proportion z-test between experiment arms — the A/B-test readout:

@@ -605,6 +605,47 @@ object Relational {
         |  FROM __sq_ord) t ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** SPEARMAN rank correlation per group — the tie-robust, outlier-robust
+    * companion to [[corrManual]]'s Pearson: correlate the RANKS, with ties
+    * taking average ranks. Exactness: the doubled average rank
+    * 2·avgrank = 2·rank_min + tiecount − 1 is an INTEGER, and Pearson is
+    * invariant to per-variable affine maps, so the whole statistic runs on
+    * integer moments (the corrManual decimal discipline) and one final
+    * IEEE chain — no fractional rank ever materializes.
+    *
+    * Scale shape: two rank windows partitioned by the group (parallel
+    * across groups, sorted within), then one grouped moment aggregate. */
+  def spearmanCorr(spark: SparkSession, dir: String): DataFrame =
+    spearmanBy(Tables.lineitem(spark, dir), "l_returnflag",
+      "l_quantity", "l_extendedprice")
+
+  /** Generic grouped Spearman (see [[spearmanCorr]] for the contract). */
+  def spearmanBy(df: DataFrame, group: String, x: String, y: String): DataFrame = {
+    def ranked2(value: Column): Column = {
+      val wr = Window.partitionBy(group).orderBy(value)
+      val wt = Window.partitionBy(col(group), value)
+      (lit(2) * rank().over(wr) + count(lit(1)).over(wt) - lit(1)).cast("long")
+    }
+    val r = df.select(col(group), col(x), col(y))
+      .withColumn("rx", ranked2(col(x)))
+      .withColumn("ry", ranked2(col(y)))
+    r.groupBy(group)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("rx").cast("decimal(20,0)")).as("sx"),
+        sum(col("ry").cast("decimal(20,0)")).as("sy"),
+        sum((col("rx") * col("ry")).cast("decimal(30,0)")).as("sxy"),
+        sum((col("rx") * col("rx")).cast("decimal(30,0)")).as("sxx"),
+        sum((col("ry") * col("ry")).cast("decimal(30,0)")).as("syy"))
+      .select(
+        col(group), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("spearman_rho"))
+      .orderBy(group)
+  }
+
   def rollupCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .rollup("l_returnflag", "l_linestatus")

@@ -111,6 +111,34 @@ object TfIdf {
       .orderBy("q_id", "rk")
   }
 
+  /** INVERTED INDEX construction: term → document-frequency + a capped,
+    * sorted posting list — the search-engine build step (and the exchange
+    * format for cross-corpus decontamination audits). Postings are capped
+    * at `maxPostings` ids per term and serialized as a comma string so the
+    * relation stays bounded and engine-comparable; `df` keeps the true
+    * count regardless of the cap.
+    *
+    * Scale shape: one distinct (doc, term) pass, one term-keyed groupBy.
+    * The collect_list is bounded per term only after sort+slice — for
+    * web-scale df a two-stage cap (per-partition top-N then merge) is the
+    * refinement; at the cap sizes an audit index uses, the per-term list
+    * is the cheaper single pass. */
+  def invertedIndex(docs: DataFrame, minDf: Long = 5, maxPostings: Int = 20,
+                    k: Int = 100): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+        explode(split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")),
+          " ")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+    tok.groupBy("tok")
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",", transform(
+          slice(sort_array(collect_list(col("doc_id"))), 1, maxPostings),
+          x => x.cast("string"))).as("postings"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("tok")).limit(k)
+      .orderBy("tok")
+  }
+
   /** KEYWORD EXTRACTION: each document's top-k terms by tf x idf — the
     * per-doc summarization/tagging primitive (index keys, faceted browse,
     * weak topic labels for mixture analysis). Same rational BM25-style idf

@@ -115,6 +115,51 @@ class FunnelSpec extends SparkSpec {
     assert(math.abs(got("flat")._1) < 1e-12 && got("flat")._2 == "flat")
   }
 
+  test("transitionMatrix: hand-built sequences count adjacent pairs; rows sum to 1") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    // user 1: a->b->a->b ; user 2: a->b (pairs: a->b x3, b->a x1)
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:01"), "a"), (2L, 1L, ts("2024-01-01 00:00:02"), "b"),
+      (3L, 1L, ts("2024-01-01 00:00:03"), "a"), (4L, 1L, ts("2024-01-01 00:00:04"), "b"),
+      (5L, 2L, ts("2024-01-01 00:00:01"), "a"), (6L, 2L, ts("2024-01-01 00:00:02"), "b"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Funnel.transitionMatrix(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getAs[Double]("p")))
+      .toMap
+    assert(got(("a", "b")) == (3L, 1.0))
+    assert(got(("b", "a")) == (1L, 1.0))
+    assert(got.size == 2)
+  }
+
+  test("spearman: monotone relation scores exactly 1, reversed exactly -1") {
+    import spark.implicits._
+    val up = (1 to 50).map(i => ("g", i.toDouble, (i * i).toDouble))
+    val down = (1 to 50).map(i => ("h", i.toDouble, (100 - i).toDouble))
+    val df = (up ++ down).toDF("grp", "x", "y")
+    val got = Relational.spearmanBy(df, "grp", "x", "y").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("spearman_rho")).toMap
+    // sqrt(a)*sqrt(b) rounds one ulp off sqrt(ab): tolerance is IEEE, not
+    // semantic (cross-engine exactness is the oracle's job)
+    assert(math.abs(got("g") - 1.0) < 1e-12, s"monotone ~1, got ${got("g")}")
+    assert(math.abs(got("h") + 1.0) < 1e-12, s"reversed ~-1, got ${got("h")}")
+  }
+
+  test("invertedIndex: postings sorted, capped, df keeps the true count") {
+    import spark.implicits._
+    // 'common' in 30 docs (cap 20 postings), 'rare' in 2 (below minDf)
+    val docs = (0 until 30).map(i =>
+      (i.toLong, "common " + (if (i < 2) "rare" else "filler" + i)))
+      .toDF("doc_id", "text")
+    val got = TfIdf.invertedIndex(docs, minDf = 5, maxPostings = 20).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got.contains("common") && !got.contains("rare"))
+    val (df0, postings) = got("common")
+    assert(df0 == 30L) // true df, not the cap
+    val ids = postings.split(",").map(_.toLong).toSeq
+    assert(ids.length == 20 && ids == ids.sorted && ids.head == 0L)
+  }
+
   test("abTest: planted conversion imbalance yields the right z sign and significance") {
     import spark.implicits._
     def ts0 = Timestamp.valueOf("2024-01-01 00:00:00")
