@@ -328,6 +328,9 @@ object SparkEntry {
     // term -> df + capped sorted posting list (search/audit index build)
     "q_inverted_index" -> ((s, dir) =>
       TfIdf.invertedIndex(Tables.documents(s, dir))),
+    // fill-in-the-middle: content-addressed PSM reordering of half the docs
+    "q_fim_transform" -> ((s, dir) =>
+      Packing.fimTransform(Tables.documents(s, dir))),
     // two-proportion z-test between hash-parity arms
     "q_ab_test" -> ((s, dir) =>
       Funnel.abTest(Tables.events(s, dir))),
@@ -2543,6 +2546,32 @@ object SparkEntry {
           |       WHEN slope < -0.002 * (CAST(sy AS DOUBLE) / n_days) THEN 'shrinking'
           |       ELSE 'flat' END AS verdict
           |FROM r ORDER BY event_type""".stripMargin,
+      "q_fim_transform" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+          |  FROM documents),
+          |b AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,
+          |        CAST(('0x' || substr(md5(doc_id || '_fim'), 1, 13)) AS BIGINT) AS h1,
+          |        CAST(('0x' || substr(md5(doc_id || '_fim'), 14, 13)) AS BIGINT) AS h2,
+          |        CAST(('0x' || substr(md5(doc_id || '_fim'), 27, 13)) AS BIGINT) AS h3
+          |      FROM t),
+          |e AS (SELECT doc_id, w, n, h3,
+          |        (n >= 4 AND h1 % 100 < 50) AS fim_applied,
+          |        CASE WHEN n >= 4 AND h1 % 100 < 50
+          |             THEN 1 + h2 % (n - 2) END AS c1
+          |      FROM b),
+          |f AS (SELECT doc_id, w, n, fim_applied, c1,
+          |        CASE WHEN fim_applied
+          |             THEN c1 + 1 + h3 % (n - c1 - 1) END AS c2
+          |      FROM e)
+          |SELECT doc_id, n AS n_tokens, fim_applied, c1, c2,
+          |  CASE WHEN fim_applied
+          |       THEN '<PRE> ' || array_to_string(w[1:CAST(c1 AS INT)], ' ')
+          |         || ' <SUF> ' || array_to_string(w[CAST(c2 + 1 AS INT):CAST(n AS INT)], ' ')
+          |         || ' <MID> ' || array_to_string(w[CAST(c1 + 1 AS INT):CAST(c2 AS INT)], ' ')
+          |       ELSE array_to_string(w, ' ') END AS fim_text
+          |FROM f ORDER BY doc_id""".stripMargin,
       "q_transition_matrix" ->
         """WITH s AS (
           |  SELECT user_id, event_type,

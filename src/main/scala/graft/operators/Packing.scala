@@ -56,4 +56,49 @@ object Packing {
       .select(col(id), col("n_tokens"), col("token_start"), col("pack_id"))
       .orderBy(id)
   }
+
+  /** FIM (fill-in-the-middle) transformation — the code-model pretraining
+    * op: a `ratePct`% subset of documents has its token sequence split at
+    * two cut points into (prefix, middle, suffix) and re-emitted in PSM
+    * order with sentinel markers, teaching the model to infill; the rest
+    * pass through untouched. Selection AND cut points are content-addressed
+    * (md5 of doc_id) — no RNG, so the same corpus produces the same
+    * training stream on any cluster, any partitioning, any engine, and an
+    * epoch can be regenerated instead of stored.
+    *
+    * Cut-point contract: 1 <= c1 < c2 <= n-1 — all three parts non-empty;
+    * documents under 4 tokens pass through (no room for three parts).
+    *
+    * Scale shape: pure narrow per-row maps (tokenize, two hashes, three
+    * slices, join) — zero exchange beyond the final presentation sort. */
+  def fimTransform(docs: DataFrame, ratePct: Int = 50,
+                   text: String = "text", id: String = "doc_id"): DataFrame = {
+    val toks = split(trim(regexp_replace(lower(col(text)), "[^a-z0-9]+", " ")), " ")
+    def h(off: Int) =
+      conv(substring(md5(concat(col(id).cast("string"), lit("_fim"))),
+        off, 13), 16, 10).cast("long")
+    val base = docs.select(col(id), toks.as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+    val eligible = col("n") >= 4 && pmod(h(1), lit(100)) < ratePct
+    val c1 = lit(1L) + pmod(h(14), col("n") - 2)          // 1 .. n-2
+    val c2 = col("c1") + 1L + pmod(h(27), col("n") - col("c1") - 1) // c1+1 .. n-1
+    base
+      .withColumn("fim_applied", eligible)
+      .withColumn("c1", when(eligible, c1))
+      .withColumn("c2", when(eligible, c2))
+      .withColumn("fim_text",
+        when(col("fim_applied"),
+          concat(lit("<PRE> "),
+            array_join(slice(col("w"), lit(1), col("c1").cast("int")), " "),
+            lit(" <SUF> "),
+            array_join(slice(col("w"), (col("c2") + 1).cast("int"),
+              (col("n") - col("c2")).cast("int")), " "),
+            lit(" <MID> "),
+            array_join(slice(col("w"), (col("c1") + 1).cast("int"),
+              (col("c2") - col("c1")).cast("int")), " ")))
+          .otherwise(array_join(col("w"), " ")))
+      .select(col(id), col("n").as("n_tokens"), col("fim_applied"),
+        col("c1"), col("c2"), col("fim_text"))
+      .orderBy(id)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import graft.sources.Tables
 
 class PackingSpec extends SparkSpec {
   import spark.implicits._
@@ -42,5 +43,28 @@ class PackingSpec extends SparkSpec {
     for (b <- Seq(1L, 2L, 3L, 7L))
       assert(Packing.packSequences(docs, budget = 8, bucketSize = b).collect().toSeq
         == expected, s"bucketSize=$b diverged")
+  }
+
+  test("fimTransform: PSM parts reconstruct the original; parts non-empty; rate honored") {
+    val out = Packing.fimTransform(Tables.documents(spark, sf)).collect()
+    val applied = out.filter(_.getAs[Boolean]("fim_applied"))
+    assert(applied.nonEmpty && applied.length < out.length)
+    // rate ~50%: content-addressed selection should land well inside 30-70%
+    val frac = applied.length.toDouble / out.length
+    assert(frac > 0.3 && frac < 0.7, s"rate drifted: $frac")
+    applied.foreach { r =>
+      val (c1, c2, n) = (r.getAs[Long]("c1"), r.getAs[Long]("c2"),
+        r.getAs[Long]("n_tokens"))
+      assert(1 <= c1 && c1 < c2 && c2 <= n - 1, s"cuts $c1/$c2/$n")
+      val t = r.getAs[String]("fim_text")
+      // PSM layout: reassembling prefix+middle+suffix re-creates the doc
+      assert(t.startsWith("<PRE> ") && t.contains(" <SUF> ") && t.contains(" <MID> "))
+      val body = t.stripPrefix("<PRE> ")
+      val Array(pre, rest) = body.split(" <SUF> ", 2)
+      val Array(suf, mid) = rest.split(" <MID> ", 2)
+      assert(pre.nonEmpty && suf.nonEmpty && mid.nonEmpty)
+      assert((pre.split(" ").length + mid.split(" ").length +
+        suf.split(" ").length).toLong == n)
+    }
   }
 }
