@@ -323,6 +323,9 @@ object SparkEntry {
     // Markov transition matrix over per-user event sequences
     "q_transition_matrix" -> ((s, dir) =>
       Funnel.transitionMatrix(Tables.events(s, dir))),
+    // exact alpha=1/2 EWMA via integer closed form (no libm pow)
+    "q_ewma_daily" -> ((s, dir) =>
+      Funnel.ewmaDaily(Tables.events(s, dir))),
     // Spearman rank correlation (tie-corrected, integer moments)
     "q_spearman" -> ((s, dir) => Relational.spearmanCorr(s, dir)),
     // term -> df + capped sorted posting list (search/audit index build)
@@ -2587,6 +2590,26 @@ object SparkEntry {
           |  CAST(n AS DOUBLE) / row_total AS p
           |FROM p JOIN t USING (from_type)
           |ORDER BY from_type, to_type""".stripMargin,
+      // alpha=1/2 EWMA closed form: integer numerator + bit-shift denominator
+      "q_ewma_daily" ->
+        """WITH daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |ix AS (SELECT event_type, day, n,
+          |        CAST(row_number() OVER w - 1 AS BIGINT) AS t,
+          |        first_value(n) OVER w AS y0
+          |      FROM daily
+          |      WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+          |x AS (SELECT event_type, day, n, t, y0,
+          |        CAST(sum(CASE WHEN t = 0 THEN 0
+          |          ELSE (CAST(1 AS BIGINT) << CAST(t - 1 AS INT)) * n
+          |          END) OVER w2 AS DECIMAL(38,0)) AS run
+          |      FROM ix
+          |      WINDOW w2 AS (PARTITION BY event_type ORDER BY day))
+          |SELECT event_type, day, n,
+          |  CAST(y0 + run AS DOUBLE)
+          |    / CAST(CAST(1 AS BIGINT) << CAST(t AS INT) AS DOUBLE) AS ewma
+          |FROM x ORDER BY event_type, day""".stripMargin,
       // doubled average ranks are integers (2*min_rank + ties - 1); Pearson
       // is affine-invariant, so the rho of the doubled ranks IS Spearman
       "q_spearman" ->

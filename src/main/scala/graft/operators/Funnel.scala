@@ -154,6 +154,40 @@ object Funnel {
       .orderBy("from_type", "to_type")
   }
 
+  /** EWMA smoothing of the daily volume series per event type — the
+    * exponential forecast behind burn-rate alerts, at α = 1/2 exactly:
+    * s_t = (y_t + s_{t-1}) / 2. The recursion is order-sensitive and
+    * float-powered in general; at α = 1/2 it has the closed form
+    * s_t = (y_0 + Σ_{i=1..t} 2^{i-1}·y_i) / 2^t whose numerator is an
+    * EXACT integer running sum and whose denominator is a bit-shift — no
+    * libm pow (whose cross-engine rounding is not guaranteed), no
+    * sequential float fold. One double division per row at the end.
+    * Domain: series up to 62 points per key (shift width); daily series
+    * re-anchor monthly long before that.
+    *
+    * Scale shape: one row-grain (type, day) count, then windows over the
+    * metadata-sized daily relation, parallel across types. */
+  def ewmaDaily(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    daily
+      .withColumn("t", (row_number().over(w) - 1).cast("long"))
+      .withColumn("__y0", first(col("n")).over(w))
+      .withColumn("__term",
+        when(col("t") === 0, lit(0L))
+          .otherwise(call_function("shiftleft", lit(1L),
+            (col("t") - 1).cast("int")) * col("n")))
+      .withColumn("__run", sum(col("__term").cast("decimal(38,0)")).over(w))
+      .withColumn("ewma",
+        (col("__y0") + col("__run")).cast("double") /
+          call_function("shiftleft", lit(1L), col("t").cast("int"))
+            .cast("double"))
+      .select("event_type", "day", "n", "ewma")
+      .orderBy("event_type", "day")
+  }
+
   /** Two-proportion z-test between experiment arms — the A/B-test readout:
     * conversion = the user emitted `convertType` at least `minCount` times
     * (a threshold rather than any-occurrence, because on a dense event

@@ -160,6 +160,20 @@ class FunnelSpec extends SparkSpec {
     assert(ids.length == 20 && ids == ids.sorted && ids.head == 0L)
   }
 
+  test("ewmaDaily: closed form equals the textbook recursion exactly") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    // one type, counts 4, 8, 2, 6 on consecutive days
+    val counts = Seq(4, 8, 2, 6)
+    val ev = counts.zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i =>
+        ((d * 100 + i).toLong, 1L, ts(f"2024-01-${d + 1}%02d 12:00:00"), "a"))
+    }.toDF("event_id", "user_id", "ts", "event_type")
+    val got = Funnel.ewmaDaily(ev).collect().map(_.getAs[Double]("ewma")).toSeq
+    // s_0=4; s_1=(8+4)/2=6; s_2=(2+6)/2=4; s_3=(6+4)/2=5 — exact halves
+    assert(got == Seq(4.0, 6.0, 4.0, 5.0), got.toString)
+  }
+
   test("abTest: planted conversion imbalance yields the right z sign and significance") {
     import spark.implicits._
     def ts0 = Timestamp.valueOf("2024-01-01 00:00:00")
