@@ -326,6 +326,12 @@ object SparkEntry {
     // exact alpha=1/2 EWMA via integer closed form (no libm pow)
     "q_ewma_daily" -> ((s, dir) =>
       Funnel.ewmaDaily(Tables.events(s, dir))),
+    // rolling 7-day distinct users per day (exact WAU curve)
+    "q_rolling_wau" -> ((s, dir) =>
+      Funnel.rollingDistinctUsers(Tables.events(s, dir))),
+    // Benford first-digit audit of order totals (chi-square terms)
+    "q_benford_audit" -> ((s, dir) =>
+      Validate.benfordAudit(Tables.orders(s, dir), "o_totalprice")),
     // Spearman rank correlation (tie-corrected, integer moments)
     "q_spearman" -> ((s, dir) => Relational.spearmanCorr(s, dir)),
     // term -> df + capped sorted posting list (search/audit index build)
@@ -2590,6 +2596,34 @@ object SparkEntry {
           |  CAST(n AS DOUBLE) / row_total AS p
           |FROM p JOIN t USING (from_type)
           |ORDER BY from_type, to_type""".stripMargin,
+      "q_rolling_wau" ->
+        """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+          |mx AS (SELECT max(day) AS max_day FROM ud),
+          |f AS (SELECT user_id, day + CAST(k AS INT) AS win_end
+          |      FROM ud CROSS JOIN range(0, 7) r(k))
+          |SELECT win_end, count(DISTINCT user_id) AS wau
+          |FROM f, mx WHERE win_end <= max_day
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      // expected proportions are the same nine double literals as the
+      // operator — no engine evaluates a log
+      "q_benford_audit" ->
+        """WITH d AS (
+          |  SELECT substr(CAST(CAST(abs(o_totalprice) AS DECIMAL(28,6)) AS VARCHAR), 1, 1) AS d
+          |  FROM orders),
+          |obs AS (SELECT d, count(*) AS n_obs FROM d
+          |        WHERE d BETWEEN '1' AND '9' GROUP BY 1),
+          |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM obs),
+          |exp_p(d, p_benford) AS (VALUES
+          |  ('1', 3.010299956639812e-1), ('2', 1.7609125905568124e-1),
+          |  ('3', 1.2493873660829993e-1), ('4', 9.691001300805642e-2),
+          |  ('5', 7.918124604762482e-2), ('6', 6.694678963061322e-2),
+          |  ('7', 5.799194697768673e-2), ('8', 5.115252244738129e-2),
+          |  ('9', 4.575749056067514e-2))
+          |SELECT obs.d, n_obs, p_benford * n_total AS n_exp,
+          |  (n_obs - p_benford * n_total) * (n_obs - p_benford * n_total)
+          |    / (p_benford * n_total) AS chi2_term
+          |FROM obs JOIN exp_p ON obs.d = exp_p.d CROSS JOIN tot
+          |ORDER BY obs.d""".stripMargin,
       // alpha=1/2 EWMA closed form: integer numerator + bit-shift denominator
       "q_ewma_daily" ->
         """WITH daily AS (

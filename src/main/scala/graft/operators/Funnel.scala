@@ -154,6 +154,31 @@ object Funnel {
       .orderBy("from_type", "to_type")
   }
 
+  /** Rolling 7-day distinct users per day (WAU curve) — exact form: the
+    * user-day relation (distinct-collapsed from events FIRST, so the
+    * fan-out never touches event grain) fans each pair out to the 7
+    * window-ends it contributes to, then one distinct-count per window
+    * end. Early days report partial windows (standard); window-ends past
+    * the last observed day are cut by a 1-row broadcast max.
+    *
+    * Scale shape: ×7 fan-out on |users×days|, one distinct-count shuffle
+    * keyed by day. At planet scale the daily-HLL-sketch union replaces the
+    * exact distinct (the [[graft.operators.Merge.incrementalDistinct]]
+    * register-max mergeability argument, applied across a window). */
+  def rollingDistinctUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val userDay = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val maxDay = userDay.agg(max(col("day")).as("max_day"))
+    userDay
+      .withColumn("k", explode(sequence(lit(0), lit(windowDays - 1))))
+      .withColumn("win_end", date_add(col("day"), col("k").cast("int")))
+      .join(broadcast(maxDay))
+      .filter(col("win_end") <= col("max_day"))
+      .groupBy("win_end")
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .orderBy("win_end")
+  }
+
   /** EWMA smoothing of the daily volume series per event type — the
     * exponential forecast behind burn-rate alerts, at α = 1/2 exactly:
     * s_t = (y_t + s_{t-1}) / 2. The recursion is order-sensitive and

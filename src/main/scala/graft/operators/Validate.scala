@@ -248,6 +248,42 @@ object Validate {
       .orderBy("qi1", "qi2")
   }
 
+  /** BENFORD first-digit audit — the classic fabricated-numbers screen for
+    * a monetary/measure column: observed leading-digit counts vs Benford's
+    * log10(1+1/d) expectation, one row per digit with its chi-square term
+    * (the caller sums against the 15.51 critical value, α=0.05, 8 df). The
+    * nine expected proportions are FIXED double literals (identical in the
+    * oracle SQL), so no engine ever evaluates a log — the statistic is
+    * integer counts + a fixed rational chain. Values whose leading digit
+    * is 0 (|v| < 1) fall outside Benford's domain and are excluded.
+    *
+    * Scale shape: one narrow digit-extraction map + a 9-row aggregate;
+    * the chi-square folds over the 9-row relation. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    // log10(1 + 1/d), d = 1..9 — fixed literals shared with the oracle
+    val p = Seq(0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+      0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+      0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+    val digits = df
+      .select(substring(abs(col(valueCol)).cast("decimal(28,6)")
+        .cast("string"), 1, 1).as("d"))
+      .filter(col("d").between("1", "9"))
+      .groupBy("d").agg(count(lit(1)).as("n_obs"))
+    val total = digits.agg(sum(col("n_obs")).cast("long").as("n_total"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = p.zipWithIndex
+      .map { case (pd, i) => (s"${i + 1}", pd) }
+      .toDF("d", "p_benford")
+    digits.join(broadcast(expected), "d")
+      .crossJoin(broadcast(total))
+      .withColumn("n_exp", col("p_benford") * col("n_total"))
+      .withColumn("chi2_term",
+        (col("n_obs") - col("n_exp")) * (col("n_obs") - col("n_exp")) / col("n_exp"))
+      .select("d", "n_obs", "n_exp", "chi2_term")
+      .orderBy("d")
+  }
+
   /** Event-rate ANOMALY report — robust outlier days per event type: daily
     * counts, each day scored by its robust z (median/MAD) WITHIN its type —
     * median/MAD because a genuine traffic spike must not drag its own

@@ -160,6 +160,35 @@ class FunnelSpec extends SparkSpec {
     assert(ids.length == 20 && ids == ids.sorted && ids.head == 0L)
   }
 
+  test("rollingDistinctUsers: hand-built days give the right trailing-window counts") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    // user 1 on day 1 and 10; user 2 on day 3 — 7-day windows
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 08:00:00"), "view"),
+      (2L, 1L, ts("2024-01-10 08:00:00"), "view"),
+      (3L, 2L, ts("2024-01-03 08:00:00"), "view"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Funnel.rollingDistinctUsers(ev).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(got("2024-01-01") == 1L) // only user 1 so far
+    assert(got("2024-01-03") == 2L) // users 1 and 2 within 7 days
+    assert(got("2024-01-09") == 1L) // day-1 visit aged out (window 3..9)
+    assert(got("2024-01-10") == 1L) // user 1 returns; user 2's day 3 < window 4..10
+  }
+
+  test("benfordAudit: exponentially distributed values conform; chi2 terms sane") {
+    import spark.implicits._
+    // a geometric sequence is the textbook Benford-conforming input; ratio
+    // 1.01 keeps 4000 distinct values inside the decimal(28,6) domain
+    val vals = (0 until 4000).map(k => math.pow(1.01, k)).toDF("o_totalprice")
+    val rows = Validate.benfordAudit(vals, "o_totalprice").collect()
+    assert(rows.length == 9)
+    val chi2 = rows.map(_.getAs[Double]("chi2_term")).sum
+    assert(chi2 >= 0.0 && chi2 < 15.51, s"geometric must pass the screen: $chi2")
+    assert(rows.map(_.getAs[Long]("n_obs")).sum == 4000L)
+  }
+
   test("ewmaDaily: closed form equals the textbook recursion exactly") {
     import spark.implicits._
     def ts(s: String) = Timestamp.valueOf(s)
