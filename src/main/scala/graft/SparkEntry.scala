@@ -405,6 +405,17 @@ object SparkEntry {
           NearDup.minhashPairs(docs, 0.5))
         .orderBy("doc_id")
     }),
+    // quality-policy survivors: keep the LONGEST member of each cluster
+    "q_dedup_survivors_quality" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.clusterSurvivorsBy(docs.select("doc_id", "n_chars"),
+          NearDup.minhashPairs(docs, 0.5), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+    // nonparametric two-sample rank test: en vs de document lengths
+    "q_mannwhitney" -> ((s, dir) =>
+      Relational.mannWhitney(Tables.documents(s, dir), "lang", "n_chars",
+        "en", "de")),
     "q_dedup_jaccard" -> ((s, dir) =>
       NearDup.jaccardJoin(Tables.documents(s, dir), 0.5)),
     "q_containment" -> ((s, dir) =>
@@ -2868,6 +2879,58 @@ object SparkEntry {
            |SELECT doc_id FROM documents
            |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
            |ORDER BY doc_id""".stripMargin,
+      // same closure, winner = (n_chars DESC, doc_id ASC) per cluster —
+      // mirrors Spark's max(struct(score, -id)) lexicographic pick
+      "q_dedup_survivors_quality" ->
+        s"""WITH RECURSIVE $minhashPairCtes,
+           |pairs AS (SELECT a_id, b_id FROM jac
+           |  WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5),
+           |edges AS (SELECT a_id, b_id FROM pairs
+           |  UNION ALL SELECT b_id, a_id FROM pairs),
+           |reach(src, dst) AS (
+           |  SELECT DISTINCT a_id, a_id FROM edges
+           |  UNION
+           |  SELECT r.src, e.b_id FROM reach r JOIN edges e ON e.a_id = r.dst),
+           |clus AS (SELECT src AS doc_id, min(dst) AS cluster_id
+           |  FROM reach GROUP BY src),
+           |scored AS (SELECT c.doc_id, cluster_id, n_chars
+           |  FROM clus c JOIN documents d ON c.doc_id = d.doc_id),
+           |win AS (SELECT doc_id FROM (
+           |    SELECT doc_id, row_number() OVER (PARTITION BY cluster_id
+           |      ORDER BY n_chars DESC, doc_id ASC) AS rn FROM scored) t
+           |  WHERE rn = 1),
+           |losers2 AS (SELECT doc_id FROM scored
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM win))
+           |SELECT doc_id, n_chars FROM documents
+           |WHERE doc_id NOT IN (SELECT doc_id FROM losers2)
+           |ORDER BY doc_id""".stripMargin,
+      "q_mannwhitney" ->
+        """WITH s AS (SELECT lang AS g, n_chars AS v FROM documents
+          |           WHERE lang IN ('en', 'de')),
+          |c AS (SELECT v,
+          |        count(CASE WHEN g = 'en' THEN 1 END) AS na_v,
+          |        count(CASE WHEN g = 'de' THEN 1 END) AS nb_v
+          |      FROM s GROUP BY v),
+          |c2 AS (SELECT v, na_v, nb_v, na_v + nb_v AS c FROM c),
+          |r AS (SELECT *, CAST(coalesce(sum(c) OVER (ORDER BY v
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+          |        + c + 1 AS BIGINT) AS r2 FROM c2),
+          |m AS (SELECT CAST(sum(na_v) AS BIGINT) AS n_a,
+          |        CAST(sum(nb_v) AS BIGINT) AS n_b,
+          |        sum(CAST(na_v * r2 AS DECIMAL(38,0))) AS s2r_a,
+          |        sum(CAST(c * c * c - c AS DECIMAL(38,0))) AS ties FROM r),
+          |f AS (SELECT n_a, n_b, n_a + n_b AS n, ties,
+          |        CAST(CAST(2 * n_a * n_b + n_a * (n_a + 1) AS DECIMAL(38,0))
+          |          - s2r_a AS DOUBLE) AS u2d,
+          |        CAST(n_a * n_b AS DOUBLE) AS nab FROM m),
+          |g AS (SELECT *, nab * (CAST(n + 1 AS DOUBLE)
+          |        - CAST(ties AS DOUBLE)
+          |          / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / 12.0
+          |        AS sigma2 FROM f)
+          |SELECT n_a, n_b, u2d AS u2_a,
+          |  (u2d - nab) / (2.0 * sqrt(sigma2)) AS z,
+          |  abs((u2d - nab) / (2.0 * sqrt(sigma2))) > 1.96 AS significant
+          |FROM g""".stripMargin,
       "q_dedup_jaccard" ->
         s"""WITH $shingleCtes,
            |tok AS (SELECT doc_id, unnest(sh) AS tok FROM sh),

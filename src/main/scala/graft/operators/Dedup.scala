@@ -288,4 +288,25 @@ object Dedup {
       .select("doc_id")
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
+
+  /** One survivor per duplicate cluster chosen by QUALITY rather than id:
+    * the member with the highest `score` survives, ties to the smallest
+    * id — the curation-grade policy: near-duplicates differing in
+    * truncation or boilerplate keep the best copy, not the
+    * first-crawled one. Same component closure as [[clusterSurvivors]];
+    * the winner pick is one lexicographic max(struct) per cluster —
+    * deterministic under any partial-aggregation order. */
+  def clusterSurvivorsBy(docs: DataFrame, pairs: DataFrame,
+                         score: Column): DataFrame = {
+    val clustered = dedupClusters(pairs)
+    val scored = docs.select(col("doc_id"), score.as("__score"))
+      .join(clustered, "doc_id")
+    val winners = scored.groupBy("cluster_id")
+      .agg(max(struct(col("__score"), (-col("doc_id")).as("__negid"))).as("__w"))
+      .select((-col("__w.__negid")).as("w_id"))
+    val losers = scored
+      .join(winners, scored("doc_id") === winners("w_id"), "left_anti")
+      .select("doc_id")
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
 }

@@ -646,6 +646,57 @@ object Relational {
       .orderBy(group)
   }
 
+  /** MANN-WHITNEY U (Wilcoxon rank-sum) — the nonparametric "are these two
+    * samples from the same distribution" test, for metrics where a mean
+    * z-test misleads (skewed doc lengths, latency tails). Tie-corrected
+    * normal approximation; `significant` at |z| > 1.96.
+    *
+    * Exactness: ranks are derived from VALUE-GRAIN counts (min-rank of a
+    * value = cumulative count of smaller values + 1), so the doubled
+    * average rank 2C_v + c_v + 1 and the doubled U statistic are exact
+    * integers; σ² and z are one fixed IEEE chain at the end.
+    *
+    * Scale shape: one (value)-grain count aggregate over the row stream;
+    * the rank ladder is a window over DISTINCT values — bounded by value
+    * cardinality, not row count (for continuous metrics at corpus scale,
+    * bin first; the test is rank-based, so binning = tie-grouping it
+    * already models). */
+  def mannWhitney(df: DataFrame, sampleCol: String, valueCol: String,
+                  a: String, b: String): DataFrame = {
+    val s = df.filter(col(sampleCol).isin(a, b))
+      .select(col(sampleCol).as("g"), col(valueCol).as("v"))
+    val counts = s.groupBy("v").agg(
+      count(when(col("g") === a, 1)).as("na_v"),
+      count(when(col("g") === b, 1)).as("nb_v"))
+      .withColumn("c", col("na_v") + col("nb_v"))
+    val wv = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r2 = (coalesce(sum(col("c")).over(wv), lit(0L)) * 2 + col("c") + 1)
+      .cast("long")
+    val m = counts.withColumn("r2", r2)
+      .agg(
+        sum(col("na_v")).cast("long").as("n_a"),
+        sum(col("nb_v")).cast("long").as("n_b"),
+        sum((col("na_v") * col("r2")).cast("decimal(38,0)")).as("s2r_a"),
+        sum((col("c") * col("c") * col("c") - col("c")).cast("decimal(38,0)"))
+          .as("ties"))
+    m.withColumn("n", col("n_a") + col("n_b"))
+      .withColumn("u2_a", // doubled U_a: exact integer even under ties
+        (lit(2) * col("n_a") * col("n_b") + col("n_a") * (col("n_a") + 1))
+          .cast("decimal(38,0)") - col("s2r_a"))
+      .withColumn("sigma2",
+        (col("n_a") * col("n_b")).cast("double") *
+          ((col("n") + 1).cast("double") -
+            col("ties").cast("double") /
+              (col("n").cast("double") * (col("n") - 1).cast("double"))) / 12.0)
+      .withColumn("z",
+        (col("u2_a").cast("double") - (col("n_a") * col("n_b")).cast("double")) /
+          (lit(2.0) * sqrt(col("sigma2"))))
+      .withColumn("significant", abs(col("z")) > 1.96)
+      .select(col("n_a"), col("n_b"), col("u2_a").cast("double").as("u2_a"),
+        col("z"), col("significant"))
+  }
+
   def rollupCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .rollup("l_returnflag", "l_linestatus")

@@ -145,4 +145,16 @@ class DedupJsonSpec extends SparkSpec {
     val r = JsonOps.sessionize(df).collect()
     assert(r.length == 1 && r(0).getLong(2) == 2L)
   }
+
+  test("clusterSurvivorsBy keeps the highest-score member; ties break to min id") {
+    import spark.implicits._
+    // cluster {1,2,3} via chain pairs; scores favor 2; {8,9} tie -> min id 8
+    val docs = Seq((1L, 10L), (2L, 50L), (3L, 20L), (7L, 5L), (8L, 30L), (9L, 30L))
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("a_id", "b_id")
+    val kept = Dedup.clusterSurvivorsBy(docs, pairs,
+        org.apache.spark.sql.functions.col("n_chars"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 7L, 8L), kept.toString) // 2 wins on score, 7 untouched
+  }
 }
