@@ -313,6 +313,9 @@ object SparkEntry {
       JsonOps.slidingCounts(Tables.events(s, dir))),
     "q_sessionize" -> ((s, dir) =>
       JsonOps.sessionize(Tables.events(s, dir))),
+    // boundary-sweep max simultaneous sessions per day (carry-in offsets)
+    "q_peak_concurrency" -> ((s, dir) =>
+      JsonOps.peakConcurrency(Tables.events(s, dir))),
     "q_funnel" -> ((s, dir) =>
       Funnel.conversionFunnel(Tables.events(s, dir))),
     "q_cohort_retention" -> ((s, dir) =>
@@ -2757,6 +2760,28 @@ object SparkEntry {
            |       max(ts_sec) AS session_end
            |FROM g GROUP BY user_id, session_seq
            |ORDER BY user_id, session_seq""".stripMargin,
+      // deltas collapse per instant BEFORE the running sum (tie-safe);
+      // the oracle uses one flat time order — the operator's per-day
+      // windows + carry-in offsets must land on the same curve
+      "q_peak_concurrency" ->
+        s"""WITH $sessionCtes,
+           |sess AS (SELECT user_id, session_seq, min(ts_sec) AS session_start,
+           |           max(ts_sec) AS session_end
+           |         FROM g GROUP BY user_id, session_seq),
+           |bounds AS (SELECT session_start AS t, 1 AS d FROM sess
+           |  UNION ALL SELECT session_end + 1 AS t, -1 AS d FROM sess),
+           |byt AS (SELECT t, CAST(sum(d) AS BIGINT) AS delta FROM bounds GROUP BY t),
+           |run AS (SELECT CAST(to_timestamp(t) AS DATE) AS day, t, delta,
+           |          CAST(sum(delta) OVER (ORDER BY t
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS r
+           |        FROM byt),
+           |pd AS (SELECT day, CAST(max(r) AS BIGINT) AS mx,
+           |         CAST(sum(delta) AS BIGINT) AS dtot FROM run GROUP BY day),
+           |cr AS (SELECT day, mx, CAST(coalesce(sum(dtot) OVER (ORDER BY day
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           |         AS carry FROM pd)
+           |SELECT day, greatest(mx, carry) AS peak_concurrency
+           |FROM cr ORDER BY day""".stripMargin,
       "q_range_join" ->
         s"""WITH $sessionCtes,
            |sess AS (SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,

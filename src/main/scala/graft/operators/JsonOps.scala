@@ -47,6 +47,42 @@ object JsonOps {
     * gap exceeds `gapSeconds`. Classic lag -> boundary flag -> running sum.
     * Second-granularity gap arithmetic (floored epoch) for cross-engine
     * determinism. */
+  /** PEAK CONCURRENCY per day — maximum simultaneous sessions, by the
+    * classic boundary sweep: +1 at each session start, −1 just after its
+    * end, running-sum the deltas in time order; the max is the peak. Two
+    * determinism moves: deltas AGGREGATE PER INSTANT before the running
+    * sum (so tie order between a start and an end at the same second can
+    * never change an intermediate value), and the cross-day carry uses
+    * the offsets trick — per-day windows run in parallel and a tiny
+    * day-grain cumsum broadcasts the carry-in, so no global window exists
+    * (the [[graft.operators.Chunking]] distributed-boundaries shape).
+    *
+    * Scale shape: session derivation is the user-partitioned sessionize;
+    * the sweep relation is 2×sessions, immediately collapsed to distinct
+    * instants. */
+  def peakConcurrency(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val sess = sessionize(events, gapSeconds)
+    val bounds = sess.select(col("session_start").as("t"), lit(1L).as("d"))
+      .unionAll(sess.select((col("session_end") + 1).as("t"), lit(-1L).as("d")))
+    val byT = bounds.groupBy("t").agg(sum(col("d")).cast("long").as("delta"))
+      .withColumn("day", to_date(timestamp_seconds(col("t"))))
+    val wDay = Window.partitionBy("day").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val run = byT.withColumn("run", sum(col("delta")).over(wDay))
+    val perDay = byT.groupBy("day").agg(sum(col("delta")).cast("long").as("day_total"))
+    val wDays = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    val carry = perDay
+      .withColumn("carry", coalesce(sum(col("day_total")).over(wDays), lit(0L)))
+      .select("day", "carry")
+    // day-open concurrency (the carry itself) is a peak candidate: a day
+    // whose only boundary is a session END was at `carry` until that end
+    run.join(broadcast(carry), "day")
+      .groupBy("day")
+      .agg(greatest(max(col("run") + col("carry")), first(col("carry")))
+        .cast("long").as("peak_concurrency"))
+      .orderBy("day")
+  }
+
   def sessionize(df: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
     val withGap = df

@@ -146,6 +146,24 @@ class DedupJsonSpec extends SparkSpec {
     assert(r.length == 1 && r(0).getLong(2) == 2L)
   }
 
+  test("peakConcurrency: overlapping sessions counted; cross-day carry-in correct") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // three users: two overlapping morning sessions day 1 (peak 2), one
+    // session from day-1 23:50 into day-2 00:10 (carry makes day-2 peak 1)
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 09:00:00"), "view", 0.0),
+      (2L, 1L, ts("2024-01-01 09:20:00"), "view", 0.0),
+      (3L, 2L, ts("2024-01-01 09:10:00"), "view", 0.0),
+      (4L, 3L, ts("2024-01-01 23:50:00"), "view", 0.0),
+      (5L, 3L, ts("2024-01-02 00:10:00"), "view", 0.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = JsonOps.peakConcurrency(ev).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(got("2024-01-01") == 2L, got.toString)
+    assert(got("2024-01-02") == 1L, got.toString) // pure carry-in, no day-2 start
+  }
+
   test("clusterSurvivorsBy keeps the highest-score member; ties break to min id") {
     import spark.implicits._
     // cluster {1,2,3} via chain pairs; scores favor 2; {8,9} tie -> min id 8
