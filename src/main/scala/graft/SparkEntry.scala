@@ -446,6 +446,9 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, dir))),
     "q_sim_topk_lsh" -> ((s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir))),
+    // sketch width derived from the corpus count (bits = ceil(log2(n/16)))
+    "q_sim_topk_lsh_auto" -> ((s, dir) =>
+      Similarity.lshTopKAuto(Tables.embeddings(s, dir))),
     "q_dedup_embcos" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.4)),
     // SemDeDup lane: k-means-cell blocking instead of LSH-bucket blocking
@@ -612,6 +615,31 @@ object SparkEntry {
     "q_train_split" -> ((s, dir) =>
       Splits.assign(Tables.documents(s, dir).select("doc_id"), "doc_id")
         .orderBy("doc_id")),
+    // leakage-free variant: bucket by near-dup cluster representative so
+    // duplicates never straddle train/test
+    "q_cluster_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Splits.clusterAssign(docs.select("doc_id"),
+          NearDup.minhashPairs(docs, 0.5), "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ---- extension: graph analytics (ext_graph) ----
+    // a-priori frequent-pair mining over order baskets: frequent-item prune
+    // BEFORE pair expansion, pairs generated map-side per basket
+    "q_market_basket" -> ((s, dir) =>
+      Graph.marketBasket(Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")), "l_orderkey", "l_partkey")),
+    // integer-unit PageRank over the customer–supplier trading graph:
+    // 3 power iterations, edges partitioned once, ranks-only shuffles
+    "q_pagerank" -> ((s, dir) => {
+      val e = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("C"), col("o_custkey").cast("string")).as("a"),
+          concat(lit("S"), col("l_suppkey").cast("string")).as("b"))
+      Graph.pageRank(e, "a", "b")
+    }),
 
     // ---- extension: deterministic sampling / per-group quotas ----
     "q_sample_stratified" -> ((s, dir) =>
@@ -1371,6 +1399,19 @@ object SparkEntry {
   private val sketchCte =
     s"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
        |sk AS (SELECT vec_id, emb, t AS tbl, ${bucketKeySql("emb", "t")} AS key
+       |       FROM v CROSS JOIN range(0, 4) r(t))""".stripMargin
+  /** [[bucketKeySql]]/[[sketchCte]] generalized to `bits` sign planes — the
+    * auto-tuned LSH oracle pins the width [[Similarity.lshAutoBits]] derives
+    * from the fixture's corpus count. */
+  private def bucketKeySqlBits(v: String, t: String, bits: Int) =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, $bits), j ->
+       |  CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(0, 64), i ->
+       |         $v[CAST(i AS INT) + 1] * CAST((CAST(('0x' || substr(md5($t || '_' || j || '_' || i), 1, 1)) AS BIGINT) % 2) * 2 - 1 AS DOUBLE))),
+       |         (x, y) -> x + y) > 0
+       |       THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)), (a, b) -> a + b)""".stripMargin
+  private def sketchCteBits(bits: Int) =
+    s"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       |sk AS (SELECT vec_id, emb, t AS tbl, ${bucketKeySqlBits("emb", "t", bits)} AS key
        |       FROM v CROSS JOIN range(0, 4) r(t))""".stripMargin
 
   def oracleSql: Map[String, String] = {
@@ -3135,6 +3176,19 @@ object SparkEntry {
            |LEFT JOIN h ON h.n_probe = p.n_probe AND h.q_id = q.vec_id
            |WHERE q.vec_id < 8
            |ORDER BY n_probe, q_id""".stripMargin,
+      // mirrors lshAutoBits' deterministic pick on the sf0.01 fixture:
+      // 500 vectors, target ~16/bucket -> ceil(log2(500/16)) = 5 bits
+      "q_sim_topk_lsh_auto" ->
+        s"""WITH ${sketchCteBits(5)},
+           |q AS (SELECT vec_id AS q_id, emb AS q_emb, tbl, key FROM sk WHERE vec_id < 8),
+           |c AS (SELECT vec_id AS n_id, emb AS n_emb, tbl, key FROM sk),
+           |cand AS (SELECT DISTINCT q_id, q_emb, n_id, n_emb
+           |  FROM c JOIN q USING (tbl, key) WHERE q_id <> n_id),
+           |s AS (SELECT q_id, n_id, ${cosSql("q_emb", "n_emb")} AS cos FROM cand),
+           |r AS (SELECT q_id, n_id, cos,
+           |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
+           |      FROM s)
+           |SELECT q_id, rk, n_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
       "q_sim_topk_lsh" ->
         s"""WITH $sketchCte,
            |q AS (SELECT vec_id AS q_id, emb AS q_emb, tbl, key FROM sk WHERE vec_id < 8),
@@ -3745,6 +3799,75 @@ object SparkEntry {
           |    (SELECT count(*) FROM lineitem l
           |     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
           |) t ORDER BY rule""".stripMargin,
+      "q_cluster_split" ->
+        s"""WITH RECURSIVE $minhashPairCtes,
+           |pairs AS (SELECT a_id, b_id FROM jac
+           |  WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5),
+           |edges AS (SELECT a_id, b_id FROM pairs
+           |  UNION ALL SELECT b_id, a_id FROM pairs),
+           |reach(src, dst) AS (
+           |  SELECT DISTINCT a_id, a_id FROM edges
+           |  UNION
+           |  SELECT r.src, e.b_id FROM reach r JOIN edges e ON e.a_id = r.dst),
+           |clus AS (SELECT src AS doc_id, min(dst) AS cluster_id
+           |  FROM reach GROUP BY src),
+           |rp AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rep
+           |  FROM documents d LEFT JOIN clus c ON c.doc_id = d.doc_id),
+           |bk AS (SELECT doc_id, rep,
+           |  CAST(('0x' || substr(md5(CAST(rep AS VARCHAR) || '|graft_v1'), 1, 8)) AS BIGINT) % 100 AS bucket
+           |  FROM rp)
+           |SELECT doc_id, rep, bucket,
+           |  CASE WHEN bucket < 80 THEN 'train'
+           |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+           |FROM bk ORDER BY doc_id""".stripMargin,
+      "q_market_basket" ->
+        """WITH baskets AS (
+          |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+          |nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM baskets),
+          |cnt AS (SELECT item, count(*) AS cnt FROM baskets GROUP BY item),
+          |freq AS (SELECT item, cnt FROM cnt WHERE cnt >= 15),
+          |fb AS (SELECT b.basket, b.item, f.cnt
+          |       FROM baskets b JOIN freq f USING (item)),
+          |p AS (SELECT a.item AS part_a, b.item AS part_b,
+          |             a.cnt AS cnt_a, b.cnt AS cnt_b, count(*) AS pair_cnt
+          |      FROM fb a JOIN fb b ON a.basket = b.basket AND a.item < b.item
+          |      GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2)
+          |SELECT part_a, part_b, pair_cnt, cnt_a, cnt_b, n_baskets,
+          |       CAST(pair_cnt AS DOUBLE) / CAST(cnt_a AS DOUBLE) AS confidence,
+          |       CAST(pair_cnt * n_baskets AS DOUBLE) / CAST(cnt_a * cnt_b AS DOUBLE) AS lift
+          |FROM p CROSS JOIN nb
+          |ORDER BY lift DESC, part_a, part_b LIMIT 100""".stripMargin,
+      "q_pagerank" ->
+        """WITH und AS (
+          |  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS a,
+          |                  'S' || CAST(l_suppkey AS VARCHAR) AS b
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          |edges AS (SELECT a AS src, b AS dst FROM und
+          |          UNION ALL SELECT b, a FROM und),
+          |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+          |nn AS (SELECT count(*) AS n FROM deg),
+          |r0 AS (SELECT src AS node, 1000000000000 // n AS rank
+          |       FROM deg CROSS JOIN nn),
+          |r1 AS (SELECT e.dst AS node,
+          |         15 * (1000000000000 // n) // 100
+          |           + 85 * CAST(sum(r.rank // d.deg) AS BIGINT) // 100 AS rank
+          |       FROM edges e JOIN r0 r ON e.src = r.node
+          |       JOIN deg d ON e.src = d.src CROSS JOIN nn
+          |       GROUP BY e.dst, nn.n),
+          |r2 AS (SELECT e.dst AS node,
+          |         15 * (1000000000000 // n) // 100
+          |           + 85 * CAST(sum(r.rank // d.deg) AS BIGINT) // 100 AS rank
+          |       FROM edges e JOIN r1 r ON e.src = r.node
+          |       JOIN deg d ON e.src = d.src CROSS JOIN nn
+          |       GROUP BY e.dst, nn.n),
+          |r3 AS (SELECT e.dst AS node,
+          |         15 * (1000000000000 // n) // 100
+          |           + 85 * CAST(sum(r.rank // d.deg) AS BIGINT) // 100 AS rank
+          |       FROM edges e JOIN r2 r ON e.src = r.node
+          |       JOIN deg d ON e.src = d.src CROSS JOIN nn
+          |       GROUP BY e.dst, nn.n)
+          |SELECT node, CAST(rank AS BIGINT) AS rank_units FROM r3
+          |ORDER BY rank_units DESC, node LIMIT 50""".stripMargin,
       "q_train_split" ->
         """SELECT doc_id,
           |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft_v1'), 1, 8)) AS BIGINT) % 100 AS bucket,

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph-shaped analytics over the star schema: market-basket association
+  * mining (a-priori pair counting) and PageRank (power iteration). The
+  * reference delegates all relational compute to HANA/BigQuery (SURVEY.md
+  * §2.5); these are the two classic "the warehouse can't do this well"
+  * workloads a replacement engine is expected to carry.
+  *
+  * Scale notes (100 TB design):
+  *   - marketBasket prunes to frequent items BEFORE pair expansion (the
+  *     a-priori downward-closure step) — the item-frequency table is
+  *     dimension-sized and broadcasts; pair expansion is per-basket
+  *     (bounded fan-out: a basket of b items emits C(b,2) pairs map-side
+  *     after ONE groupBy shuffle), and pair counting partial-aggregates.
+  *   - pageRank keeps the edge list partitioned by src ONCE (persisted);
+  *     each iteration joins the (node-sized) rank table against that fixed
+  *     partitioning and shuffles only rank rows — the edge relation, the
+  *     100 TB side, never re-exchanges after iteration 0.
+  *   - all rank arithmetic is INTEGER (micro-units with truncating DIV):
+  *     exact, order-insensitive, so results are bit-reproducible under any
+  *     partitioning/AQE decision and portable across engines.
+  */
+object Graph {
+
+  /** Frequent-pair association mining over (basket, item) rows.
+    *
+    * A-priori style: items below `minItemSupport` are pruned before any
+    * pair is formed (downward closure: an infrequent item cannot be in a
+    * frequent pair), then pairs are generated per basket from the sorted
+    * item array — map-side, after a single basket groupBy — and counted
+    * with partial aggregation. Confidence and lift are each ONE IEEE
+    * division of exact integer counts, so they hash identically on any
+    * engine.
+    *
+    * Output: part_a < part_b, pair_cnt, cnt_a, cnt_b, n_baskets,
+    * confidence = pair/cnt_a, lift = pair*n/(cnt_a*cnt_b); top `topN` by
+    * lift (ties broken by the pair key). */
+  def marketBasket(baskets: DataFrame, basketCol: String, itemCol: String,
+                   minItemSupport: Int = 15, minPairSupport: Int = 2,
+                   topN: Int = 100): DataFrame = {
+    val b = baskets.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct()
+    val itemCnt = b.groupBy("item").agg(count(lit(1)).as("cnt"))
+    val freq = itemCnt.filter(col("cnt") >= minItemSupport)
+    val nB = b.agg(countDistinct("basket").as("n_baskets")) // 1 row
+    // keep only frequent items, then pack each basket into a sorted array:
+    // pair generation below is a narrow HOF over that array — no self-join,
+    // no second shuffle of the fact rows
+    val packed = b.join(broadcast(freq.select("item")), "item")
+      .groupBy("basket").agg(sort_array(collect_set(col("item"))).as("items"))
+    val pairs = packed
+      .select(explode(flatten(expr(
+        """transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items) - i - 1), y ->
+          |    struct(x AS part_a, y AS part_b)))""".stripMargin))).as("p"))
+      .select(col("p.part_a"), col("p.part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minPairSupport)
+    val ca = freq.select(col("item").as("part_a"), col("cnt").as("cnt_a"))
+    val cb = freq.select(col("item").as("part_b"), col("cnt").as("cnt_b"))
+    pairs
+      .join(broadcast(ca), "part_a").join(broadcast(cb), "part_b")
+      .crossJoin(broadcast(nB))
+      .withColumn("confidence",
+        col("pair_cnt").cast("double") / col("cnt_a").cast("double"))
+      .withColumn("lift",
+        (col("pair_cnt") * col("n_baskets")).cast("double") /
+          (col("cnt_a") * col("cnt_b")).cast("double"))
+      .select("part_a", "part_b", "pair_cnt", "cnt_a", "cnt_b", "n_baskets",
+        "confidence", "lift")
+      .orderBy(col("lift").desc, col("part_a").asc, col("part_b").asc)
+      .limit(topN)
+  }
+
+  /** PageRank by fixed-iteration power method over an UNDIRECTED edge set
+    * (each input pair contributes both directions), in exact integer
+    * micro-units.
+    *
+    * rank_0 = U DIV n for every node; each step
+    *   rank' = 15*(U DIV n) DIV 100  +  85*sum_in(rank_src DIV deg_src) DIV 100
+    * with U = 1e12 total units. Truncating integer division makes every
+    * step order-insensitive and engine-portable (the usual double-sum
+    * PageRank is neither). Symmetrized edges mean every node has out-degree
+    * ≥ 1, so there is no dangling-mass term to redistribute.
+    *
+    * The edge list (with per-src degree attached) is repartitioned by src
+    * and persisted once; iterations shuffle only the node-sized rank
+    * table. */
+  def pageRank(edgePairs: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3, topN: Int = 50): DataFrame = {
+    val U = 1000000000000L
+    val und = edgePairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val edges = und.unionAll(
+      und.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesDeg = edges.join(deg, "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nRow = deg.agg(count(lit(1)).as("n")) // 1 row
+    var rank = deg.crossJoin(broadcast(nRow))
+      .select(col("src").as("node"), expr(s"$U DIV n").as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = edgesDeg
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("rank DIV deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("contrib"))
+      rank = contrib.crossJoin(broadcast(nRow))
+        .select(col("node"),
+          expr(s"15L * ($U DIV n) DIV 100 + 85L * contrib DIV 100").as("rank"))
+    }
+    rank.select(col("node"), col("rank").as("rank_units"))
+      .orderBy(col("rank_units").desc, col("node").asc)
+      .limit(topN)
+  }
+}

@@ -130,6 +130,33 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Derived LSH sketch width from corpus cardinality: with random
+    * hyperplanes, expected bucket occupancy is ~n/2^bits per table, so
+    * bits = ceil(log2(n / targetBucket)) keeps candidate-set size (and
+    * with it the re-rank cost) roughly CONSTANT per query as the corpus
+    * grows — the static 8-bit default is tuned for ~4k vectors and
+    * degrades quadratically past it. Floor of 4 bits (below that the
+    * sketch stops discriminating), cap of 24 (past that buckets are
+    * near-singleton and recall dies). Deterministic: a pure function of
+    * the corpus count. */
+  private[operators] def lshAutoBits(n: Long, targetBucket: Int = 16): Int = {
+    val raw = math.ceil(math.log(math.max(1L, n).toDouble / targetBucket) /
+      math.log(2.0)).toInt
+    math.min(24, math.max(4, raw))
+  }
+
+  /** [[lshTopK]] with the sketch width derived from the corpus count —
+    * the form to run on a corpus whose size the static default wasn't
+    * tuned for (SCALE.md's "vector-LSH table/bit counts are static" gap).
+    * Table count stays fixed: tables buy recall, bits buy selectivity,
+    * and recall requirements don't change with corpus size. */
+  def lshTopKAuto(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
+                  tables: Int = 4, dim: Int = 64,
+                  targetBucket: Int = 16): DataFrame = {
+    val bits = lshAutoBits(emb.count(), targetBucket)
+    lshTopK(emb, nQueries, k, bits, tables, dim)
+  }
+
   /** SemDeDup-style semantic near-dup pairs: k-means-cluster the embedding
     * corpus (the [[IvfIndex]] coarse quantizer, decimal-exact Lloyd), then
     * compute exact pairwise cosine only WITHIN each cluster — the

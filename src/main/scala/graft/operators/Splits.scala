@@ -29,4 +29,31 @@ object Splits {
           .when(b < trainPct + valPct, "val")
           .otherwise("test"))
   }
+
+  /** Leakage-free split: near-duplicates must not straddle train/test, or
+    * the eval set silently overlaps the training set. Every document is
+    * bucketed by its duplicate-CLUSTER representative (the component's min
+    * id from [[Dedup.dedupClusters]] over `pairs`), not by its own id —
+    * all members of a near-dup cluster land in the same split; singletons
+    * (no pair) represent themselves.
+    *
+    * Scale: the cluster table is id-pairs only (the pair detector already
+    * exchanged nothing wider); the join back to `ids` is key-on-key; the
+    * bucket itself is a narrow zero-shuffle map, same as [[assign]]. */
+  def clusterAssign(ids: DataFrame, pairs: DataFrame, keyCol: String,
+                    salt: String = "graft_v1",
+                    trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val clustered = Dedup.dedupClusters(pairs)
+      .withColumnRenamed("doc_id", keyCol)
+    val withRep = ids.select(col(keyCol))
+      .join(clustered, Seq(keyCol), "left")
+      .withColumn("rep", coalesce(col("cluster_id"), col(keyCol)))
+      .select(col(keyCol), col("rep"))
+    val b = bucket(col("rep"), salt)
+    withRep.withColumn("bucket", b)
+      .withColumn("split",
+        when(b < trainPct, "train")
+          .when(b < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("marketBasket: counts, confidence, and lift match hand computation") {
+    // 4 baskets; items 1,2 co-occur in 3 of them, item 3 rides along once;
+    // duplicate (basket, item) rows must collapse before counting
+    val rows = Seq(
+      (10L, 1L), (10L, 2L), (10L, 2L), // dup row
+      (20L, 1L), (20L, 2L), (20L, 3L),
+      (30L, 1L), (30L, 2L),
+      (40L, 1L), (40L, 3L))
+    val df = rows.toDF("basket", "item")
+    val out = Graph.marketBasket(df, "basket", "item",
+      minItemSupport = 2, minPairSupport = 2, topN = 10).collect()
+    // item supports: 1->4, 2->3, 3->2; pairs >= 2: (1,2)x3, (1,3)x2
+    val m = out.map(r => ((r.getLong(0), r.getLong(1)), r)).toMap
+    assert(m.keySet === Set((1L, 2L), (1L, 3L)))
+    val p12 = m((1L, 2L))
+    assert(p12.getAs[Long]("pair_cnt") === 3L)
+    assert(p12.getAs[Long]("cnt_a") === 4L)
+    assert(p12.getAs[Long]("cnt_b") === 3L)
+    assert(p12.getAs[Long]("n_baskets") === 4L)
+    assert(p12.getAs[Double]("confidence") === 3.0 / 4.0)
+    assert(p12.getAs[Double]("lift") === (3.0 * 4.0) / (4.0 * 3.0))
+    val p13 = m((1L, 3L))
+    assert(p13.getAs[Double]("lift") === (2.0 * 4.0) / (4.0 * 2.0))
+  }
+
+  test("marketBasket: infrequent items never reach pair expansion") {
+    val df = Seq((1L, 1L), (1L, 9L), (2L, 1L), (2L, 9L), (3L, 1L))
+      .toDF("basket", "item")
+    // item 9 has support 2 < 3 -> pruned, so no pair survives even though
+    // (1,9) co-occurs twice
+    val out = Graph.marketBasket(df, "basket", "item",
+      minItemSupport = 3, minPairSupport = 2, topN = 10)
+    assert(out.count() === 0L)
+  }
+
+  test("pageRank: regular graph yields equal ranks; star concentrates mass on the hub") {
+    // triangle (3-regular after symmetrization): all nodes identical
+    val tri = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("s", "d")
+    val triRanks = Graph.pageRank(tri, "s", "d", iters = 3, topN = 10)
+      .select("rank_units").as[Long].collect().toSet
+    assert(triRanks.size === 1, "regular graph must rank all nodes equally")
+
+    // star: hub h linked to 4 leaves — hub must outrank every leaf
+    val star = Seq(("h", "l1"), ("h", "l2"), ("h", "l3"), ("h", "l4"))
+      .toDF("s", "d")
+    val r = Graph.pageRank(star, "s", "d", iters = 3, topN = 10).collect()
+    assert(r.head.getString(0) === "h")
+    val hub = r.head.getLong(1)
+    assert(r.tail.forall(_.getLong(1) < hub))
+    // leaves are symmetric: identical ranks
+    assert(r.tail.map(_.getLong(1)).toSet.size === 1)
+  }
+
+  test("pageRank: integer arithmetic is exact — rerun is bit-identical") {
+    val e = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")).toDF("s", "d")
+    val x = Graph.pageRank(e, "s", "d").collect().toSeq
+    val y = Graph.pageRank(e, "s", "d").collect().toSeq
+    assert(x === y)
+  }
+}
