@@ -640,6 +640,23 @@ object SparkEntry {
           concat(lit("S"), col("l_suppkey").cast("string")).as("b"))
       Graph.pageRank(e, "a", "b")
     }),
+    // exact triangle census of the co-purchase graph (degree-oriented wedges)
+    "q_triangle_count" -> ((s, dir) =>
+      Graph.triangleStats(
+        Graph.coOccurrenceEdges(Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey")), "l_orderkey", "l_partkey"),
+        "item_a", "item_b")),
+    // item-item collaborative filtering: suppliers similar by shared customers
+    "q_cf_similarity" -> ((s, dir) => {
+      val b = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      Graph.itemSimilarity(b, "cust", "supp")
+    }),
+    // sequential-pattern mining: most-walked 3-step event-type paths
+    "q_path_mining" -> ((s, dir) =>
+      JsonOps.topEventPaths(Tables.events(s, dir))),
 
     // ---- extension: deterministic sampling / per-group quotas ----
     "q_sample_stratified" -> ((s, dir) =>
@@ -3868,6 +3885,53 @@ object SparkEntry {
           |       GROUP BY e.dst, nn.n)
           |SELECT node, CAST(rank AS BIGINT) AS rank_units FROM r3
           |ORDER BY rank_units DESC, node LIMIT 50""".stripMargin,
+      "q_triangle_count" ->
+        """WITH baskets AS (
+          |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+          |canon AS (SELECT a.item AS a, b.item AS b
+          |      FROM baskets a JOIN baskets b ON a.basket = b.basket AND a.item < b.item
+          |      GROUP BY 1, 2 HAVING count(*) >= 2),
+          |sym AS (SELECT a, b FROM canon UNION ALL SELECT b, a FROM canon),
+          |deg AS (SELECT a AS node, count(*) AS deg FROM sym GROUP BY a),
+          |wd AS (SELECT c.a, c.b, da.deg AS deg_a, db.deg AS deg_b
+          |       FROM canon c JOIN deg da ON da.node = c.a JOIN deg db ON db.node = c.b),
+          |ori AS (SELECT
+          |  CASE WHEN deg_a < deg_b OR (deg_a = deg_b AND a < b) THEN a ELSE b END AS src,
+          |  CASE WHEN deg_a < deg_b OR (deg_a = deg_b AND a < b) THEN b ELSE a END AS dst
+          |  FROM wd),
+          |wedge AS (SELECT e1.src, e1.dst AS v, e2.dst AS w
+          |          FROM ori e1 JOIN ori e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+          |clo AS (SELECT least(src, dst) AS v, greatest(src, dst) AS w FROM ori),
+          |tri AS (SELECT count(*) AS n_triangles FROM wedge
+          |        WHERE EXISTS (SELECT 1 FROM clo WHERE clo.v = wedge.v AND clo.w = wedge.w)),
+          |ne AS (SELECT count(*) AS n_edges FROM canon),
+          |nn AS (SELECT count(*) AS n_nodes FROM deg),
+          |nw AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+          |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+          |       CAST(n_triangles * 3 AS DOUBLE) / CAST(n_wedges AS DOUBLE) AS clustering_coeff
+          |FROM tri CROSS JOIN ne CROSS JOIN nn CROSS JOIN nw""".stripMargin,
+      "q_cf_similarity" ->
+        """WITH b AS (SELECT DISTINCT o_custkey AS basket, l_suppkey AS item
+          |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          |cnt AS (SELECT item, count(*) AS cnt FROM b GROUP BY item),
+          |co AS (SELECT a.item AS item_a, b2.item AS item_b, count(*) AS co_cnt
+          |       FROM b a JOIN b b2 ON a.basket = b2.basket AND a.item < b2.item
+          |       GROUP BY 1, 2 HAVING count(*) >= 2)
+          |SELECT item_a, item_b, co_cnt, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+          |  CAST(co_cnt AS DOUBLE) / sqrt(CAST(ca.cnt * cb.cnt AS DOUBLE)) AS cosine,
+          |  CAST(co_cnt AS DOUBLE) / CAST(ca.cnt + cb.cnt - co_cnt AS DOUBLE) AS jaccard
+          |FROM co JOIN cnt ca ON ca.item = co.item_a JOIN cnt cb ON cb.item = co.item_b
+          |ORDER BY cosine DESC, item_a, item_b LIMIT 100""".stripMargin,
+      "q_path_mining" ->
+        """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+          |                  event_id, event_type FROM events),
+          |l AS (SELECT event_type,
+          |        lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS s1,
+          |        lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS s2
+          |      FROM e)
+          |SELECT event_type || ' > ' || s1 || ' > ' || s2 AS path, count(*) AS n
+          |FROM l WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+          |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
       "q_train_split" ->
         """SELECT doc_id,
           |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft_v1'), 1, 8)) AS BIGINT) % 100 AS bucket,

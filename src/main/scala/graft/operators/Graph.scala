@@ -117,4 +117,106 @@ object Graph {
       .orderBy(col("rank_units").desc, col("node").asc)
       .limit(topN)
   }
+
+  /** Exact triangle count (+ global clustering coefficient) by DEGREE
+    * ORIENTATION — the standard scale trick: orient every edge from its
+    * lower-(degree, id) endpoint to the higher one, so each vertex's
+    * out-degree is O(sqrt(m)) and the wedge join (pairs of out-neighbors)
+    * is bounded even on power-law graphs where a naive neighbor self-join
+    * explodes on hub vertices. Each triangle is counted exactly once — at
+    * its lowest-ranked vertex.
+    *
+    * Input: undirected edge set as (a, b) rows, a ≠ b (duplicates and
+    * reversed copies collapse). Output: one row of exact integer stats
+    * plus the clustering coefficient 3*triangles/wedges as a single IEEE
+    * division. */
+  def triangleStats(edgePairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // canon feeds degree, orientation, closure AND the edge total — persist
+    // or the whole upstream edge derivation re-runs once per consumer
+    val canon = edgePairs.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = canon.unionAll(canon.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+      .select(col("a").as("node"), col("deg"))
+    // rank = (deg, id): orient each edge toward the higher-ranked endpoint
+    val withDeg = canon
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
+    val oriented = withDeg.select(
+      when(col("deg_a") < col("deg_b") ||
+        (col("deg_a") === col("deg_b") && col("a") < col("b")),
+        struct(col("a").as("src"), col("b").as("dst")))
+        .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // wedges at the lowest-ranked vertex: unordered out-neighbor pairs
+    val e1 = oriented.select(col("src"), col("dst").as("v"))
+    val e2 = oriented.select(col("src"), col("dst").as("w"))
+    val wedges = e1.join(e2, "src").filter(col("v") < col("w"))
+    // a wedge closes iff (v, w) is itself an edge — in either orientation
+    val closure = oriented.select(
+      least(col("src"), col("dst")).as("v"), greatest(col("src"), col("dst")).as("w"))
+    val tri = wedges.join(closure, Seq("v", "w"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val totals = canon.agg(count(lit(1)).as("n_edges"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    // open+closed wedge total = sum over nodes of C(deg, 2), exact
+    val wedgeTotal = deg.agg(
+      sum(expr("deg * (deg - 1L) DIV 2L")).as("n_wedges"))
+    tri.crossJoin(broadcast(totals)).crossJoin(broadcast(nNodes))
+      .crossJoin(broadcast(wedgeTotal))
+      .withColumn("clustering_coeff",
+        (col("n_triangles") * lit(3L)).cast("double") /
+          col("n_wedges").cast("double"))
+      .select("n_nodes", "n_edges", "n_wedges", "n_triangles", "clustering_coeff")
+  }
+
+  /** Item-item collaborative-filtering similarity: cosine and Jaccard of
+    * items' basket-membership vectors, computed by pair counting —
+    * cos(i,j) = co(i,j)/sqrt(cnt_i*cnt_j), jac = co/(cnt_i+cnt_j-co).
+    * Both are one IEEE op chain over exact integers (sqrt is correctly
+    * rounded), so results hash identically across engines.
+    *
+    * Same shuffle shape as [[marketBasket]]: one basket groupBy, pairs
+    * map-side from the sorted item array, partial-agg co-counts, counts
+    * joined by broadcast. `minCo` prunes the pair tail before the joins. */
+  /** Co-occurrence edges: unordered item pairs sharing >= `minCo` baskets,
+    * with the pair count. One basket groupBy, map-side pair expansion from
+    * the sorted item array, partial-agg counts — the shared kernel under
+    * [[itemSimilarity]] and [[triangleStats]]-based lanes. */
+  def coOccurrenceEdges(baskets: DataFrame, basketCol: String, itemCol: String,
+                        minCo: Int = 2): DataFrame = {
+    val b = baskets.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct()
+    b.groupBy("basket")
+      .agg(sort_array(collect_set(col("item"))).as("items"))
+      .select(explode(flatten(expr(
+        """transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items) - i - 1), y ->
+          |    struct(x AS item_a, y AS item_b)))""".stripMargin))).as("p"))
+      .select(col("p.item_a"), col("p.item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("co_cnt"))
+      .filter(col("co_cnt") >= minCo)
+  }
+
+  def itemSimilarity(baskets: DataFrame, basketCol: String, itemCol: String,
+                     minCo: Int = 2, topN: Int = 100): DataFrame = {
+    val b = baskets.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct()
+    val itemCnt = b.groupBy("item").agg(count(lit(1)).as("cnt"))
+    val co = coOccurrenceEdges(b, "basket", "item", minCo)
+    val ca = itemCnt.select(col("item").as("item_a"), col("cnt").as("cnt_a"))
+    val cb = itemCnt.select(col("item").as("item_b"), col("cnt").as("cnt_b"))
+    co.join(broadcast(ca), "item_a").join(broadcast(cb), "item_b")
+      .withColumn("cosine", col("co_cnt").cast("double") /
+        sqrt((col("cnt_a") * col("cnt_b")).cast("double")))
+      .withColumn("jaccard", col("co_cnt").cast("double") /
+        (col("cnt_a") + col("cnt_b") - col("co_cnt")).cast("double"))
+      .select("item_a", "item_b", "co_cnt", "cnt_a", "cnt_b", "cosine", "jaccard")
+      .orderBy(col("cosine").desc, col("item_a").asc, col("item_b").asc)
+      .limit(topN)
+  }
 }

@@ -141,4 +141,31 @@ object JsonOps {
         col("w.end").cast("long").as("session_end"),
         col("n_events"), col("first_event"))
       .orderBy("user_id", "session_start")
+
+  /** Sequential-pattern mining: the `n`-step event-type paths users
+    * actually walk, ranked by frequency ("view > click > purchase" — the
+    * navigation-flow / clickstream-analysis staple). A path is `n`
+    * CONSECUTIVE events of one user in (ts, event_id) order; paths are
+    * counted across all users.
+    *
+    * Scale: one shuffle on user_id; the lead() window is per-user
+    * (parallel, bounded by a user's own event count — never a global
+    * window); path counting partial-aggregates; the final top-k is a
+    * TakeOrdered, not a global sort. Exact integer counts. */
+  def topEventPaths(df: DataFrame, steps: Int = 3, topN: Int = 20): DataFrame = {
+    require(steps >= 2, "a path needs at least 2 steps")
+    val byUser = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    val withLeads = (1 until steps).foldLeft(
+      df.withColumn("ts_sec", col("ts").cast("timestamp").cast("long"))) {
+      (d, i) => d.withColumn(s"__s$i", lead(col("event_type"), i).over(byUser))
+    }
+    val path = concat_ws(" > ",
+      (col("event_type") +: (1 until steps).map(i => col(s"__s$i"))): _*)
+    withLeads
+      .filter((1 until steps).map(i => col(s"__s$i").isNotNull).reduce(_ && _))
+      .select(path.as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(topN)
+  }
 }

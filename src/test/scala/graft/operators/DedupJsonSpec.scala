@@ -175,4 +175,24 @@ class DedupJsonSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(2L, 7L, 8L), kept.toString) // 2 wins on score, 7 untouched
   }
+
+  test("topEventPaths: consecutive per-user trigrams, ordered by (ts, event_id)") {
+    def ev(id: Long, user: Long, sec: Long, t: String) =
+      (id, user, java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)), t)
+    // user 1 walks view>click>purchase>view; user 2 view>click>purchase;
+    // same-second tie on user 2 resolved by event_id (4 before 5)
+    val df = Seq(
+      ev(1, 1, 100, "view"), ev(2, 1, 200, "click"),
+      ev(3, 1, 300, "purchase"), ev(6, 1, 400, "view"),
+      ev(4, 2, 500, "view"), ev(5, 2, 500, "click"), ev(7, 2, 600, "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = JsonOps.topEventPaths(df, steps = 3, topN = 10)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map(
+      "view > click > purchase" -> 2L,
+      "click > purchase > view" -> 1L))
+    // cross-user sequences must never form: total trigrams = 3, not 5
+    assert(got.values.sum === 3L)
+  }
 }

@@ -65,4 +65,38 @@ class GraphSpec extends SparkSpec {
     val y = Graph.pageRank(e, "s", "d").collect().toSeq
     assert(x === y)
   }
+
+  test("triangleStats: K4 has 4 triangles; duplicate/reversed edges collapse") {
+    // complete graph on 4 nodes = C(4,3) = 4 triangles, 6 edges,
+    // wedges = 4 * C(3,2) = 12; feed duplicates + reversed copies
+    val k4 = (for {
+      a <- 1L to 4L; b <- 1L to 4L if a != b
+    } yield (a, b)) ++ Seq((1L, 2L), (1L, 2L))
+    val r = Graph.triangleStats(k4.toDF("x", "y"), "x", "y").collect().head
+    assert(r.getAs[Long]("n_nodes") === 4L)
+    assert(r.getAs[Long]("n_edges") === 6L)
+    assert(r.getAs[Long]("n_wedges") === 12L)
+    assert(r.getAs[Long]("n_triangles") === 4L)
+    assert(r.getAs[Double]("clustering_coeff") === 1.0) // complete graph
+  }
+
+  test("triangleStats: a path graph has wedges but zero triangles") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("x", "y")
+    val r = Graph.triangleStats(path, "x", "y").collect().head
+    assert(r.getAs[Long]("n_triangles") === 0L)
+    assert(r.getAs[Long]("n_wedges") === 2L)
+    assert(r.getAs[Double]("clustering_coeff") === 0.0)
+  }
+
+  test("itemSimilarity: cosine and jaccard match hand computation") {
+    // item 1 in baskets {A,B,C}, item 2 in {A,B}, co = 2
+    val b = Seq(("A", 1L), ("B", 1L), ("C", 1L), ("A", 2L), ("B", 2L))
+      .toDF("basket", "item")
+    val r = Graph.itemSimilarity(b, "basket", "item", minCo = 2).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("co_cnt") === 2L)
+    assert(row.getAs[Double]("cosine") === 2.0 / math.sqrt(3.0 * 2.0))
+    assert(row.getAs[Double]("jaccard") === 2.0 / 3.0)
+  }
 }
