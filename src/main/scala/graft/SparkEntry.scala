@@ -657,6 +657,36 @@ object SparkEntry {
     // sequential-pattern mining: most-walked 3-step event-type paths
     "q_path_mining" -> ((s, dir) =>
       JsonOps.topEventPaths(Tables.events(s, dir))),
+    // per-item "also bought" top-3 by cosine — itemSimilarity ranked per item
+    "q_cf_recommend" -> ((s, dir) => {
+      val b = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      Graph.recommendations(b, "cust", "supp")
+    }),
+    // CUSUM upward-shift detector per event type, exact 1/n_days units
+    "q_cusum_daily" -> ((s, dir) =>
+      Funnel.cusumDaily(Tables.events(s, dir))),
+    // multi-pass blocking entity resolution over planted dirty copies:
+    // +10M copies break the name but keep the email (linked by pass B);
+    // +20M copies keep the name but break the email (linked by pass A);
+    // custkey % 91 gets both copies -> a 3-record entity via closure
+    "q_entity_resolution" -> ((s, dir) => {
+      val base = Tables.customer(s, dir).select(col("c_custkey").as("id"),
+        col("c_name").as("name"),
+        concat(lit("cust"), col("c_custkey").cast("string"), lit("@x.com")).as("email"))
+      val d7 = base.filter(pmod(col("id"), lit(7)) === 0)
+        .select((col("id") + lit(10000000L)).as("id"),
+          upper(col("name")).as("name"), col("email"))
+      val d13 = base.filter(pmod(col("id"), lit(13)) === 0)
+        .select((col("id") + lit(20000000L)).as("id"), col("name"),
+          concat(lit("cust"), (col("id") + lit(20000000L)).cast("string"),
+            lit("@x.com")).as("email"))
+      EntityResolution.resolve(base.unionAll(d7).unionAll(d13), "id",
+          Seq(col("name"), col("email")))
+        .orderBy("record_id")
+    }),
 
     // ---- extension: deterministic sampling / per-group quotas ----
     "q_sample_stratified" -> ((s, dir) =>
@@ -3922,6 +3952,72 @@ object SparkEntry {
           |  CAST(co_cnt AS DOUBLE) / CAST(ca.cnt + cb.cnt - co_cnt AS DOUBLE) AS jaccard
           |FROM co JOIN cnt ca ON ca.item = co.item_a JOIN cnt cb ON cb.item = co.item_b
           |ORDER BY cosine DESC, item_a, item_b LIMIT 100""".stripMargin,
+      "q_cf_recommend" ->
+        """WITH b AS (SELECT DISTINCT o_custkey AS basket, l_suppkey AS item
+          |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          |cnt AS (SELECT item, count(*) AS cnt FROM b GROUP BY item),
+          |co AS (SELECT a.item AS item_a, b2.item AS item_b, count(*) AS co_cnt
+          |       FROM b a JOIN b b2 ON a.basket = b2.basket AND a.item < b2.item
+          |       GROUP BY 1, 2 HAVING count(*) >= 2),
+          |sym AS (SELECT item_a, item_b, co_cnt FROM co
+          |        UNION ALL SELECT item_b, item_a, co_cnt FROM co),
+          |sc AS (SELECT item_a, item_b, co_cnt,
+          |         CAST(co_cnt AS DOUBLE) / sqrt(CAST(ca.cnt * cb.cnt AS DOUBLE)) AS cosine
+          |       FROM sym JOIN cnt ca ON ca.item = sym.item_a
+          |       JOIN cnt cb ON cb.item = sym.item_b),
+          |r AS (SELECT item_a AS item, item_b AS rec, co_cnt, cosine,
+          |        CAST(row_number() OVER (PARTITION BY item_a ORDER BY cosine DESC, item_b) AS BIGINT) AS rk
+          |      FROM sc)
+          |SELECT item, rk, rec, co_cnt, cosine FROM r WHERE rk <= 3
+          |ORDER BY item, rk""".stripMargin,
+      "q_cusum_daily" ->
+        """WITH daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |t AS (SELECT event_type, day, n,
+          |        CAST(count(*) OVER wt AS BIGINT) * n
+          |          - CAST(sum(n) OVER wt AS BIGINT) AS d_units
+          |      FROM daily WINDOW wt AS (PARTITION BY event_type)),
+          |c AS (SELECT event_type, day, n, d_units,
+          |        CAST(sum(d_units) OVER wo AS BIGINT) AS cum
+          |      FROM t WINDOW wo AS (PARTITION BY event_type ORDER BY day
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          |m AS (SELECT *, min(cum) OVER (PARTITION BY event_type ORDER BY day
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin
+          |      FROM c),
+          |p AS (SELECT event_type, day, n, d_units,
+          |        cum - least(runmin, 0) AS cusum_units FROM m)
+          |SELECT event_type, day, n, d_units, cusum_units,
+          |  cusum_units = max(cusum_units) OVER (PARTITION BY event_type) AS is_peak
+          |FROM p ORDER BY event_type, day""".stripMargin,
+      "q_entity_resolution" ->
+        """WITH RECURSIVE recs AS (
+          |  SELECT c_custkey AS id, c_name AS name,
+          |         'cust' || CAST(c_custkey AS VARCHAR) || '@x.com' AS email
+          |  FROM customer
+          |  UNION ALL SELECT c_custkey + 10000000, upper(c_name),
+          |         'cust' || CAST(c_custkey AS VARCHAR) || '@x.com'
+          |    FROM customer WHERE c_custkey % 7 = 0
+          |  UNION ALL SELECT c_custkey + 20000000, c_name,
+          |         'cust' || CAST(c_custkey + 20000000 AS VARCHAR) || '@x.com'
+          |    FROM customer WHERE c_custkey % 13 = 0),
+          |e1 AS (SELECT min(id) OVER (PARTITION BY name) AS a_id, id AS b_id FROM recs),
+          |e2 AS (SELECT min(id) OVER (PARTITION BY email) AS a_id, id AS b_id FROM recs),
+          |edges0 AS (SELECT a_id, b_id FROM e1 WHERE a_id <> b_id
+          |           UNION SELECT a_id, b_id FROM e2 WHERE a_id <> b_id),
+          |edges AS (SELECT a_id, b_id FROM edges0
+          |          UNION ALL SELECT b_id, a_id FROM edges0),
+          |reach(src, dst) AS (
+          |  SELECT DISTINCT a_id, a_id FROM edges
+          |  UNION
+          |  SELECT r.src, e.b_id FROM reach r JOIN edges e ON e.a_id = r.dst),
+          |clus AS (SELECT src AS id, min(dst) AS entity FROM reach GROUP BY src),
+          |ent AS (SELECT recs.id AS record_id,
+          |               coalesce(clus.entity, recs.id) AS entity_id
+          |        FROM recs LEFT JOIN clus ON clus.id = recs.id)
+          |SELECT record_id, entity_id,
+          |  CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT) AS entity_size
+          |FROM ent ORDER BY record_id""".stripMargin,
       "q_path_mining" ->
         """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
           |                  event_id, event_type FROM events),

@@ -248,4 +248,35 @@ object Funnel {
             (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
       .withColumn("significant", abs(col("z")) > 1.96)
   }
+
+  /** CUSUM change-point detection over each event type's daily volume
+    * series — the classic upward-shift detector: C_t = max(0, C_{t-1} +
+    * (x_t - mean)). The sequential recurrence looks window-hostile, but it
+    * has the exact prefix identity C_t = S_t - min(0, min_{s<=t} S_s)
+    * with S_t = Σ(x_s - mean), so two ordered windows (running sum,
+    * running min) compute it with NO sequential fold. Fractions are
+    * cleared by working in 1/n_days units: d_t = n_days*x_t - total is an
+    * exact integer, making every value engine-bit-identical.
+    *
+    * `is_peak` marks the day(s) where the statistic tops out — the
+    * change-point estimate. Scale shape: one row-grain daily count, then
+    * windows over the day-grain relation, parallel across event types. */
+  def cusumDaily(events: DataFrame): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    val ordered = byType.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__days", count(lit(1)).over(byType))
+      .withColumn("__total", sum(col("n")).over(byType))
+      .withColumn("d_units", col("__days") * col("n") - col("__total"))
+      .withColumn("__cum", sum(col("d_units")).over(ordered))
+      .withColumn("__runmin", min(col("__cum")).over(ordered))
+      .withColumn("cusum_units", col("__cum") - least(col("__runmin"), lit(0L)))
+      .withColumn("is_peak",
+        col("cusum_units") === max(col("cusum_units")).over(byType))
+      .select("event_type", "day", "n", "d_units", "cusum_units", "is_peak")
+      .orderBy("event_type", "day")
+  }
 }

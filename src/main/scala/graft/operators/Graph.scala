@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -218,5 +219,32 @@ object Graph {
       .select("item_a", "item_b", "co_cnt", "cnt_a", "cnt_b", "cosine", "jaccard")
       .orderBy(col("cosine").desc, col("item_a").asc, col("item_b").asc)
       .limit(topN)
+  }
+
+  /** "Customers who bought X also bought Y": top-`k` most-cosine-similar
+    * items PER ITEM — [[itemSimilarity]]'s pair table symmetrized and
+    * ranked per source item instead of globally. The rank window partitions
+    * by item (parallel; each item ranks only its own co-occurring
+    * neighbors, never the catalog), so there is no global sort anywhere. */
+  def recommendations(baskets: DataFrame, basketCol: String, itemCol: String,
+                      minCo: Int = 2, k: Int = 3): DataFrame = {
+    val b = baskets.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct()
+    val itemCnt = b.groupBy("item").agg(count(lit(1)).as("cnt"))
+    val co = coOccurrenceEdges(b, "basket", "item", minCo)
+    val sym = co.unionAll(co.select(
+      col("item_b").as("item_a"), col("item_a").as("item_b"), col("co_cnt")))
+    val ca = itemCnt.select(col("item").as("item_a"), col("cnt").as("cnt_a"))
+    val cb = itemCnt.select(col("item").as("item_b"), col("cnt").as("cnt_b"))
+    val w = Window.partitionBy("item_a")
+      .orderBy(col("cosine").desc, col("item_b").asc)
+    sym.join(broadcast(ca), "item_a").join(broadcast(cb), "item_b")
+      .withColumn("cosine", col("co_cnt").cast("double") /
+        sqrt((col("cnt_a") * col("cnt_b")).cast("double")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("item_a").as("item"), col("rk"),
+        col("item_b").as("rec"), col("co_cnt"), col("cosine"))
+      .orderBy("item", "rk")
   }
 }
