@@ -97,10 +97,27 @@ object ScaleUp {
       .drop("__k")
     emb.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
-    // pass-through tables copy as BYTES — a Spark round-trip would reject
-    // events' TIMESTAMP(NANOS) (Tables.events owns that quirk) and has
-    // nothing to add for unscaled dims anyway
-    Seq("region", "nation", "customer", "supplier", "part", "orders", "events")
+    // orders replicates WITH lineitem's stride so the o_orderkey join keys
+    // line up per replica — semantically "every customer places factor x
+    // more orders" (custkey unchanged: the customer/supplier graph gains
+    // edge multiplicity and density, the regime the graph/CF lanes see at
+    // scale). Before round 6 orders passed through unscaled, which silently
+    // reduced any orders⋈lineitem probe to replica 0.
+    val ord = replicate(spark.read.parquet(s"$src/orders.parquet"), factor)
+      .withColumn("o_orderkey", col("o_orderkey") + col("__k") * Stride)
+      .drop("__k")
+    ord.write.mode("overwrite").parquet(s"$dst/orders.parquet")
+
+    // events: event_id shifts, user_id and ts stay — factor x busier users
+    // on the same calendar (the event-analytics scaling regime). Reading
+    // through Tables.events normalizes the TIMESTAMP(NANOS) quirk.
+    val ev = replicate(graft.sources.Tables.events(spark, src), factor)
+      .withColumn("event_id", col("event_id") + col("__k") * Stride)
+      .drop("__k")
+    ev.write.mode("overwrite").parquet(s"$dst/events.parquet")
+
+    // dims copy as BYTES (nothing to scale)
+    Seq("region", "nation", "customer", "supplier", "part")
       .foreach { t =>
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$src/$t.parquet"),

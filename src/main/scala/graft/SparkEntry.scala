@@ -672,21 +672,38 @@ object SparkEntry {
     // +10M copies break the name but keep the email (linked by pass B);
     // +20M copies keep the name but break the email (linked by pass A);
     // custkey % 91 gets both copies -> a 3-record entity via closure
-    "q_entity_resolution" -> ((s, dir) => {
-      val base = Tables.customer(s, dir).select(col("c_custkey").as("id"),
-        col("c_name").as("name"),
-        concat(lit("cust"), col("c_custkey").cast("string"), lit("@x.com")).as("email"))
-      val d7 = base.filter(pmod(col("id"), lit(7)) === 0)
-        .select((col("id") + lit(10000000L)).as("id"),
-          upper(col("name")).as("name"), col("email"))
-      val d13 = base.filter(pmod(col("id"), lit(13)) === 0)
-        .select((col("id") + lit(20000000L)).as("id"), col("name"),
-          concat(lit("cust"), (col("id") + lit(20000000L)).cast("string"),
+    "q_entity_resolution" -> ((s, dir) =>
+      EntityResolution.resolve(erHistory(s, dir), "id",
+          Seq(col("name"), col("email")))
+        .orderBy("record_id")),
+    // daily-ingest form: a new dirty batch resolves against FROZEN history
+    // entities — +30M copies match history by email (name case-broken),
+    // +40M copies match nothing directly (batch-minted email) but link
+    // intra-batch to +30M via the shared broken name when custkey % 55 == 0
+    "q_er_incremental" -> ((s, dir) => {
+      val hist = erHistory(s, dir)
+      val hEnt = EntityResolution.resolve(hist, "id",
+        Seq(col("name"), col("email")))
+      val c = Tables.customer(s, dir).select("c_custkey", "c_name")
+      val b5 = c.filter(pmod(col("c_custkey"), lit(5)) === 0)
+        .select((col("c_custkey") + lit(30000000L)).as("id"),
+          upper(col("c_name")).as("name"),
+          concat(lit("cust"), col("c_custkey").cast("string"), lit("@x.com")).as("email"))
+      val b11 = c.filter(pmod(col("c_custkey"), lit(11)) === 0)
+        .select((col("c_custkey") + lit(40000000L)).as("id"),
+          upper(col("c_name")).as("name"),
+          concat(lit("batch"), (col("c_custkey") + lit(40000000L)).cast("string"),
             lit("@x.com")).as("email"))
-      EntityResolution.resolve(base.unionAll(d7).unionAll(d13), "id",
+      EntityResolution.resolveIncremental(hist, hEnt, b5.unionAll(b11), "id",
           Seq(col("name"), col("email")))
         .orderBy("record_id")
     }),
+    // deterministic label-propagation communities on the co-purchase graph
+    "q_label_prop" -> ((s, dir) =>
+      Graph.labelPropagation(
+        Graph.coOccurrenceEdges(Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey")), "l_orderkey", "l_partkey"),
+        "item_a", "item_b")),
 
     // ---- extension: deterministic sampling / per-group quotas ----
     "q_sample_stratified" -> ((s, dir) =>
@@ -1447,6 +1464,25 @@ object SparkEntry {
     s"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
        |sk AS (SELECT vec_id, emb, t AS tbl, ${bucketKeySql("emb", "t")} AS key
        |       FROM v CROSS JOIN range(0, 4) r(t))""".stripMargin
+  /** Entity-resolution fixture: customers plus two planted dirty-copy
+    * classes — +10M copies break the name but keep the synthetic email,
+    * +20M copies keep the name but break the email (custkey % 91 gets
+    * both). Shared by `q_entity_resolution` (full resolve) and
+    * `q_er_incremental` (history side). */
+  private def erHistory(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir).select(col("c_custkey").as("id"),
+      col("c_name").as("name"),
+      concat(lit("cust"), col("c_custkey").cast("string"), lit("@x.com")).as("email"))
+    val d7 = base.filter(pmod(col("id"), lit(7)) === 0)
+      .select((col("id") + lit(10000000L)).as("id"),
+        upper(col("name")).as("name"), col("email"))
+    val d13 = base.filter(pmod(col("id"), lit(13)) === 0)
+      .select((col("id") + lit(20000000L)).as("id"), col("name"),
+        concat(lit("cust"), (col("id") + lit(20000000L)).cast("string"),
+          lit("@x.com")).as("email"))
+    base.unionAll(d7).unionAll(d13)
+  }
+
   /** [[bucketKeySql]]/[[sketchCte]] generalized to `bits` sign planes — the
     * auto-tuned LSH oracle pins the width [[Similarity.lshAutoBits]] derives
     * from the fixture's corpus count. */
@@ -4018,6 +4054,91 @@ object SparkEntry {
           |SELECT record_id, entity_id,
           |  CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT) AS entity_size
           |FROM ent ORDER BY record_id""".stripMargin,
+      "q_label_prop" ->
+        """WITH baskets AS (
+          |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+          |canon AS (SELECT a.item AS a, b.item AS b
+          |      FROM baskets a JOIN baskets b ON a.basket = b.basket AND a.item < b.item
+          |      GROUP BY 1, 2 HAVING count(*) >= 2),
+          |sym AS (SELECT a AS src, b AS dst FROM canon UNION ALL SELECT b, a FROM canon),
+          |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+          |v1 AS (SELECT e.src, l.label, count(*) AS cnt
+          |       FROM sym e JOIN l0 l ON l.node = e.dst GROUP BY 1, 2),
+          |l1 AS (SELECT src AS node, label FROM (
+          |         SELECT src, label, row_number() OVER
+          |           (PARTITION BY src ORDER BY cnt DESC, label) AS rk FROM v1) t
+          |       WHERE rk = 1),
+          |v2 AS (SELECT e.src, l.label, count(*) AS cnt
+          |       FROM sym e JOIN l1 l ON l.node = e.dst GROUP BY 1, 2),
+          |l2 AS (SELECT src AS node, label FROM (
+          |         SELECT src, label, row_number() OVER
+          |           (PARTITION BY src ORDER BY cnt DESC, label) AS rk FROM v2) t
+          |       WHERE rk = 1),
+          |v3 AS (SELECT e.src, l.label, count(*) AS cnt
+          |       FROM sym e JOIN l2 l ON l.node = e.dst GROUP BY 1, 2),
+          |l3 AS (SELECT src AS node, label FROM (
+          |         SELECT src, label, row_number() OVER
+          |           (PARTITION BY src ORDER BY cnt DESC, label) AS rk FROM v3) t
+          |       WHERE rk = 1)
+          |SELECT node AS item, label AS community,
+          |  CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
+          |FROM l3 ORDER BY item""".stripMargin,
+      "q_er_incremental" ->
+        """WITH RECURSIVE hrecs AS (
+          |  SELECT c_custkey AS id, c_name AS name,
+          |         'cust' || CAST(c_custkey AS VARCHAR) || '@x.com' AS email
+          |  FROM customer
+          |  UNION ALL SELECT c_custkey + 10000000, upper(c_name),
+          |         'cust' || CAST(c_custkey AS VARCHAR) || '@x.com'
+          |    FROM customer WHERE c_custkey % 7 = 0
+          |  UNION ALL SELECT c_custkey + 20000000, c_name,
+          |         'cust' || CAST(c_custkey + 20000000 AS VARCHAR) || '@x.com'
+          |    FROM customer WHERE c_custkey % 13 = 0),
+          |he1 AS (SELECT min(id) OVER (PARTITION BY name) AS a_id, id AS b_id FROM hrecs),
+          |he2 AS (SELECT min(id) OVER (PARTITION BY email) AS a_id, id AS b_id FROM hrecs),
+          |hedges0 AS (SELECT a_id, b_id FROM he1 WHERE a_id <> b_id
+          |            UNION SELECT a_id, b_id FROM he2 WHERE a_id <> b_id),
+          |hedges AS (SELECT a_id, b_id FROM hedges0
+          |           UNION ALL SELECT b_id, a_id FROM hedges0),
+          |hreach(src, dst) AS (
+          |  SELECT DISTINCT a_id, a_id FROM hedges
+          |  UNION
+          |  SELECT r.src, e.b_id FROM hreach r JOIN hedges e ON e.a_id = r.dst),
+          |hclus AS (SELECT src AS id, min(dst) AS entity FROM hreach GROUP BY src),
+          |hent AS (SELECT hrecs.id, coalesce(hclus.entity, hrecs.id) AS entity
+          |         FROM hrecs LEFT JOIN hclus ON hclus.id = hrecs.id),
+          |batch AS (
+          |  SELECT c_custkey + 30000000 AS id, upper(c_name) AS name,
+          |         'cust' || CAST(c_custkey AS VARCHAR) || '@x.com' AS email
+          |    FROM customer WHERE c_custkey % 5 = 0
+          |  UNION ALL SELECT c_custkey + 40000000, upper(c_name),
+          |         'batch' || CAST(c_custkey + 40000000 AS VARCHAR) || '@x.com'
+          |    FROM customer WHERE c_custkey % 11 = 0),
+          |be1 AS (SELECT min(id) OVER (PARTITION BY name) AS a_id, id AS b_id FROM batch),
+          |be2 AS (SELECT min(id) OVER (PARTITION BY email) AS a_id, id AS b_id FROM batch),
+          |bedges0 AS (SELECT a_id, b_id FROM be1 WHERE a_id <> b_id
+          |            UNION SELECT a_id, b_id FROM be2 WHERE a_id <> b_id),
+          |bedges AS (SELECT a_id, b_id FROM bedges0
+          |           UNION ALL SELECT b_id, a_id FROM bedges0),
+          |breach(src, dst) AS (
+          |  SELECT DISTINCT a_id, a_id FROM bedges
+          |  UNION
+          |  SELECT r.src, e.b_id FROM breach r JOIN bedges e ON e.a_id = r.dst),
+          |bclus AS (SELECT src AS id, min(dst) AS bent FROM breach GROUP BY src),
+          |bent AS (SELECT batch.id, coalesce(bclus.bent, batch.id) AS bent
+          |         FROM batch LEFT JOIN bclus ON bclus.id = batch.id),
+          |m AS (SELECT b.id, he.entity FROM batch b
+          |        JOIN hrecs h ON h.name = b.name JOIN hent he ON he.id = h.id
+          |      UNION ALL
+          |      SELECT b.id, he.entity FROM batch b
+          |        JOIN hrecs h ON h.email = b.email JOIN hent he ON he.id = h.id),
+          |adopt AS (SELECT id, min(entity) AS adopt FROM m GROUP BY id),
+          |x AS (SELECT bent.id AS record_id, bent.bent,
+          |        min(adopt.adopt) OVER (PARTITION BY bent.bent) AS centity
+          |      FROM bent LEFT JOIN adopt ON adopt.id = bent.id)
+          |SELECT record_id, coalesce(centity, bent) AS entity_id,
+          |       centity IS NULL AS is_new
+          |FROM x ORDER BY record_id""".stripMargin,
       "q_path_mining" ->
         """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
           |                  event_id, event_type FROM events),

@@ -50,4 +50,44 @@ object EntityResolution {
       .withColumn("entity_size", count(lit(1)).over(sized))
       .select("record_id", "entity_id", "entity_size")
   }
+
+  /** Incremental resolution of a `batch` against FROZEN history — the daily
+    * ingest form: history entities are never rewritten; the batch resolves
+    * internally (same star-edge closure, batch-sized), each batch record
+    * collects the history entities it block-matches, and every batch
+    * component adopts the SMALLEST matched entity (or mints its component
+    * min as a new entity if nothing matched; `is_new` reports which).
+    * A batch that would bridge two history entities adopts the smaller
+    * one and does NOT merge them — the standard incremental-ER contract
+    * (merges are a compaction decision, not an ingest side effect).
+    *
+    * Scale: history participates ONLY as its (block key, id) projection
+    * joined to the (small) batch key side, then a keyed hop to the
+    * (id, entity) map — the history payload never reshuffles, and the
+    * closure runs over batch edges alone. */
+  def resolveIncremental(history: DataFrame, historyEntities: DataFrame,
+                         batch: DataFrame, idCol: String,
+                         blockKeys: Seq[Column]): DataFrame = {
+    val batchLocal = resolve(batch, idCol, blockKeys)
+      .select(col("record_id"), col("entity_id").as("__bent"))
+    val histEnt = historyEntities
+      .select(col("record_id").as("__h_id"), col("entity_id").as("__h_ent"))
+    val adopted = blockKeys.map { k =>
+      val bk = batch.select(col(idCol).as("record_id"), k.as("__key"))
+        .filter(col("__key").isNotNull)
+      val hk = history.select(col(idCol).as("__h_id"), k.as("__key"))
+        .filter(col("__key").isNotNull)
+      hk.join(broadcast(bk), "__key")
+        .join(histEnt, "__h_id")
+        .select(col("record_id"), col("__h_ent"))
+    }.reduce(_ unionAll _)
+      .groupBy("record_id").agg(min(col("__h_ent")).as("adopt"))
+    val wComp = Window.partitionBy("__bent")
+    batchLocal
+      .join(adopted, Seq("record_id"), "left")
+      .withColumn("__centity", min(col("adopt")).over(wComp))
+      .withColumn("entity_id", coalesce(col("__centity"), col("__bent")))
+      .withColumn("is_new", col("__centity").isNull)
+      .select("record_id", "entity_id", "is_new")
+  }
 }

@@ -43,8 +43,11 @@ object Graph {
   def marketBasket(baskets: DataFrame, basketCol: String, itemCol: String,
                    minItemSupport: Int = 15, minPairSupport: Int = 2,
                    topN: Int = 100): DataFrame = {
+    // basket relation feeds item counts, the basket total AND pair packing —
+    // persist once or the upstream (often a join) re-runs per consumer
     val b = baskets.select(col(basketCol).as("basket"), col(itemCol).as("item"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val itemCnt = b.groupBy("item").agg(count(lit(1)).as("cnt"))
     val freq = itemCnt.filter(col("cnt") >= minItemSupport)
     val nB = b.agg(countDistinct("basket").as("n_baskets")) // 1 row
@@ -94,8 +97,11 @@ object Graph {
   def pageRank(edgePairs: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3, topN: Int = 50): DataFrame = {
     val U = 1000000000000L
+    // the undirected edge set feeds both union branches AND the degree agg —
+    // persist once so the upstream derivation (often a join) runs once
     val und = edgePairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val edges = und.unionAll(
       und.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -207,6 +213,7 @@ object Graph {
                      minCo: Int = 2, topN: Int = 100): DataFrame = {
     val b = baskets.select(col(basketCol).as("basket"), col(itemCol).as("item"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val itemCnt = b.groupBy("item").agg(count(lit(1)).as("cnt"))
     val co = coOccurrenceEdges(b, "basket", "item", minCo)
     val ca = itemCnt.select(col("item").as("item_a"), col("cnt").as("cnt_a"))
@@ -221,6 +228,47 @@ object Graph {
       .limit(topN)
   }
 
+  /** Synchronous label-propagation community detection, made DETERMINISTIC:
+    * every node starts labeled with its own id; each iteration every node
+    * adopts the MODE of its neighbors' labels, ties broken to the smallest
+    * label. (Textbook LPA breaks ties randomly and sweeps asynchronously —
+    * neither survives a distributed retry, let alone an oracle compare;
+    * synchronous sweeps + lexicographic ties make the fixed-iteration
+    * result a pure function of the graph.)
+    *
+    * Scale: the symmetrized edge list partitions by dst once (persisted);
+    * per iteration: one join against the node-sized label table, one
+    * partial-agg vote count, one per-node rank window — all keyed, nothing
+    * global. */
+  def labelPropagation(edgePairs: DataFrame, aCol: String, bCol: String,
+                       iters: Int = 3): DataFrame = {
+    val canon = edgePairs.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = canon.unionAll(canon.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("src"), col("b").as("dst"))
+      .repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val votes = sym
+        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("src")
+        .orderBy(col("cnt").desc, col("label").asc)
+      labels = votes.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("src").as("node"), col("label"))
+    }
+    val sized = Window.partitionBy("community")
+    labels.select(col("node").as("item"), col("label").as("community"))
+      .withColumn("community_size", count(lit(1)).over(sized))
+      .orderBy("item")
+  }
+
   /** "Customers who bought X also bought Y": top-`k` most-cosine-similar
     * items PER ITEM — [[itemSimilarity]]'s pair table symmetrized and
     * ranked per source item instead of globally. The rank window partitions
@@ -230,6 +278,7 @@ object Graph {
                       minCo: Int = 2, k: Int = 3): DataFrame = {
     val b = baskets.select(col(basketCol).as("basket"), col(itemCol).as("item"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val itemCnt = b.groupBy("item").agg(count(lit(1)).as("cnt"))
     val co = coOccurrenceEdges(b, "basket", "item", minCo)
     val sym = co.unionAll(co.select(

@@ -40,6 +40,32 @@ class EntityResolutionSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // all singletons
   }
 
+  test("resolveIncremental: adoption, closure-through-batch, new entities, frozen bridges") {
+    val history = Seq(
+      (1L, "alice", "a@x.com"), (2L, "alicia", "a@x.com"), // entity 1
+      (3L, "carol", "c@x.com"),                            // entity 3
+      (5L, "eve", "e@x.com"))                              // entity 5
+      .toDF("id", "name", "email")
+    val hEnt = EntityResolution.resolve(history, "id",
+      Seq(col("name"), col("email")))
+    val batch = Seq(
+      (10L, "ALICE", "a@x.com"),  // matches entity 1 by email
+      (11L, "ALICE", "z@x.com"),  // matches history nothing; links to 10 intra-batch
+      (12L, "dave", "d@x.com"),   // matches nothing -> new entity
+      (13L, "carol", "e@x.com"))  // BRIDGE: entity 3 by name, entity 5 by email
+      .toDF("id", "name", "email")
+    val out = EntityResolution.resolveIncremental(history, hEnt, batch, "id",
+        Seq(col("name"), col("email")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(10L) === ((1L, false)))
+    assert(out(11L) === ((1L, false)), "closure through batch must adopt")
+    assert(out(12L) === ((12L, true)))
+    // bridge adopts the SMALLER history entity; history itself untouched
+    assert(out(13L) === ((3L, false)))
+    val hAfter = hEnt.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hAfter(3L) === 3L && hAfter(5L) === 5L)
+  }
+
   test("cusumDaily: equals the sequential max(0, prev + d) recurrence") {
     def ev(id: Long, day: Int, t: String) =
       (id, 1L, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), t)

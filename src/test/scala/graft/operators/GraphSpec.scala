@@ -88,6 +88,27 @@ class GraphSpec extends SparkSpec {
     assert(r.getAs[Double]("clustering_coeff") === 0.0)
   }
 
+  test("labelPropagation: two cliques joined by one bridge edge settle into two communities") {
+    // cliques {1,2,3} and {10,11,12}, bridge 3-10: interior majorities hold
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("x", "y")
+    val got = Graph.labelPropagation(e, "x", "y", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each clique agrees internally on one community label
+    assert(Set(got(1L), got(2L)).size === 1)
+    assert(Set(got(11L), got(12L)).size === 1)
+    assert(got(1L) !== got(11L), got.toString)
+  }
+
+  test("labelPropagation is deterministic under ties: smallest label wins") {
+    // node 5 has exactly one neighbor in each clique -> 1-1 vote tie every
+    // sweep; the tie must resolve to the smaller label, identically on rerun
+    val e = Seq((1L, 2L), (3L, 4L), (2L, 5L), (3L, 5L)).toDF("x", "y")
+    val a = Graph.labelPropagation(e, "x", "y").collect().toSeq
+    val b = Graph.labelPropagation(e, "x", "y").collect().toSeq
+    assert(a === b)
+  }
+
   test("itemSimilarity: cosine and jaccard match hand computation") {
     // item 1 in baskets {A,B,C}, item 2 in {A,B}, co = 2
     val b = Seq(("A", 1L), ("B", 1L), ("C", 1L), ("A", 2L), ("B", 2L))

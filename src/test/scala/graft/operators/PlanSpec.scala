@@ -363,4 +363,36 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.exists(l => l.contains("LeftSemi")), p.take(3000))
     assert(df.count() > 0)
   }
+
+  test("marketBasket: frequent-item and count joins broadcast; no nested loop") {
+    val p = plan(Graph.marketBasket(Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")), "l_orderkey", "l_partkey",
+      minItemSupport = 2, minPairSupport = 1))
+    // freq semi-filter + cnt_a + cnt_b + n_baskets = 4 broadcast joins
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // top-N is a bounded TakeOrdered, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("recommendations: rank window partitions by item, not a global window") {
+    val b = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+    val p = plan(Graph.recommendations(b, "basket", "item", minCo = 1))
+    // the Window node must carry a partition spec (no empty-partition
+    // global window, which would serialize the whole catalog)
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty, p.take(2000))
+    assert(winLines.exists(_.contains("item_a")), winLines.mkString("\n"))
+  }
+
+  test("pageRank: per-iteration shuffles are rank-sized — edges exchange once") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")).toDF("s", "d")
+    val df = Graph.pageRank(e, "s", "d", iters = 3)
+    val p = plan(df)
+    // the persisted edge relation appears as InMemoryTableScan consumers —
+    // one per iteration — instead of re-deriving the edge pipeline
+    assert(p.contains("InMemoryTableScan"), p.take(3000))
+  }
 }
