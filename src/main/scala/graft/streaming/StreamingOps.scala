@@ -466,4 +466,41 @@ object StreamingOps {
           } else Iterator.empty
         })
   }
+
+  /** STREAMING entity resolution against FROZEN history — the streaming
+    * twin of `EntityResolution.resolveIncremental`'s adoption stage: each
+    * arriving record block-matches per pass against a static (key → min
+    * entity) lookup built ONCE from history, adopts the smallest entity
+    * across passes, or mints its own id as a new entity.
+    *
+    * Stateless by contract: stream-static left equi-joins in append mode,
+    * no watermark, no state store. Intra-stream linking (two stream
+    * records that match each other but nothing in history) is the batch
+    * job's concern — closing transitive components over an unbounded
+    * stream needs unbounded state, which is exactly the line the
+    * incremental-ER contract draws. `StreamingOpsSpec` asserts agreement
+    * with the batch operator on records without intra-batch edges. */
+  def resolveStream(records: DataFrame, history: DataFrame,
+                    historyEntities: DataFrame, idCol: String,
+                    blockKeys: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val histEnt = historyEntities
+      .select(col("record_id").as("__h_id"), col("entity_id").as("__h_ent"))
+    val keyed = records.select(
+      (col(idCol).as("record_id") +:
+        blockKeys.zipWithIndex.map { case (k, i) => k.as(s"__k$i") }): _*)
+    val joined = blockKeys.zipWithIndex.foldLeft(keyed) { case (df, (k, i)) =>
+      val lookup = history
+        .select(col(idCol).as("__h_id"), k.as(s"__k$i"))
+        .filter(col(s"__k$i").isNotNull)
+        .join(histEnt, "__h_id")
+        .groupBy(s"__k$i").agg(min(col("__h_ent")).as(s"__e$i"))
+      df.join(lookup, Seq(s"__k$i"), "left")
+    }
+    val eCols = blockKeys.indices.map(i => col(s"__e$i"))
+    val adopted = if (eCols.size == 1) eCols.head else least(eCols: _*)
+    joined
+      .withColumn("entity_id", coalesce(adopted, col("record_id")))
+      .withColumn("is_new", adopted.isNull)
+      .select("record_id", "entity_id", "is_new")
+  }
 }

@@ -779,4 +779,44 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.exists { case (k, n, _) => k == 2L && n == 0L })
   }
+
+  test("streaming entity resolution adopts frozen-history entities, agrees with batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val history = Seq(
+      (1L, "alice", "a@x.com"), (2L, "alicia", "a@x.com"), // entity 1
+      (3L, "carol", "c@x.com"))                            // entity 3
+      .toDF("id", "name", "email")
+    val hEnt = graft.operators.EntityResolution.resolve(history, "id",
+      Seq(col("name"), col("email")))
+    // no intra-batch edges (the stream contract): adoption-only records
+    val rows = Seq(
+      (10L, "ALICE", "a@x.com"),  // entity 1 via email
+      (11L, "carol", "q@x.com"),  // entity 3 via name
+      (12L, "dave", "d@x.com"))   // new entity
+    val stream = MemoryStream[(Long, String, String)]
+    stream.addData(rows.take(2))
+    val q = StreamingOps.resolveStream(
+        stream.toDF().toDF("id", "name", "email"),
+        history, hEnt, "id", Seq(col("name"), col("email")))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("er_out").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(rows.drop(2)) // second trigger — no cross-trigger state
+      q.processAllAvailable()
+      // stateless: no state store rows at all
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+    val streamed = spark.table("er_out").orderBy("record_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val batch = graft.operators.EntityResolution.resolveIncremental(
+        history, hEnt, rows.toDF("id", "name", "email"), "id",
+        Seq(col("name"), col("email")))
+      .orderBy("record_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(streamed === batch)
+    assert(streamed === Seq((10L, 1L, false), (11L, 3L, false), (12L, 12L, true)))
+  }
 }
