@@ -395,4 +395,23 @@ class PlanSpec extends SparkSpec {
     // one per iteration — instead of re-deriving the edge pipeline
     assert(p.contains("InMemoryTableScan"), p.take(3000))
   }
+
+  test("labelPropagation: iterations consume the persisted edge cache") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("x", "y")
+    val p = plan(Graph.labelPropagation(e, "x", "y"))
+    assert(p.contains("InMemoryTableScan"), p.take(3000))
+  }
+
+  test("resolveIncremental: batch key sides broadcast against history") {
+    import spark.implicits._
+    val history = (1L to 50L).map(i => (i, s"n$i", s"e$i@x")).toDF("id", "name", "email")
+    val hEnt = EntityResolution.resolve(history, "id",
+      Seq(col("name"), col("email")))
+    val batch = Seq((100L, "n1", "zz@x")).toDF("id", "name", "email")
+    val p = plan(EntityResolution.resolveIncremental(history, hEnt, batch, "id",
+      Seq(col("name"), col("email"))))
+    // each pass joins history's key projection to the BROADCAST batch side
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
+  }
 }
