@@ -2901,10 +2901,15 @@ object SparkEntry {
            |        FROM byt),
            |pd AS (SELECT day, CAST(max(r) AS BIGINT) AS mx,
            |         CAST(sum(delta) AS BIGINT) AS dtot FROM run GROUP BY day),
+           |days AS (SELECT CAST(unnest(generate_series(min(day), max(day),
+           |           INTERVAL 1 DAY)) AS DATE) AS day FROM pd),
+           |dn AS (SELECT d.day, pd.mx,
+           |         CAST(coalesce(pd.dtot, 0) AS BIGINT) AS dtot
+           |       FROM days d LEFT JOIN pd ON d.day = pd.day),
            |cr AS (SELECT day, mx, CAST(coalesce(sum(dtot) OVER (ORDER BY day
            |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-           |         AS carry FROM pd)
-           |SELECT day, greatest(mx, carry) AS peak_concurrency
+           |         AS carry FROM dn)
+           |SELECT day, greatest(coalesce(mx, carry), carry) AS peak_concurrency
            |FROM cr ORDER BY day""".stripMargin,
       "q_range_join" ->
         s"""WITH $sessionCtes,
@@ -3069,9 +3074,12 @@ object SparkEntry {
           |        sum(CAST(na_v * r2 AS DECIMAL(38,0))) AS s2r_a,
           |        sum(CAST(c * c * c - c AS DECIMAL(38,0))) AS ties FROM r),
           |f AS (SELECT n_a, n_b, n_a + n_b AS n, ties,
-          |        CAST(CAST(2 * n_a * n_b + n_a * (n_a + 1) AS DECIMAL(38,0))
+          |        CAST(CAST(2 AS DECIMAL(38,0)) * CAST(n_a AS DECIMAL(38,0))
+          |               * CAST(n_b AS DECIMAL(38,0))
+          |             + CAST(n_a AS DECIMAL(38,0))
+          |               * CAST(n_a + 1 AS DECIMAL(38,0))
           |          - s2r_a AS DOUBLE) AS u2d,
-          |        CAST(n_a * n_b AS DOUBLE) AS nab FROM m),
+          |        CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) AS nab FROM m),
           |g AS (SELECT *, nab * (CAST(n + 1 AS DOUBLE)
           |        - CAST(ties AS DOUBLE)
           |          / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / 12.0
@@ -3922,9 +3930,14 @@ object SparkEntry {
           |ORDER BY lift DESC, part_a, part_b LIMIT 100""".stripMargin,
       "q_pagerank" ->
         """WITH und AS (
-          |  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS a,
-          |                  'S' || CAST(l_suppkey AS VARCHAR) AS b
-          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          |  SELECT DISTINCT
+          |    least('C' || CAST(o_custkey AS VARCHAR),
+          |          'S' || CAST(l_suppkey AS VARCHAR)) AS a,
+          |    greatest('C' || CAST(o_custkey AS VARCHAR),
+          |             'S' || CAST(l_suppkey AS VARCHAR)) AS b
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          |  WHERE 'C' || CAST(o_custkey AS VARCHAR)
+          |        <> 'S' || CAST(l_suppkey AS VARCHAR)),
           |edges AS (SELECT a AS src, b AS dst FROM und
           |          UNION ALL SELECT b, a FROM und),
           |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),

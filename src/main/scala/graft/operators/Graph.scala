@@ -98,8 +98,14 @@ object Graph {
                iters: Int = 3, topN: Int = 50): DataFrame = {
     val U = 1000000000000L
     // the undirected edge set feeds both union branches AND the degree agg —
-    // persist once so the upstream derivation (often a join) runs once
-    val und = edgePairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // persist once so the upstream derivation (often a join) runs once.
+    // Canonicalize (least, greatest) BEFORE distinct so an input carrying
+    // both (a,b) and (b,a) counts the edge once, matching triangleStats /
+    // labelPropagation.
+    val und = edgePairs.select(
+        least(col(srcCol), col(dstCol)).as("src"),
+        greatest(col(srcCol), col(dstCol)).as("dst"))
+      .filter(col("src") =!= col("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edges = und.unionAll(

@@ -70,16 +70,25 @@ object JsonOps {
       .rowsBetween(Window.unboundedPreceding, 0)
     val run = byT.withColumn("run", sum(col("delta")).over(wDay))
     val perDay = byT.groupBy("day").agg(sum(col("delta")).cast("long").as("day_total"))
+    // densify over the observed day range: a day lying entirely inside a
+    // multi-day session has NO boundary row, but its concurrency is the
+    // carry all day — it must still appear in the report
+    val spine = perDay.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val dense = spine.join(perDay, Seq("day"), "left")
+      .withColumn("day_total", coalesce(col("day_total"), lit(0L)))
     val wDays = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
-    val carry = perDay
+    val carry = dense
       .withColumn("carry", coalesce(sum(col("day_total")).over(wDays), lit(0L)))
       .select("day", "carry")
     // day-open concurrency (the carry itself) is a peak candidate: a day
-    // whose only boundary is a session END was at `carry` until that end
-    run.join(broadcast(carry), "day")
-      .groupBy("day")
-      .agg(greatest(max(col("run") + col("carry")), first(col("carry")))
-        .cast("long").as("peak_concurrency"))
+    // whose only boundary is a session END was at `carry` until that end;
+    // a boundary-free day peaks AT the carry
+    val runMax = run.groupBy("day").agg(max(col("run")).as("max_run"))
+    carry.join(runMax, Seq("day"), "left")
+      .select(col("day"),
+        greatest(coalesce(col("max_run") + col("carry"), col("carry")),
+          col("carry")).cast("long").as("peak_concurrency"))
       .orderBy("day")
   }
 

@@ -680,17 +680,23 @@ object Relational {
         sum((col("na_v") * col("r2")).cast("decimal(38,0)")).as("s2r_a"),
         sum((col("c") * col("c") * col("c") - col("c")).cast("decimal(38,0)"))
           .as("ties"))
+    // all n_a*n_b products go through decimal(38,0) / per-factor double
+    // BEFORE multiplying: a LONG product overflows once each sample
+    // exceeds ~2e9 rows, silently at 100 TB
+    val naD = col("n_a").cast("decimal(38,0)")
+    val nbD = col("n_b").cast("decimal(38,0)")
     m.withColumn("n", col("n_a") + col("n_b"))
       .withColumn("u2_a", // doubled U_a: exact integer even under ties
-        (lit(2) * col("n_a") * col("n_b") + col("n_a") * (col("n_a") + 1))
-          .cast("decimal(38,0)") - col("s2r_a"))
+        lit(2).cast("decimal(38,0)") * naD * nbD +
+          naD * (col("n_a") + 1).cast("decimal(38,0)") - col("s2r_a"))
       .withColumn("sigma2",
-        (col("n_a") * col("n_b")).cast("double") *
+        col("n_a").cast("double") * col("n_b").cast("double") *
           ((col("n") + 1).cast("double") -
             col("ties").cast("double") /
               (col("n").cast("double") * (col("n") - 1).cast("double"))) / 12.0)
       .withColumn("z",
-        (col("u2_a").cast("double") - (col("n_a") * col("n_b")).cast("double")) /
+        (col("u2_a").cast("double") -
+          col("n_a").cast("double") * col("n_b").cast("double")) /
           (lit(2.0) * sqrt(col("sigma2"))))
       .withColumn("significant", abs(col("z")) > 1.96)
       .select(col("n_a"), col("n_b"), col("u2_a").cast("double").as("u2_a"),
