@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{GraftConfig, HanaTypes}
 import graft.operators._
 import graft.sinks.AppendSink
-import graft.sources.{Tables, TextSources}
+import graft.sources.{JdbcRoundtrip, Tables, TextSources}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, with DuckDB oracle SQL where expressible.
@@ -84,6 +84,10 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
 
     // ---- §2.1 sources / sinks ----
+    // src_jdbc_partitioned through the oracle gate: fixture slice -> Derby
+    // over JDBC -> chunk-predicated partitioned read-back, hash-matched
+    // against DuckDB on the same parquet slice
+    "q_jdbc_roundtrip" -> ((s, dir) => JdbcRoundtrip.roundtrip(s, dir)),
     "q_inline_chunks" -> ((s, _) =>
       Tables.inline(s, Seq(s"$Start,820454400", "820454400,852076800",
           s"852076800,${GraftConfig.Sentinel}"))
@@ -1578,6 +1582,18 @@ object SparkEntry {
           |       CAST(l_quantity AS DOUBLE) AS l_quantity,
           |       CAST(l_returnflag AS VARCHAR) AS l_returnflag
           |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
+      // the Derby hop is identity on these columns; the oracle reads the
+      // same deterministic slice straight off the parquet
+      "q_jdbc_roundtrip" ->
+        """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+          |       l_returnflag
+          |FROM (SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+          |             CAST(l_linenumber AS BIGINT) AS l_linenumber,
+          |             CAST(l_quantity AS DOUBLE) AS l_quantity,
+          |             CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+          |             l_returnflag
+          |      FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 50000) t
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
       "q_inline_chunks" ->
         s"""SELECT CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi
            |FROM (VALUES ($Start, 820454400), (820454400, 852076800),
