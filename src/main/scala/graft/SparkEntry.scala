@@ -104,6 +104,25 @@ object SparkEntry {
       AppendSink.readBack(s, out)
         .orderBy("l_orderkey", "l_linenumber", "l_returnflag")
     }),
+    // ext_sink_idempotent through the oracle gate: two committed batches,
+    // one exact REPLAY of batch 0 (must be a no-op, or the hash doubles
+    // those rows) and one CRASHED batch 2 (data dir, no commit marker —
+    // must be invisible to the committed view)
+    "q_sink_committed_view" -> ((s, dir) => {
+      val out = "/tmp/graft_sink_committed"
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(out), true)
+      val src = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+      def slice(r: Int) = src.filter(pmod(col("l_orderkey"), lit(3)) === r)
+      AppendSink.appendIdempotent(slice(0), out, 0L)
+      AppendSink.appendIdempotent(slice(1), out, 1L)
+      AppendSink.appendIdempotent(slice(0), out, 0L) // at-least-once replay
+      slice(2).write.mode("overwrite")
+        .parquet(s"$out/__batch_id=2")               // crash before marker
+      AppendSink.readCommitted(s, out)
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag")
+    }),
 
     // JSONL + CSV source lanes: write both text formats from the parquet
     // source, read back under explicit schemas (FAILFAST, line-splittable),
@@ -1602,6 +1621,12 @@ object SparkEntry {
       "q_append_sink" ->
         """SELECT l_orderkey, l_linenumber, l_returnflag
           |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_returnflag""".stripMargin,
+      // committed view = batches 0 and 1 exactly once; the replayed batch 0
+      // and the crashed (markerless) batch 2 contribute nothing
+      "q_sink_committed_view" ->
+        """SELECT l_orderkey, l_linenumber, l_returnflag
+          |FROM lineitem WHERE l_orderkey % 3 IN (0, 1)
+          |ORDER BY l_orderkey, l_linenumber, l_returnflag""".stripMargin,
       "q_text_sources" ->
         """SELECT l_returnflag,
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS json_qty,
