@@ -80,8 +80,12 @@ object Bench {
         // checkpoint/cache blocks from one query must not tax the next:
         // localCheckpoint pins storage blocks until the RDD is GC'd, and 90+
         // queries x 2 iters of pinned blocks shrink execution memory for
-        // every later query (measured as a slow creep on the small queries)
+        // every later query (measured as a slow creep on the small queries).
+        // Memoized cross-query frames (the curation kernel) are exempt:
+        // their lineage is truncated, so dropping their blocks is fatal —
+        // and sharing them across capstones is the point.
         spark.sparkContext.getPersistentRDDs.values
+          .filter(_.name != graft.operators.CurationPipeline.PinnedRddName)
           .foreach(_.unpersist(blocking = false))
         dt
       }
@@ -129,6 +133,7 @@ object Bench {
             System.err.println(s"[bench] $name retry failed: ${e.getMessage}") }
           val dt = (System.nanoTime() - t0) / 1e9
           spark.sparkContext.getPersistentRDDs.values
+            .filter(_.name != graft.operators.CurationPipeline.PinnedRddName)
             .foreach(_.unpersist(blocking = false))
           retryWall += dt
           best = math.min(best, dt)

@@ -99,14 +99,17 @@ object TextAnalysis {
     * Narrow map, zero shuffle. */
   def repetition(df: DataFrame, text: String = "text", id: String = "doc_id"): DataFrame = {
     val w = split(trim(regexp_replace(lower(col(text)), "[^a-z0-9]+", " ")), " ")
-    val tri = transform(
-      sequence(lit(1), greatest(size(w) - 2, lit(1))),
-      i => concat_ws(" ", slice(w, i, lit(3))))
-    graft.core.Parallelism.forCompute(df).select(col(id),
-      size(tri).cast("long").as("n_ngrams"),
-      size(array_distinct(tri)).cast("long").as("n_distinct"),
-      (lit(1.0) - size(array_distinct(tri)).cast("double")
-        / size(tri).cast("double")).as("rep_ratio"))
+    // single-pass native tally — the HOF form (transform+slice+
+    // array_distinct) pays ~10 interpreted lambda evals per token plus a
+    // seconds-scale first-run codegen of the nested lambdas
+    val ts = graft.functions.TextHashFunctions.ngram_stats(w, 3)
+    graft.core.Parallelism.forCompute(df)
+      .select(col(id), ts.as("__ts"))
+      .select(col(id),
+        col("__ts.n_ngrams").as("n_ngrams"),
+        col("__ts.n_distinct").as("n_distinct"),
+        (lit(1.0) - col("__ts.n_distinct").cast("double")
+          / col("__ts.n_ngrams").cast("double")).as("rep_ratio"))
   }
 
   /** PII scrubbing: count and redact email-like tokens and long digit runs.
