@@ -29,6 +29,24 @@ class SaltedJoinSpec extends SparkSpec {
     assert(one == plain)
   }
 
+  test("planted 100x-hot key: salted join equals plain join bit-for-bit") {
+    // 20% of 200k rows collapse onto key 0; the other 160k spread over
+    // 1000 keys (~160 rows each) — the hot key is ~250x an average key
+    val big = spark.range(0, 200000L).select(
+      when(pmod(col("id"), lit(100L)) < 20, lit(0L))
+        .otherwise(pmod(col("id"), lit(1000L)) + 1L).as("k"),
+      col("id").as("row_id"),
+      (col("id") % 7).cast("double").as("v"))
+    val small = spark.range(0, 1001L).select(col("id").as("k"),
+      (col("id") % 13).cast("double").as("w"))
+    def summarize(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum(col("v") * col("w"))).head()
+    val plain = summarize(big.join(small, "k"))
+    val salted = summarize(SaltedJoin.salted(big, small, Seq("k"),
+      saltBy = Seq("k", "row_id"), salts = 32))
+    assert(salted == plain)
+  }
+
   test("a hot key's rows spread across salt buckets; duplicates on the replicated side survive") {
     // one key, 1000 big rows, 2 replicated rows -> 2000 joined rows, and the
     // big side's salts must hit many distinct buckets (content-addressed)
