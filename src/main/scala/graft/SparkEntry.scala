@@ -952,6 +952,10 @@ object SparkEntry {
     // ---- capstone: the reference's entire pipeline composed end-to-end ----
     "q_ref_pipeline" -> ((s, dir) =>
       RefPipeline.run(s, dir, cfg, "/tmp/graft_ref_pipeline_sink")),
+    // DB-backed twin: introspect -> chunk plan -> partitioned JDBC read ->
+    // stringify -> null-literal -> append, all against live embedded Derby
+    "q_ref_loop_db" -> ((s, dir) =>
+      graft.sources.RefLoopDb.run(s, dir, Start)),
 
     // ---- scalar function batteries + intersect ----
     "q_scalar_strings" -> ((s, dir) => Scalars.stringBattery(s, dir)),
@@ -4573,6 +4577,19 @@ object SparkEntry {
            |       CAST(CAST(floor(epoch(l_shipdate)) AS BIGINT) AS VARCHAR) AS ts_epoch
            |FROM lineitem
            |WHERE CAST(floor(epoch(l_shipdate)) AS BIGINT) > $Start
+           |ORDER BY CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS BIGINT),
+           |  l_returnflag, l_linestatus, CAST(ts_epoch AS BIGINT)""".stripMargin,
+      // the Derby hop + chunked JDBC scan is identity on the slice; the
+      // oracle reads the same mod-slice straight off the parquet
+      "q_ref_loop_db" ->
+        s"""SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
+           |       CAST(l_linenumber AS VARCHAR) AS l_linenumber,
+           |       CASE WHEN lower(l_returnflag) = 'null' THEN NULL ELSE l_returnflag END AS l_returnflag,
+           |       CASE WHEN lower(l_linestatus) = 'null' THEN NULL ELSE l_linestatus END AS l_linestatus,
+           |       CAST(CAST(floor(epoch(l_shipdate)) AS BIGINT) AS VARCHAR) AS ts_epoch
+           |FROM lineitem
+           |WHERE CAST(l_orderkey AS BIGINT) % 10 = 0
+           |  AND CAST(floor(epoch(l_shipdate)) AS BIGINT) > $Start
            |ORDER BY CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS BIGINT),
            |  l_returnflag, l_linestatus, CAST(ts_epoch AS BIGINT)""".stripMargin,
       "q_scalar_strings" ->

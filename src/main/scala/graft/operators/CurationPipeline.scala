@@ -41,18 +41,38 @@ object CurationPipeline {
 
   private val frameMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Seq[String], String), DataFrame]()
+  // NOT computeIfAbsent: capstone memo entries NEST (trainingManifest's
+  // build calls keptDocuments, itself memoized), and ConcurrentHashMap
+  // forbids recursive updates from inside a compute ("Recursive update",
+  // order-dependent — it only fires when the outer capstone runs before
+  // the kernel is cached). get/putIfAbsent tolerates the nesting; a
+  // concurrent duplicate build is benign (the frame is deterministic) and
+  // the loser's checkpoint blocks are dropped so they can't stay pinned.
   private def memoFrame(spark: SparkSession, dir: String,
                         phrases: Seq[String], tag: String)
-                       (build: => DataFrame): DataFrame =
-    frameMemo.computeIfAbsent((spark, dir, phrases, tag), _ => {
+                       (build: => DataFrame): DataFrame = {
+    val key = (spark, dir, phrases, tag)
+    val hit = frameMemo.get(key)
+    if (hit != null) hit
+    else {
       val ck = build.localCheckpoint(false)
       ck.queryExecution.analyzed.foreach {
         case l: org.apache.spark.sql.execution.LogicalRDD =>
           l.rdd.setName(PinnedRddName)
         case _ => ()
       }
-      ck
-    })
+      val prev = frameMemo.putIfAbsent(key, ck)
+      if (prev == null) ck
+      else {
+        ck.queryExecution.analyzed.foreach {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.rdd.unpersist(false)
+          case _ => ()
+        }
+        prev
+      }
+    }
+  }
 
   def keptDocuments(spark: SparkSession, dir: String,
                     blockPhrases: Seq[String] = Nil): DataFrame =

@@ -773,9 +773,13 @@ object Relational {
 
   /** TPC-H Q18 shape — large-quantity orders: a HAVING aggregate over the
     * fact table feeds a semi-style join back to orders + the customer dim,
-    * then a bounded TakeOrdered selection. The heavy-hitter relation
-    * (orders over the threshold) is tiny and BROADCASTS back against
-    * orders — the fact table is aggregated exactly once. */
+    * then a bounded TakeOrdered selection. The over-threshold relation is
+    * keyed by l_orderkey — it SCALES WITH THE FACT TABLE, so it must NOT
+    * carry a broadcast hint (the round-7 full-suite sf1 probe measured the
+    * hinted form at 129 s / exponent 2.1: millions of qualifying orderkeys
+    * forced into a driver broadcast). AQE broadcasts it when it measures
+    * small and shuffles it when it doesn't — the orderkey join is
+    * key-aligned either way. The customer dim stays hinted. */
   def largeOrders(spark: SparkSession, dir: String, minQty: Long = 150,
                   k: Int = 20): DataFrame = {
     val big = Tables.lineitem(spark, dir)
@@ -783,7 +787,7 @@ object Relational {
       .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
       .filter(col("sum_qty") > minQty)
     Tables.orders(spark, dir)
-      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(big, col("o_orderkey") === col("l_orderkey"))
       .join(broadcast(Tables.customer(spark, dir)),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("o_orderkey"),
@@ -931,10 +935,15 @@ object Relational {
     * form is a self-join with EXISTS (another supplier in the order) and
     * NOT EXISTS (another LATE supplier). Decorrelated here into ONE
     * aggregate over the order: distinct-supplier count and distinct-late-
-    * supplier count per orderkey, broadcast back against the late lines —
+    * supplier count per orderkey, joined back against the late lines —
     * lineitem is scanned twice but shuffled on orderkey once, vs the
-    * textbook plan's two additional self-join passes. The oracle runs the
-    * EXISTS/NOT-EXISTS form, proving the reformulation equivalent. */
+    * textbook plan's two additional self-join passes. The per-order frame
+    * is keyed by orderkey and SCALES WITH THE FACT TABLE, so it carries no
+    * broadcast hint (the round-7 full-suite sf1 probe measured the hinted
+    * form at 47 s / exponent 1.5); both sides already hash on orderkey, so
+    * AQE picks broadcast only when the filtered frame measures small. The
+    * oracle runs the EXISTS/NOT-EXISTS form, proving the reformulation
+    * equivalent. */
   def waitingSuppliers(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
     val lo = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
@@ -946,7 +955,7 @@ object Relational {
         countDistinct(when(lateShip, col("l_suppkey"))).as("n_late_supp"))
       .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
     lo.filter(lateShip)
-      .join(broadcast(perOrder), col("l_orderkey") === col("po_orderkey"))
+      .join(perOrder, col("l_orderkey") === col("po_orderkey"))
       .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_suppkey", "s_name")
       .agg(count(lit(1)).as("numwait"))

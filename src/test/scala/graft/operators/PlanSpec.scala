@@ -44,10 +44,19 @@ class PlanSpec extends SparkSpec {
     assert(!p19.contains("BroadcastNestedLoopJoin"), p19.take(2000))
   }
 
-  test("q18 heavy-hitter relation broadcasts back; selection is TakeOrdered") {
+  test("q18: customer dim broadcasts, orderkey join unhinted, TakeOrdered selection") {
+    // the over-threshold relation is keyed by l_orderkey (fact-scaled), so
+    // it must NOT be hint-forced into a broadcast — AQE picks the physical
+    // form from measured sizes (round-7 sf1 probe). The static plan may
+    // therefore SMJ the orderkey join; the contract is: customer dim still
+    // broadcasts, selection is a bounded TakeOrdered, and the fact table
+    // aggregates exactly once (one lineitem scan).
     val p = plan(Relational.largeOrders(spark, sf))
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem.parquet")) == 1,
+      p.take(2000))
   }
 
   test("q4 order-priority check plans as one LEFT SEMI join (no order duplication)") {
@@ -90,7 +99,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
-  test("q21 reformulation: per-order stats broadcast; no self-join shuffle pair") {
+  test("q21 reformulation: supplier dim broadcasts; per-order stats unhinted") {
+    // per-order stats are fact-scaled (keyed by orderkey) — no forced
+    // broadcast (round-7 sf1 probe); both sides of that join already hash
+    // on orderkey, and AQE may still choose broadcast from measured sizes.
+    // Contract: supplier dim broadcasts, selection is bounded TakeOrdered.
     val df = Relational.waitingSuppliers(spark, sf)
     df.collect()
     val p = plan(df)
