@@ -2879,14 +2879,16 @@ object SparkEntry {
           |  CAST(k_a AS DOUBLE) / n_a AS p_a,
           |  CAST(k_b AS DOUBLE) / n_b AS p_b,
           |  CAST(k_a + k_b AS DOUBLE) / (n_a + n_b) AS p_pool,
+          |  CASE WHEN k_a + k_b > 0 AND k_a + k_b < n_a + n_b THEN
           |  (CAST(k_a AS DOUBLE) / n_a - CAST(k_b AS DOUBLE) / n_b)
           |    / sqrt((CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
           |      * (1.0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
-          |      * (1.0 / n_a + 1.0 / n_b)) AS z,
-          |  abs((CAST(k_a AS DOUBLE) / n_a - CAST(k_b AS DOUBLE) / n_b)
+          |      * (1.0 / n_a + 1.0 / n_b)) END AS z,
+          |  abs(CASE WHEN k_a + k_b > 0 AND k_a + k_b < n_a + n_b THEN
+          |  (CAST(k_a AS DOUBLE) / n_a - CAST(k_b AS DOUBLE) / n_b)
           |    / sqrt((CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
           |      * (1.0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
-          |      * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant
+          |      * (1.0 / n_a + 1.0 / n_b)) END) > 1.96 AS significant
           |FROM ab""".stripMargin,
       "q_outer_join" ->
         """SELECT c_custkey,

@@ -242,10 +242,16 @@ object Funnel {
       .withColumn("p_b", col("k_b").cast("double") / col("n_b"))
       .withColumn("p_pool",
         (col("k_a") + col("k_b")).cast("double") / (col("n_a") + col("n_b")))
+      // degenerate pool (nobody or everybody converts) => the z statistic
+      // is undefined (0/0 denominator) — NULL, not a runtime error (under
+      // ANSI mode the unguarded division ABORTS; the round-7 sf1 probe hit
+      // exactly this: 10x-busier users all cross the conversion threshold)
       .withColumn("z",
-        (col("p_a") - col("p_b")) /
-          sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
-            (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+        when(col("p_pool") > 0 && col("p_pool") < 1,
+          (col("p_a") - col("p_b")) /
+            sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+          .otherwise(lit(null).cast("double")))
       .withColumn("significant", abs(col("z")) > 1.96)
   }
 

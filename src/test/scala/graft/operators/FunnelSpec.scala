@@ -219,4 +219,20 @@ class FunnelSpec extends SparkSpec {
     assert(r.getAs[Double]("p_a") == 0.9 && r.getAs[Double]("p_b") == 0.1)
     assert(r.getAs[Double]("z") > 1.96 && r.getAs[Boolean]("significant"))
   }
+
+  test("abTest: degenerate pool (everyone converts) yields NULL z, no abort") {
+    import spark.implicits._
+    def ts0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    // every user in both arms crosses the threshold -> p_pool = 1.0; under
+    // ANSI mode the unguarded z division ABORTED the query (hit for real by
+    // the sf1 decade probe where 10x-busier users all convert)
+    val rows = (0 until 20).flatMap { u =>
+      (0 until 15).map(i => (u * 1000L + i, u.toLong, ts0, "purchase"))
+    }
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type")
+    val r = Funnel.abTest(ev).collect().head
+    assert(r.getAs[Double]("p_pool") == 1.0)
+    assert(r.isNullAt(r.fieldIndex("z")))
+    assert(r.isNullAt(r.fieldIndex("significant")))
+  }
 }

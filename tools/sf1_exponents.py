@@ -19,15 +19,24 @@ FLAG = 1.3
 MIN_SF1_SEC = 2.0
 
 def per_query(path):
+    # accepts either the bench side-file (line-JSON with a per_query line)
+    # or a reference file (one JSON object with a "queries" map)
     with open(path) as f:
-        for line in f:
-            try:
-                d = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            if d.get("metric") == "per_query":
-                return d["queries"]
-    raise SystemExit(f"no per_query line in {path}")
+        text = f.read()
+    try:
+        d = json.loads(text)
+        if "queries" in d:
+            return d["queries"]
+    except json.JSONDecodeError:
+        pass
+    for line in text.splitlines():
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if d.get("metric") == "per_query":
+            return d["queries"]
+    raise SystemExit(f"no per_query map in {path}")
 
 sf1 = per_query(sys.argv[1] if len(sys.argv) > 1 else "BENCH_sf1_full.json")
 ref = per_query(sys.argv[2] if len(sys.argv) > 2 else "BENCH_REF.json")
