@@ -204,12 +204,15 @@ object TextAnalysis {
 
   /** Distinct word `n`-grams of normalized text — the overlap unit for
     * decontamination (batch and streaming forms share this construction). */
-  def wordGrams(text: Column, n: Int): Column = {
-    val w = split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " ")
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(w, i, lit(n)))))
-  }
+  def wordGrams(text: Column, n: Int): Column =
+    // native one-pass form of
+    //   array_distinct(transform(sequence(1, greatest(size(w)-(n-1), 1)),
+    //                            i -> concat_ws(" ", slice(w, i, n))))
+    //   with w = split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " ")
+    // — the interpreted HOF chain cost ~0.8 ms/doc and dominated every
+    // gram-lane query (q_kmv_sketch's entire 4.8 s at sf0.1 was this
+    // preamble); parity corners documented on graft.functions.WordGrams
+    graft.functions.TextHashFunctions.word_grams(text, n)
 
   /** Benchmark decontamination: flag training documents sharing any word
     * `n`-gram with a held-out benchmark set (here: doc_id % benchMod == 0) —

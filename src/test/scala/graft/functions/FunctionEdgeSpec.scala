@@ -77,4 +77,32 @@ class FunctionEdgeSpec extends SparkSpec {
       }
     }
   }
+
+  test("word_grams: native one-pass form is bit-identical to the HOF chain") {
+    import spark.implicits._
+    // adversarial corners: empty, all-punctuation, fewer tokens than n,
+    // exactly n, repeats (distinct dedupe + first-occurrence order), case
+    // folding, digit runs, leading/trailing separators, long separator runs
+    val texts = Seq(
+      "", "!!! ??? ...", "one", "a b", "a b c d e f g h",
+      "a b c d e f g h i j k", "x x x x x x x x x x",
+      "The QUICK brown FOX, the quick brown fox!",
+      "a1 b2 c3 -- a1 b2 c3 -- a1 b2 c3",
+      "  leading and   trailing   ", "tab\tsep\nnewline",
+      "123 456 789 0", "mixedCASE42 under_score dash-dash")
+    val df = texts.toDF("text")
+    for (n <- Seq(1, 2, 8)) {
+      val w = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
+      val hof = array_distinct(transform(
+        sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+      val rows = df.select(
+        TextHashFunctions.word_grams(col("text"), n).as("native"),
+        hof.as("hof")).collect()
+      rows.zip(texts).foreach { case (r, t) =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n text='$t': native=${r.getSeq[String](0)} hof=${r.getSeq[String](1)}")
+      }
+    }
+  }
 }
