@@ -32,12 +32,11 @@ object NearDup {
     * Sorted ascending so intersection counts run as a codegen'd merge pass
     * (graft.functions.SortedIntersectCount); sortedness changes nothing for
     * the other consumers (min, membership, cardinality are order-free). */
-  def shingles(text: Column, words: Int = 3): Column = {
-    val w = split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " ")
-    sort_array(array_distinct(transform(
-      sequence(lit(1), greatest(size(w) - (words - 1), lit(1))),
-      i => concat_ws(" ", slice(w, i, lit(words))))))
-  }
+  def shingles(text: Column, words: Int = 3): Column =
+    // native one-pass normalize/tokenize/gram/distinct (the interpreted HOF
+    // preamble dominated every gram lane — see graft.functions.WordGrams);
+    // sort_array over the deduped set is unchanged
+    sort_array(graft.functions.TextHashFunctions.word_grams(text, words))
 
   /** MinHash signature: for seed s, sig[s] = min over shingles of
     * md5(s || "_" || shingle). Lexicographic min over a uniform hash is a
