@@ -293,6 +293,55 @@ case class WordGrams(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** All unordered element pairs (i < j, input order preserved) of an array —
+  * the native form of the co-occurrence kernel's nested HOF
+  * `flatten(transform(items, (x, i) ->
+  *    transform(slice(items, i + 2, size(items) - i - 1), y ->
+  *      struct(x AS item_a, y AS item_b))))`,
+  * which pays interpreted lambda dispatch plus an O(n) `slice` COPY per
+  * outer element (O(n^2) copies per basket) before any real work. Output
+  * order and null handling match the HOF exactly: outer index ascending,
+  * inner ascending, null elements pass through as null struct fields. */
+case class UnorderedPairs(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  private lazy val elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array, got ${child.dataType.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item_a", elemType, nullable = true),
+    StructField("item_b", elemType, nullable = true))), containsNull = false)
+  override def prettyName: String = "unordered_pairs"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val a = if (arr.isNullAt(i)) null else arr.get(i, elemType)
+      var j = i + 1
+      while (j < n) {
+        val b = if (arr.isNullAt(j)) null else arr.get(j, elemType)
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](a, b))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextHashFunctions {
   def rolling_hash32(s: Column): Column =
     ColumnBridge.column(RollingHash32(ColumnBridge.expression(s)))
@@ -304,4 +353,6 @@ object TextHashFunctions {
     ColumnBridge.column(NGramStats(ColumnBridge.expression(words), n))
   def word_grams(text: Column, n: Int): Column =
     ColumnBridge.column(WordGrams(ColumnBridge.expression(text), n))
+  def unordered_pairs(items: Column): Column =
+    ColumnBridge.column(UnorderedPairs(ColumnBridge.expression(items)))
 }

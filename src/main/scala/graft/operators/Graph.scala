@@ -57,11 +57,11 @@ object Graph {
     val packed = b.join(broadcast(freq.select("item")), "item")
       .groupBy("basket").agg(sort_array(collect_set(col("item"))).as("items"))
     val pairs = packed
-      .select(explode(flatten(expr(
-        """transform(items, (x, i) ->
-          |  transform(slice(items, i + 2, size(items) - i - 1), y ->
-          |    struct(x AS part_a, y AS part_b)))""".stripMargin))).as("p"))
-      .select(col("p.part_a"), col("p.part_b"))
+      // native one-pass pair expansion (the nested HOF form paid an O(n)
+      // slice copy per outer element — see graft.functions.UnorderedPairs)
+      .select(explode(
+        graft.functions.TextHashFunctions.unordered_pairs(col("items"))).as("p"))
+      .select(col("p.item_a").as("part_a"), col("p.item_b").as("part_b"))
       .groupBy("part_a", "part_b").agg(count(lit(1)).as("pair_cnt"))
       .filter(col("pair_cnt") >= minPairSupport)
     val ca = freq.select(col("item").as("part_a"), col("cnt").as("cnt_a"))
@@ -206,10 +206,9 @@ object Graph {
       .distinct()
     b.groupBy("basket")
       .agg(sort_array(collect_set(col("item"))).as("items"))
-      .select(explode(flatten(expr(
-        """transform(items, (x, i) ->
-          |  transform(slice(items, i + 2, size(items) - i - 1), y ->
-          |    struct(x AS item_a, y AS item_b)))""".stripMargin))).as("p"))
+      // native one-pass pair expansion (see graft.functions.UnorderedPairs)
+      .select(explode(
+        graft.functions.TextHashFunctions.unordered_pairs(col("items"))).as("p"))
       .select(col("p.item_a"), col("p.item_b"))
       .groupBy("item_a", "item_b").agg(count(lit(1)).as("co_cnt"))
       .filter(col("co_cnt") >= minCo)
