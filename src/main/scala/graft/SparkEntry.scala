@@ -442,6 +442,25 @@ object SparkEntry {
     "q_mannwhitney" -> ((s, dir) =>
       Relational.mannWhitney(Tables.documents(s, dir), "lang", "n_chars",
         "en", "de")),
+    // distribution-drift twin of the rank test: two-sample KS on the same
+    // pair of samples (ext_ks_test)
+    "q_ks_test" -> ((s, dir) =>
+      Relational.ksTest(Tables.documents(s, dir), "lang", "n_chars",
+        "en", "de")),
+    // SOFT dedup (ext_dedup_soft): 1/cluster-size training weights instead
+    // of removal — the same closure the survivor lanes use
+    "q_dedup_soft" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.softDedupWeights(docs, NearDup.minhashPairs(docs, 0.5))
+    }),
+    // line-grain boilerplate removal (ext_line_dedup): corpus-frequent
+    // 2-word lines cut, docs reconstructed; plus the boilerplate-head report
+    "q_line_dedup" -> ((s, dir) =>
+      LineDedup.scrub(Tables.documents(s, dir), 2, 20)),
+    "q_line_dedup_lines" -> ((s, dir) =>
+      LineDedup.boilerplateLines(Tables.documents(s, dir), 2, 20)
+        .select("line", "doc_freq", "n_docs", "doc_share")
+        .orderBy(col("doc_freq").desc, col("line"))),
     "q_dedup_jaccard" -> ((s, dir) =>
       NearDup.jaccardJoin(Tables.documents(s, dir), 0.5)),
     "q_containment" -> ((s, dir) =>
@@ -986,6 +1005,15 @@ object SparkEntry {
       Multimodal.resizeDims(Multimodal.mediaFeatures(Tables.documents(s, dir)))
         .select("doc_id", "width", "height", "out_width", "out_height", "out_pixels")
         .orderBy("doc_id")),
+    // perceptual image dedup (ext_image_phash): real PNG pixel roundtrip
+    // (Deflater encode, Inflater + 5-filter unfilter decode) -> 8x8
+    // average-hash -> exact groups + banded Hamming pairs
+    "q_mm_phash" -> ((s, dir) =>
+      ImagePhash.phashTable(Tables.documents(s, dir))),
+    "q_mm_phash_dedup" -> ((s, dir) =>
+      ImagePhash.exactGroups(ImagePhash.phashTable(Tables.documents(s, dir)))),
+    "q_mm_phash_pairs" -> ((s, dir) =>
+      ImagePhash.nearPairs(ImagePhash.phashTable(Tables.documents(s, dir)))),
     // audio lane: synthesize bit-correct WAV containers, RIFF-walk them back
     // video modality: synthesize valid minimal MP4 (ftyp/moov[mvhd]/mdat),
     // box-walk it back partition-wise
@@ -1054,6 +1082,46 @@ object SparkEntry {
     * oracle pattern: sequential algorithms unroll, they don't approximate).
     * lambda is fixed at 0.5 (exactly representable) so `rel*0.5 -
     * max_sim*0.5` is the same IEEE arithmetic on both engines. */
+  /** Shared CTEs for the ext_image_phash oracles: the deterministic 32x32
+    * grayscale pixel formula ([[graft.operators.ImagePhash.pixel]]) expanded
+    * per (img, x, y), 4x4 cell sums, and the 64-bit average hash as two
+    * 32-bit BIGINT halves — bit iff cell_sum * 64 > total (integer
+    * cross-multiply, no division). */
+  private def phashCtes: String =
+    """ids AS (SELECT doc_id AS img_id FROM documents),
+      |px AS (SELECT img_id, rx.range AS x, ry.range AS y
+      |  FROM ids, range(0, 32) rx, range(0, 32) ry),
+      |pv AS (SELECT img_id, x, y, (y // 4) * 8 + (x // 4) AS ci,
+      |    CASE WHEN ((((y // 4) * 8 + (x // 4) + 1) * ((img_id % 7) + 2)) % 11 < 5)
+      |              <> ((img_id % 3 = 0) AND ((y // 4) * 8 + (x // 4) = img_id % 64))
+      |         THEN 200 ELSE 40 END
+      |    + ((x * 31 + y * 17 + img_id) % 3) AS p
+      |  FROM px),
+      |cs AS (SELECT img_id, ci, sum(p) AS cell_sum FROM pv GROUP BY img_id, ci),
+      |tt AS (SELECT img_id, sum(cell_sum) AS total FROM cs GROUP BY img_id),
+      |bits AS (SELECT c.img_id, c.ci, (c.cell_sum * 64 > t.total) AS b
+      |  FROM cs c JOIN tt t ON c.img_id = t.img_id),
+      |h AS (SELECT img_id,
+      |    CAST(sum(CASE WHEN b AND ci >= 32
+      |      THEN (CAST(1 AS BIGINT) << CAST(ci - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS a_hash_hi,
+      |    CAST(sum(CASE WHEN b AND ci < 32
+      |      THEN (CAST(1 AS BIGINT) << CAST(ci AS INTEGER)) ELSE 0 END) AS BIGINT) AS a_hash_lo
+      |  FROM bits GROUP BY img_id)""".stripMargin
+
+  /** Shared line-view CTEs for the ext_line_dedup oracles: fixed 2-word
+    * line chunking of each doc, per-line document frequency, corpus count.
+    * Mirrors [[graft.operators.LineDedup.lines]] exactly (0-based line_no,
+    * trailing short chunk kept). */
+  private def lineDedupCtes: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |ln AS (SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+      |    array_to_string(ws[i*2+1 : i*2+2], ' ') AS line
+      |  FROM w, LATERAL (SELECT unnest(range(0, (len(ws)-1)//2 + 1)) AS i) t),
+      |pd AS (SELECT DISTINCT line, doc_id FROM ln),
+      |df AS (SELECT line, CAST(count(*) AS BIGINT) AS doc_freq
+      |  FROM pd GROUP BY line),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)""".stripMargin
+
   private def mmrSql(nCand: Int, k: Int): String = {
     val steps = (2 to k).map { i =>
       s"""s$i AS (SELECT q_id, CAST($i AS BIGINT) AS pick, n_id, rel FROM (
@@ -3105,6 +3173,54 @@ object SparkEntry {
            |SELECT doc_id, n_chars FROM documents
            |WHERE doc_id NOT IN (SELECT doc_id FROM losers2)
            |ORDER BY doc_id""".stripMargin,
+      // same closure; singleton clusters via LEFT JOIN, weight = one exact
+      // IEEE division
+      "q_dedup_soft" ->
+        s"""WITH RECURSIVE $minhashPairCtes,
+           |pairs AS (SELECT a_id, b_id FROM jac
+           |  WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5),
+           |edges AS (SELECT a_id, b_id FROM pairs
+           |  UNION ALL SELECT b_id, a_id FROM pairs),
+           |reach(src, dst) AS (
+           |  SELECT DISTINCT a_id, a_id FROM edges
+           |  UNION
+           |  SELECT r.src, e.b_id FROM reach r JOIN edges e ON e.a_id = r.dst),
+           |clus AS (SELECT src AS doc_id, min(dst) AS cluster_id
+           |  FROM reach GROUP BY src),
+           |lab AS (SELECT d.doc_id,
+           |    coalesce(c.cluster_id, d.doc_id) AS cluster_id
+           |  FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id),
+           |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+           |  FROM lab GROUP BY cluster_id)
+           |SELECT l.doc_id, l.cluster_id, s.cluster_size,
+           |  CAST(1 AS DOUBLE) / CAST(s.cluster_size AS DOUBLE) AS weight
+           |FROM lab l JOIN sz s ON l.cluster_id = s.cluster_id
+           |ORDER BY doc_id""".stripMargin,
+      // line view = consecutive 2-word chunks (the fixtures are single-line;
+      // the operator is grain-agnostic); threshold = 1/20 of the corpus via
+      // integer cross-multiply
+      "q_line_dedup" ->
+        s"""WITH $lineDedupCtes,
+           |hot AS (SELECT line FROM df, nd WHERE doc_freq * 20 >= n_docs),
+           |kept AS (SELECT * FROM ln
+           |  WHERE line NOT IN (SELECT line FROM hot)),
+           |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+           |  FROM ln GROUP BY doc_id),
+           |rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_lines,
+           |    string_agg(line, ' ' ORDER BY line_no) AS text_kept
+           |  FROM kept GROUP BY doc_id)
+           |SELECT t.doc_id, t.n_lines,
+           |  coalesce(rb.kept_lines, 0) AS kept_lines,
+           |  t.n_lines - coalesce(rb.kept_lines, 0) AS dropped_lines,
+           |  coalesce(rb.text_kept, '') AS text_kept
+           |FROM tot t LEFT JOIN rb ON t.doc_id = rb.doc_id
+           |ORDER BY t.doc_id""".stripMargin,
+      "q_line_dedup_lines" ->
+        s"""WITH $lineDedupCtes
+           |SELECT line, doc_freq, n_docs,
+           |  CAST(doc_freq AS DOUBLE) / CAST(n_docs AS DOUBLE) AS doc_share
+           |FROM df, nd WHERE doc_freq * 20 >= n_docs
+           |ORDER BY doc_freq DESC, line""".stripMargin,
       "q_mannwhitney" ->
         """WITH s AS (SELECT lang AS g, n_chars AS v FROM documents
           |           WHERE lang IN ('en', 'de')),
@@ -3135,6 +3251,38 @@ object SparkEntry {
           |  (u2d - nab) / (2.0 * sqrt(sigma2)) AS z,
           |  abs((u2d - nab) / (2.0 * sqrt(sigma2))) > 1.96 AS significant
           |FROM g""".stripMargin,
+      // same value-grain count ladder as q_mannwhitney; the ECDF gap stays
+      // an exact integer cross-product until one final division
+      "q_ks_test" ->
+        """WITH s AS (SELECT lang AS g, n_chars AS v FROM documents
+          |           WHERE lang IN ('en', 'de')),
+          |c AS (SELECT v,
+          |        count(CASE WHEN g = 'en' THEN 1 END) AS na_v,
+          |        count(CASE WHEN g = 'de' THEN 1 END) AS nb_v
+          |      FROM s GROUP BY v),
+          |cum AS (SELECT v,
+          |        sum(na_v) OVER (ORDER BY v) AS ca,
+          |        sum(nb_v) OVER (ORDER BY v) AS cb FROM c),
+          |t AS (SELECT CAST(sum(na_v) AS BIGINT) AS n_a,
+          |             CAST(sum(nb_v) AS BIGINT) AS n_b FROM c),
+          |m AS (SELECT max(abs(CAST(ca AS DECIMAL(38,0))
+          |                       * CAST(n_b AS DECIMAL(38,0))
+          |                   - CAST(cb AS DECIMAL(38,0))
+          |                       * CAST(n_a AS DECIMAL(38,0)))) AS d_num,
+          |             max(n_a) AS n_a, max(n_b) AS n_b
+          |      FROM cum, t),
+          |o AS (SELECT n_a, n_b,
+          |        CAST(d_num AS DOUBLE)
+          |          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d
+          |      FROM m)
+          |SELECT n_a, n_b, d,
+          |  d * sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+          |           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+          |    AS ks_scaled,
+          |  d * sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+          |           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+          |    > 1.358 AS reject_05
+          |FROM o""".stripMargin,
       "q_dedup_jaccard" ->
         s"""WITH $shingleCtes,
            |tok AS (SELECT doc_id, unnest(sh) AS tok FROM sh),
@@ -4762,6 +4910,37 @@ object SparkEntry {
           |    * (CASE WHEN longest > 32
           |       THEN greatest(CAST((height * 32) // longest AS INT), 1) ELSE height END) AS out_pixels
           |FROM r ORDER BY doc_id""".stripMargin,
+      // the oracle recomputes the average-hash from the deterministic pixel
+      // formula (synthesis is deterministic); the Spark side reaches the
+      // same numbers only by a correct PNG encode -> zlib -> decode ->
+      // unfilter roundtrip, so px_sum/hash parity IS the codec check
+      "q_mm_phash" ->
+        s"""WITH $phashCtes,
+           |ps AS (SELECT img_id, CAST(sum(p) AS BIGINT) AS px_sum
+           |  FROM pv GROUP BY img_id)
+           |SELECT h.img_id, CAST(32 AS BIGINT) AS width,
+           |  CAST(32 AS BIGINT) AS height, ps.px_sum,
+           |  h.a_hash_hi, h.a_hash_lo
+           |FROM h JOIN ps ON h.img_id = ps.img_id
+           |ORDER BY h.img_id""".stripMargin,
+      "q_mm_phash_dedup" ->
+        s"""WITH $phashCtes
+           |SELECT min(img_id) AS rep_id, CAST(count(*) AS BIGINT) AS n_images,
+           |  a_hash_hi, a_hash_lo
+           |FROM h GROUP BY a_hash_hi, a_hash_lo
+           |ORDER BY rep_id""".stripMargin,
+      "q_mm_phash_pairs" ->
+        s"""WITH $phashCtes,
+           |dh AS (SELECT DISTINCT a_hash_hi AS hi, a_hash_lo AS lo FROM h),
+           |pr AS (SELECT x.hi AS a_hi, x.lo AS a_lo, y.hi AS b_hi,
+           |    y.lo AS b_lo,
+           |    CAST(bit_count(xor(x.hi, y.hi))
+           |       + bit_count(xor(x.lo, y.lo)) AS BIGINT) AS hamming
+           |  FROM dh x JOIN dh y
+           |    ON (x.hi < y.hi OR (x.hi = y.hi AND x.lo < y.lo)))
+           |SELECT a_hi, a_lo, b_hi, b_lo, hamming
+           |FROM pr WHERE hamming BETWEEN 1 AND 3
+           |ORDER BY a_hi, a_lo, b_hi, b_lo""".stripMargin,
       "q_zorder_layout" -> {
         // Morton interleave unrolled to 32 bitwise terms — bit j of dim i
         // lands at position j*2+i, mirroring ZOrder.interleave exactly

@@ -309,4 +309,35 @@ object Dedup {
       .select("doc_id")
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
+
+  /** SOFT dedup: REWEIGHT duplicates instead of removing them — every doc
+    * gets sampling weight 1/|its duplicate cluster|, so each duplicate
+    * GROUP contributes one unit of training mass however many copies
+    * exist (the SoftDeDup recipe: hard removal throws away the signal
+    * that near-copies carry slightly different text; down-weighting keeps
+    * the best of both). Docs in no duplicate pair form singleton clusters
+    * with weight 1. The weight column feeds directly into the weighted
+    * samplers ([[graft.operators.Sampling]]) or a loss-scaling column.
+    *
+    * Exactness: weight = 1.0 / size is one IEEE division of an exact
+    * integer — engine-identical.
+    *
+    * Scale shape: the cluster closure works on id PAIRS only
+    * ([[dedupClusters]]); labeling the full corpus is one id-keyed join,
+    * sizes are one cluster-keyed count rejoined key-on-key — the doc
+    * stream shuffles twice on 8-byte keys, text/payloads never ride
+    * along (join the weight back by id downstream). */
+  def softDedupWeights(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val labeled = docs.select(col("doc_id"))
+      .join(dedupClusters(pairs), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val sizes = labeled.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, Seq("cluster_id"))
+      .withColumn("weight",
+        lit(1.0).cast("double") / col("cluster_size").cast("double"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("weight"))
+      .orderBy("doc_id")
+  }
 }

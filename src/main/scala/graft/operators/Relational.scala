@@ -802,6 +802,59 @@ object Relational {
         col("z"), col("significant"))
   }
 
+  /** Two-sample KOLMOGOROV–SMIRNOV test — the distribution-drift companion
+    * to [[mannWhitney]]: D = max |F_a(v) - F_b(v)| over the pooled value
+    * axis, the standard "did this feed's distribution shift" gate run
+    * before retraining on a new snapshot. Where Mann-Whitney detects a
+    * location shift, KS is sensitive to ANY CDF divergence (shape, spread,
+    * truncation — the failure modes a broken parser actually produces).
+    *
+    * Exactness: the ECDF gap is kept as the INTEGER cross-product
+    * |C_a·n_b - C_b·n_a| (decimal(38,0) — a long product overflows past
+    * ~2e9 rows per sample) and divided once at the end, so D is one exact
+    * integer ratio and the scaled statistic / verdict are a short fixed
+    * IEEE chain both engines evaluate identically. `reject_05` applies the
+    * large-sample critical value c(0.05) = 1.358 to
+    * D·sqrt(n_a·n_b/(n_a+n_b)).
+    *
+    * Scale shape: same as [[mannWhitney]] — one (value)-grain count
+    * aggregate over the row stream, then a window over DISTINCT values
+    * (bounded by value cardinality, not row count; bin continuous metrics
+    * first — the ECDF gap of the binned distribution is what drift
+    * monitoring compares anyway). Totals ride in as a broadcast 1-row
+    * frame, so the plan is two map-side-combinable aggregates and one
+    * bounded window. */
+  def ksTest(df: DataFrame, sampleCol: String, valueCol: String,
+             a: String, b: String): DataFrame = {
+    val s = df.filter(col(sampleCol).isin(a, b))
+      .select(col(sampleCol).as("g"), col(valueCol).as("v"))
+    val counts = s.groupBy("v").agg(
+      count(when(col("g") === a, 1)).as("na_v"),
+      count(when(col("g") === b, 1)).as("nb_v"))
+    val wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = counts
+      .withColumn("ca", sum(col("na_v")).over(wv))
+      .withColumn("cb", sum(col("nb_v")).over(wv))
+    val tot = counts.agg(
+      sum(col("na_v")).cast("long").as("n_a"),
+      sum(col("nb_v")).cast("long").as("n_b"))
+    val naD = col("n_a").cast("decimal(38,0)")
+    val nbD = col("n_b").cast("decimal(38,0)")
+    val m = cum.crossJoin(broadcast(tot))
+      .withColumn("gap",
+        abs(col("ca").cast("decimal(38,0)") * nbD -
+            col("cb").cast("decimal(38,0)") * naD))
+      .groupBy().agg(max(col("gap")).as("d_num"),
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+    val nad = col("n_a").cast("double")
+    val nbd = col("n_b").cast("double")
+    m.withColumn("d", col("d_num").cast("double") / (nad * nbd))
+      .withColumn("ks_scaled", col("d") * sqrt((nad * nbd) / (nad + nbd)))
+      .withColumn("reject_05", col("ks_scaled") > 1.358)
+      .select(col("n_a"), col("n_b"), col("d"), col("ks_scaled"),
+        col("reject_05"))
+  }
+
   def rollupCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .rollup("l_returnflag", "l_linestatus")
