@@ -1014,6 +1014,10 @@ object SparkEntry {
       ImagePhash.exactGroups(ImagePhash.phashTable(Tables.documents(s, dir)))),
     "q_mm_phash_pairs" -> ((s, dir) =>
       ImagePhash.nearPairs(ImagePhash.phashTable(Tables.documents(s, dir)))),
+    // audio fingerprint (ext_audio_fp): real 16-bit PCM WAV roundtrip ->
+    // 32-frame energy hash (the engine-portable Chromaprint core)
+    "q_mm_audio_fp" -> ((s, dir) =>
+      AudioFingerprint.fingerprintTable(Tables.documents(s, dir))),
     // audio lane: synthesize bit-correct WAV containers, RIFF-walk them back
     // video modality: synthesize valid minimal MP4 (ftyp/moov[mvhd]/mdat),
     // box-walk it back partition-wise
@@ -4941,6 +4945,33 @@ object SparkEntry {
            |SELECT a_hi, a_lo, b_hi, b_lo, hamming
            |FROM pr WHERE hamming BETWEEN 1 AND 3
            |ORDER BY a_hi, a_lo, b_hi, b_lo""".stripMargin,
+      // deterministic waveform recompute — energy_sum/fp parity holds only
+      // if every int16 sample survives the RIFF encode -> decode roundtrip
+      "q_mm_audio_fp" ->
+        """WITH a AS (SELECT doc_id, 320 + (doc_id % 193) AS n,
+          |    8000 * ((doc_id % 3) + 1) AS rate FROM documents),
+          |sv AS (SELECT doc_id, n, rate, i, (i * 32) // n AS f
+          |  FROM a, LATERAL (SELECT unnest(range(0, n)) AS i) t),
+          |pv AS (SELECT doc_id, n, rate, f,
+          |    abs((CASE WHEN (f * ((doc_id % 6) + 3)) % 7 < 3
+          |          THEN 3 ELSE 1 END)
+          |        * (((i * ((doc_id % 5) + 2) + doc_id) % 200) - 100)
+          |        * 25) AS e
+          |  FROM sv),
+          |fe AS (SELECT doc_id, f, sum(e) AS fen
+          |  FROM pv GROUP BY doc_id, f),
+          |tt AS (SELECT doc_id, sum(fen) AS total FROM fe GROUP BY doc_id),
+          |fpt AS (SELECT fe.doc_id,
+          |    CAST(sum(CASE WHEN fe.fen * 32 > tt.total
+          |      THEN (CAST(1 AS BIGINT) << CAST(fe.f AS INTEGER))
+          |      ELSE 0 END) AS BIGINT) AS fp
+          |  FROM fe JOIN tt ON fe.doc_id = tt.doc_id GROUP BY fe.doc_id)
+          |SELECT a.doc_id, CAST(a.rate AS BIGINT) AS sample_rate,
+          |  CAST(a.n AS BIGINT) AS n_samples,
+          |  CAST(tt.total AS BIGINT) AS energy_sum, fpt.fp
+          |FROM a JOIN tt ON a.doc_id = tt.doc_id
+          |  JOIN fpt ON a.doc_id = fpt.doc_id
+          |ORDER BY a.doc_id""".stripMargin,
       "q_zorder_layout" -> {
         // Morton interleave unrolled to 32 bitwise terms — bit j of dim i
         // lands at position j*2+i, mirroring ZOrder.interleave exactly

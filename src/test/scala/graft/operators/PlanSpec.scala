@@ -427,4 +427,35 @@ class PlanSpec extends SparkSpec {
     // each pass joins history's key projection to the BROADCAST batch side
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
   }
+
+  test("line dedup: the boilerplate head broadcasts into the anti-join") {
+    val docs = Tables.documents(spark, sf)
+    val p = plan(LineDedup.scrub(docs, 2, 20))
+    // LEFT ANTI against the hot-line set must be a broadcast join — the
+    // corpus-sized line stream never hash-partitions on line text
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      p.take(3000))
+    // the corpus count rides in as a broadcast nested-loop of ONE row
+    assert(!p.contains("SortMergeJoin(leftanti"), p.take(3000))
+  }
+
+  test("ksTest: value-grain ladder — two partial aggregates, totals broadcast") {
+    val p = plan(Relational.ksTest(Tables.documents(spark, sf),
+      "lang", "n_chars", "en", "de"))
+    // count ladder is partial -> final (map-side combine before exchange)
+    assert(p.contains("partial_count") || p.contains("partial count") ||
+      "HashAggregate".r.findAllIn(p).size >= 4, p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(3000))
+  }
+
+  test("image phash near-pairs: payloads never shuffle; bands join hash rows") {
+    import spark.implicits._
+    val ph = ImagePhash.phash(ImagePhash.synthesize(
+      spark.createDataset((0L until 60L).map(java.lang.Long.valueOf)))).toDF()
+    val p = plan(ImagePhash.nearPairs(ph, 3))
+    // every exchange in the candidate join carries band/hash rows (longs),
+    // never the binary payload column
+    assert(!p.contains("payload"), p.take(3000))
+  }
 }
