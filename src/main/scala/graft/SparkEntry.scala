@@ -710,6 +710,13 @@ object SparkEntry {
     // CUSUM upward-shift detector per event type, exact 1/n_days units
     "q_cusum_daily" -> ((s, dir) =>
       Funnel.cusumDaily(Tables.events(s, dir))),
+    // STL-lite additive decomposition (ext_seasonal_decompose): trend /
+    // day-of-week seasonal / residual, exact-integer numerators throughout
+    "q_seasonal_decompose" -> ((s, dir) =>
+      Funnel.seasonalDecompose(Tables.events(s, dir))),
+    // ORC format hop (ext_orc_roundtrip): same values through ORC bytes
+    "q_orc_roundtrip" -> ((s, dir) =>
+      graft.sources.OrcSource.roundtripAgg(s, dir)),
     // multi-pass blocking entity resolution over planted dirty copies:
     // +10M copies break the name but keep the email (linked by pass B);
     // +20M copies keep the name but break the email (linked by pass A);
@@ -4238,6 +4245,42 @@ object SparkEntry {
           |SELECT event_type, day, n, d_units, cusum_units,
           |  cusum_units = max(cusum_units) OVER (PARTITION BY event_type) AS is_peak
           |FROM p ORDER BY event_type, day""".stripMargin,
+      // exact-integer numerators end in one IEEE division chain per output;
+      // dow = epoch-day mod 7 (calendar dow functions disagree on origin)
+      "q_seasonal_decompose" ->
+        """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          |    CAST(count(*) AS BIGINT) AS n
+          |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+          |t AS (SELECT event_type, day, n,
+          |    sum(n) OVER w AS sum7, count(*) OVER w AS cnt7
+          |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+          |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+          |f AS (SELECT event_type, day, n, sum7,
+          |    CAST((day - DATE '1970-01-01') % 7 AS BIGINT) AS dow,
+          |    n * 7 - sum7 AS dn
+          |  FROM t WHERE cnt7 = 7),
+          |s AS (SELECT *,
+          |    sum(dn) OVER (PARTITION BY event_type, dow) AS sn,
+          |    count(*) OVER (PARTITION BY event_type, dow) AS ndw FROM f)
+          |SELECT event_type, day, dow, n,
+          |  CAST(sum7 AS DOUBLE) / 7.0 AS trend,
+          |  CAST(dn AS DOUBLE) / 7.0 AS detrended,
+          |  CAST(sn AS DOUBLE) / (7.0 * CAST(ndw AS DOUBLE)) AS seasonal,
+          |  CAST(dn * ndw - sn AS DOUBLE) / (7.0 * CAST(ndw AS DOUBLE))
+          |    AS residual
+          |FROM s ORDER BY event_type, day""".stripMargin,
+      // the oracle aggregates the ORIGINAL parquet — equality across the
+      // ORC write/read hop is the check (decimal scale, NTZ timestamps)
+      "q_orc_roundtrip" ->
+        """SELECT l_returnflag,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_price,
+          |  CAST(floor(epoch(max(l_shipdate))) AS BIGINT) AS max_ship_epoch
+          |FROM lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin,
       "q_entity_resolution" ->
         """WITH RECURSIVE recs AS (
           |  SELECT c_custkey AS id, c_name AS name,

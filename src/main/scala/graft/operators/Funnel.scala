@@ -285,4 +285,53 @@ object Funnel {
       .select("event_type", "day", "n", "d_units", "cusum_units", "is_peak")
       .orderBy("event_type", "day")
   }
+
+  /** Classical seasonal decomposition of each event type's daily series —
+    * the STL-lite additive model every ops/drift dashboard starts from:
+    * trend = centered 7-day moving average, seasonal = day-of-week mean of
+    * the detrended series, residual = the rest. Days without a full
+    * centered window (the first/last 3 per type) are cut, not padded —
+    * a padded edge fabricates trend.
+    *
+    * Exactness discipline: no running double sums. The detrended value is
+    * carried as the INTEGER numerator dn = 7n - sum7, the seasonal mean as
+    * the integer pair (Σdn, n_dow), and residual = (dn·n_dow - Σdn) /
+    * (7·n_dow) — every aggregate is exact integer arithmetic and each
+    * output is ONE final IEEE division chain, identical in both engines
+    * (a mean of doubles would be summation-order-dependent).
+    *
+    * Day-of-week is epoch-day mod 7 (engine-portable; calendar dow
+    * functions disagree on week origin across engines).
+    *
+    * Scale shape: the series is day-grain — |types| x |days| rows whatever
+    * the event volume — so the windows are bounded; the only corpus-scale
+    * work is the first daily-count aggregate (map-side combined). Gappy
+    * series should be resampled first ([[Resample]]); the 7-row window is
+    * 7 observed days. */
+  def seasonalDecompose(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w7 = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("__sum7", sum(col("n")).over(w7))
+      .withColumn("__cnt7", count(lit(1)).over(w7))
+      .filter(col("__cnt7") === 7)
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit("1970-01-01").cast("date")), lit(7))
+          .cast("long"))
+      .withColumn("dn", col("n") * 7 - col("__sum7"))
+    val wd = Window.partitionBy("event_type", "dow")
+    t.withColumn("__sn", sum(col("dn")).over(wd))
+      .withColumn("__nd", count(lit(1)).over(wd))
+      .select(col("event_type"), col("day"), col("dow"), col("n"),
+        (col("__sum7").cast("double") / 7.0).as("trend"),
+        (col("dn").cast("double") / 7.0).as("detrended"),
+        (col("__sn").cast("double") / (lit(7.0) * col("__nd").cast("double")))
+          .as("seasonal"),
+        ((col("dn") * col("__nd") - col("__sn")).cast("double") /
+          (lit(7.0) * col("__nd").cast("double"))).as("residual"))
+      .orderBy("event_type", "day")
+  }
 }
