@@ -461,6 +461,17 @@ object SparkEntry {
       LineDedup.boilerplateLines(Tables.documents(s, dir), 2, 20)
         .select("line", "doc_freq", "n_docs", "doc_share")
         .orderBy(col("doc_freq").desc, col("line"))),
+    // incremental ingest: the 20% batch (doc_id % 5 == 4) scrubbed against
+    // merged history+batch line frequencies — history docs never rescan
+    "q_line_dedup_incr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val hist = docs.filter(col("doc_id") % 5 =!= 4)
+      val batch = docs.filter(col("doc_id") % 5 === 4)
+      LineDedup.scrubIncremental(
+        LineDedup.docFreq(hist, 2),
+        hist.agg(count(lit(1)).as("n_docs")),
+        batch, 2, 20)
+    }),
     "q_dedup_jaccard" -> ((s, dir) =>
       NearDup.jaccardJoin(Tables.documents(s, dir), 0.5)),
     "q_containment" -> ((s, dir) =>
@@ -3232,6 +3243,25 @@ object SparkEntry {
            |  CAST(doc_freq AS DOUBLE) / CAST(n_docs AS DOUBLE) AS doc_share
            |FROM df, nd WHERE doc_freq * 20 >= n_docs
            |ORDER BY doc_freq DESC, line""".stripMargin,
+      // doc frequency is a sum, so the merged incremental state equals the
+      // global state: oracle = the from-scratch scrub restricted to batch
+      "q_line_dedup_incr" ->
+        s"""WITH $lineDedupCtes,
+           |hot AS (SELECT line FROM df, nd WHERE doc_freq * 20 >= n_docs),
+           |bln AS (SELECT * FROM ln WHERE doc_id % 5 = 4),
+           |kept AS (SELECT * FROM bln
+           |  WHERE line NOT IN (SELECT line FROM hot)),
+           |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+           |  FROM bln GROUP BY doc_id),
+           |rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_lines,
+           |    string_agg(line, ' ' ORDER BY line_no) AS text_kept
+           |  FROM kept GROUP BY doc_id)
+           |SELECT t.doc_id, t.n_lines,
+           |  coalesce(rb.kept_lines, 0) AS kept_lines,
+           |  t.n_lines - coalesce(rb.kept_lines, 0) AS dropped_lines,
+           |  coalesce(rb.text_kept, '') AS text_kept
+           |FROM tot t LEFT JOIN rb ON t.doc_id = rb.doc_id
+           |ORDER BY t.doc_id""".stripMargin,
       "q_mannwhitney" ->
         """WITH s AS (SELECT lang AS g, n_chars AS v FROM documents
           |           WHERE lang IN ('en', 'de')),

@@ -44,38 +44,60 @@ object LineDedup {
             slice(col("__w"), i * wordsPerLine + 1, lit(wordsPerLine)), " "))))
       .toDF("doc_id", "line_no", "line")
 
-  /** The boilerplate head: distinct lines present in at least
-    * `1/denomFrac` of all documents, with their document frequency.
-    * Exchange grain is (md5, doc_id); the line text rides only on the
-    * already-combined per-digest row. */
-  def boilerplateLines(docs: DataFrame, wordsPerLine: Int,
-                       denomFrac: Int): DataFrame = {
+  /** Per-distinct-line document frequency — the maintainable STATE of this
+    * stage: (16-byte digest, carried text, doc_freq). Two map-side
+    * combinable aggregates; the per-(digest, doc) combine dedups in-doc
+    * repeats before the count and carries the text without widening the
+    * key (min == identity: equal digests are equal lines). */
+  def docFreq(docs: DataFrame, wordsPerLine: Int): DataFrame = {
     val ln = lines(docs, wordsPerLine)
       .withColumn("__h", md5(col("line")))
-    // per-(digest, doc) combine first — dedups in-doc repeats map-side and
-    // carries the text without widening the count key (min == identity:
-    // equal digests are equal lines)
-    val perDoc = ln.groupBy(col("__h"), col("doc_id"))
+    ln.groupBy(col("__h"), col("doc_id"))
       .agg(min(col("line")).as("line"))
-    val docFreq = perDoc.groupBy("__h")
+      .groupBy("__h")
       .agg(count(lit(1)).as("doc_freq"), min(col("line")).as("line"))
+  }
+
+  /** The boilerplate head: distinct lines present in at least
+    * `1/denomFrac` of all documents, with their document frequency. */
+  def boilerplateLines(docs: DataFrame, wordsPerLine: Int,
+                       denomFrac: Int): DataFrame = {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    docFreq.crossJoin(broadcast(nDocs))
+    docFreq(docs, wordsPerLine).crossJoin(broadcast(nDocs))
       .filter(col("doc_freq") * denomFrac >= col("n_docs"))
       .select(col("line"), col("__h"), col("doc_freq"), col("n_docs"),
         (col("doc_freq").cast("double") / col("n_docs").cast("double"))
           .as("doc_share"))
   }
 
+  /** Merge a maintained history frequency table with a new batch's counts —
+    * the incremental-ingest state update: one full-outer on the digest,
+    * counts sum. History DOCUMENTS are never rescanned; the state is
+    * vocabulary-grain (distinct lines), orders smaller than the corpus. */
+  def mergeDocFreq(histFreq: DataFrame, batchFreq: DataFrame): DataFrame =
+    histFreq.select(col("__h"), col("line").as("__hl"),
+        col("doc_freq").as("__hf"))
+      .join(batchFreq.select(col("__h"), col("line").as("__bl"),
+        col("doc_freq").as("__bf")), Seq("__h"), "full_outer")
+      .select(col("__h"),
+        coalesce(col("__hl"), col("__bl")).as("line"),
+        (coalesce(col("__hf"), lit(0L)) + coalesce(col("__bf"), lit(0L)))
+          .as("doc_freq"))
+
   /** Per-document boilerplate scrub report: line counts before/after and
     * the reconstructed text with boilerplate lines cut. Documents whose
     * every line is boilerplate come back with empty `text_kept` — a
     * downstream length gate drops them, attribution intact. */
-  def scrub(docs: DataFrame, wordsPerLine: Int, denomFrac: Int): DataFrame = {
+  def scrub(docs: DataFrame, wordsPerLine: Int, denomFrac: Int): DataFrame =
+    scrubAgainst(docs, wordsPerLine,
+      boilerplateLines(docs, wordsPerLine, denomFrac).select("__h"))
+
+  /** Scrub `docs` against a given boilerplate digest set (broadcast into
+    * the LEFT ANTI) and rebuild per-doc text from the kept lines. */
+  private def scrubAgainst(docs: DataFrame, wordsPerLine: Int,
+                           hot: DataFrame): DataFrame = {
     val ln = lines(docs, wordsPerLine)
       .withColumn("__h", md5(col("line")))
-    val hot = boilerplateLines(docs, wordsPerLine, denomFrac)
-      .select("__h")
     val kept = ln.join(broadcast(hot), Seq("__h"), "left_anti")
     val rebuilt = kept.groupBy("doc_id").agg(
       count(lit(1)).as("kept_lines"),
@@ -92,5 +114,31 @@ object LineDedup {
           .as("dropped_lines"),
         coalesce(col("text_kept"), lit("")).as("text_kept"))
       .orderBy("doc_id")
+  }
+
+  /** Incremental-ingest scrub: clean TODAY'S batch against the corpus-wide
+    * boilerplate threshold WITHOUT rescanning history. Inputs are the
+    * maintained state — history's frequency table ([[docFreq]]) and its
+    * 1-row document count — plus the new batch; the frequencies merge
+    * ([[mergeDocFreq]]), the threshold re-derives in-plan from the summed
+    * counts, and only batch documents are scrubbed. Exactly equal to the
+    * from-scratch [[scrub]] over history ∪ batch restricted to batch docs
+    * (spec-asserted): doc frequency is a sum, so the merged state IS the
+    * global state.
+    *
+    * Scale contract: history documents contribute one vocabulary-grain
+    * frequency relation and one count — never rows. The batch-sized side
+    * does all row work. */
+  def scrubIncremental(histFreq: DataFrame, histDocCount: DataFrame,
+                       batch: DataFrame, wordsPerLine: Int,
+                       denomFrac: Int): DataFrame = {
+    val merged = mergeDocFreq(histFreq, docFreq(batch, wordsPerLine))
+    val nDocs = histDocCount.select(col("n_docs").as("__nh"))
+      .crossJoin(batch.agg(count(lit(1)).as("__nb")))
+      .select((col("__nh") + col("__nb")).as("n_docs"))
+    val hot = merged.crossJoin(broadcast(nDocs))
+      .filter(col("doc_freq") * denomFrac >= col("n_docs"))
+      .select("__h")
+    scrubAgainst(batch, wordsPerLine, hot)
   }
 }

@@ -51,6 +51,26 @@ class LineDedupSpec extends SparkSpec {
     assert(all(5L).getAs[Long]("kept_lines") == 0L)
   }
 
+  test("scrubIncremental equals the from-scratch scrub restricted to the batch") {
+    val all = docs.union(Seq(
+      (5L, "nav bar omega psi"),
+      (6L, "chi phi nav bar")
+    ).toDF("doc_id", "text"))
+    val hist = all.filter(col("doc_id") <= 4)
+    val batch = all.filter(col("doc_id") >= 5)
+    val incr = LineDedup.scrubIncremental(
+      LineDedup.docFreq(hist, 2),
+      hist.agg(count(lit(1)).as("n_docs")),
+      batch, 2, 2)
+    val scratch = LineDedup.scrub(all, 2, 2)
+      .filter(col("doc_id") >= 5)
+    assert(incr.collect().toSeq == scratch.collect().toSeq)
+    // the batch's "nav bar" lines were cut by history-informed frequency
+    val out = incr.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(5L).getAs[String]("text_kept") == "omega psi")
+    assert(out(6L).getAs[Long]("dropped_lines") == 1L)
+  }
+
   test("softDedupWeights: 1/cluster-size, singletons weight 1, mass = #clusters") {
     val d = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     // {1,2,3} one cluster via transitive pairs, {4} {5} singletons
