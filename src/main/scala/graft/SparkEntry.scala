@@ -272,6 +272,11 @@ object SparkEntry {
           element_at(col("kmv"), 1).as("kmv_min"),
           element_at(col("kmv"), size(col("kmv"))).as("kmv_kth"),
           col("d_est"))),
+    // mergeable bottom-k-by-hash quantile sketch + exact rank-space audit
+    // (estimates AND error hash-match; merge = union-retake, spec-asserted)
+    "q_quantile_sketch" -> ((s, dir) =>
+      Merge.quantileSketch(Tables.orders(s, dir), k = 256,
+        id = "o_orderkey", valueCol = "o_totalprice")),
     "q_corpus_overlap" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val a = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
@@ -3895,6 +3900,28 @@ object SparkEntry {
           |  * (CAST(63 AS DOUBLE)
           |    / (CAST(su[64] AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE))) AS inter_est
           |FROM ska, skb, sku, ex""".stripMargin,
+      // bottom-k-by-md5 uniform sample -> nearest-rank estimates -> exact
+      // rank audit; hash ties break by id (total order, engine-portable)
+      "q_quantile_sketch" ->
+        """WITH pri AS (
+          |  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS v,
+          |    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+          |  FROM orders),
+          |samp AS (SELECT v FROM pri ORDER BY h, o_orderkey LIMIT 256),
+          |sv AS (SELECT list(v ORDER BY v) AS svs, count(*) AS n_sample FROM samp),
+          |tot AS (SELECT count(*) AS n_total FROM orders),
+          |qrows AS (SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q),
+          |est AS (SELECT q,
+          |    svs[greatest(1, CAST(ceil(q * n_sample) AS INT))] AS est,
+          |    CAST(n_sample AS BIGINT) AS n_sample, n_total
+          |  FROM sv, tot, qrows),
+          |acc AS (SELECT e.q, e.est, e.n_sample, e.n_total,
+          |    (SELECT count(*) FROM pri p WHERE p.v <= e.est) AS n_le
+          |  FROM est e)
+          |SELECT q, est, n_sample, n_total, CAST(n_le AS BIGINT) AS n_le,
+          |  CAST(n_le AS DOUBLE) / CAST(n_total AS DOUBLE) AS rank_frac,
+          |  abs(CAST(n_le AS DOUBLE) / CAST(n_total AS DOUBLE) - q) AS rank_err
+          |FROM acc ORDER BY q""".stripMargin,
       "q_kmv_sketch" ->
         """WITH toks AS (
           |  SELECT doc_id,

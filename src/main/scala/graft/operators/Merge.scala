@@ -329,6 +329,85 @@ object Merge {
             (element_at(col("kmv"), k).cast("double") / lit(pow60))))
   }
 
+  /** Bottom-k-by-hash uniform row sample — the STATE of the mergeable
+    * quantile sketch ([[quantileSketch]]). Each row's priority is the
+    * 60-bit md5 prefix of its id (content-addressed: no RNG, identical
+    * across runs, engines and partitionings); the sample is the k rows
+    * with the smallest priorities, which is a uniform-without-replacement
+    * sample of the population. Sketches MERGE by "union the samples,
+    * re-take the bottom k" — priorities are global, so the merged sample
+    * equals the sample of the union (shard/day/stream states compose;
+    * asserted in the spec). Selection is the bounded-heap typed Aggregator
+    * (O(k) state per task, k rows per partition on the final exchange);
+    * values ride along by a k-row broadcast join back, so the row-grain
+    * pass exchanges ids only.
+    *
+    * Same family as [[kmvSketch]] (distinct counts) and
+    * `TextAnalysis.cmsSketch` (frequencies): this one answers QUANTILES —
+    * rank-space accuracy ~ O(1/sqrt(k)) regardless of population size. */
+  def quantileSample(df: DataFrame, k: Int = 256, id: String = "id",
+                     valueCol: String = "v"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.functions.TopKAggregator.{MaxKByScore, ScoredL}
+    val pri = conv(substr(md5(col(id).cast("string")), lit(1), lit(15)), 16, 10)
+      .cast("long")
+    // bottom-k by (hash asc, id asc) as max-k of the negation (60 bits,
+    // negation safe); ties on the 60-bit prefix break by id — total order
+    val ids = df
+      .select(lit(0L).as("q_id"), col(id).cast("long").as("n_id"),
+        (-pri).as("iscore"))
+      .as[ScoredL]
+      .groupByKey(_.q_id)
+      .agg(new MaxKByScore(k).toColumn.name("hits"))
+      .flatMap { case (_, hits) => hits.map(_.n_id) }
+      .toDF("__graft_samp_id")
+    df.join(broadcast(ids), col(id) === col("__graft_samp_id"))
+      .select(col(id).cast("long").as("sid"),
+        col(valueCol).cast("double").as("sv"))
+  }
+
+  /** Mergeable quantile sketch + rank-space accuracy report: nearest-rank
+    * quantile estimates from the [[quantileSample]] order statistics, each
+    * audited against the full population — `n_le` is the exact count of
+    * rows at or below the estimate, so `rank_err = |n_le/n - q|` is the
+    * estimate's true rank-space error. One row per requested quantile.
+    *
+    * Everything is engine-exact (md5 priorities, sorted-array indexing,
+    * exact counts, IEEE division in fixed order), so the oracle
+    * hash-matches the ESTIMATES AND the error audit, not just verdicts.
+    *
+    * Scale shape: one id-only row-grain pass for the sample (bounded-heap
+    * partial aggs), one k-row broadcast join for values, one row-grain
+    * conditional-count pass for the audit (the |qs| estimates broadcast;
+    * partial aggregation leaves a |qs|-row exchange). Nothing row-grain
+    * ever sorts globally. */
+  def quantileSketch(df: DataFrame, k: Int = 256, id: String = "id",
+                     valueCol: String = "v",
+                     qs: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9)): DataFrame = {
+    val sample = quantileSample(df, k, id, valueCol)
+      .agg(sort_array(collect_list(col("sv"))).as("svs"),
+        count(lit(1)).as("n_sample"))
+      .crossJoin(df.agg(count(lit(1)).as("n_total")))
+      .select(col("svs"), col("n_sample"), col("n_total"),
+        explode(array(qs.map(lit(_)): _*)).as("q"))
+      .withColumn("est", element_at(col("svs"),
+        greatest(lit(1), ceil(col("q") * col("n_sample")).cast("int"))))
+      .select(col("q"), col("est"), col("n_sample"), col("n_total"))
+    // audit: exact rank of each estimate over the full population — the
+    // |qs|-row estimate frame broadcasts into a conditional count
+    val audited = df.select(col(valueCol).cast("double").as("__v"))
+      .crossJoin(broadcast(sample))
+      .groupBy("q", "est", "n_sample", "n_total")
+      .agg(sum(when(col("__v") <= col("est"), 1L).otherwise(0L)).as("n_le"))
+    audited
+      .withColumn("rank_frac",
+        col("n_le").cast("double") / col("n_total").cast("double"))
+      .withColumn("rank_err", abs(col("rank_frac") - col("q")))
+      .select("q", "est", "n_sample", "n_total", "n_le", "rank_frac", "rank_err")
+      .orderBy("q")
+  }
+
   /** Type-2 SCD derivation from a row-version log: each key's versions get
     * half-open validity ranges [valid_from, valid_to) in epoch seconds, the
     * open (current) version marked with valid_to NULL. Deterministic under

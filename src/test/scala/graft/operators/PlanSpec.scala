@@ -449,6 +449,15 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastExchange"), p.take(3000))
   }
 
+  test("quantileSketch: sample ids and estimates broadcast; no shuffle join") {
+    val p = plan(Merge.quantileSketch(Tables.orders(spark, sf), k = 64,
+      id = "o_orderkey", valueCol = "o_totalprice"))
+    // k-row id list joins back as a broadcast; the |qs|-row estimate frame
+    // broadcasts into the audit pass; the row-grain side never sort-merges
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("image phash near-pairs: payloads never shuffle; bands join hash rows") {
     import spark.implicits._
     val ph = ImagePhash.phash(ImagePhash.synthesize(
