@@ -896,6 +896,13 @@ object SparkEntry {
       BpeTrainer.tokenized(Tables.documents(s, dir))),
     "q_seq_pack" -> ((s, dir) =>
       Packing.packSequences(Tables.documents(s, dir))),
+    // padding-aware length-bucketed batching: per-bucket efficiency report
+    // (assignment itself is spec-asserted == naive per-bucket row_number)
+    "q_length_buckets" -> ((s, dir) =>
+      Packing.lengthBucketReport(Tables.documents(s, dir))),
+    // LPT token-balanced shard assignment: per-shard accounting
+    "q_shard_tokens" -> ((s, dir) =>
+      Packing.shardByTokens(Tables.documents(s, dir))),
     "q_decontaminate" -> ((s, dir) =>
       TextAnalysis.decontaminate(Tables.documents(s, dir))),
     "q_decontaminate_fuzzy" -> ((s, dir) =>
@@ -3381,6 +3388,46 @@ object SparkEntry {
           |SELECT doc_id, n_tokens, token_start,
           |       CAST(token_start // 256 AS BIGINT) AS pack_id
           |FROM r ORDER BY doc_id""".stripMargin,
+      // bucket ladder as a CASE chain (no FP log2); batch fill in doc-id
+      // order per bucket — integer arithmetic end to end
+      "q_length_buckets" ->
+        """WITH t AS (SELECT doc_id,
+          |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |b AS (SELECT doc_id, n_tokens,
+          |  CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+          |       WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+          |       WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512
+          |       ELSE 1024 END AS bucket FROM t),
+          |r AS (SELECT doc_id, n_tokens, bucket,
+          |  row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1 AS pos
+          |  FROM b),
+          |a AS (SELECT bucket, n_tokens,
+          |  CAST(pos // (4096 // bucket) AS BIGINT) AS batch_idx,
+          |  least(n_tokens, bucket) AS real_t,
+          |  bucket - least(n_tokens, bucket) AS pad_t,
+          |  n_tokens - least(n_tokens, bucket) AS trunc_t FROM r)
+          |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+          |  CAST(max(batch_idx) + 1 AS BIGINT) AS n_batches,
+          |  CAST(sum(real_t) AS BIGINT) AS real_tokens,
+          |  CAST(sum(pad_t) AS BIGINT) AS padded_tokens,
+          |  CAST(sum(trunc_t) AS BIGINT) AS trunc_tokens,
+          |  CAST(sum(real_t) AS DOUBLE)
+          |    / CAST(sum(real_t) + sum(pad_t) AS DOUBLE) AS fill_frac
+          |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin,
+      // LPT deal: global (n_tokens desc, id) rank mod nShards
+      "q_shard_tokens" ->
+        """WITH t AS (SELECT doc_id,
+          |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |r AS (SELECT doc_id, n_tokens,
+          |  row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rk FROM t),
+          |a AS (SELECT CAST(rk % 8 AS BIGINT) AS shard, n_tokens FROM r),
+          |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM a)
+          |SELECT shard, count(*) AS n_docs,
+          |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+          |  CAST(sum(n_tokens) AS DOUBLE) / CAST(tt AS DOUBLE) AS share_frac
+          |FROM a, tot GROUP BY shard, tt ORDER BY shard""".stripMargin,
       "q_simhash" ->
         s"""WITH $simhashCtes
            |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,
