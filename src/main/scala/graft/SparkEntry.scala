@@ -733,6 +733,10 @@ object SparkEntry {
     // ORC format hop (ext_orc_roundtrip): same values through ORC bytes
     "q_orc_roundtrip" -> ((s, dir) =>
       graft.sources.OrcSource.roundtripAgg(s, dir)),
+    // multi-batch schema evolution: widen INT/FLOAT, null-fill a late
+    // column, drop a producer extra — value parity incl. float truncation
+    "q_schema_drift" -> ((s, dir) =>
+      graft.sources.SchemaDrift.roundtripAgg(s, dir)),
     // multi-pass blocking entity resolution over planted dirty copies:
     // +10M copies break the name but keep the email (linked by pass B);
     // +20M copies keep the name but break the email (linked by pass A);
@@ -4385,6 +4389,26 @@ object SparkEntry {
           |  CAST(floor(epoch(max(l_shipdate))) AS BIGINT) AS max_ship_epoch
           |FROM lineitem GROUP BY l_returnflag
           |ORDER BY l_returnflag""".stripMargin,
+      // the early batch's REAL (float) hop is replayed on the original
+      // parquet; the missing status column null-fills -> n_null_status = n
+      "q_schema_drift" ->
+        """WITH e AS (SELECT o_orderkey,
+          |    CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS price,
+          |    CAST(NULL AS VARCHAR) AS status
+          |  FROM orders WHERE o_orderkey % 2 = 0),
+          |l AS (SELECT o_orderkey, o_totalprice AS price,
+          |    o_orderstatus AS status
+          |  FROM orders WHERE o_orderkey % 2 = 1),
+          |u AS (SELECT * FROM e UNION ALL SELECT * FROM l)
+          |SELECT CAST(o_orderkey % 2 AS BIGINT) AS batch_mod,
+          |  count(*) AS n,
+          |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+          |  CAST(sum(CAST(floor(price) AS BIGINT)) AS BIGINT)
+          |    AS sum_price_floor,
+          |  min(price) AS min_price, max(price) AS max_price,
+          |  CAST(count(*) FILTER (WHERE status IS NULL) AS BIGINT)
+          |    AS n_null_status
+          |FROM u GROUP BY 1 ORDER BY batch_mod""".stripMargin,
       "q_entity_resolution" ->
         """WITH RECURSIVE recs AS (
           |  SELECT c_custkey AS id, c_name AS name,
