@@ -129,6 +129,50 @@ object TopKAggregator {
     override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
   }
 
+  /** A prioritized row carrying its value payload: the bottom-k-by-hash
+    * uniform-sample state (`Merge.quantileSample`). */
+  case class PriRow(q_id: Long, pri: Long, n_id: Long, v: Double)
+
+  /** Keeps the k smallest (pri asc, n_id asc) rows WITH their double
+    * payload — one pass, no join-back for the payload. Buffer is
+    * DESCENDING by (pri, n_id) so the steady-state reject ("not below the
+    * current kth") is O(1) with zero allocation, like [[MinKDistinct]].
+    * Associative and commutative, so partitioning and stream/batch split
+    * can never change the sample — which is what makes the same code a
+    * single streaming aggregation (`StreamingOps.quantileSample`). */
+  class MinKByPri(k: Int)
+      extends Aggregator[PriRow, (Int, List[(Long, Long, Double)]), Seq[(Long, Double)]] {
+    private def geq(a: (Long, Long, Double), p: Long, id: Long): Boolean =
+      a._1 > p || (a._1 == p && a._2 >= id)
+
+    override def zero: (Int, List[(Long, Long, Double)]) = (0, Nil)
+
+    private def insert(buf: (Int, List[(Long, Long, Double)]),
+                       x: (Long, Long, Double)): (Int, List[(Long, Long, Double)]) = {
+      val (n, l) = buf
+      if (n >= k && !geq(l.head, x._1, x._2)) buf
+      else {
+        val (pre, post) = l.span(a => a._1 > x._1 || (a._1 == x._1 && a._2 > x._2))
+        if (n >= k) (n, (pre ::: x :: post).tail)
+        else (n + 1, pre ::: x :: post)
+      }
+    }
+
+    override def reduce(buf: (Int, List[(Long, Long, Double)]),
+                        row: PriRow): (Int, List[(Long, Long, Double)]) =
+      insert(buf, (row.pri, row.n_id, row.v))
+    override def merge(a: (Int, List[(Long, Long, Double)]),
+                       b: (Int, List[(Long, Long, Double)])): (Int, List[(Long, Long, Double)]) =
+      b._2.foldLeft(a)(insert)
+    override def finish(buf: (Int, List[(Long, Long, Double)])): Seq[(Long, Double)] =
+      buf._2.reverse.map(t => (t._2, t._3))
+
+    override def bufferEncoder: Encoder[(Int, List[(Long, Long, Double)])] =
+      ExpressionEncoder[(Int, List[(Long, Long, Double)])]()
+    override def outputEncoder: Encoder[Seq[(Long, Double)]] =
+      ExpressionEncoder[Seq[(Long, Double)]]()
+  }
+
   /** Keeps the k largest (o_totalprice desc, o_orderkey asc) rows. */
   class TopKByPrice(k: Int) extends Aggregator[OrderRow, List[(Double, Long)], Seq[TopHit]] {
     private def better(a: (Double, Long), b: (Double, Long)): Boolean =

@@ -338,9 +338,11 @@ object Merge {
     * re-take the bottom k" — priorities are global, so the merged sample
     * equals the sample of the union (shard/day/stream states compose;
     * asserted in the spec). Selection is the bounded-heap typed Aggregator
-    * (O(k) state per task, k rows per partition on the final exchange);
-    * values ride along by a k-row broadcast join back, so the row-grain
-    * pass exchanges ids only.
+    * carrying the value payload (O(k) state per task, k tuples per
+    * partition on the final exchange) — ONE pass, no join-back, which is
+    * also what lets the identical code run as a single streaming
+    * aggregation (`StreamingOps.quantileSample`, complete mode; stream
+    * accumulation lands on the batch sample exactly, spec-asserted).
     *
     * Same family as [[kmvSketch]] (distinct counts) and
     * `TextAnalysis.cmsSketch` (frequencies): this one answers QUANTILES —
@@ -349,22 +351,18 @@ object Merge {
                      valueCol: String = "v"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    import graft.functions.TopKAggregator.{MaxKByScore, ScoredL}
+    import graft.functions.TopKAggregator.{MinKByPri, PriRow}
     val pri = conv(substr(md5(col(id).cast("string")), lit(1), lit(15)), 16, 10)
       .cast("long")
-    // bottom-k by (hash asc, id asc) as max-k of the negation (60 bits,
-    // negation safe); ties on the 60-bit prefix break by id — total order
-    val ids = df
-      .select(lit(0L).as("q_id"), col(id).cast("long").as("n_id"),
-        (-pri).as("iscore"))
-      .as[ScoredL]
+    // bottom-k by (hash asc, id asc): ties on the 60-bit prefix break by
+    // id — a total order, so the sample is engine- and split-independent
+    df.select(lit(0L).as("q_id"), pri.as("pri"),
+        col(id).cast("long").as("n_id"), col(valueCol).cast("double").as("v"))
+      .as[PriRow]
       .groupByKey(_.q_id)
-      .agg(new MaxKByScore(k).toColumn.name("hits"))
-      .flatMap { case (_, hits) => hits.map(_.n_id) }
-      .toDF("__graft_samp_id")
-    df.join(broadcast(ids), col(id) === col("__graft_samp_id"))
-      .select(col(id).cast("long").as("sid"),
-        col(valueCol).cast("double").as("sv"))
+      .agg(new MinKByPri(k).toColumn.name("s"))
+      .flatMap { case (_, s) => s }
+      .toDF("sid", "sv")
   }
 
   /** Mergeable quantile sketch + rank-space accuracy report: nearest-rank
@@ -377,11 +375,11 @@ object Merge {
     * exact counts, IEEE division in fixed order), so the oracle
     * hash-matches the ESTIMATES AND the error audit, not just verdicts.
     *
-    * Scale shape: one id-only row-grain pass for the sample (bounded-heap
-    * partial aggs), one k-row broadcast join for values, one row-grain
+    * Scale shape: one row-grain pass for the sample (bounded-heap partial
+    * aggs, k tuples per partition exchanged), one row-grain
     * conditional-count pass for the audit (the |qs| estimates broadcast;
     * partial aggregation leaves a |qs|-row exchange). Nothing row-grain
-    * ever sorts globally. */
+    * ever sorts globally or joins. */
   def quantileSketch(df: DataFrame, k: Int = 256, id: String = "id",
                      valueCol: String = "v",
                      qs: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9)): DataFrame = {

@@ -420,6 +420,17 @@ object StreamingOps {
                   item: String = "item"): DataFrame =
     graft.operators.Merge.kmvSketch(items, k, item)
 
+  /** Streaming quantile-sample maintenance — the online twin of
+    * `Merge.quantileSample`: state is the k rows with the smallest
+    * content-addressed priorities plus their value payloads (one O(k)
+    * buffer via the same `MinKByPri` aggregator), so stream accumulation
+    * over any trigger split lands on the batch sample EXACTLY and
+    * downstream quantile estimates agree bit-for-bit. One stateful op;
+    * complete mode re-emits the current sample rows. */
+  def quantileSample(rows: DataFrame, k: Int = 256, id: String = "id",
+                     valueCol: String = "v"): DataFrame =
+    graft.operators.Merge.quantileSample(rows, k, id, valueCol)
+
   case class FunnelEvent(event_id: Long, user_id: Long,
                          ts: java.sql.Timestamp, event_type: String)
   case class FunnelState(stageTimes: List[Long])

@@ -452,10 +452,12 @@ class PlanSpec extends SparkSpec {
   test("quantileSketch: sample ids and estimates broadcast; no shuffle join") {
     val p = plan(Merge.quantileSketch(Tables.orders(spark, sf), k = 64,
       id = "o_orderkey", valueCol = "o_totalprice"))
-    // k-row id list joins back as a broadcast; the |qs|-row estimate frame
-    // broadcasts into the audit pass; the row-grain side never sort-merges
-    assert(p.contains("BroadcastHashJoin"), p.take(3000))
-    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    // the |qs|-row estimate frame broadcasts into the audit pass; the
+    // row-grain side never sort-merges or hash-joins — the sample is one
+    // bounded-heap aggregation pass
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(3000))
   }
 
   test("image phash near-pairs: payloads never shuffle; bands join hash rows") {

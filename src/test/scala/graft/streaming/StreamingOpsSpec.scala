@@ -732,6 +732,28 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming quantile sample accumulates to EXACTLY the batch sample") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = (1 to 2000).map(i => (i.toLong, (i * 7 % 500).toDouble))
+    val stream = MemoryStream[(Long, Double)]
+    val q = StreamingOps.quantileSample(
+        stream.toDF().toDF("id", "v"), k = 64)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("qsamp_out").start()
+    try {
+      stream.addData(rows.take(700)); q.processAllAvailable()
+      stream.addData(rows.drop(700)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("qsamp_out").orderBy("sid")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batch = graft.operators.Merge.quantileSample(
+        rows.toDF("id", "v"), k = 64)
+      .orderBy("sid").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(streamed == batch)
+    assert(streamed.size == 64)
+  }
+
   test("streaming KMV sketch accumulates to EXACTLY the batch sketch and estimate") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
