@@ -277,6 +277,21 @@ object SparkEntry {
     "q_quantile_sketch" -> ((s, dir) =>
       Merge.quantileSketch(Tables.orders(s, dir), k = 256,
         id = "o_orderkey", valueCol = "o_totalprice")),
+    // sketch-state maintenance: three shard samples union, bottom-k
+    // re-taken — provably the from-scratch sample, so the oracle runs
+    // the from-scratch SQL (incremental ≡ from-scratch, like line dedup)
+    "q_quantile_sketch_merge" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val shardStates = (0 to 2).map(m =>
+        Merge.quantileSample(
+          orders.filter(pmod(col("o_orderkey"), lit(3)) === m),
+          k = 256, id = "o_orderkey", valueCol = "o_totalprice"))
+      val merged = Merge.quantileSample(
+        shardStates.reduce(_ unionByName _), k = 256, id = "sid",
+        valueCol = "sv")
+      Merge.quantileSketchFromSample(orders, merged, "o_totalprice",
+        Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+    }),
     "q_corpus_overlap" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val a = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
@@ -907,6 +922,11 @@ object SparkEntry {
     // LPT token-balanced shard assignment: per-shard accounting
     "q_shard_tokens" -> ((s, dir) =>
       Packing.shardByTokens(Tables.documents(s, dir))),
+    // URL canonicalization before URL-keyed dedup: host-grain report over
+    // deterministically-synthesized messy URLs (case/ports/www/slashes/
+    // tracking params/fragments) — raw vs canonical-distinct counts
+    "q_url_canon" -> ((s, dir) =>
+      UrlOps.hostReport(UrlOps.synthesizeUrls(Tables.documents(s, dir)))),
     "q_decontaminate" -> ((s, dir) =>
       TextAnalysis.decontaminate(Tables.documents(s, dir))),
     "q_decontaminate_fuzzy" -> ((s, dir) =>
@@ -3419,6 +3439,53 @@ object SparkEntry {
           |  CAST(sum(real_t) AS DOUBLE)
           |    / CAST(sum(real_t) + sum(pad_t) AS DOUBLE) AS fill_frac
           |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin,
+      // identical synthesis + RE2-portable normalization chain
+      "q_url_canon" ->
+        """WITH u AS (SELECT doc_id,
+          |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+          |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+          |  upper(source) || '.Example.COM' ||
+          |  (CASE WHEN doc_id % 2 = 0 THEN ':80'
+          |        WHEN doc_id % 5 = 0 THEN ':8080' ELSE ':443' END) ||
+          |  '/Docs//Item/' || CAST(doc_id // 20 AS VARCHAR) ||
+          |  (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+          |  '?utm_source=feed&id=' || CAST(doc_id % 10 AS VARCHAR) ||
+          |  '&ref=track#Sec' || CAST(doc_id % 7 AS VARCHAR) AS url
+          |  FROM documents),
+          |c AS (SELECT doc_id,
+          |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+          |  regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+          |  FROM u),
+          |hp AS (SELECT doc_id, scheme,
+          |  regexp_extract(rest, '^([^/?#]+)', 1) AS hostport,
+          |  regexp_replace(rest, '^[^/?#]+', '') AS pq FROM c),
+          |h AS (SELECT *,
+          |  regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')),
+          |    '^www\.', '') AS host,
+          |  regexp_extract(hostport, ':([0-9]+)$', 1) AS rawport FROM hp),
+          |p1 AS (SELECT *,
+          |  CASE WHEN (scheme = 'http' AND rawport = '80')
+          |         OR (scheme = 'https' AND rawport = '443')
+          |       THEN '' ELSE rawport END AS port,
+          |  regexp_replace(regexp_extract(pq, '^([^?#]*)', 1),
+          |    '/{2,}', '/', 'g') AS path0,
+          |  regexp_extract(pq, '\?([^#]*)', 1) AS q0 FROM h),
+          |p2 AS (SELECT *,
+          |  CASE WHEN length(path0) = 0 THEN '/'
+          |       WHEN length(path0) > 1 THEN regexp_replace(path0, '/$', '')
+          |       ELSE path0 END AS path,
+          |  array_to_string(list_filter(string_split(q0, '&'), x ->
+          |    length(x) > 0 AND substr(x, 1, 4) <> 'utm_'
+          |      AND substr(x, 1, 4) <> 'ref='), '&') AS query FROM p1),
+          |canon AS (SELECT doc_id, host, port,
+          |  scheme || '://' || host ||
+          |  (CASE WHEN port = '' THEN '' ELSE ':' || port END) || path ||
+          |  (CASE WHEN query = '' THEN '' ELSE '?' || query END) AS canon_url
+          |  FROM p2)
+          |SELECT host, count(*) AS n_urls,
+          |  CAST(count(DISTINCT canon_url) AS BIGINT) AS n_distinct_canon,
+          |  CAST(count(*) FILTER (WHERE port <> '') AS BIGINT) AS n_with_port
+          |FROM canon GROUP BY host ORDER BY host""".stripMargin,
       // LPT deal: global (n_tokens desc, id) rank mod nShards
       "q_shard_tokens" ->
         """WITH t AS (SELECT doc_id,
@@ -5209,6 +5276,9 @@ object SparkEntry {
           |         CAST(ntile(8) OVER (ORDER BY CAST(floor(epoch(l_shipdate)) AS BIGINT), l_orderkey, l_linenumber) AS BIGINT) AS bucket
           |  FROM lineitem
           |) t GROUP BY bucket ORDER BY bucket""".stripMargin,
-    )
+    ) match {
+      // merged sketch state ≡ from-scratch sketch — same oracle by design
+      case m => m + ("q_quantile_sketch_merge" -> m("q_quantile_sketch"))
+    }
   }
 }

@@ -382,8 +382,21 @@ object Merge {
     * ever sorts globally or joins. */
   def quantileSketch(df: DataFrame, k: Int = 256, id: String = "id",
                      valueCol: String = "v",
-                     qs: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9)): DataFrame = {
-    val sample = quantileSample(df, k, id, valueCol)
+                     qs: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9)): DataFrame =
+    quantileSketchFromSample(df, quantileSample(df, k, id, valueCol),
+      valueCol, qs)
+
+  /** [[quantileSketch]] over a PRE-BUILT (or shard-merged) sample state:
+    * the maintenance form — shard/day states union, [[quantileSample]]
+    * re-takes the bottom k (priorities are content-addressed, so the
+    * merged state equals the from-scratch sample and the whole report is
+    * provably identical to [[quantileSketch]] on the union; the oracle row
+    * runs the from-scratch SQL against the merged plan). `df` is only
+    * audited against (row-grain counts), never re-sampled. */
+  def quantileSketchFromSample(df: DataFrame, sampleDf: DataFrame,
+                               valueCol: String,
+                               qs: Seq[Double]): DataFrame = {
+    val sample = sampleDf
       .agg(sort_array(collect_list(col("sv"))).as("svs"),
         count(lit(1)).as("n_sample"))
       .crossJoin(df.agg(count(lit(1)).as("n_total")))
