@@ -745,6 +745,10 @@ object SparkEntry {
     // day-of-week seasonal / residual, exact-integer numerators throughout
     "q_seasonal_decompose" -> ((s, dir) =>
       Funnel.seasonalDecompose(Tables.events(s, dir))),
+    // per-day TV drift vs the first-week reference mix: cross-multiplied
+    // decimal(38,0) terms, one double division per day — WHEN it drifted
+    "q_drift_timeline" -> ((s, dir) =>
+      Funnel.driftTimeline(Tables.events(s, dir))),
     // ORC format hop (ext_orc_roundtrip): same values through ORC bytes
     "q_orc_roundtrip" -> ((s, dir) =>
       graft.sources.OrcSource.roundtripAgg(s, dir)),
@@ -876,6 +880,17 @@ object SparkEntry {
       TextAnalysis.repetition(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_redact_pii" -> ((s, dir) =>
       TextAnalysis.redactPii(Tables.documents(s, dir)).orderBy("doc_id")),
+    // Luhn-checked card detection over docs with planted valid/invalid
+    // numbers (1-in-10 / 1-in-10) plus natural digit runs
+    "q_pii_luhn" -> ((s, dir) =>
+      TextAnalysis.luhnAudit(Tables.documents(s, dir)
+          .withColumn("text", concat(col("text"),
+            when(pmod(col("doc_id"), lit(10)) === 0,
+              lit(" card 4539578763621486 ok"))
+              .when(pmod(col("doc_id"), lit(10)) === 5,
+                lit(" card 4539578763621487 bad"))
+              .otherwise(lit("")))))
+        .orderBy("doc_id")),
     "q_rare_tokens" -> ((s, dir) =>
       TextAnalysis.rareTokenRatio(Tables.documents(s, dir)).orderBy("doc_id")),
     // content-defined chunking: rolling-digest boundaries that RESYNC under
@@ -4400,6 +4415,30 @@ object SparkEntry {
           |      FROM sc)
           |SELECT item, rk, rec, co_cnt, cosine FROM r WHERE rk <= 3
           |ORDER BY item, rk""".stripMargin,
+      "q_drift_timeline" ->
+        """WITH daily AS (
+          |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |d0 AS (SELECT min(day) AS dmin FROM daily),
+          |days AS (SELECT day, CAST(sum(n) AS BIGINT) AS n_day,
+          |    (day - dmin) < 7 AS in_ref
+          |  FROM daily, d0 GROUP BY day, dmin),
+          |ref AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS r
+          |  FROM daily JOIN days USING (day) WHERE in_ref GROUP BY 1),
+          |rt AS (SELECT CAST(sum(r) AS BIGINT) AS n_ref FROM ref),
+          |types AS (SELECT DISTINCT event_type FROM daily),
+          |terms AS (SELECT d.day, d.n_day, d.in_ref, rt.n_ref,
+          |    abs(CAST(coalesce(da.n, 0) AS DECIMAL(38,0)) * rt.n_ref
+          |      - CAST(coalesce(rf.r, 0) AS DECIMAL(38,0)) * d.n_day) AS term
+          |  FROM days d CROSS JOIN types t CROSS JOIN rt
+          |  LEFT JOIN daily da ON da.day = d.day
+          |    AND da.event_type = t.event_type
+          |  LEFT JOIN ref rf ON rf.event_type = t.event_type)
+          |SELECT day, n_day, in_ref,
+          |  CAST(sum(term) AS DOUBLE)
+          |    / (2.0 * CAST(n_day AS DOUBLE) * CAST(n_ref AS DOUBLE)) AS tv
+          |FROM terms GROUP BY day, n_day, in_ref, n_ref
+          |ORDER BY day""".stripMargin,
       "q_cusum_daily" ->
         """WITH daily AS (
           |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
@@ -4683,6 +4722,27 @@ object SparkEntry {
           |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
           |    '[0-9]{7,}', '<num>', 'g') AS redacted
           |FROM documents ORDER BY doc_id""".stripMargin,
+      // maximal digit runs length-filtered (no lookaround); mod-10 fold
+      "q_pii_luhn" ->
+        """WITH t AS (SELECT doc_id, text ||
+          |  (CASE WHEN doc_id % 10 = 0 THEN ' card 4539578763621486 ok'
+          |        WHEN doc_id % 10 = 5 THEN ' card 4539578763621487 bad'
+          |        ELSE '' END) AS text FROM documents),
+          |c AS (SELECT doc_id,
+          |  list_filter(regexp_extract_all(text, '[0-9]+'), s ->
+          |    length(s) >= 13 AND length(s) <= 19) AS runs FROM t),
+          |v AS (SELECT doc_id, runs,
+          |  list_filter(runs, s ->
+          |    list_sum(list_transform(range(length(s)), i ->
+          |      CASE WHEN i % 2 = 1 THEN
+          |        CASE WHEN 2 * CAST(s[length(s) - i] AS INT) > 9
+          |             THEN 2 * CAST(s[length(s) - i] AS INT) - 9
+          |             ELSE 2 * CAST(s[length(s) - i] AS INT) END
+          |      ELSE CAST(s[length(s) - i] AS INT) END)) % 10 = 0) AS ok
+          |  FROM c)
+          |SELECT doc_id, CAST(len(runs) AS BIGINT) AS n_digit_runs,
+          |  CAST(len(ok) AS BIGINT) AS n_luhn_valid
+          |FROM v ORDER BY doc_id""".stripMargin,
       "q_rare_tokens" ->
         """WITH d AS (SELECT doc_id, list_distinct(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w FROM documents),
           |tok AS (SELECT doc_id, unnest(w) AS tok FROM d),

@@ -286,6 +286,48 @@ object Funnel {
       .orderBy("event_type", "day")
   }
 
+  /** Per-day distribution-drift timeline: the total-variation distance
+    * between each day's event-type mix and the mix of the first `refDays`
+    * days — the dashboard that turns "did the feed drift?" (`ksTest`, one
+    * verdict) into WHEN it drifted. TV is the PSI-family metric with no
+    * logarithm, so it stays engine-exact: per (day, type) the term is the
+    * cross-multiplied integer |n_dt*N_ref - r_t*N_d| summed in
+    * decimal(38,0) (overflow-safe at any cardinality), with ONE double
+    * division per day at the end. Missing types on either side enter as
+    * zeros via the day x type grid, so the metric sees the union support.
+    *
+    * Scale shape: one row-grain groupBy to (day, type) grain; everything
+    * after operates on day/type-grain tables (broadcast joins). */
+  def driftTimeline(events: DataFrame, refDays: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val d0 = daily.agg(min("day").as("__d0"))
+    val days = daily.groupBy("day").agg(sum("n").as("n_day"))
+      .crossJoin(broadcast(d0))
+      .withColumn("in_ref", datediff(col("day"), col("__d0")) < refDays)
+      .select("day", "n_day", "in_ref")
+    val ref = daily.join(broadcast(days.filter(col("in_ref"))
+        .select("day")), "day")
+      .groupBy("event_type").agg(sum("n").as("r"))
+    val refTot = ref.agg(sum("r").as("n_ref"))
+    val types = daily.select("event_type").distinct()
+    val dec = "decimal(38,0)"
+    days.crossJoin(broadcast(types))
+      .join(daily, Seq("day", "event_type"), "left")
+      .join(broadcast(ref), Seq("event_type"), "left")
+      .crossJoin(broadcast(refTot))
+      .withColumn("term",
+        abs(coalesce(col("n"), lit(0L)).cast(dec) * col("n_ref")
+          - coalesce(col("r"), lit(0L)).cast(dec) * col("n_day")))
+      .groupBy("day", "n_day", "in_ref", "n_ref")
+      .agg(sum(col("term")).as("__tv_num"))
+      .withColumn("tv", col("__tv_num").cast("double")
+        / (lit(2.0) * col("n_day").cast("double") * col("n_ref").cast("double")))
+      .select("day", "n_day", "in_ref", "tv")
+      .orderBy("day")
+  }
+
   /** Classical seasonal decomposition of each event type's daily series —
     * the STL-lite additive model every ops/drift dashboard starts from:
     * trend = centered 7-day moving average, seasonal = day-of-week mean of

@@ -128,6 +128,34 @@ object TextAnalysis {
         LongNumberPattern, "<num>").as("redacted"))
   }
 
+  /** Checksum-validated payment-card detection — the precision upgrade over
+    * [[redactPii]]'s raw digit-run count: a 13-19 digit run is only flagged
+    * as card-like when its Luhn (ISO/IEC 7812 mod-10) checksum verifies,
+    * which eliminates the order-id / timestamp false positives that make
+    * naive digit-run scrubbing unusable as a drop rule. Candidates are
+    * MAXIMAL digit runs filtered by length in array land (no lookaround —
+    * RE2-portable); the checksum is an integer fold over the digits.
+    * Zero-exchange narrow projection. */
+  def luhnAudit(df: DataFrame, text: String = "text",
+                id: String = "doc_id"): DataFrame = {
+    val runs = filter(
+      regexp_extract_all(col(text), lit("[0-9]+"), lit(0)),
+      s => length(s) >= 13 && length(s) <= 19)
+    // Luhn fold: digits from the right; every second doubles, >9 drops 9
+    df.select(col(id), runs.as("__runs"))
+      .withColumn("n_digit_runs", size(col("__runs")).cast("long"))
+      .withColumn("n_luhn_valid",
+        size(filter(col("__runs"), s =>
+          aggregate(sequence(lit(0), length(s) - 1), lit(0),
+            (acc, i) => {
+              val d = s.substr(length(s) - i, lit(1)).cast("int")
+              val dd = when(i % 2 === 1,
+                when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+              acc + dd
+            }) % 10 === 0)).cast("long"))
+      .select(col(id), col("n_digit_runs"), col("n_luhn_valid"))
+  }
+
   /** Rare-token ratio: fraction of a document's DISTINCT word tokens whose
     * corpus document-frequency is below `dfCutoff` — a cheap OOV/gibberish
     * signal that, unlike the per-row stats above, needs corpus context.
