@@ -292,6 +292,10 @@ object SparkEntry {
       Merge.quantileSketchFromSample(orders, merged, "o_totalprice",
         Seq(0.1, 0.25, 0.5, 0.75, 0.9))
     }),
+    // per-source length-distribution sketches: the curation dashboard grain
+    "q_quantile_by_group" -> ((s, dir) =>
+      Merge.quantileSketchByGroup(Tables.documents(s, dir), k = 64,
+        group = "source", id = "doc_id", valueCol = "n_chars")),
     "q_corpus_overlap" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val a = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
@@ -4055,6 +4059,32 @@ object SparkEntry {
           |  CAST(n_le AS DOUBLE) / CAST(n_total AS DOUBLE) AS rank_frac,
           |  abs(CAST(n_le AS DOUBLE) / CAST(n_total AS DOUBLE) - q) AS rank_err
           |FROM acc ORDER BY q""".stripMargin,
+      "q_quantile_by_group" ->
+        """WITH pri AS (SELECT source AS g, doc_id,
+          |    CAST(n_chars AS DOUBLE) AS v,
+          |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+          |  FROM documents),
+          |samp AS (SELECT g, v FROM (SELECT g, v,
+          |    row_number() OVER (PARTITION BY g ORDER BY h, doc_id) AS rn
+          |  FROM pri) t WHERE rn <= 64),
+          |sv AS (SELECT g, list(v ORDER BY v) AS svs, count(*) AS n_sample
+          |  FROM samp GROUP BY g),
+          |tot AS (SELECT source AS g, count(*) AS n_total
+          |  FROM documents GROUP BY 1),
+          |qrows AS (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS q),
+          |est AS (SELECT g, q,
+          |    svs[greatest(1, CAST(ceil(q * n_sample) AS INT))] AS est,
+          |    CAST(n_sample AS BIGINT) AS n_sample, n_total
+          |  FROM sv JOIN tot USING (g), qrows),
+          |acc AS (SELECT e.g, e.q, e.est, e.n_sample, e.n_total,
+          |    (SELECT count(*) FROM pri p
+          |     WHERE p.g = e.g AND p.v <= e.est) AS n_le
+          |  FROM est e)
+          |SELECT g, q, est, n_sample, n_total,
+          |  CAST(n_le AS BIGINT) AS n_le,
+          |  CAST(n_le AS DOUBLE) / CAST(n_total AS DOUBLE) AS rank_frac,
+          |  abs(CAST(n_le AS DOUBLE) / CAST(n_total AS DOUBLE) - q) AS rank_err
+          |FROM acc ORDER BY g, q""".stripMargin,
       "q_kmv_sketch" ->
         """WITH toks AS (
           |  SELECT doc_id,

@@ -133,6 +133,9 @@ object TopKAggregator {
     * uniform-sample state (`Merge.quantileSample`). */
   case class PriRow(q_id: Long, pri: Long, n_id: Long, v: Double)
 
+  /** [[PriRow]] with a string grouping key (`Merge.quantileSketchByGroup`). */
+  case class PriRowG(g: String, pri: Long, n_id: Long, v: Double)
+
   /** Keeps the k smallest (pri asc, n_id asc) rows WITH their double
     * payload — one pass, no join-back for the payload. Buffer is
     * DESCENDING by (pri, n_id) so the steady-state reject ("not below the
@@ -140,8 +143,10 @@ object TopKAggregator {
     * Associative and commutative, so partitioning and stream/batch split
     * can never change the sample — which is what makes the same code a
     * single streaming aggregation (`StreamingOps.quantileSample`). */
-  class MinKByPri(k: Int)
-      extends Aggregator[PriRow, (Int, List[(Long, Long, Double)]), Seq[(Long, Double)]] {
+  abstract class MinKByPriBase[IN](k: Int)
+      extends Aggregator[IN, (Int, List[(Long, Long, Double)]), Seq[(Long, Double)]] {
+    protected def key(in: IN): (Long, Long, Double)
+
     private def geq(a: (Long, Long, Double), p: Long, id: Long): Boolean =
       a._1 > p || (a._1 == p && a._2 >= id)
 
@@ -159,8 +164,8 @@ object TopKAggregator {
     }
 
     override def reduce(buf: (Int, List[(Long, Long, Double)]),
-                        row: PriRow): (Int, List[(Long, Long, Double)]) =
-      insert(buf, (row.pri, row.n_id, row.v))
+                        row: IN): (Int, List[(Long, Long, Double)]) =
+      insert(buf, key(row))
     override def merge(a: (Int, List[(Long, Long, Double)]),
                        b: (Int, List[(Long, Long, Double)])): (Int, List[(Long, Long, Double)]) =
       b._2.foldLeft(a)(insert)
@@ -171,6 +176,16 @@ object TopKAggregator {
       ExpressionEncoder[(Int, List[(Long, Long, Double)])]()
     override def outputEncoder: Encoder[Seq[(Long, Double)]] =
       ExpressionEncoder[Seq[(Long, Double)]]()
+  }
+
+  class MinKByPri(k: Int) extends MinKByPriBase[PriRow](k) {
+    override protected def key(r: PriRow): (Long, Long, Double) =
+      (r.pri, r.n_id, r.v)
+  }
+
+  class MinKByPriG(k: Int) extends MinKByPriBase[PriRowG](k) {
+    override protected def key(r: PriRowG): (Long, Long, Double) =
+      (r.pri, r.n_id, r.v)
   }
 
   /** Keeps the k largest (o_totalprice desc, o_orderkey asc) rows. */

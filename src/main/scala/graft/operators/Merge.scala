@@ -386,6 +386,50 @@ object Merge {
     quantileSketchFromSample(df, quantileSample(df, k, id, valueCol),
       valueCol, qs)
 
+  /** Per-GROUP [[quantileSketch]]: one bottom-k-by-hash sample per group
+    * (per-domain length profiles, per-language score distributions — the
+    * curation dashboard grain), same content-addressed priorities and
+    * bounded-heap state, keyed by the group column. The audit joins the
+    * (|groups| x |qs|)-row estimate frame back as a BROADCAST, so the
+    * row-grain side exchanges once for the (group, q) conditional count
+    * partial aggregation and never sorts. */
+  def quantileSketchByGroup(df: DataFrame, k: Int = 64, group: String = "g",
+                            id: String = "id", valueCol: String = "v",
+                            qs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.functions.TopKAggregator.{MinKByPriG, PriRowG}
+    val pri = conv(substr(md5(col(id).cast("string")), lit(1), lit(15)), 16, 10)
+      .cast("long")
+    val sample = df.select(col(group).cast("string").as("g"), pri.as("pri"),
+        col(id).cast("long").as("n_id"), col(valueCol).cast("double").as("v"))
+      .as[PriRowG]
+      .groupByKey(_.g)
+      .agg(new MinKByPriG(k).toColumn.name("s"))
+      .map { case (g, s) => (g, s.map(_._2).toArray.sorted) }
+      .toDF("g", "svs")
+    val tot = df.groupBy(col(group).cast("string").as("g"))
+      .agg(count(lit(1)).as("n_total"))
+    val est = sample.join(tot, "g")
+      .withColumn("n_sample", size(col("svs")).cast("long"))
+      .select(col("g"), col("svs"), col("n_sample"), col("n_total"),
+        explode(array(qs.map(lit(_)): _*)).as("q"))
+      .withColumn("est", element_at(col("svs"),
+        greatest(lit(1), ceil(col("q") * col("n_sample")).cast("int"))))
+      .select("g", "q", "est", "n_sample", "n_total")
+    df.select(col(group).cast("string").as("g"),
+        col(valueCol).cast("double").as("__v"))
+      .join(broadcast(est), "g")
+      .groupBy("g", "q", "est", "n_sample", "n_total")
+      .agg(sum(when(col("__v") <= col("est"), 1L).otherwise(0L)).as("n_le"))
+      .withColumn("rank_frac",
+        col("n_le").cast("double") / col("n_total").cast("double"))
+      .withColumn("rank_err", abs(col("rank_frac") - col("q")))
+      .select("g", "q", "est", "n_sample", "n_total", "n_le", "rank_frac",
+        "rank_err")
+      .orderBy("g", "q")
+  }
+
   /** [[quantileSketch]] over a PRE-BUILT (or shard-merged) sample state:
     * the maintenance form — shard/day states union, [[quantileSample]]
     * re-takes the bottom k (priorities are content-addressed, so the

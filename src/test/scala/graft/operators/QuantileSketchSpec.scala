@@ -53,6 +53,29 @@ class QuantileSketchSpec extends SparkSpec {
     assert(run(1) == run(13))
   }
 
+  test("grouped sketch: exact per-group nearest-rank when k >= group size") {
+    val df = (1 to 900).map(i => (i.toLong, s"g${i % 3}", i.toDouble))
+      .toDF("id", "g", "v")
+    val r = Merge.quantileSketchByGroup(df, k = 500, group = "g", id = "id",
+      valueCol = "v", qs = Seq(0.5)).collect()
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_sample") == 300L)
+      assert(row.getAs[Double]("rank_err") == 0.0)
+      // group g0 = {3,6,...,900}: median = 150th value = 450
+      if (row.getAs[String]("g") == "g0")
+        assert(row.getAs[Double]("est") == 450.0)
+    }
+  }
+
+  test("grouped sketch: partition invariance") {
+    val df = (1 to 2000).map(i => (i.toLong, s"g${i % 7}", (i * 13 % 101).toDouble))
+      .toDF("id", "g", "v")
+    def run(p: Int) =
+      Merge.quantileSketchByGroup(df.repartition(p), k = 32, group = "g",
+        id = "id", valueCol = "v").collect().map(_.toSeq).toSeq
+    assert(run(1) == run(13))
+  }
+
   test("estimate audit: n_le counts duplicates at the estimate value") {
     // heavy ties: value = id / 10 (integer div) -> 10 rows per value
     val df = (1 to 200).map(i => (i.toLong, (i / 10).toDouble)).toDF("id", "v")
