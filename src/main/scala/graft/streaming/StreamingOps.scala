@@ -420,6 +420,43 @@ object StreamingOps {
                   item: String = "item"): DataFrame =
     graft.operators.Merge.kmvSketch(items, k, item)
 
+  /** Streaming drift timeline — the online twin of `Funnel.driftTimeline`
+    * against a FROZEN reference mix (the batch form derives the reference
+    * from the first week; online, the reference is a deployed artifact).
+    * One stateful aggregation: daily windows hold the per-type counts as
+    * conditional sums over the reference's (small, driver-literal) type
+    * list, and the TV distance folds in a fixed type order from exact
+    * cross-multiplied decimal terms — types the reference never saw need
+    * no column at all, because their mass is (N_d - sum known) and each
+    * contributes |n_t*N_ref - 0| summing to exactly that remainder times
+    * N_ref. Append mode emits a day when its watermark closes; emitted
+    * rows match the batch computation on the same days bit-for-bit
+    * (asserted). */
+  def driftTimeline(events: DataFrame, refMix: Map[String, Long],
+                    watermarkDelay: String = "1 hour"): DataFrame = {
+    require(refMix.nonEmpty && refMix.values.forall(_ >= 0))
+    val nRef = refMix.values.sum
+    val types = refMix.keys.toSeq.sorted
+    val dec = "decimal(38,0)"
+    val knownCounts = types.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"__n_$t"))
+    val base = events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n_day"), knownCounts: _*)
+    val knownTerms = types.map(t =>
+      abs(col(s"__n_$t").cast(dec) * lit(nRef)
+        - lit(refMix(t)).cast(dec) * col("n_day")))
+    val unseen = (col("n_day") -
+      types.map(t => col(s"__n_$t")).reduce(_ + _)).cast(dec) * lit(nRef)
+    base
+      .withColumn("__tv_num", knownTerms.reduce(_ + _) + unseen)
+      .select(col("window.start").cast("date").as("day"), col("n_day"),
+        (col("__tv_num").cast("double")
+          / (lit(2.0) * col("n_day").cast("double")
+            * lit(nRef.toDouble))).as("tv"))
+  }
+
   /** Streaming quantile-sample maintenance — the online twin of
     * `Merge.quantileSample`: state is the k rows with the smallest
     * content-addressed priorities plus their value payloads (one O(k)

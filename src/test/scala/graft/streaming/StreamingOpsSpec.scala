@@ -732,6 +732,37 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming drift timeline matches the batch TV on closed days") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ev(day: Int, t: String, n: Int) = (1 to n).map(i =>
+      (day * 1000L + i,
+        java.sql.Timestamp.valueOf(f"2024-03-$day%02d 06:00:00"), t))
+    val rows = (1 to 7).flatMap(d => ev(d, "a", 6) ++ ev(d, "b", 2)) ++
+      ev(8, "a", 3) ++ ev(8, "b", 1) ++ ev(9, "c", 5) ++ ev(10, "a", 2) ++
+      ev(12, "a", 1) // sentinel advances the watermark past day 10
+    val batch = graft.operators.Funnel.driftTimeline(
+        rows.toDF("event_id", "ts", "event_type"), refDays = 7)
+      .collect().map(r => r.getDate(0).toString -> r.getDouble(3)).toMap
+    val refMix = Map("a" -> 42L, "b" -> 14L) // first-7-day mix, frozen
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingOps.driftTimeline(
+        stream.toDF().toDF("event_id", "ts", "event_type"), refMix)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("drift_out").start()
+    try {
+      stream.addData(rows.take(40)); q.processAllAvailable()
+      stream.addData(rows.drop(40)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("drift_out").collect()
+      .map(r => r.getDate(0).toString -> r.getDouble(2)).toMap
+    assert(streamed.nonEmpty)
+    // every closed day the stream emitted matches the batch bit-for-bit
+    streamed.foreach { case (day, tv) => assert(batch(day) == tv, day) }
+    assert(streamed.contains("2024-03-08") && streamed.contains("2024-03-09"))
+    assert(streamed("2024-03-09") == 1.0)
+  }
+
   test("streaming quantile sample accumulates to EXACTLY the batch sample") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
