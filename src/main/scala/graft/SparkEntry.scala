@@ -884,6 +884,20 @@ object SparkEntry {
       TextAnalysis.repetition(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_redact_pii" -> ((s, dir) =>
       TextAnalysis.redactPii(Tables.documents(s, dir)).orderBy("doc_id")),
+    // compressibility quality signal (rows-only gate: zlib has no SQL
+    // form; spec pins semantics, bench pins scale) — per-source report
+    "q_compress_signal" -> ((s, dir) =>
+      TextAnalysis.compressionSignal(Tables.documents(s, dir))
+        .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_bytes").as("n_bytes"),
+          sum("comp_bytes").as("comp_bytes"),
+          (sum("comp_bytes").cast("double")
+            / sum("n_bytes").cast("double")).as("corpus_ratio"),
+          min("comp_ratio").as("min_ratio"),
+          max("comp_ratio").as("max_ratio"))
+        .orderBy("source")),
     // Luhn-checked card detection over docs with planted valid/invalid
     // numbers (1-in-10 / 1-in-10) plus natural digit runs
     "q_pii_luhn" -> ((s, dir) =>

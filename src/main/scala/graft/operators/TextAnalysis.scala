@@ -156,6 +156,42 @@ object TextAnalysis {
       .select(col(id), col("n_digit_runs"), col("n_luhn_valid"))
   }
 
+  /** Compression-ratio quality signal: DEFLATE(level 9) bytes over UTF-8
+    * bytes per document — the compressibility filter real curation stacks
+    * run (templated/boilerplate/repetitive text compresses far below
+    * natural prose; random gibberish barely compresses). Partition-local
+    * `java.util.zip.Deflater` (one instance reused per partition, reset per
+    * row) behind `mapPartitions` — the [[graft.operators.Multimodal]]
+    * justification: a zlib stream has no Catalyst expression form, and a
+    * UDF would hide the cost. Zero exchange; deterministic for a fixed
+    * zlib level, so the signal is stable across runs and partitionings —
+    * but NOT reproducible from SQL, so this lane is rows-only at the
+    * oracle gate (no `oracleSql` entry; the spec pins the semantics). */
+  def compressionSignal(docs: DataFrame, text: String = "text",
+                        id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long"), col(text)).as[(Long, String)]
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(
+          java.util.zip.Deflater.BEST_COMPRESSION, true)
+        val buf = new Array[Byte](1 << 16)
+        rows.map { case (docId, t) =>
+          val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var compLen = 0L
+          while (!deflater.finished())
+            compLen += deflater.deflate(buf)
+          val ratio =
+            if (bytes.length == 0) 1.0 else compLen.toDouble / bytes.length
+          (docId, bytes.length.toLong, compLen, ratio)
+        }
+      }
+      .toDF(id, "n_bytes", "comp_bytes", "comp_ratio")
+  }
+
   /** Rare-token ratio: fraction of a document's DISTINCT word tokens whose
     * corpus document-frequency is below `dfCutoff` — a cheap OOV/gibberish
     * signal that, unlike the per-row stats above, needs corpus context.
