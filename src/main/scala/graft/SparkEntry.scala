@@ -1049,6 +1049,10 @@ object SparkEntry {
     // v5: + blocklist pre-gate at the scan and shard layout at the sink
     "q_curation_v5" -> ((s, dir) =>
       CurationPipeline.trainingManifestV5(s, dir)),
+    // v6: the EXPORT pipeline — canonical-URL dedup, Luhn privacy gate,
+    // corpus-frequency line scrub, padding-aware batches dealt to shards
+    "q_curation_v6" -> ((s, dir) =>
+      CurationPipeline.exportManifestV6(s, dir)),
     // incremental admission funnel: gate the new batch against curated
     // history (history read, never shuffled) with first-failing-stage
     // attribution per document
@@ -3477,7 +3481,7 @@ object SparkEntry {
         """WITH u AS (SELECT doc_id,
           |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
           |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
-          |  upper(source) || '.Example.COM' ||
+          |  'Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.COM' ||
           |  (CASE WHEN doc_id % 2 = 0 THEN ':80'
           |        WHEN doc_id % 5 = 0 THEN ':8080' ELSE ':443' END) ||
           |  '/Docs//Item/' || CAST(doc_id // 20 AS VARCHAR) ||
@@ -5001,6 +5005,100 @@ object SparkEntry {
       // v5: v4's manifest from a blocklist-pre-gated corpus, plus shard
       // layout — packs bin into fixed-token output shards in pack order
       // (the Compaction.assign placement over the pack relation)
+      // v6 export pipeline: url-canon dedup -> luhn gate -> line scrub
+      // over survivors -> length-bucket batches -> round-robin shards
+      "q_curation_v6" ->
+        """WITH t0 AS (SELECT doc_id, text ||
+          |  (CASE WHEN doc_id % 10 = 0 THEN ' card 4539578763621486 ok'
+          |        WHEN doc_id % 10 = 5 THEN ' card 4539578763621487 bad'
+          |        ELSE '' END) AS text FROM documents),
+          |uu AS (SELECT doc_id,
+          |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+          |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+          |  'Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.COM' ||
+          |  (CASE WHEN doc_id % 2 = 0 THEN ':80'
+          |        WHEN doc_id % 5 = 0 THEN ':8080' ELSE ':443' END) ||
+          |  '/Docs//Item/' || CAST(doc_id // 20 AS VARCHAR) ||
+          |  (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+          |  '?utm_source=feed&id=' || CAST(doc_id % 10 AS VARCHAR) ||
+          |  '&ref=track#Sec' || CAST(doc_id % 7 AS VARCHAR) AS url
+          |  FROM documents),
+          |uc AS (SELECT doc_id,
+          |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+          |  regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+          |  FROM uu),
+          |uhp AS (SELECT doc_id, scheme,
+          |  regexp_extract(rest, '^([^/?#]+)', 1) AS hostport,
+          |  regexp_replace(rest, '^[^/?#]+', '') AS pq FROM uc),
+          |uh AS (SELECT *,
+          |  regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')),
+          |    '^www\.', '') AS host,
+          |  regexp_extract(hostport, ':([0-9]+)$', 1) AS rawport FROM uhp),
+          |up1 AS (SELECT *,
+          |  CASE WHEN (scheme = 'http' AND rawport = '80')
+          |         OR (scheme = 'https' AND rawport = '443')
+          |       THEN '' ELSE rawport END AS port,
+          |  regexp_replace(regexp_extract(pq, '^([^?#]*)', 1),
+          |    '/{2,}', '/', 'g') AS path0,
+          |  regexp_extract(pq, '\?([^#]*)', 1) AS q0 FROM uh),
+          |up2 AS (SELECT *,
+          |  CASE WHEN length(path0) = 0 THEN '/'
+          |       WHEN length(path0) > 1 THEN regexp_replace(path0, '/$', '')
+          |       ELSE path0 END AS path,
+          |  array_to_string(list_filter(string_split(q0, '&'), x ->
+          |    length(x) > 0 AND substr(x, 1, 4) <> 'utm_'
+          |      AND substr(x, 1, 4) <> 'ref='), '&') AS query FROM up1),
+          |ucanon AS (SELECT doc_id,
+          |  scheme || '://' || host ||
+          |  (CASE WHEN port = '' THEN '' ELSE ':' || port END) || path ||
+          |  (CASE WHEN query = '' THEN '' ELSE '?' || query END) AS canon_url
+          |  FROM up2),
+          |ukeep AS (SELECT min(doc_id) AS doc_id FROM ucanon GROUP BY canon_url),
+          |lc AS (SELECT doc_id,
+          |  list_filter(regexp_extract_all(text, '[0-9]+'), s ->
+          |    length(s) >= 13 AND length(s) <= 19) AS runs FROM t0),
+          |lv AS (SELECT doc_id FROM (SELECT doc_id,
+          |  list_filter(runs, s ->
+          |    list_sum(list_transform(range(length(s)), i ->
+          |      CASE WHEN i % 2 = 1 THEN
+          |        CASE WHEN 2 * CAST(s[length(s) - i] AS INT) > 9
+          |             THEN 2 * CAST(s[length(s) - i] AS INT) - 9
+          |             ELSE 2 * CAST(s[length(s) - i] AS INT) END
+          |      ELSE CAST(s[length(s) - i] AS INT) END)) % 10 = 0) AS ok
+          |  FROM lc) z WHERE len(ok) = 0),
+          |surv AS (SELECT t0.doc_id, t0.text FROM t0
+          |  JOIN ukeep USING (doc_id) JOIN lv USING (doc_id)),
+          |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM surv),
+          |ln AS (SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+          |    array_to_string(ws[i*2+1 : i*2+2], ' ') AS line
+          |  FROM w, LATERAL (SELECT unnest(range(0, (len(ws)-1)//2 + 1)) AS i) t),
+          |pd AS (SELECT DISTINCT line, doc_id FROM ln),
+          |df AS (SELECT line, CAST(count(*) AS BIGINT) AS doc_freq
+          |  FROM pd GROUP BY line),
+          |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM surv),
+          |hot AS (SELECT line FROM df, nd WHERE doc_freq * 20 >= n_docs),
+          |kept AS (SELECT * FROM ln
+          |  WHERE line NOT IN (SELECT line FROM hot)),
+          |rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_lines,
+          |    string_agg(line, ' ' ORDER BY line_no) AS text_kept
+          |  FROM kept GROUP BY doc_id),
+          |sc AS (SELECT doc_id, text_kept AS text FROM rb
+          |  WHERE kept_lines > 0),
+          |bt AS (SELECT doc_id,
+          |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+          |  FROM sc),
+          |bb AS (SELECT doc_id, n_tokens,
+          |  CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+          |       WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+          |       WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512
+          |       ELSE 1024 END AS bucket FROM bt),
+          |br AS (SELECT doc_id, n_tokens, bucket,
+          |  row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1 AS pos
+          |  FROM bb)
+          |SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
+          |  CAST(pos // (4096 // bucket) AS BIGINT) AS batch_idx,
+          |  CAST((pos // (4096 // bucket)) % 4 AS BIGINT) AS shard
+          |FROM br ORDER BY doc_id""".stripMargin,
       "q_curation_v5" ->
         s"""WITH docf AS (SELECT * FROM documents
            |  WHERE NOT (len(list_filter(['slow join', 'fast scan'],

@@ -362,6 +362,52 @@ object CurationPipeline {
     * shard assignment runs over the PACK relation (corpus_tokens/budget
     * rows — three orders smaller than the sequence stream) and joins back
     * by pack_id. */
+  /** Round-7 capstone v6: the EXPORT/compliance pipeline — the stages a
+    * curated corpus passes on its way OUT of the lake, composed from the
+    * round-7 operators:
+    *
+    *   1. canonical-URL exact dedup ([[UrlOps]]): the cheapest dedup key
+    *      runs first and never touches text — one id-only groupBy on the
+    *      canonical URL, min-id survivor
+    *   2. privacy gate ([[TextAnalysis.luhnAudit]]): any Luhn-VALID card
+    *      number drops the document (checksum-gated, so order ids and
+    *      timestamps pass); the fixture plants valid/invalid cards at
+    *      known rates as the dirty-data stand-in
+    *   3. corpus-frequency line scrub ([[LineDedup.scrub]]) over the
+    *      surviving set — the boilerplate threshold derives from the
+    *      export corpus itself; docs scrubbed to nothing leave
+    *   4. padding-aware delivery ([[Packing.lengthBuckets]]): power-of-two
+    *      slot batches, dealt round-robin to `nShards` output files
+    *      (batches within a bucket are capacity-equal, so the deal is
+    *      token-balanced by construction)
+    *
+    * Scale shape: stages 1-2 are narrow projections plus one id-grain
+    * exchange each; the scrub's hot set broadcasts; the batcher's windows
+    * are stratum-parallel. Nothing row-grain ever sorts globally. */
+  def exportManifestV6(spark: SparkSession, dir: String,
+                       nShards: Int = 4): DataFrame = {
+    val raw = Tables.documents(spark, dir)
+    val docs = raw.withColumn("text", concat(col("text"),
+      when(pmod(col("doc_id"), lit(10)) === 0,
+        lit(" card 4539578763621486 ok"))
+        .when(pmod(col("doc_id"), lit(10)) === 5,
+          lit(" card 4539578763621487 bad"))
+        .otherwise(lit(""))))
+    val urlKeep = UrlOps.canonicalize(UrlOps.synthesizeUrls(raw))
+      .groupBy("canon_url").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val luhnPass = TextAnalysis.luhnAudit(docs)
+      .filter(col("n_luhn_valid") === 0).select("doc_id")
+    val surv = docs.join(urlKeep, "doc_id").join(luhnPass, "doc_id")
+    val scrubbed = LineDedup.scrub(surv, 2, 20)
+      .filter(col("kept_lines") > 0)
+      .select(col("doc_id"), col("text_kept").as("text"))
+    Packing.lengthBuckets(scrubbed)
+      .withColumn("shard", pmod(col("batch_idx"), lit(nShards.toLong)))
+      .select("doc_id", "n_tokens", "bucket", "batch_idx", "shard")
+      .orderBy("doc_id")
+  }
+
   def trainingManifestV5(spark: SparkSession, dir: String): DataFrame = {
     val man = trainingManifest(spark, dir, scrubPassages = true,
         blockPhrases = BlockPhrases)

@@ -66,17 +66,20 @@ object UrlOps {
         sum(when(col("port") =!= "", 1L).otherwise(0L)).as("n_with_port"))
       .orderBy("host")
 
-  /** Deterministic messy-URL synthesis from (doc_id, source) — upper/lower
-    * case churn, www., default and non-default ports, duplicate slashes,
+  /** Deterministic messy-URL synthesis from the doc id — upper/lower case
+    * churn, www., default and non-default ports, duplicate slashes,
     * trailing slashes, tracking params and fragments, all keyed off the id
-    * so the oracle rebuilds the identical strings. */
-  def synthesizeUrls(df: DataFrame, id: String = "doc_id",
-                     source: String = "source"): DataFrame =
+    * so the oracle rebuilds the identical strings. Hosts cycle mod 5 so
+    * canonicalization produces REAL collapses: ids 10 apart share every
+    * canonical component (host, scheme, port, path, surviving params)
+    * while their raw strings differ in case, www., trailing slash and
+    * fragment. */
+  def synthesizeUrls(df: DataFrame, id: String = "doc_id"): DataFrame =
     df.withColumn("url", concat(
       when(pmod(col(id), lit(2)) === 0, lit("HTTP")).otherwise(lit("https")),
       lit("://"),
       when(pmod(col(id), lit(3)) === 0, lit("WWW.")).otherwise(lit("")),
-      upper(col(source)), lit(".Example.COM"),
+      lit("Site"), pmod(col(id), lit(5)), lit(".Example.COM"),
       when(pmod(col(id), lit(2)) === 0, lit(":80"))
         .otherwise(when(pmod(col(id), lit(5)) === 0, lit(":8080"))
           .otherwise(lit(":443"))),
