@@ -707,6 +707,18 @@ object SparkEntry {
     "q_market_basket" -> ((s, dir) =>
       Graph.marketBasket(Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey")), "l_orderkey", "l_partkey")),
+    // content-addressed negative sampling for contrastive/recsys training:
+    // hash-bucketed candidates, seen pairs anti-joined, bounded-heap top-k
+    "q_neg_samples" -> ((s, dir) => {
+      val inter = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, dir).select("l_orderkey", "l_partkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("user_id"), col("l_partkey").as("item"))
+      Graph.negativeSamples(inter,
+          Tables.part(s, dir).select(col("p_partkey").as("item")),
+          "user_id", "item")
+        .orderBy("user_id", "rk")
+    }),
     // integer-unit PageRank over the customer–supplier trading graph:
     // 3 power iterations, edges partitioned once, ranks-only shuffles
     "q_pagerank" -> ((s, dir) => {
@@ -4355,6 +4367,31 @@ object SparkEntry {
            |  CASE WHEN bucket < 80 THEN 'train'
            |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
            |FROM bk ORDER BY doc_id""".stripMargin,
+      // same digest bucketing + NOT EXISTS + (h, item) rank
+      "q_neg_samples" ->
+        """WITH inter AS (SELECT DISTINCT o_custkey AS user_id,
+          |    l_partkey AS item
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |users AS (SELECT DISTINCT user_id,
+          |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          |      % 50 AS b
+          |  FROM inter),
+          |items AS (SELECT DISTINCT p_partkey AS item,
+          |    CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15)) AS BIGINT)
+          |      % 50 AS b
+          |  FROM part),
+          |cand AS (SELECT u.user_id, i.item FROM users u JOIN items i USING (b)
+          |  WHERE NOT EXISTS (SELECT 1 FROM inter s
+          |    WHERE s.user_id = u.user_id AND s.item = i.item)),
+          |pri AS (SELECT user_id, item,
+          |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '_'
+          |      || CAST(item AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+          |  FROM cand),
+          |r AS (SELECT user_id, item,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY h, item) AS rk
+          |  FROM pri)
+          |SELECT user_id, CAST(rk AS BIGINT) AS rk, item AS neg_item
+          |FROM r WHERE rk <= 5 ORDER BY user_id, rk""".stripMargin,
       "q_market_basket" ->
         """WITH baskets AS (
           |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -200,6 +200,49 @@ object Graph {
     * with the pair count. One basket groupBy, map-side pair expansion from
     * the sorted item array, partial-agg counts — the shared kernel under
     * [[itemSimilarity]] and [[triangleStats]]-based lanes. */
+  /** Deterministic negative sampling for contrastive / recommender
+    * training: for each user, `k` catalog items the user has NOT
+    * interacted with, drawn content-addressed (md5 of the (user, item)
+    * pair — no RNG, stable across runs/engines/partitionings, epoch
+    * regenerable by salting the digest).
+    *
+    * Scale shape: the user x catalog cross product is never materialized —
+    * items land in `nBuckets` hash buckets (by item digest) and each user
+    * probes ONE bucket (by user digest), so the candidate relation is
+    * |users| x |catalog|/nBuckets rows. Seen pairs leave via a LEFT ANTI
+    * on (user, item) — at production scale the per-user seen set is tiny
+    * against the probed bucket, so this join shuffles candidate ids only.
+    * Per-user selection is the bounded-heap Aggregator (no rank window).
+    * Bucketing trades candidate diversity for the 1/nBuckets enumeration
+    * cost — the standard in-batch/hashed negatives compromise. */
+  def negativeSamples(interactions: DataFrame, catalog: DataFrame,
+                      userCol: String, itemCol: String, k: Int = 5,
+                      nBuckets: Int = 50): DataFrame = {
+    val spark = interactions.sparkSession
+    import spark.implicits._
+    import graft.functions.TopKAggregator.{MaxKByScore, ScoredL}
+    def digestMod(c: Column, m: Int): Column =
+      pmod(conv(substr(md5(c.cast("string")), lit(1), lit(15)), 16, 10)
+        .cast("long"), lit(m.toLong))
+    val users = interactions.select(col(userCol).as("user")).distinct()
+      .withColumn("__b", digestMod(col("user"), nBuckets))
+    val items = catalog.select(col(itemCol).as("item")).distinct()
+      .withColumn("__b", digestMod(col("item"), nBuckets))
+    val seen = interactions
+      .select(col(userCol).as("user"), col(itemCol).as("item")).distinct()
+    val pairPri = conv(substr(md5(concat_ws("_", col("user"), col("item"))),
+      lit(1), lit(15)), 16, 10).cast("long")
+    users.join(items, "__b")
+      .join(seen, Seq("user", "item"), "left_anti")
+      .select(col("user").as("q_id"), col("item").as("n_id"),
+        (-pairPri).as("iscore"))
+      .as[ScoredL]
+      .groupByKey(_.q_id)
+      .agg(new MaxKByScore(k).toColumn.name("hits"))
+      .flatMap { case (user, hits) => hits.map(h => (user, h.rk, h.n_id)) }
+      .toDF("user_id", "rk", "neg_item")
+  }
+
   def coOccurrenceEdges(baskets: DataFrame, basketCol: String, itemCol: String,
                         minCo: Int = 2): DataFrame = {
     val b = baskets.select(col(basketCol).as("basket"), col(itemCol).as("item"))
