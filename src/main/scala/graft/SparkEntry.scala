@@ -765,6 +765,10 @@ object SparkEntry {
     // decimal(38,0) terms, one double division per day — WHEN it drifted
     "q_drift_timeline" -> ((s, dir) =>
       Funnel.driftTimeline(Tables.events(s, dir))),
+    // does signup follow click, and by how many days? Pearson r at each
+    // lag from exact integer moment sums (corrManual discipline)
+    "q_xcorr_daily" -> ((s, dir) =>
+      Funnel.crossCorrelation(Tables.events(s, dir), "click", "signup")),
     // ORC format hop (ext_orc_roundtrip): same values through ORC bytes
     "q_orc_roundtrip" -> ((s, dir) =>
       graft.sources.OrcSource.roundtripAgg(s, dir)),
@@ -4500,6 +4504,31 @@ object SparkEntry {
           |      FROM sc)
           |SELECT item, rk, rec, co_cnt, cosine FROM r WHERE rk <= 3
           |ORDER BY item, rk""".stripMargin,
+      "q_xcorr_daily" ->
+        """WITH daily AS (
+          |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |a AS (SELECT day AS a_day, n AS a_n FROM daily
+          |  WHERE event_type = 'click'),
+          |b AS (SELECT day AS b_day, n AS b_n FROM daily
+          |  WHERE event_type = 'signup'),
+          |lg AS (SELECT CAST(unnest(range(-3, 4)) AS INT) AS lag),
+          |j AS (SELECT lag, a_n, b_n FROM a, lg
+          |  JOIN b ON b_day = a_day + lag),
+          |m AS (SELECT lag, count(*) AS n_days,
+          |    CAST(sum(CAST(a_n AS DECIMAL(20,0))) AS DECIMAL(20,0)) AS sa,
+          |    CAST(sum(CAST(b_n AS DECIMAL(20,0))) AS DECIMAL(20,0)) AS sb,
+          |    CAST(sum(CAST(a_n * b_n AS DECIMAL(30,0))) AS DECIMAL(30,0)) AS sab,
+          |    CAST(sum(CAST(a_n * a_n AS DECIMAL(30,0))) AS DECIMAL(30,0)) AS saa,
+          |    CAST(sum(CAST(b_n * b_n AS DECIMAL(30,0))) AS DECIMAL(30,0)) AS sbb
+          |  FROM j GROUP BY lag)
+          |SELECT CAST(lag AS BIGINT) AS lag, n_days,
+          |  CASE WHEN n_days * saa - sa * sa = 0
+          |         OR n_days * sbb - sb * sb = 0 THEN NULL
+          |       ELSE CAST(n_days * sab - sa * sb AS DOUBLE)
+          |         / (sqrt(CAST(n_days * saa - sa * sa AS DOUBLE))
+          |           * sqrt(CAST(n_days * sbb - sb * sb AS DOUBLE))) END AS r
+          |FROM m ORDER BY lag""".stripMargin,
       "q_drift_timeline" ->
         """WITH daily AS (
           |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n

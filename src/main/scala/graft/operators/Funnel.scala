@@ -328,6 +328,55 @@ object Funnel {
       .orderBy("day")
   }
 
+  /** Lagged cross-correlation of two event types' daily series — "does B
+    * follow A, and by how many days?" (signup follows click, error follows
+    * deploy). For each lag L in [-maxLag, maxLag], Pearson r between
+    * a(t) and b(t+L) over the days where BOTH series have observations at
+    * that shift (inner alignment — absent days are absent, not zero;
+    * densify upstream if zeros are meant).
+    *
+    * Exactness: counts are integers, so all five moment sums are exact
+    * decimals per lag; r is one fixed-order IEEE chain (the
+    * `corrManual` discipline), NULL when either side is constant in the
+    * overlap. Day-grain throughout — the row-grain pass is the one daily
+    * groupBy, everything after is |days| x |lags| sized. */
+  def crossCorrelation(events: DataFrame, typeA: String, typeB: String,
+                       maxLag: Int = 3): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val a = daily.filter(col("event_type") === typeA)
+      .select(col("day").as("a_day"), col("n").as("a_n"))
+    val b = daily.filter(col("event_type") === typeB)
+      .select(col("day").as("b_day"), col("n").as("b_n"))
+    val dec20 = "decimal(20,0)"
+    val dec30 = "decimal(30,0)"
+    val lagged = a
+      .select(col("a_day"), col("a_n"),
+        explode(array((-maxLag to maxLag).map(lit(_)): _*)).as("lag"))
+      .withColumn("b_key", date_add(col("a_day"), col("lag")))
+      .join(b, col("b_key") === col("b_day"))
+    val m = lagged.groupBy("lag")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("a_n").cast(dec20)).as("sa"),
+        sum(col("b_n").cast(dec20)).as("sb"),
+        sum((col("a_n") * col("b_n")).cast(dec30)).as("sab"),
+        sum((col("a_n") * col("a_n")).cast(dec30)).as("saa"),
+        sum((col("b_n") * col("b_n")).cast(dec30)).as("sbb"))
+    m.select(col("lag").cast("long").as("lag"), col("n_days"),
+        when((col("n_days") * col("saa") - col("sa") * col("sa")) === 0 ||
+          (col("n_days") * col("sbb") - col("sb") * col("sb")) === 0,
+          lit(null).cast("double"))
+          .otherwise(
+            (col("n_days") * col("sab") - col("sa") * col("sb")).cast("double")
+              / (sqrt((col("n_days") * col("saa") - col("sa") * col("sa"))
+                  .cast("double"))
+                * sqrt((col("n_days") * col("sbb") - col("sb") * col("sb"))
+                  .cast("double"))))
+          .as("r"))
+      .orderBy("lag")
+  }
+
   /** Classical seasonal decomposition of each event type's daily series —
     * the STL-lite additive model every ops/drift dashboard starts from:
     * trend = centered 7-day moving average, seasonal = day-of-week mean of

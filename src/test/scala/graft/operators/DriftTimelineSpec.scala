@@ -37,6 +37,27 @@ class DriftTimelineSpec extends SparkSpec {
     assert(r.getDouble(3) == 0.25)
   }
 
+  test("crossCorrelation: a shifted copy correlates perfectly at its lag") {
+    // b(t) = a(t-2): r = 1.0 exactly at lag -2 (b_day = a_day + (-2)
+    // aligns b's copy of a's value back onto a)
+    val rows = ((1 to 20).flatMap(d => ev(d, "a", d * 3 % 11 + 1)) ++
+      (3 to 22).flatMap(d => ev(d, "b", (d - 2) * 3 % 11 + 1)))
+      .toDF("event_id", "ts", "event_type")
+    val r = Funnel.crossCorrelation(rows, "a", "b", maxLag = 3).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // sqrt(x)*sqrt(x) rounds one ulp below x — perfect correlation
+    // lands within an ulp of 1, deterministically
+    assert(r(2L).getAs[Double]("r") > 1.0 - 1e-12)
+    assert(math.abs(r(0L).getAs[Double]("r")) < 1.0)
+  }
+
+  test("crossCorrelation: constant series yields NULL r, not NaN") {
+    val rows = ((1 to 10).flatMap(d => ev(d, "a", 5)) ++
+      (1 to 10).flatMap(d => ev(d, "b", d))).toDF("event_id", "ts", "event_type")
+    val r = Funnel.crossCorrelation(rows, "a", "b", maxLag = 1).collect()
+    r.foreach(x => assert(x.isNullAt(2), s"lag ${x.getLong(0)}"))
+  }
+
   test("partition invariance") {
     val rows = (1 to 10).flatMap(d =>
       ev(d, "a", d) ++ ev(d, "b", 11 - d) ++ (if (d > 5) ev(d, "c", d) else Nil))
