@@ -769,6 +769,11 @@ object SparkEntry {
     // lag from exact integer moment sums (corrManual discipline)
     "q_xcorr_daily" -> ((s, dir) =>
       Funnel.crossCorrelation(Tables.events(s, dir), "click", "signup")),
+    // subgroup separability audit: per-source tie-corrected AUC of doc
+    // length against English membership — 0.5 = no length bias
+    "q_auc_subgroup" -> ((s, dir) =>
+      Relational.aucByGroup(Tables.documents(s, dir), "source", "n_chars",
+        col("lang") === "en")),
     // ORC format hop (ext_orc_roundtrip): same values through ORC bytes
     "q_orc_roundtrip" -> ((s, dir) =>
       graft.sources.OrcSource.roundtripAgg(s, dir)),
@@ -4504,6 +4509,27 @@ object SparkEntry {
           |      FROM sc)
           |SELECT item, rk, rec, co_cnt, cosine FROM r WHERE rk <= 3
           |ORDER BY item, rk""".stripMargin,
+      "q_auc_subgroup" ->
+        """WITH s AS (SELECT source AS g, n_chars AS v,
+          |    (lang = 'en') AS y FROM documents),
+          |vg AS (SELECT g, v,
+          |    CAST(count(*) FILTER (WHERE y) AS BIGINT) AS np,
+          |    CAST(count(*) FILTER (WHERE NOT y) AS BIGINT) AS nn
+          |  FROM s GROUP BY g, v),
+          |lad AS (SELECT g, v, np, nn,
+          |    CAST(coalesce(sum(nn) OVER (PARTITION BY g ORDER BY v
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS BIGINT) AS cum_nn
+          |  FROM vg)
+          |SELECT g, CAST(sum(np) AS BIGINT) AS n_pos,
+          |  CAST(sum(nn) AS BIGINT) AS n_neg,
+          |  CASE WHEN sum(np) = 0 OR sum(nn) = 0 THEN NULL
+          |       ELSE CAST(CAST(sum(CAST(np AS DECIMAL(38,0))
+          |           * (CAST(cum_nn AS DECIMAL(38,0)) * 2 + nn))
+          |           AS DECIMAL(38,0)) AS DOUBLE)
+          |         / CAST(CAST(sum(np) AS DECIMAL(38,0)) * sum(nn) * 2
+          |           AS DOUBLE) END AS auc
+          |FROM lad GROUP BY g ORDER BY g""".stripMargin,
       "q_xcorr_daily" ->
         """WITH daily AS (
           |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n

@@ -824,6 +824,46 @@ object Relational {
     * monitoring compares anyway). Totals ride in as a broadcast 1-row
     * frame, so the plan is two map-side-combinable aggregates and one
     * bounded window. */
+  /** Per-group tie-corrected AUC of a ranking signal against a subgroup
+    * indicator — "how separable is the subgroup under this score?". The
+    * two readings that matter in a curation stack: classifier quality
+    * (label = ground truth; AUC is the ranking metric that ignores
+    * calibration) and BIAS audit (label = subgroup membership; AUC far
+    * from 0.5 means the score systematically ranks the subgroup apart).
+    *
+    * Exactness: AUC is the Mann-Whitney U up to normalization, so the
+    * whole computation is the [[ksTest]]/[[mannWhitney]] count-ladder —
+    * value-grain counts, one bounded per-group window, the doubled-U kept
+    * as an exact decimal (2U = sum np_v*(2*cum_neg_below + nn_v), ties
+    * counted half), ONE division at the end. NULL when a group lacks
+    * either class. Value-grain exchange only. */
+  def aucByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                 labelCol: Column): DataFrame = {
+    val s = df.select(col(groupCol).as("g"), col(scoreCol).as("v"),
+      labelCol.as("y"))
+    val vg = s.groupBy("g", "v").agg(
+      sum(when(col("y"), 1L).otherwise(0L)).as("np"),
+      sum(when(!col("y"), 1L).otherwise(0L)).as("nn"))
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lad = vg.withColumn("cum_nn", coalesce(sum("nn").over(w), lit(0L)))
+    lad.groupBy("g")
+      .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+        // decimal BEFORE the multiply — the doubled-U products overflow
+        // LONG once each class exceeds ~2e9 rows (the mannWhitney lesson)
+        sum(col("np").cast("decimal(38,0)")
+          * (col("cum_nn").cast("decimal(38,0)") * 2 + col("nn")))
+          .cast("decimal(38,0)").as("u2"))
+      .select(col("g"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0 || col("n_neg") === 0,
+          lit(null).cast("double"))
+          .otherwise(col("u2").cast("double")
+            / (col("n_pos").cast("decimal(38,0)") * col("n_neg") * 2)
+              .cast("double"))
+          .as("auc"))
+      .orderBy("g")
+  }
+
   def ksTest(df: DataFrame, sampleCol: String, valueCol: String,
              a: String, b: String): DataFrame = {
     val s = df.filter(col(sampleCol).isin(a, b))
