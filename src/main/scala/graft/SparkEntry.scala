@@ -774,6 +774,14 @@ object SparkEntry {
     "q_auc_subgroup" -> ((s, dir) =>
       Relational.aucByGroup(Tables.documents(s, dir), "source", "n_chars",
         col("lang") === "en")),
+    // chunk->doc mean pooling in deterministic member order (the float
+    // fold order IS the contract) — the long-document embedding recipe
+    "q_vec_pool" -> ((s, dir) =>
+      VectorOps.meanPool(
+          Tables.embeddings(s, dir)
+            .withColumn("doc", pmod(col("vec_id"), lit(50L))),
+          "doc", "vec_id")
+        .orderBy("doc")),
     // ORC format hop (ext_orc_roundtrip): same values through ORC bytes
     "q_orc_roundtrip" -> ((s, dir) =>
       graft.sources.OrcSource.roundtripAgg(s, dir)),
@@ -4509,6 +4517,19 @@ object SparkEntry {
           |      FROM sc)
           |SELECT item, rk, rec, co_cnt, cosine FROM r WHERE rk <= 3
           |ORDER BY item, rk""".stripMargin,
+      // list(e ORDER BY m) + sequential list_reduce = Spark's sorted
+      // collect + ordered aggregate fold, bit-for-bit
+      "q_vec_pool" ->
+        """WITH g AS (SELECT vec_id % 50 AS doc, vec_id AS m,
+          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          |  FROM embeddings),
+          |p AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_members,
+          |    list(e ORDER BY m) AS es FROM g GROUP BY doc)
+          |SELECT doc, n_members,
+          |  list_transform(range(len(es[1])), i ->
+          |    list_reduce(list_transform(es, v -> v[CAST(i AS INT) + 1]),
+          |      (a, b) -> a + b) / CAST(n_members AS DOUBLE)) AS pooled
+          |FROM p ORDER BY doc""".stripMargin,
       "q_auc_subgroup" ->
         """WITH s AS (SELECT source AS g, n_chars AS v,
           |    (lang = 'en') AS y FROM documents),

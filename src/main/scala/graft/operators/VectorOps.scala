@@ -117,4 +117,31 @@ object VectorOps {
       .select(col(id) +: comps :+
         aggregate(col("proj"), lit(0.0), (a, x) => a + x * x).as("norm2"): _*)
   }
+
+  /** Chunk->document embedding pooling: the element-wise MEAN of each
+    * group's vectors, folded in a DETERMINISTIC member order (vectors are
+    * collected per group, sorted by the member id, then summed
+    * sequentially — float addition is order-sensitive, so the order IS
+    * part of the contract; any partitioning and any engine lands on the
+    * same doubles). The standard long-doc embedding recipe: embed chunks,
+    * mean-pool to one vector per document.
+    *
+    * Scale shape: one groupBy on the pooling key; per-group state is the
+    * member list (chunks per doc — bounded small by construction in a
+    * chunked-embedding pipeline, NOT corpus-scale). Output one row per
+    * group with the pooled `array<double>`. */
+  def meanPool(df: DataFrame, groupCol: String, memberCol: String,
+               emb: String = "embedding"): DataFrame = {
+    val sorted = sort_array(collect_list(
+      struct(col(memberCol).as("m"), col(emb).as("e"))))
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_members"), sorted.as("__s"))
+      .withColumn("pooled",
+        transform(
+          element_at(col("__s"), 1)("e"),
+          (_, i) => aggregate(col("__s"), lit(0.0),
+            (a, s) => a + element_at(s("e"), i + 1).cast("double"))
+            / col("n_members").cast("double")))
+      .select(col(groupCol), col("n_members"), col("pooled"))
+  }
 }
