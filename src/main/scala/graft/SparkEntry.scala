@@ -913,19 +913,19 @@ object SparkEntry {
       TextAnalysis.repetition(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_redact_pii" -> ((s, dir) =>
       TextAnalysis.redactPii(Tables.documents(s, dir)).orderBy("doc_id")),
-    // compressibility quality signal (rows-only gate: zlib has no SQL
-    // form; spec pins semantics, bench pins scale) — per-source report
+    // compressibility quality signal — zlib isn't SQL-reproducible, so
+    // the approx-sketch pattern applies: exact byte accounting hash-
+    // matches, and the live signal is gated by verdict booleans that flip
+    // the hash red if compression ever degenerates (spec pins semantics)
     "q_compress_signal" -> ((s, dir) =>
       TextAnalysis.compressionSignal(Tables.documents(s, dir))
         .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_bytes").as("n_bytes"),
-          sum("comp_bytes").as("comp_bytes"),
-          (sum("comp_bytes").cast("double")
-            / sum("n_bytes").cast("double")).as("corpus_ratio"),
-          min("comp_ratio").as("min_ratio"),
-          max("comp_ratio").as("max_ratio"))
+          (min("comp_ratio") > 0.0).as("ok_ratio_pos"),
+          (max("comp_ratio") <= 1.1).as("ok_ratio_bounded"),
+          (sum("comp_bytes") < sum("n_bytes")).as("ok_compresses"))
         .orderBy("source")),
     // Luhn-checked card detection over docs with planted valid/invalid
     // numbers (1-in-10 / 1-in-10) plus natural digit runs
@@ -4883,6 +4883,14 @@ object SparkEntry {
           |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
           |    '[0-9]{7,}', '<num>', 'g') AS redacted
           |FROM documents ORDER BY doc_id""".stripMargin,
+      // byte accounting exact both engines (strlen = UTF-8 bytes); the
+      // zlib-side columns are verdicts — TRUE unless compression breaks
+      "q_compress_signal" ->
+        """SELECT source, count(*) AS n_docs,
+          |  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+          |  TRUE AS ok_ratio_pos, TRUE AS ok_ratio_bounded,
+          |  TRUE AS ok_compresses
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
       // maximal digit runs length-filtered (no lookaround); mod-10 fold
       "q_pii_luhn" ->
         """WITH t AS (SELECT doc_id, text ||
