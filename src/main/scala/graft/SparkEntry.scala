@@ -1169,6 +1169,32 @@ object SparkEntry {
              min("ts_epoch").as("lo"), max("ts_epoch").as("hi"))
         .orderBy("bucket")
     }),
+
+    // ---- round 7f: layout / survival / calibration / vector-health ----
+    // co-bucketed fact-fact join: orders + lineitem bucketed by order key,
+    // SMJ with ZERO exchange on either side (BucketedJoinSpec); the oracle
+    // aggregates the ORIGINAL parquet — equality across the bucketed
+    // write/read hop + co-located join is the check
+    "q_bucketed_join" -> ((s, dir) =>
+      graft.sources.BucketedTables.colocatedJoinAgg(s, dir)),
+    // Kaplan-Meier churn curve over per-customer order spans (first->last
+    // order, churn = last order >1y before the horizon); survival is a
+    // contractual left-to-right fold over duration-ordered IEEE factors
+    "q_survival_km" -> ((s, dir) =>
+      Funnel.survivalCurve(Tables.orders(s, dir), "o_custkey", "o_orderdate",
+        churnAfterDays = 365)),
+    // reliability diagram + ECE for the hashed-linear classifier against
+    // the lang=='en' truth: algebraic sigmoid in integer micro-units,
+    // exact per-bin evidence, division-only floats
+    "q_calibration_bins" -> ((s, dir) =>
+      Classifier.calibrationReport(
+        Classifier.scoreUnsorted(Tables.documents(s, dir),
+          keep = Seq((col("lang") === "en").as("truth"))),
+        "score", "truth")),
+    // per-label embedding-health audit: ragged dims / non-finite / zero
+    // vectors / squared-norm extremes + exact-decimal mean
+    "q_vec_norm_audit" -> ((s, dir) =>
+      VectorOps.normAudit(Tables.embeddings(s, dir), "embedding", "label")),
   )
 
   /** Shared DuckDB CTE fragments for the near-dup / similarity oracles —
@@ -5599,6 +5625,103 @@ object SparkEntry {
           |         CAST(ntile(8) OVER (ORDER BY CAST(floor(epoch(l_shipdate)) AS BIGINT), l_orderkey, l_linenumber) AS BIGINT) AS bucket
           |  FROM lineitem
           |) t GROUP BY bucket ORDER BY bucket""".stripMargin,
+      // the oracle aggregates the ORIGINAL parquet — equality across the
+      // bucketed write/read hop + co-located join is the check
+      "q_bucketed_join" ->
+        """SELECT o_orderpriority,
+          |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+          |  count(*) AS n_items,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      // Kaplan-Meier: exact integer ladders; survival replays the SAME
+      // left-to-right fold over duration-ordered factors (list ORDER BY
+      // frame + sequential list_reduce), bit-identical
+      "q_survival_km" ->
+        """WITH o AS (SELECT o_custkey AS u, CAST(o_orderdate AS DATE) AS d
+          |    FROM orders),
+          |per AS (SELECT u, min(d) AS f, max(d) AS l FROM o GROUP BY u),
+          |mx AS (SELECT max(d) AS mx FROM o),
+          |subj AS (SELECT CAST(date_diff('day', f, l) AS BIGINT) AS t,
+          |    CAST(l < mx - INTERVAL 365 DAY AS BIGINT) AS ev FROM per, mx),
+          |byt AS (SELECT t, CAST(count(*) AS BIGINT) AS m,
+          |    CAST(sum(ev) AS BIGINT) AS d FROM subj GROUP BY t),
+          |lad AS (SELECT t, m, d,
+          |    CAST(sum(m) OVER () AS BIGINT)
+          |      - CAST(coalesce(sum(m) OVER (ORDER BY t
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |        AS BIGINT) AS n_risk
+          |  FROM byt),
+          |ev AS (SELECT t, n_risk, d, m - d AS c,
+          |    CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS fac
+          |  FROM lad WHERE d > 0)
+          |SELECT t AS t_days, n_risk, d AS d_events, c AS c_censored,
+          |  list_reduce(list(fac) OVER (ORDER BY t
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          |    (a, b) -> a * b) AS survival
+          |FROM ev ORDER BY t_days""".stripMargin,
+      // same scored CTE as q_classifier_score; algebraic sigmoid in
+      // integer micro-units, exact per-bin evidence, division-only floats
+      "q_calibration_bins" ->
+        """WITH model AS (
+          |  SELECT CAST(f AS BIGINT) AS feature_id,
+          |         CAST('0x' || substr(md5('w:' || CAST(f AS VARCHAR)), 1, 15) AS BIGINT)
+          |           % 2001 - 1000 AS weight
+          |  FROM (SELECT unnest(range(0, 1024)) AS f)),
+          |toks AS (
+          |  SELECT doc_id, (lang = 'en') AS y,
+          |         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+          |  FROM documents),
+          |feat AS (
+          |  SELECT doc_id,
+          |         CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 1024 AS feature_id
+          |  FROM toks, LATERAL (SELECT unnest(w) AS tok) t),
+          |scored AS (
+          |  SELECT f.doc_id, CAST(sum(m.weight) AS BIGINT) AS s
+          |  FROM feat f JOIN model m USING (feature_id) GROUP BY f.doc_id),
+          |p AS (
+          |  SELECT t.y,
+          |    500000 + CASE WHEN sc.s >= 0
+          |      THEN (500000 * abs(sc.s)) // (20000 + abs(sc.s))
+          |      ELSE -((500000 * abs(sc.s)) // (20000 + abs(sc.s))) END AS p
+          |  FROM scored sc JOIN toks t USING (doc_id)),
+          |b AS (
+          |  SELECT least(p // 100000, 9) AS bin, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(count(*) FILTER (WHERE y) AS BIGINT) AS n_pos,
+          |    CAST(sum(p) AS BIGINT) AS sum_p_micro
+          |  FROM p GROUP BY 1)
+          |SELECT bin, n, n_pos, sum_p_micro,
+          |  CAST(sum_p_micro AS DOUBLE) / CAST(n * 1000000 AS DOUBLE)
+          |    AS confidence,
+          |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy,
+          |  CAST(sum(abs(1000000 * n_pos - sum_p_micro)) OVER () AS DOUBLE)
+          |    / CAST(sum(n) OVER () * 1000000 AS DOUBLE) AS ece
+          |FROM b ORDER BY bin""".stripMargin,
+      // per-row squared norm replays the sequential fold; the mean sums
+      // scale-10 decimals (double-vs-midpoint ties impossible: midpoints
+      // carry a 5^11 factor, doubles are dyadic)
+      "q_vec_norm_audit" ->
+        """WITH s AS (SELECT label AS grp,
+          |    CAST(len(embedding) AS BIGINT) AS dim,
+          |    list_reduce(list_transform(embedding,
+          |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+          |      (a, b) -> a + b) AS sq,
+          |    CAST(len(list_filter(embedding,
+          |        x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) > 0
+          |      AS BIGINT) AS bad
+          |  FROM embeddings)
+          |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+          |  min(dim) AS dim_min, max(dim) AS dim_max,
+          |  CAST(sum(bad) AS BIGINT) AS n_nonfinite,
+          |  CAST(count(*) FILTER (WHERE bad = 0 AND sq < 1e-12) AS BIGINT)
+          |    AS n_zero,
+          |  min(CASE WHEN bad = 0 THEN sq END) AS sq_min,
+          |  max(CASE WHEN bad = 0 THEN sq END) AS sq_max,
+          |  CAST(sum(CASE WHEN bad = 0
+          |      THEN CAST(sq AS DECIMAL(28,10)) END) AS DOUBLE)
+          |    / CAST(count(*) - sum(bad) AS DOUBLE) AS sq_mean
+          |FROM s GROUP BY grp ORDER BY grp""".stripMargin,
     ) match {
       // merged sketch state ≡ from-scratch sketch — same oracle by design
       case m => m + ("q_quantile_sketch_merge" -> m("q_quantile_sketch"))

@@ -84,7 +84,8 @@ object Classifier {
     * pipeline uses directly: stateless, zero-exchange, so it runs
     * per-micro-batch with no watermark or state store at all
     * (stream/batch agreement is asserted in `StreamingOpsSpec`). */
-  def scoreUnsorted(docs: DataFrame, nFeatures: Int = NFeatures): DataFrame = {
+  def scoreUnsorted(docs: DataFrame, nFeatures: Int = NFeatures,
+                    keep: Seq[Column] = Nil): DataFrame = {
     val spark = docs.sparkSession
     val weights: Map[Long, Long] = model(spark, nFeatures)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -92,9 +93,60 @@ object Classifier {
     val perTok = transform(tokens(col("text")),
       t => element_at(wmap, featureId(t, nFeatures)))
     docs.select(
-        col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_feats"),
-        aggregate(perTok, lit(0L), (acc, x) => acc + x).as("score"))
+        col("doc_id") +:
+        size(tokens(col("text"))).cast("long").as("n_feats") +:
+        aggregate(perTok, lit(0L), (acc, x) => acc + x).as("score") +:
+        keep: _*)
       .withColumn("label", col("score") > 0)
+  }
+
+  /** Reliability diagram + expected calibration error (ECE) for a scored
+    * corpus against a boolean truth column — the eval that decides whether
+    * a quality classifier's scores can be READ as probabilities (and so
+    * whether score-thresholded admission quotas mean what they claim).
+    *
+    * The margin squashes to a probability through the ALGEBRAIC sigmoid
+    * `p = 1/2 + s / (2·(S + |s|))` computed entirely in integer
+    * micro-units (`p_micro = 500000 + (500000·|s|) div (S + |s|)`,
+    * signed) — transcendental-free (the logistic's exp is banned
+    * house-wide) and exactly reproducible on any engine: integer division
+    * is truncation on a non-negative numerator. Bins are fixed decile
+    * ranges of p; per bin the report carries the exact integer evidence
+    * (`n`, `n_pos`, `sum_p_micro`) and one final IEEE division each for
+    * `confidence` (mean p) and `accuracy` (positive rate). ECE folds the
+    * SAME integer evidence — Σ_b |10⁶·pos_b − Σp_micro,b| / (10⁶·N) — so
+    * the weighted-gap sum happens in exact integers, with division the
+    * only float op.
+    *
+    * Scale: one row-grain aggregate to ≤10 bin rows (map-side combined);
+    * the ECE window runs over the 10-row report frame. */
+  def calibrationReport(scored: DataFrame, scoreCol: String,
+                        truthCol: String, scale: Long = 20000L): DataFrame = {
+    // exact floor division for non-negative longs: subtract the remainder
+    // first, so the one float divide is of an exactly-divisible pair
+    def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val s = col(scoreCol).cast("long")
+    val mag = idiv(lit(500000L) * abs(s), lit(scale) + abs(s))
+    val pMicro = lit(500000L) + when(s >= 0, mag).otherwise(-mag)
+    val binned = scored.select(
+      least(idiv(pMicro, lit(100000L)), lit(9L)).as("bin"),
+      pMicro.as("__p"),
+      col(truthCol).cast("long").as("__y"))
+    val byBin = binned.groupBy("bin").agg(
+      count(lit(1)).as("n"),
+      sum("__y").as("n_pos"),
+      sum("__p").as("sum_p_micro"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    byBin
+      .withColumn("confidence",
+        col("sum_p_micro").cast("double") /
+          (col("n") * lit(1000000L)).cast("double"))
+      .withColumn("accuracy",
+        col("n_pos").cast("double") / col("n").cast("double"))
+      .withColumn("ece",
+        sum(abs(lit(1000000L) * col("n_pos") - col("sum_p_micro"))).over(wAll)
+          .cast("double") /
+          (sum(col("n")).over(wAll) * lit(1000000L)).cast("double"))
+      .orderBy("bin")
   }
 }

@@ -425,4 +425,63 @@ object Funnel {
           (lit(7.0) * col("__nd").cast("double"))).as("residual"))
       .orderBy("event_type", "day")
   }
+
+  /** Kaplan-Meier survival curve over per-subject activity spans — the
+    * churn/retention statistic product analytics reports next to the
+    * cohort table. Each subject contributes a duration (first→last
+    * activity, days) and an event flag: `event` if the last activity
+    * precedes the global horizon by more than `churnAfterDays` (observed
+    * churn), else right-censored (still alive at the horizon).
+    *
+    * One row per distinct duration with ≥1 churn event: subjects at risk
+    * `n_risk`, churn events `d_events`, same-duration censorings
+    * `c_censored`, and the product-limit estimate
+    * `S(t) = Π_{s≤t} (n_s - d_s)/n_s`.
+    *
+    * Determinism contract: everything up to the factors is exact integer
+    * arithmetic (day grain, count ladders). The survival product is a
+    * CONTRACTUAL LEFT-TO-RIGHT FOLD over duration-ordered factors — each
+    * division and multiplication is a single correctly-rounded IEEE op, so
+    * the fold sequence (not just the set) is the spec and the oracle
+    * replays it bit-identically (`list(... ORDER BY)` + `list_reduce`).
+    * No transcendental (the exp(Σln) form is banned house-wide).
+    *
+    * Scale: subjects shrink to one row each in the first aggregate
+    * (row-grain groupBy, map-side combined); the curve frame is
+    * O(#distinct durations) — report-sized — so its unpartitioned windows
+    * are post-aggregation presentation, not data-scale work. */
+  def survivalCurve(events: DataFrame, subjectCol: String, tsCol: String,
+                    churnAfterDays: Int = 365): DataFrame = {
+    val o = events.select(col(subjectCol).as("__subj"),
+      col(tsCol).cast("date").as("__d"))
+    val per = o.groupBy("__subj")
+      .agg(min("__d").as("__first"), max("__d").as("__last"))
+    val horizon = o.agg(max("__d").as("__mx"))
+    val subj = per.crossJoin(broadcast(horizon))
+      .select(
+        datediff(col("__last"), col("__first")).cast("long").as("t"),
+        (col("__last") < date_sub(col("__mx"), churnAfterDays))
+          .cast("long").as("ev"))
+    val byT = subj.groupBy("t")
+      .agg(count(lit(1)).as("__m"), sum("ev").as("d_events"))
+    val wAll = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val atRisk = byT
+      .withColumn("n_risk",
+        sum(col("__m")).over(Window.partitionBy()) -
+          coalesce(sum(col("__m")).over(wPrev), lit(0L)))
+      .filter(col("d_events") > 0)
+      .withColumn("__fac",
+        (col("n_risk") - col("d_events")).cast("double") /
+          col("n_risk").cast("double"))
+    atRisk
+      .withColumn("survival",
+        aggregate(collect_list(col("__fac")).over(wAll),
+          lit(1.0d), (acc, x) => acc * x))
+      .select(col("t").as("t_days"), col("n_risk"), col("d_events"),
+        (col("__m") - col("d_events")).as("c_censored"), col("survival"))
+      .orderBy("t_days")
+  }
 }

@@ -144,4 +144,51 @@ object VectorOps {
             / col("n_members").cast("double")))
       .select(col(groupCol), col("n_members"), col("pooled"))
   }
+
+  /** Per-group embedding-health audit — the gate an ANN build runs BEFORE
+    * indexing 100 TB of vectors: a corrupted producer (NaN/Inf features,
+    * zero vectors, ragged dimensions, norm drift between shards) poisons
+    * centroids and distance math silently, and is far cheaper to catch at
+    * the audit than to diagnose from bad recall.
+    *
+    * Per group: row count, min/max observed dimension (ragged feeds show
+    * as min≠max), non-finite-feature row count, zero/near-zero-norm row
+    * count (`‖v‖² < 10⁻¹²` — no direction to index), and squared-norm
+    * extremes + mean. Determinism: per-row squared norm is the
+    * [[l2Norm]] sequential fold (correctly-rounded IEEE ops in array
+    * order); the MEAN accumulates the per-row value cast to
+    * `DECIMAL(28,10)` — exact, order-free summation — with one final
+    * IEEE division. (A double at scale-10 decimal midpoints cannot exist
+    * — midpoints carry a 5¹¹ factor, doubles are dyadic — so the per-row
+    * cast rounds identically on every engine.) min/max compare exact
+    * doubles: order-free.
+    *
+    * Scale: one narrow map + one row-grain groupBy (map-side combined) to
+    * a #groups-row report. Zero joins, zero windows. */
+  def normAudit(df: DataFrame, vecCol: String, groupCol: String): DataFrame = {
+    val v = col(vecCol)
+    val sq = aggregate(v, lit(0.0),
+      (a, x) => a + x.cast("double") * x.cast("double"))
+    val nonFinite = exists(v,
+      x => isnan(x.cast("double")) || abs(x.cast("double")) === lit(Double.PositiveInfinity))
+    // norm stats are over FINITE rows only — a NaN feature would poison
+    // min/max/mean (and decimal casts of NaN are not portable); the
+    // non-finite rows are reported by count instead
+    val fin = when(col("__bad") === 0L, col("__sq"))
+    df.select(col(groupCol).as("grp"), size(v).as("__dim"),
+        sq.as("__sq"), nonFinite.cast("long").as("__bad"))
+      .groupBy("grp")
+      .agg(
+        count(lit(1)).as("n"),
+        min("__dim").cast("long").as("dim_min"),
+        max("__dim").cast("long").as("dim_max"),
+        sum("__bad").as("n_nonfinite"),
+        sum(when(col("__bad") === 0L && col("__sq") < 1e-12d, 1L)
+          .otherwise(0L)).as("n_zero"),
+        min(fin).as("sq_min"),
+        max(fin).as("sq_max"),
+        (sum(fin.cast("decimal(28,10)")).cast("double") /
+          (count(lit(1)) - sum(col("__bad"))).cast("double")).as("sq_mean"))
+      .orderBy("grp")
+  }
 }

@@ -66,4 +66,34 @@ class BucketedJoinSpec extends AnyFunSuite {
     val a = li.join(o, li("l_orderkey") === o("o_orderkey")).count()
     assert(joined.count() == a)
   }
+
+  test("colocatedJoinAgg: both scans bucketed, SMJ without a join-side exchange, values equal the plain-parquet join") {
+    val sf = "/root/testdata/sf0.001"
+    val df = graft.sources.BucketedTables.colocatedJoinAgg(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+    assert("Bucketed: true".r.findAllIn(p).size == 2, p.take(3000))
+    // exchanges exist only ABOVE the join (countDistinct rollup + final
+    // sort); the SMJ children read the co-bucketed layout directly — no
+    // hash exchange may appear below the join in the plan text
+    val joinIdx = p.indexOf("SortMergeJoin")
+    assert(!p.substring(joinIdx).contains("Exchange hashpartitioning"),
+      p.substring(joinIdx).take(2000))
+
+    // value parity with the straightforward parquet join
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val l = spark.read.parquet(s"$sf/lineitem.parquet")
+    val plain = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(28,10)")).cast("decimal(28,4)").cast("double")
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+    assert(df.collect().toSeq == plain.collect().toSeq)
+  }
 }

@@ -235,4 +235,42 @@ class FunnelSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("z")))
     assert(r.isNullAt(r.fieldIndex("significant")))
   }
+
+  test("survivalCurve: hand-built KM — risk ladder, censoring, product-limit") {
+    import spark.implicits._
+    // horizon = 2020-12-31; churnAfterDays = 10
+    // A,B: t=10 churned; C: t=5 churned; D: t=30 censored (alive at horizon);
+    // E: t=10 censored (same duration as churners A,B)
+    val rows = Seq(
+      ("A", "2020-01-01"), ("A", "2020-01-11"),
+      ("B", "2020-01-01"), ("B", "2020-01-11"),
+      ("C", "2020-01-01"), ("C", "2020-01-06"),
+      ("D", "2020-12-01"), ("D", "2020-12-31"),
+      ("E", "2020-12-21"), ("E", "2020-12-31"))
+    val df = rows.toDF("subj", "d")
+      .withColumn("d", col("d").cast("timestamp"))
+    val got = Funnel.survivalCurve(df, "subj", "d", churnAfterDays = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("t_days"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("d_events"), r.getAs[Long]("c_censored"),
+        r.getAs[Double]("survival")))
+    // t=5: 5 at risk, 1 event -> S=0.8; t=10: 4 at risk, 2 events,
+    // 1 censored alongside -> S=0.8*(2/4)=0.4; t=30: no event, no row
+    assert(got.toSeq === Seq(
+      (5L, 5L, 1L, 0L, 0.8),
+      (10L, 4L, 2L, 1L, 0.8 * (2.0 / 4.0))))
+  }
+
+  test("survivalCurve: monotone non-increasing, in (0,1]; all-censored input is empty") {
+    val got = Funnel.survivalCurve(
+      Tables.orders(spark, sf), "o_custkey", "o_orderdate", 365)
+      .collect().map(_.getAs[Double]("survival"))
+    assert(got.nonEmpty)
+    assert(got.forall(s => s > 0.0 && s <= 1.0))
+    assert(got.sliding(2).forall { case Array(a, b) => b <= a; case _ => true })
+    // churnAfterDays past the whole span -> nothing can churn -> empty curve
+    val none = Funnel.survivalCurve(
+      Tables.orders(spark, sf), "o_custkey", "o_orderdate", 100000)
+    assert(none.count() == 0L)
+  }
 }
