@@ -1195,6 +1195,55 @@ object SparkEntry {
     // vectors / squared-norm extremes + exact-decimal mean
     "q_vec_norm_audit" -> ((s, dir) =>
       VectorOps.normAudit(Tables.embeddings(s, dir), "embedding", "label")),
+
+    // ---- round-7g lanes ----
+    // per-lang token-frequency concentration: exact-integer Gini over the
+    // count-ascending rank ladder + decile/hapax shares
+    "q_token_gini" -> ((s, dir) =>
+      TextAnalysis.tokenGini(Tables.documents(s, dir))),
+    // log-free lexical diversity: unbiased Simpson, inverse-Simpson
+    // effective vocabulary, TTR — exact evidence, division-only floats
+    "q_token_diversity" -> ((s, dir) =>
+      TextAnalysis.tokenDiversity(Tables.documents(s, dir))),
+    // one-way ANOVA of doc length across languages: exact decimal moments,
+    // contractual lang-ordered fold for the cross-group IEEE sums
+    "q_anova_chars" -> ((s, dir) =>
+      Relational.anovaOneWay(Tables.documents(s, dir), "lang", "n_chars")),
+    // exact feature-covariance matrix of the embedding corpus
+    // (dim-pair grain; the PCA/whitening input and cross-producer drift check)
+    "q_cov_matrix" -> ((s, dir) =>
+      VectorOps.covarianceMatrix(Tables.embeddings(s, dir), "embedding")),
+    // isotonic (PAV) recalibration in closed minimax form over 64 bins —
+    // pure relational algebra, no driver loop
+    "q_isotonic_fit" -> ((s, dir) =>
+      Classifier.isotonicCalibration(
+        Classifier.scoreUnsorted(Tables.documents(s, dir),
+          keep = Seq((col("lang") === "en").as("truth"))),
+        "score", "truth")),
+
+    // ---- round-7h lanes ----
+    // chi-square independence grid (event mix x epoch-day-mod-7): exact
+    // cross-multiplied cell terms, one division each
+    "q_chi2_cells" -> ((s, dir) =>
+      Relational.chi2Cells(
+        Tables.events(s, dir).withColumn("dow",
+          pmod(datediff(to_date(col("ts").cast("timestamp")),
+            to_date(lit("1970-01-01"))), lit(7))),
+        "event_type", "dow")),
+    // single-row chi2 + dof + Cramér's V ((r,c)-ordered contractual fold)
+    "q_chi2_summary" -> ((s, dir) =>
+      Relational.chi2Independence(
+        Tables.events(s, dir).withColumn("dow",
+          pmod(datediff(to_date(col("ts").cast("timestamp")),
+            to_date(lit("1970-01-01"))), lit(7))),
+        "event_type", "dow")),
+    // PCA eigenbasis earned per-vector: full-rank projection preserves
+    // ||x||^2 iff the Jacobi basis is orthonormal (the verdict-boolean
+    // oracle pattern — the eigenbasis itself has no SQL form); projection
+    // semantics are pinned by PcaSpec (planted low-rank recovery,
+    // variance ordering, partition invariance)
+    "q_pca_project" -> ((s, dir) =>
+      Pca.parsevalAudit(Tables.embeddings(s, dir), "embedding")),
   )
 
   /** Shared DuckDB CTE fragments for the near-dup / similarity oracles —
@@ -5722,6 +5771,193 @@ object SparkEntry {
           |      THEN CAST(sq AS DECIMAL(28,10)) END) AS DOUBLE)
           |    / CAST(count(*) - sum(bad) AS DOUBLE) AS sq_mean
           |FROM s GROUP BY grp ORDER BY grp""".stripMargin,
+      // exact-integer Gini over the count-ascending rank ladder (total
+      // order: count then token — tie-free); one IEEE division per stat
+      "q_token_gini" ->
+        """WITH t AS (SELECT lang AS grp, unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok FROM documents),
+          |c AS (SELECT grp, tok, count(*) AS c FROM t WHERE tok <> '' GROUP BY grp, tok),
+          |r AS (SELECT grp, c, tok, row_number() OVER (PARTITION BY grp ORDER BY c, tok) AS r,
+          |             count(*) OVER (PARTITION BY grp) AS v FROM c),
+          |a AS (SELECT grp, CAST(max(v) AS BIGINT) AS vocab, CAST(sum(c) AS BIGINT) AS n_tokens,
+          |        sum(CAST(r AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS src,
+          |        CAST(sum(CASE WHEN r > v - v // 10 THEN c ELSE 0 END) AS BIGINT) AS top_c,
+          |        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+          |      FROM r GROUP BY grp)
+          |SELECT grp, vocab, n_tokens,
+          |  CAST(2 * src - (CAST(vocab AS DECIMAL(38,0)) + 1) * CAST(n_tokens AS DECIMAL(38,0)) AS DOUBLE)
+          |    / CAST(CAST(vocab AS DECIMAL(38,0)) * CAST(n_tokens AS DECIMAL(38,0)) AS DOUBLE) AS gini,
+          |  CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_decile_share,
+          |  CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE) AS hapax_share
+          |FROM a ORDER BY grp""".stripMargin,
+      // unbiased Simpson / inverse-Simpson effective vocab: exact integer
+      // evidence, one final division each — the log-free entropy stand-in
+      "q_token_diversity" ->
+        """WITH t AS (SELECT lang AS grp, unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok FROM documents),
+          |c AS (SELECT grp, tok, count(*) AS c FROM t WHERE tok <> '' GROUP BY grp, tok),
+          |a AS (SELECT grp, CAST(count(*) AS BIGINT) AS vocab, CAST(sum(c) AS BIGINT) AS n_tokens,
+          |        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+          |        sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS sq
+          |      FROM c GROUP BY grp)
+          |SELECT grp, vocab, n_tokens, hapax,
+          |  CAST(sq - CAST(n_tokens AS DECIMAL(38,0)) AS DOUBLE)
+          |    / CAST(CAST(n_tokens AS DECIMAL(38,0)) * (CAST(n_tokens AS DECIMAL(38,0)) - 1) AS DOUBLE) AS simpson_repeat,
+          |  CAST(CAST(n_tokens AS DECIMAL(38,0)) * CAST(n_tokens AS DECIMAL(38,0)) AS DOUBLE) / CAST(sq AS DOUBLE) AS effective_vocab,
+          |  CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio,
+          |  CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE) AS hapax_share
+          |FROM a ORDER BY grp""".stripMargin,
+      // exact decimal moments per group; each SSB/SSW term's numerator is
+      // exact 128-bit integer ((s*N - S*n)^2 grouping and n*q - s^2 —
+      // division-only floats, no cancelling q - s^2/n chain); cross-group
+      // IEEE sums replay the SAME lang-ordered left fold (list ORDER BY +
+      // list_reduce; init 0.0 + t1 == t1 exactly, so the fold trees agree)
+      "q_anova_chars" ->
+        """WITH b AS (SELECT CAST(lang AS VARCHAR) AS grp, count(*) AS n,
+          |    sum(CAST(n_chars AS DECIMAL(38,0))) AS s,
+          |    sum(CAST(n_chars AS DECIMAL(19,0)) * CAST(n_chars AS DECIMAL(19,0))) AS q
+          |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
+          |t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n_total,
+          |    CAST(sum(s) AS HUGEINT) AS s_tot,
+          |    list(struct_pack(grp := grp, n := n, s := s, q := q) ORDER BY grp) AS lad
+          |  FROM b),
+          |f AS (SELECT k, n_total,
+          |    list_reduce(list_transform(lad, r ->
+          |      CAST(CAST(r.s AS HUGEINT) * n_total - s_tot * r.n AS DOUBLE)
+          |      * CAST(CAST(r.s AS HUGEINT) * n_total - s_tot * r.n AS DOUBLE)
+          |      / (CAST(r.n AS DOUBLE) * CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE))),
+          |      (a, b) -> a + b) AS ssb,
+          |    list_reduce(list_transform(lad, r ->
+          |      CAST(CAST(r.q AS HUGEINT) * r.n - CAST(r.s AS HUGEINT) * CAST(r.s AS HUGEINT) AS DOUBLE)
+          |      / CAST(r.n AS DOUBLE)),
+          |      (a, b) -> a + b) AS ssw
+          |  FROM t)
+          |SELECT k, n_total, ssb, ssw,
+          |  CASE WHEN ssw = 0 THEN NULL
+          |    ELSE (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n_total - k AS DOUBLE)) END AS f_stat,
+          |  CASE WHEN ssb + ssw = 0 THEN NULL
+          |    ELSE ssb / (ssb + ssw) END AS eta_sq
+          |FROM f""".stripMargin,
+      // features land on the 2^-20 grid via floor(x * 2^20): the scale is
+      // a POWER OF TWO (exact in double), floor is engine-portable, and
+      // every moment after that is exact integer/decimal — no double ->
+      // decimal cast anywhere (that cast is not correctly rounded in
+      // every engine and flips ~1e-6 of values)
+      "q_cov_matrix" ->
+        """WITH p AS (
+          |  SELECT ii.i - 1 AS i, ii.i - 1 + jj.j AS j,
+          |    CAST(floor(CAST(embedding[ii.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS qx,
+          |    CAST(floor(CAST(embedding[CAST(ii.i + jj.j AS INT)] AS DOUBLE) * 1048576.0) AS BIGINT) AS qy
+          |  FROM embeddings,
+          |  LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) ii,
+          |  LATERAL (SELECT unnest(range(0, len(embedding) + 1 - ii.i)) AS j) jj)
+          |SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CAST(qx AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sum_qx,
+          |  CAST(sum(CAST(qy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sum_qy,
+          |  CAST(sum(CAST(qx AS DECIMAL(19,0)) * CAST(qy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sum_qxy,
+          |  (CAST(sum(CAST(qx AS DECIMAL(19,0)) * CAST(qy AS DECIMAL(19,0))) AS DOUBLE)
+          |   - CAST(sum(CAST(qx AS DECIMAL(19,0))) AS DOUBLE) * CAST(sum(CAST(qy AS DECIMAL(19,0))) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+          |  / CAST(count(*) AS DOUBLE) / 1099511627776.0 AS cov_pop
+          |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin,
+      // exact cross-multiplied cell terms: (N*n - r*c)^2 / (N*r*c) — no
+      // subtraction of rounded doubles; margins are cell-frame windows
+      "q_chi2_cells" ->
+        """WITH e AS (SELECT CAST(event_type AS VARCHAR) AS r,
+          |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS VARCHAR) AS c
+          |  FROM events WHERE event_type IS NOT NULL),
+          |g AS (SELECT r, c, count(*) AS n FROM e GROUP BY r, c),
+          |grid AS (SELECT rr.r, cc.c, coalesce(g.n, 0) AS n
+          |  FROM (SELECT DISTINCT r FROM g) rr
+          |  CROSS JOIN (SELECT DISTINCT c FROM g) cc
+          |  LEFT JOIN g USING (r, c)),
+          |m AS (SELECT r, c, n,
+          |    CAST(sum(n) OVER (PARTITION BY r) AS BIGINT) AS rt,
+          |    CAST(sum(n) OVER (PARTITION BY c) AS BIGINT) AS ct,
+          |    CAST(sum(n) OVER () AS BIGINT) AS nt FROM grid)
+          |SELECT r, c, CAST(n AS BIGINT) AS n,
+          |  CAST(CAST(rt AS HUGEINT) * ct AS DOUBLE) / CAST(nt AS DOUBLE) AS expected,
+          |  CAST(CAST(nt AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct AS DOUBLE)
+          |  * CAST(CAST(nt AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct AS DOUBLE)
+          |  / CAST(CAST(nt AS HUGEINT) * rt * ct AS DOUBLE) AS term
+          |FROM m ORDER BY r, c""".stripMargin,
+      // the statistic is the (r,c)-ordered contractual fold of the same
+      // exact terms; V's sqrt is correctly-rounded IEEE — portable
+      "q_chi2_summary" ->
+        """WITH e AS (SELECT CAST(event_type AS VARCHAR) AS r,
+          |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS VARCHAR) AS c
+          |  FROM events WHERE event_type IS NOT NULL),
+          |g AS (SELECT r, c, count(*) AS n FROM e GROUP BY r, c),
+          |grid AS (SELECT rr.r, cc.c, coalesce(g.n, 0) AS n
+          |  FROM (SELECT DISTINCT r FROM g) rr
+          |  CROSS JOIN (SELECT DISTINCT c FROM g) cc
+          |  LEFT JOIN g USING (r, c)),
+          |m AS (SELECT r, c, n,
+          |    CAST(sum(n) OVER (PARTITION BY r) AS BIGINT) AS rt,
+          |    CAST(sum(n) OVER (PARTITION BY c) AS BIGINT) AS ct,
+          |    CAST(sum(n) OVER () AS BIGINT) AS nt FROM grid),
+          |t AS (SELECT r, c, n, nt,
+          |  CAST(CAST(nt AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct AS DOUBLE)
+          |  * CAST(CAST(nt AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct AS DOUBLE)
+          |  / CAST(CAST(nt AS HUGEINT) * rt * ct AS DOUBLE) AS term FROM m),
+          |s AS (SELECT CAST(max(nt) AS BIGINT) AS n_total,
+          |    CAST(count(DISTINCT r) AS BIGINT) AS n_rows,
+          |    CAST(count(DISTINCT c) AS BIGINT) AS n_cols,
+          |    list_reduce(list(term ORDER BY r, c), (a, b) -> a + b) AS chi2 FROM t)
+          |SELECT n_total, n_rows, n_cols, (n_rows - 1) * (n_cols - 1) AS dof, chi2,
+          |  sqrt(chi2 / (CAST(n_total AS DOUBLE) * CAST(least(n_rows - 1, n_cols - 1) AS DOUBLE))) AS cramers_v
+          |FROM s""".stripMargin,
+      // verdict-boolean pattern (the eigenbasis has no SQL form): the
+      // oracle derives the raw sequential-fold ||x||^2 and asserts the
+      // Parseval booleans the Jacobi basis must earn
+      "q_pca_project" ->
+        """SELECT vec_id, label,
+          |  list_reduce(list_transform(embedding,
+          |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+          |    (a, b) -> a + b) AS sq_raw,
+          |  CAST(len(embedding) AS BIGINT) AS n_comps,
+          |  TRUE AS ok_parseval
+          |FROM embeddings ORDER BY vec_id""".stripMargin,
+      // same scored CTE as q_calibration_bins at 64 bins; the PAV fit in
+      // closed minimax form — exact prefix integers, one division per
+      // pooled range, order-free min/max
+      "q_isotonic_fit" ->
+        """WITH model AS (
+          |  SELECT CAST(f AS BIGINT) AS feature_id,
+          |         CAST('0x' || substr(md5('w:' || CAST(f AS VARCHAR)), 1, 15) AS BIGINT)
+          |           % 2001 - 1000 AS weight
+          |  FROM (SELECT unnest(range(0, 1024)) AS f)),
+          |toks AS (
+          |  SELECT doc_id, (lang = 'en') AS y,
+          |         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+          |  FROM documents),
+          |feat AS (
+          |  SELECT doc_id,
+          |         CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 1024 AS feature_id
+          |  FROM toks, LATERAL (SELECT unnest(w) AS tok) t),
+          |scored AS (
+          |  SELECT f.doc_id, CAST(sum(m.weight) AS BIGINT) AS s
+          |  FROM feat f JOIN model m USING (feature_id) GROUP BY f.doc_id),
+          |p AS (
+          |  SELECT t.y,
+          |    500000 + CASE WHEN sc.s >= 0
+          |      THEN (500000 * abs(sc.s)) // (20000 + abs(sc.s))
+          |      ELSE -((500000 * abs(sc.s)) // (20000 + abs(sc.s))) END AS p
+          |  FROM scored sc JOIN toks t USING (doc_id)),
+          |b AS (
+          |  SELECT least(p // 15625, 63) AS bin, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(count(*) FILTER (WHERE y) AS BIGINT) AS n_pos
+          |  FROM p GROUP BY 1),
+          |pre AS (SELECT bin, n, n_pos,
+          |    CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS w1,
+          |    CAST(sum(n_pos) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p1
+          |  FROM b),
+          |rng AS (SELECT i.bin AS bi, j.bin AS bj,
+          |    CAST(j.p1 - (i.p1 - i.n_pos) AS DOUBLE) / CAST(j.w1 - (i.w1 - i.n) AS DOUBLE) AS avg
+          |  FROM pre i JOIN pre j ON j.bin >= i.bin),
+          |mk AS (SELECT r.bi, k.bin AS k, min(r.avg) AS m
+          |  FROM rng r JOIN b k ON r.bi <= k.bin AND k.bin <= r.bj GROUP BY r.bi, k.bin),
+          |f AS (SELECT k, max(m) AS fitted FROM mk GROUP BY k)
+          |SELECT b.bin, b.n, b.n_pos,
+          |  CAST(b.n_pos AS DOUBLE) / CAST(b.n AS DOUBLE) AS rate, f.fitted
+          |FROM b JOIN f ON b.bin = f.k ORDER BY bin""".stripMargin,
     ) match {
       // merged sketch state ≡ from-scratch sketch — same oracle by design
       case m => m + ("q_quantile_sketch_merge" -> m("q_quantile_sketch"))

@@ -149,4 +149,63 @@ object Classifier {
           (sum(col("n")).over(wAll) * lit(1000000L)).cast("double"))
       .orderBy("bin")
   }
+
+  /** ISOTONIC calibration (the PAV fit) of the classifier's algebraic-
+    * sigmoid probabilities against a boolean truth — the production
+    * recalibration step when [[calibrationReport]] shows a miscalibrated
+    * reliability diagram: the monotone-nondecreasing step function that
+    * minimizes squared error to the empirical per-bin rates.
+    *
+    * No driver-side pool-adjacent-violators loop: the fit is computed in
+    * its CLOSED minimax form, `fit(k) = max_{i≤k} min_{j≥k} rate(i..j)`
+    * over pooled bin ranges — pure relational algebra (prefix sums +
+    * two bounded non-equi joins + min/max), identical on any engine.
+    * Determinism: bin evidence (`n`, `n_pos`, prefix sums) is exact
+    * integer; every pooled rate is ONE IEEE division of exact integers;
+    * min/max over doubles are order-free. No IEEE sum ever happens.
+    *
+    * Scale: the row-grain work is one map-side-combined aggregate to
+    * ≤`bins` rows; everything after runs on that ladder (≤bins² pooled
+    * ranges, ≤bins³ minimax triples — constants, independent of corpus
+    * size; the non-equi joins are broadcast nested-loop over the tiny
+    * frames BY CONSTRUCTION). */
+  def isotonicCalibration(scored: DataFrame, scoreCol: String,
+                          truthCol: String, bins: Int = 64,
+                          scale: Long = 20000L): DataFrame = {
+    require(1000000L % bins == 0, s"bins must divide 1e6, got $bins")
+    def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val s = col(scoreCol).cast("long")
+    val mag = idiv(lit(500000L) * abs(s), lit(scale) + abs(s))
+    val pMicro = lit(500000L) + when(s >= 0, mag).otherwise(-mag)
+    val width = 1000000L / bins
+    val byBin = scored.select(
+        least(idiv(pMicro, lit(width)), lit(bins - 1L)).as("bin"),
+        col(truthCol).cast("long").as("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("__y").as("n_pos"))
+    // prefix sums over the OBSERVED-bin ladder (≤bins rows — the global
+    // window is bounded by construction, like calibrationReport's ECE)
+    val wPre = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val pre = byBin.select(col("bin"), col("n"), col("n_pos"),
+      sum("n").over(wPre).as("__w1"), sum("n_pos").over(wPre).as("__p1"))
+    val li = pre.select(col("bin").as("bi"),
+      (col("__w1") - col("n")).as("__w0"), (col("__p1") - col("n_pos")).as("__p0"))
+    val lj = pre.select(col("bin").as("bj"), col("__w1"), col("__p1"))
+    // pooled rate of every contiguous bin range [bi..bj] — one exact division
+    val ranges = li.join(lj, col("bj") >= col("bi"))
+      .select(col("bi"), col("bj"),
+        ((col("__p1") - col("__p0")).cast("double") /
+          (col("__w1") - col("__w0")).cast("double")).as("__avg"))
+    val ks = byBin.select(col("bin").as("k"))
+    val fitted = ranges
+      .join(ks, col("bi") <= col("k") && col("k") <= col("bj"))
+      .groupBy("bi", "k").agg(min("__avg").as("__m")) // min over j ≥ k
+      .groupBy("k").agg(max("__m").as("fitted"))      // max over i ≤ k
+    byBin.join(fitted, col("bin") === col("k"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("rate"),
+        col("fitted"))
+      .orderBy("bin")
+  }
 }

@@ -802,6 +802,141 @@ object Relational {
         col("z"), col("significant"))
   }
 
+  /** One-way ANOVA (F-test) of a numeric column across K groups — the
+    * K-sample companion to [[mannWhitney]]/[[ksTest]]: "do these sources/
+    * languages/shards have the same mean at all", the first gate before
+    * per-pair drill-downs. Emits one row: K, N, between/within sum of
+    * squares, the F statistic, and η² (variance explained).
+    *
+    * Exactness discipline: per-group moments are exact decimals (operands
+    * cast to decimal(19,0) BEFORE squaring — a long x·x overflows at
+    * ~3e9, the [[mannWhitney]] lesson); K and N are exact; each group's
+    * SSB/SSW term keeps its NUMERATOR in exact decimal ((s·N − S·n)² and
+    * n·q − s², division the only float op — the naive q − s²/n double
+    * chain cancels to 0 once the mean dwarfs the variance); the
+    * cross-group reduction is a CONTRACTUAL LEFT FOLD over the
+    * group-name-sorted ladder (`sort_array(collect_list)` + `aggregate`)
+    * — the [[graft.operators.Funnel.survivalCurve]] pattern — because an
+    * unordered IEEE sum is not an oracle. Zero-variance corpora emit
+    * null F (0/0 has no answer), not an ANSI division error.
+    *
+    * Scale: one row-grain grouped aggregate (map-side combined) to K rows,
+    * then a single K-element fold — the ladder is group-cardinality-sized
+    * (languages, sources: tens), never row-sized. */
+  def anovaOneWay(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val vDec = col(valueCol).cast("decimal(19,0)")
+    val perGroup = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(38,0)")).as("s"),
+        sum((vDec * vDec).cast("decimal(38,0)")).as("q"))
+    val ladder = perGroup.agg(
+      count(lit(1)).as("k"),
+      sum("n").cast("long").as("n_total"),
+      sum("s").cast("decimal(38,0)").as("s_tot"),
+      sort_array(collect_list(struct(col("grp"), col("n"), col("s"), col("q"))))
+        .as("__lad"))
+    // each term's NUMERATOR is exact decimal — n·(mean_g − mean)² as
+    // (s·N − S·n)²/(n·N²) and the within-SS as (n·q − s²)/n — because the
+    // naive double chain q − s²/n catastrophically cancels once the mean
+    // dwarfs the variance (measured: SSW → 0.0 exactly at mean ~3e9,
+    // variance 1 — which then DIVIDES BY ZERO in F)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def nD(r: Column) = r.getField("n").cast("double")
+    val nTotD = col("n_total").cast("double")
+    val withSs = ladder
+      .withColumn("ssb", aggregate(col("__lad"), lit(0.0), (acc, r) => {
+        val d = (dec(r.getField("s")) * dec(col("n_total"))
+          - col("s_tot") * dec(r.getField("n"))).cast("double")
+        acc + d * d / (nD(r) * nTotD * nTotD)
+      }))
+      .withColumn("ssw", aggregate(col("__lad"), lit(0.0), (acc, r) => {
+        val num = (dec(r.getField("q")) * dec(r.getField("n"))
+          - dec(r.getField("s")) * dec(r.getField("s"))).cast("double")
+        acc + num / nD(r)
+      }))
+    withSs.select(col("k"), col("n_total"), col("ssb"), col("ssw"),
+      when(col("ssw") === 0.0, lit(null).cast("double"))
+        .otherwise((col("ssb") / (col("k") - 1).cast("double")) /
+          (col("ssw") / (col("n_total") - col("k")).cast("double"))).as("f_stat"),
+      when(col("ssb") + col("ssw") === 0.0, lit(null).cast("double"))
+        .otherwise(col("ssb") / (col("ssb") + col("ssw"))).as("eta_sq"))
+  }
+
+  /** Chi-square test of INDEPENDENCE between two categoricals — per-cell
+    * contributions. The contingency companion to [[anovaOneWay]]: "is the
+    * event mix independent of the weekday / is language independent of
+    * source" — the audit run before trusting a stratified sample's margins.
+    *
+    * Exactness: each cell's term (n−e)²/e is algebraically
+    * `(N·n − r·c)² / (N·r·c)` — numerator and denominator EXACT decimals
+    * (margins are counts), one IEEE division per cell; `expected` is one
+    * division too. No subtraction of rounded doubles anywhere.
+    *
+    * Scale: one row-grain aggregate to the R×C cell grid (map-side
+    * combined); margins are windows over the CELL FRAME (bounded by
+    * category cardinalities, never row count). */
+  def chi2Cells(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val observed = df
+      .filter(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .groupBy(col(rowCol).cast("string").as("r"), col(colCol).cast("string").as("c"))
+      .agg(count(lit(1)).as("n"))
+    // DENSIFY to the full R x C grid: an unobserved cell contributes
+    // (0 − e)²/e = e to the statistic — dropping zero cells silently
+    // understates chi2 (caught by the perfect-association spec: V read
+    // 0.79 where 1.0 is forced). The grid frames are category-grain —
+    // broadcast by construction.
+    val cells = observed.select("r").distinct()
+      .crossJoin(observed.select("c").distinct())
+      .join(observed, Seq("r", "c"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val wR = Window.partitionBy("r")
+    val wC = Window.partitionBy("c")
+    val wAll = Window.partitionBy()
+    def dec(x: Column) = x.cast("decimal(19,0)")
+    cells
+      .withColumn("rt", sum("n").over(wR))
+      .withColumn("ct", sum("n").over(wC))
+      .withColumn("nt", sum("n").over(wAll))
+      .select(col("r"), col("c"), col("n"),
+        ((dec(col("rt")) * dec(col("ct"))).cast("double") /
+          col("nt").cast("double")).as("expected"),
+        {
+          val d = (dec(col("nt")) * dec(col("n"))
+            - dec(col("rt")) * dec(col("ct"))).cast("double")
+          (d * d / (dec(col("nt")) * dec(col("rt")) * dec(col("ct")))
+            .cast("double")).as("term")
+        })
+      .orderBy("r", "c")
+  }
+
+  /** Single-row chi-square summary over [[chi2Cells]]'s grid: the statistic
+    * (contractual (r,c)-ordered fold — an unordered IEEE sum is not an
+    * oracle), degrees of freedom, and Cramér's V (one sqrt — correctly
+    * rounded IEEE, engine-portable). No p-value is emitted (the chi-square
+    * CDF is transcendental, banned house-wide); V is the effect size a
+    * pipeline thresholds on. */
+  def chi2Independence(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val cells = chi2Cells(df, rowCol, colCol)
+    val ladder = cells.agg(
+      count(lit(1)).as("n_cells"),
+      countDistinct("r").as("n_rows"),
+      countDistinct("c").as("n_cols"),
+      sum("n").cast("long").as("n_total"),
+      sort_array(collect_list(struct(col("r"), col("c"), col("term"))))
+        .as("__lad"))
+    ladder
+      .withColumn("chi2", aggregate(col("__lad"), lit(0.0),
+        (acc, t) => acc + t.getField("term")))
+      .select(col("n_total"), col("n_rows"), col("n_cols"),
+        ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"),
+        col("chi2"),
+        sqrt(col("chi2") / (col("n_total").cast("double") *
+          least(col("n_rows") - 1, col("n_cols") - 1).cast("double")))
+          .as("cramers_v"))
+  }
+
   /** Two-sample KOLMOGOROV–SMIRNOV test — the distribution-drift companion
     * to [[mannWhitney]]: D = max |F_a(v) - F_b(v)| over the pooled value
     * axis, the standard "did this feed's distribution shift" gate run

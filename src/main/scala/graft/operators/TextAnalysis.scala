@@ -597,6 +597,95 @@ object TextAnalysis {
       .select("rank", "tok", "tf", "df")
   }
 
+  /** Token-frequency CONCENTRATION per group — the Gini coefficient of the
+    * unigram distribution plus the top-decile mass share: the corpus-health
+    * audit that distinguishes a natural Zipfian feed from boilerplate
+    * floods (gini → 1, a few tokens own the mass) and from synthetic
+    * near-uniform junk (gini → 0). Log-free by design (FP `ln` is not
+    * engine-portable): Gini over the count-ascending rank ladder is
+    * `(2·Σ rank·c − (V+1)·N) / (V·N)` — EXACT integer/decimal arithmetic
+    * with one final IEEE division; the decile share and hapax share are
+    * likewise one division each.
+    *
+    * Determinism: ranks are a total order (count, then token) — tie-free
+    * by construction. Products go through decimal(38,0) BEFORE summing
+    * (rank·count overflows a long once vocab·count exceeds ~9e18 at
+    * corpus scale).
+    *
+    * Scale: one token-grain aggregate (map-side combined) to the vocab
+    * grain, one rank window PARTITIONED BY GROUP (parallel across groups;
+    * within a group the ladder is vocab-sized, not corpus-sized), one
+    * group-grain reduce. */
+  def tokenGini(docs: DataFrame, group: String = "lang",
+                text: String = "text"): DataFrame = {
+    val words = split(trim(regexp_replace(lower(col(text)), "[^a-z0-9]+", " ")), " ")
+    val counts = docs
+      .select(col(group).as("grp"), explode(words).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("grp", "tok").agg(count(lit(1)).as("c"))
+    val wRank = Window.partitionBy("grp").orderBy(col("c").asc, col("tok").asc)
+    val wV = Window.partitionBy("grp")
+    val ranked = counts
+      .withColumn("r", row_number().over(wRank).cast("long"))
+      .withColumn("v", count(lit(1)).over(wV))
+    val agg = ranked.groupBy("grp").agg(
+      max("v").cast("long").as("vocab"),
+      sum("c").cast("long").as("n_tokens"),
+      sum((col("r").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).as("src"),
+      // top decile by count: ranks above V - V div 10 (ascending ladder)
+      sum(when(col("r") > col("v") - expr("v DIV 10"),
+        col("c")).otherwise(lit(0L))).cast("long").as("top_c"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long").as("hapax"))
+    val vD = col("vocab").cast("decimal(38,0)")
+    val nD = col("n_tokens").cast("decimal(38,0)")
+    agg.select(col("grp"), col("vocab"), col("n_tokens"),
+        ((lit(2).cast("decimal(38,0)") * col("src") - (vD + 1) * nD).cast("double") /
+          (vD * nD).cast("double")).as("gini"),
+        (col("top_c").cast("double") / col("n_tokens").cast("double"))
+          .as("top_decile_share"),
+        (col("hapax").cast("double") / col("vocab").cast("double"))
+          .as("hapax_share"))
+      .orderBy("grp")
+  }
+
+  /** Log-free lexical DIVERSITY per group — Simpson's index and friends
+    * over the unigram distribution: repeat probability
+    * `Σ c(c−1) / (N(N−1))` (the chance two token draws WITHOUT replacement
+    * are the same type — the unbiased Simpson), effective vocabulary
+    * `N²/Σc²` (the inverse-Simpson "how many tokens behave as if equally
+    * frequent"), type-token ratio, and hapax share. Every statistic is
+    * exact integer/decimal evidence with ONE final IEEE division — the
+    * transcendental-free stand-in for Shannon entropy (whose `ln` is not
+    * bit-portable across engines).
+    *
+    * Scale: one token-grain aggregate to vocab grain, one group-grain
+    * reduce — no windows, no joins. */
+  def tokenDiversity(docs: DataFrame, group: String = "lang",
+                     text: String = "text"): DataFrame = {
+    val words = split(trim(regexp_replace(lower(col(text)), "[^a-z0-9]+", " ")), " ")
+    val counts = docs
+      .select(col(group).as("grp"), explode(words).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("grp", "tok").agg(count(lit(1)).as("c"))
+    val cDec = col("c").cast("decimal(19,0)")
+    val agg = counts.groupBy("grp").agg(
+      count(lit(1)).cast("long").as("vocab"),
+      sum("c").cast("long").as("n_tokens"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long").as("hapax"),
+      sum((cDec * cDec).cast("decimal(38,0)")).as("sq"))
+    val nD = col("n_tokens").cast("decimal(38,0)")
+    agg.select(col("grp"), col("vocab"), col("n_tokens"), col("hapax"),
+        ((col("sq") - nD).cast("double") / (nD * (nD - 1)).cast("double"))
+          .as("simpson_repeat"),
+        ((nD * nD).cast("double") / col("sq").cast("double")).as("effective_vocab"),
+        (col("vocab").cast("double") / col("n_tokens").cast("double"))
+          .as("type_token_ratio"),
+        (col("hapax").cast("double") / col("vocab").cast("double"))
+          .as("hapax_share"))
+      .orderBy("grp")
+  }
+
   /** Heavy hitters (frequent tokens above a support fraction) with a SKETCH
     * accuracy verdict — the approxSketches pattern applied to frequency
     * mining: the exact side is a token-keyed aggregate filtered to

@@ -165,6 +165,61 @@ object VectorOps {
     *
     * Scale: one narrow map + one row-grain groupBy (map-side combined) to
     * a #groups-row report. Zero joins, zero windows. */
+  /** Feature covariance matrix of an embedding column — the input to
+    * whitening / PCA and the standard drift check between embedding
+    * producers (two encoder versions with the same per-dim means can still
+    * disagree in cross-moments). Emits one row per unordered dim pair
+    * (i ≤ j, 0-based): exact integer moment sums over the quantized grid
+    * plus the population covariance as a division-only double.
+    *
+    * Determinism: features land on the 2⁻²⁰ grid via `floor(x · 2²⁰)` —
+    * the scale is a POWER OF TWO, so the multiply only shifts the double's
+    * exponent (EXACT), and floor is engine-portable; every moment after
+    * that is exact integer/decimal arithmetic (operands cast decimal(19,0)
+    * BEFORE multiplying — a long q·q overflows past |x|~3e3 at this grid).
+    * Deliberately NOT the `cast(double as decimal)` route: that cast is
+    * not correctly rounded on every engine and flips ~1e-6 of values —
+    * measured, one flipped feature in this table's 32k. The grid error
+    * (≤2⁻²⁰ per feature, ~1e-6 relative on unit-norm embeddings) is far
+    * below any drift/PCA decision threshold.
+    *
+    * Scale: the suffix re-explode is a NARROW map (the d²/2 amplification
+    * happens inside the scan partition), and the hash aggregate map-side
+    * combines to d²/2 groups per partition — the shuffle is d²/2 rows
+    * TOTAL (2080 for d=64) regardless of row count. Zero joins. */
+  def covarianceMatrix(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    // (i, xᵢ, suffix from i): the second posexplode walks the suffix so
+    // each unordered pair appears exactly once, no self-join
+    val first = df.select(posexplode(v).as(Seq("i", "xi")), v.as("__v"))
+    val pairs = first.select(
+      col("i").cast("long").as("i"), col("xi"),
+      posexplode(slice(col("__v"), col("i") + 1, size(col("__v")) - col("i")))
+        .as(Seq("j0", "xj")))
+    def grid(c: Column): Column =
+      floor(c.cast("double") * lit(1048576.0)).cast("long")
+    val qxD = col("qx").cast("decimal(19,0)")
+    val qyD = col("qy").cast("decimal(19,0)")
+    pairs
+      .select(col("i"), (col("i") + col("j0")).cast("long").as("j"),
+        grid(col("xi")).as("qx"), grid(col("xj")).as("qy"))
+      .groupBy("i", "j")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(qxD).as("sum_qx"),
+        sum(qyD).as("sum_qy"),
+        sum(qxD * qyD).as("sum_qxy"))
+      .select(col("i"), col("j"), col("n"),
+        col("sum_qx").cast("decimal(38,0)").as("sum_qx"),
+        col("sum_qy").cast("decimal(38,0)").as("sum_qy"),
+        col("sum_qxy").cast("decimal(38,0)").as("sum_qxy"),
+        ((col("sum_qxy").cast("double")
+          - col("sum_qx").cast("double") * col("sum_qy").cast("double")
+            / col("n").cast("double"))
+          / col("n").cast("double") / lit(1099511627776.0)).as("cov_pop"))
+      .orderBy("i", "j")
+  }
+
   def normAudit(df: DataFrame, vecCol: String, groupCol: String): DataFrame = {
     val v = col(vecCol)
     val sq = aggregate(v, lit(0.0),

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Covariance-matrix semantics: exact values on grid-representable
+  * vectors, the floor-grid contract on arbitrary floats, pair coverage,
+  * and the no-join plan shape. */
+class CovMatrixSpec extends SparkSpec {
+
+  private def vecs(rows: Seq[Float]*) = {
+    import spark.implicits._
+    rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+  }
+
+  test("2x2 integer vectors: all pairwise covariances exactly 1") {
+    // rows (1,2) and (3,4): cov of [1,3] with anything here is 1.0,
+    // exactly representable at the 2^-20 grid
+    val got = CovMatrixFixture.collectMap(
+      VectorOps.covarianceMatrix(vecs(Seq(1f, 2f), Seq(3f, 4f)), "embedding"))
+    assert(got.keySet == Set((0L, 0L), (0L, 1L), (1L, 1L)))
+    got.values.foreach { r =>
+      assert(r.getAs[Long]("n") == 2L)
+      assert(r.getAs[Double]("cov_pop") == 1.0)
+    }
+    // exact quantized sums: 4 * 2^20 and 6 * 2^20
+    val d01 = got((0L, 1L))
+    assert(d01.getAs[java.math.BigDecimal]("sum_qx").longValueExact == 4L << 20)
+    assert(d01.getAs[java.math.BigDecimal]("sum_qy").longValueExact == 6L << 20)
+  }
+
+  test("grid contract: moments equal a direct floor(x * 2^20) replay") {
+    val rows = Seq(Seq(0.1f, -0.37f, 0.925f), Seq(-0.004f, 0.61f, -1.2f),
+      Seq(0.333f, 0.0f, 0.5f))
+    val got = CovMatrixFixture.collectMap(
+      VectorOps.covarianceMatrix(vecs(rows: _*), "embedding"))
+    def q(x: Float): Long = math.floor(x.toDouble * 1048576.0).toLong
+    for (i <- 0 until 3; j <- i until 3) {
+      val sxy = rows.map(r => q(r(i)) * q(r(j))).sum
+      assert(got((i.toLong, j.toLong))
+        .getAs[java.math.BigDecimal]("sum_qxy").longValueExact == sxy,
+        s"pair ($i,$j)")
+    }
+    // diagonal variance is nonnegative
+    for (i <- 0 until 3)
+      assert(got((i.toLong, i.toLong)).getAs[Double]("cov_pop") >= 0.0)
+  }
+
+  test("d dims emit exactly d*(d+1)/2 pairs, fixture sanity") {
+    val df = VectorOps.covarianceMatrix(
+      graft.sources.Tables.embeddings(spark, sf), "embedding")
+    val rows = df.collect()
+    assert(rows.length == 64 * 65 / 2)
+    // symmetric-positive-semidefinite necessary condition:
+    // |cov(i,j)| <= sqrt(var_i * var_j)
+    val diag = rows.filter(r => r.getAs[Long]("i") == r.getAs[Long]("j"))
+      .map(r => r.getAs[Long]("i") -> r.getAs[Double]("cov_pop")).toMap
+    rows.foreach { r =>
+      val (i, j) = (r.getAs[Long]("i"), r.getAs[Long]("j"))
+      val bound = math.sqrt(diag(i) * diag(j)) + 1e-12
+      assert(math.abs(r.getAs[Double]("cov_pop")) <= bound, s"($i,$j)")
+    }
+  }
+
+  test("plan: no join — the pair expansion is a narrow generate") {
+    val df = VectorOps.covarianceMatrix(
+      graft.sources.Tables.embeddings(spark, sf), "embedding")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p.take(1500))
+    assert(p.contains("Generate"), p.take(1500))
+  }
+}
+
+private object CovMatrixFixture {
+  def collectMap(df: org.apache.spark.sql.DataFrame)
+  : Map[(Long, Long), org.apache.spark.sql.Row] =
+    df.collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) -> r).toMap
+}
