@@ -1244,7 +1244,43 @@ object SparkEntry {
     // variance ordering, partition invariance)
     "q_pca_project" -> ((s, dir) =>
       Pca.parsevalAudit(Tables.embeddings(s, dir), "embedding")),
+    // 3-core of the co-purchase graph by fixed-round peeling (the
+    // dense-subgraph / bot-ring primitive); in_core all-TRUE = converged
+    "q_kcore" -> ((s, dir) =>
+      Graph.kCore(
+        Graph.coOccurrenceEdges(Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey"),
+        "item_a", "item_b", k = 3, rounds = 16)),
   )
+
+  /** Unrolled fixed-round k-core peeling over the co-purchase edge CTE
+    * (the q_triangle_count edge derivation) — a data-dependent round count
+    * can't be replayed by SQL, so both engines run exactly `rounds`. CTEs
+    * are MATERIALIZED: each round references the previous one twice, and
+    * DuckDB's default inlining doubles the tree per round (2^rounds base
+    * scans — measured "too many open files" at 8 rounds), the exact twin
+    * of the Spark-side lineage blowup localCheckpoint prevents. */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val base =
+      """WITH baskets AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+        |canon AS MATERIALIZED (SELECT a.item AS a, b.item AS b
+        |    FROM baskets a JOIN baskets b ON a.basket = b.basket AND a.item < b.item
+        |    GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM canon UNION ALL SELECT b, a FROM canon)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s""",
+         |k$i AS MATERIALIZED (SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+         |    JOIN k$i s ON e.src = s.src JOIN k$i d ON e.dst = d.src)""".stripMargin
+    }.mkString
+    base + steps +
+      s"""
+         |SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg,
+         |  count(*) >= $k AS in_core
+         |FROM e$rounds GROUP BY src ORDER BY node""".stripMargin
+  }
 
   /** Shared DuckDB CTE fragments for the near-dup / similarity oracles —
     * mirror graft.operators.NearDup / Similarity expression-for-expression
@@ -5904,6 +5940,8 @@ object SparkEntry {
           |SELECT n_total, n_rows, n_cols, (n_rows - 1) * (n_cols - 1) AS dof, chi2,
           |  sqrt(chi2 / (CAST(n_total AS DOUBLE) * CAST(least(n_rows - 1, n_cols - 1) AS DOUBLE))) AS cramers_v
           |FROM s""".stripMargin,
+      // unrolled fixed-round peeling over the shared co-purchase edge CTE
+      "q_kcore" -> kcoreOracle(k = 3, rounds = 16),
       // verdict-boolean pattern (the eigenbasis has no SQL form): the
       // oracle derives the raw sequential-fold ||x||^2 and asserts the
       // Parseval booleans the Jacobi basis must earn

@@ -886,10 +886,11 @@ object Relational {
     // (0 − e)²/e = e to the statistic — dropping zero cells silently
     // understates chi2 (caught by the perfect-association spec: V read
     // 0.79 where 1.0 is forced). The grid frames are category-grain —
-    // broadcast by construction.
+    // broadcast ENFORCED, not left to stats-free size estimation (a
+    // shared-session AQE run was seen picking SMJ here).
     val cells = observed.select("r").distinct()
-      .crossJoin(observed.select("c").distinct())
-      .join(observed, Seq("r", "c"), "left")
+      .crossJoin(broadcast(observed.select("c").distinct()))
+      .join(broadcast(observed), Seq("r", "c"), "left")
       .withColumn("n", coalesce(col("n"), lit(0L)))
     val wR = Window.partitionBy("r")
     val wC = Window.partitionBy("c")
