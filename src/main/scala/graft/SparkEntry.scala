@@ -4500,13 +4500,14 @@ object SparkEntry {
         """WITH inter AS (SELECT DISTINCT o_custkey AS user_id,
           |    l_partkey AS item
           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |nb AS (SELECT greatest(1, count(DISTINCT p_partkey) // 100) AS nb FROM part),
           |users AS (SELECT DISTINCT user_id,
           |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
-          |      % 50 AS b
+          |      % (SELECT nb FROM nb) AS b
           |  FROM inter),
           |items AS (SELECT DISTINCT p_partkey AS item,
           |    CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15)) AS BIGINT)
-          |      % 50 AS b
+          |      % (SELECT nb FROM nb) AS b
           |  FROM part),
           |cand AS (SELECT u.user_id, i.item FROM users u JOIN items i USING (b)
           |  WHERE NOT EXISTS (SELECT 1 FROM inter s

@@ -21,7 +21,8 @@ class NegativeSamplesSpec extends SparkSpec {
     perUser.foreach { r =>
       assert(r.getAs[Long]("n") <= 4L && r.getAs[Long]("mx") <= 4L)
     }
-    // with 400/50 = 8 items per bucket and sparse seen sets, users get k
+    // with max(1, 400/100) = 4 buckets (~100 items each) and sparse seen
+    // sets, users get k
     assert(perUser.count(_.getAs[Long]("n") == 4L) > perUser.length / 2)
   }
 
