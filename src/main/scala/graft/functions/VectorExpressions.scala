@@ -244,11 +244,91 @@ object SquaredDistances {
   }
 }
 
+/** Dense matrix·vector product: `out[r] = Σ_i mat[r][i]·vec[i]` with the
+  * accumulation running in ascending element order — BIT-IDENTICAL to the
+  * `aggregate(zip_with(mat[r], vec, _*_), 0.0, _+_)` HOF form it replaces
+  * (the PCA projection / Parseval hot path: d² interpreted boxed lambda
+  * evaluations per row become one fused loop). Matrix rows are typically a
+  * driver-fitted model literal. Ragged dims fail fast. */
+case class MatVecProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = left.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _                                    => false
+    }
+    val matOk = right.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _                                      => false
+    }
+    if (vecOk && matOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float|double>, array<array<double>>), got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "mat_vec"
+
+  private lazy val vecIsFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    MatVecProduct.compute(l.asInstanceOf[ArrayData],
+      r.asInstanceOf[ArrayData], vecIsFloat)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = graft.functions.MatVecProduct.compute(
+         |  $a, $b, $vecIsFloat);""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object MatVecProduct {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** Shared by interpreted eval and codegen. Sequential ascending-index
+    * accumulation — the HOF fold order, bit-for-bit. */
+  def compute(vec: ArrayData, mat: ArrayData, vecIsFloat: Boolean): ArrayData = {
+    val nRows = mat.numElements()
+    val out = new Array[Any](nRows)
+    var r = 0
+    while (r < nRows) {
+      val row = mat.getArray(r)
+      if (vec.numElements() != row.numElements())
+        throw new IllegalArgumentException(
+          s"mat_vec: vector dim ${vec.numElements()} != " +
+            s"matrix row dim ${row.numElements()} (row $r)")
+      val n = vec.numElements()
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val v = if (vecIsFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        acc += row.getDouble(i) * v
+        i += 1
+      }
+      out(r) = acc
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object VectorFunctions {
   /** Column-level API: codegen'd cosine similarity over float vectors. */
   def cosine_similarity(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Codegen'd dense matrix·vector product (HOF-fold accumulation order). */
+  def mat_vec(vec: Column, mat: Column): Column =
+    ColumnBridge.column(MatVecProduct(
+      ColumnBridge.expression(vec), ColumnBridge.expression(mat)))
 
   /** Codegen'd set-intersection size over sorted string arrays. */
   def sorted_intersect_count(a: Column, b: Column): Column =

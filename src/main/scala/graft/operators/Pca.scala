@@ -96,13 +96,11 @@ object Pca {
               carry: Seq[String]): DataFrame = {
     val (_, comps) = fitComponents(df, vecCol)
     require(k <= comps.length, s"k=$k exceeds dimensionality ${comps.length}")
-    val pcCols = (0 until k).map { c =>
-      val compLit = typedlit(comps(c).toSeq)
-      aggregate(
-        zip_with(compLit, col(vecCol), (w, x) => w * x.cast("double")),
-        lit(0.0), (acc, t) => acc + t)
-        .as(s"pc$c")
-    }
+    // codegen'd mat-vec (same ascending-index fold as the HOF form —
+    // bit-identical, but one fused loop instead of k·d interpreted lambdas)
+    val proj = graft.functions.VectorFunctions.mat_vec(
+      col(vecCol), typedlit(comps.take(k).map(_.toSeq).toSeq))
+    val pcCols = (0 until k).map(c => element_at(proj, c + 1).as(s"pc$c"))
     df.select(carry.map(col) ++ pcCols: _*)
   }
 
@@ -120,14 +118,11 @@ object Pca {
     val v = col(vecCol)
     val sqRaw = aggregate(v, lit(0.0),
       (a, x) => a + x.cast("double") * x.cast("double"))
-    val comps2d = typedlit(comps.map(_.toSeq).toSeq)
-    val projSq = aggregate(
-      transform(comps2d, c => {
-        val dot = aggregate(zip_with(c, v, (w, x) => w * x.cast("double")),
-          lit(0.0), (a, t) => a + t)
-        dot * dot
-      }),
-      lit(0.0), (a, t) => a + t)
+    // codegen'd d x d mat-vec, then a d-element fold over the projections —
+    // same fold trees as the all-HOF form, ~d^2 interpreted lambdas saved
+    val proj = graft.functions.VectorFunctions.mat_vec(
+      v, typedlit(comps.map(_.toSeq).toSeq))
+    val projSq = aggregate(proj, lit(0.0), (a, p) => a + p * p)
     df.select(col("vec_id"), col("label"),
         sqRaw.as("sq_raw"), lit(d.toLong).as("n_comps"),
         (abs(projSq - sqRaw) <= lit(relTol) * sqRaw + lit(1e-12))

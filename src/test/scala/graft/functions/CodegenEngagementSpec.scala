@@ -65,4 +65,24 @@ class CodegenEngagementSpec extends SparkSpec {
       SparkEntry.queries("q_sim_topk_ivf")(spark, sf).collect()
     }
   }
+
+  test("q_pca_project: mat_vec executes under strict codegen, bit-equal to the HOF form") {
+    import org.apache.spark.sql.functions._
+    strictCodegen {
+      SparkEntry.queries("q_pca_project")(spark, sf).collect()
+    }
+    // fold-order contract: mat_vec == aggregate(zip_with(...)) bit-for-bit
+    val df = graft.sources.Tables.embeddings(spark, sf)
+    val mat = Seq(
+      Seq.tabulate(64)(i => (i % 7 - 3) * 0.137),
+      Seq.tabulate(64)(i => math.sin(i.toDouble)))
+    val matLit = typedlit(mat)
+    val native = graft.functions.VectorFunctions.mat_vec(col("embedding"), matLit)
+    val hof = transform(matLit, r =>
+      aggregate(zip_with(r, col("embedding"), (w, x) => w * x.cast("double")),
+        lit(0.0), (a, t) => a + t))
+    val diff = df.select(native.as("n"), hof.as("h"))
+      .where(col("n") =!= col("h")).count()
+    assert(diff == 0L, "mat_vec diverged from the HOF fold")
+  }
 }
