@@ -1252,6 +1252,27 @@ object SparkEntry {
           .select(col("l_orderkey"), col("l_partkey")),
           "l_orderkey", "l_partkey"),
         "item_a", "item_b", k = 3, rounds = 16)),
+
+    // ---- round-7i lanes ----
+    // per-column table profile in one pass: exact counts/distincts,
+    // portable min/max rendering
+    "q_table_profile" -> ((s, dir) =>
+      Profile.tableProfile(Tables.lineitem(s, dir))),
+    // classifier threshold sweep: precision/recall/F1 per probability bin
+    // from exact descending prefix integers
+    "q_pr_curve" -> ((s, dir) =>
+      Classifier.prCurve(
+        Classifier.scoreUnsorted(Tables.documents(s, dir),
+          keep = Seq((col("lang") === "en").as("truth"))),
+        "score", "truth")),
+    // Kish effective sample size + design effect of the stratified sample
+    // (same rates as q_sample_stratified), exact-numerator fold
+    "q_sample_ess" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "lang")
+      Sampling.samplingEss(docs,
+        Sampling.stratified(docs, "doc_id", "lang",
+          Map("en" -> 37), defaultPct = 83), "lang")
+    }),
   )
 
   /** Unrolled fixed-round k-core peeling over the co-purchase edge CTE
@@ -5943,6 +5964,107 @@ object SparkEntry {
           |FROM s""".stripMargin,
       // unrolled fixed-round peeling over the shared co-purchase edge CTE
       "q_kcore" -> kcoreOracle(k = 3, rounds = 16),
+      // per-column UNION ladder mirroring Profile.tableProfile's kinds:
+      // doubles as DOUBLE min/max, ints/strings as canonical VARCHAR,
+      // timestamps as floor-epoch-second strings (the house gotcha)
+      "q_table_profile" -> {
+        def block(c: String, kind: String): String = {
+          val mm = kind match {
+            case "num" =>
+              s"CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num, " +
+                "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+            case "str" =>
+              "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, " +
+                s"CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str"
+            case _ =>
+              "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, " +
+                s"CAST(CAST(floor(epoch(min($c))) AS BIGINT) AS VARCHAR) AS min_str, " +
+                s"CAST(CAST(floor(epoch(max($c))) AS BIGINT) AS VARCHAR) AS max_str"
+          }
+          s"SELECT '$c' AS col_name, count(*) AS n_rows, count(*) - count($c) AS n_null, " +
+            s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, $mm FROM lineitem"
+        }
+        Seq(
+          "l_discount" -> "num", "l_extendedprice" -> "num",
+          "l_linenumber" -> "str", "l_linestatus" -> "str",
+          "l_orderkey" -> "str", "l_partkey" -> "str", "l_quantity" -> "num",
+          "l_returnflag" -> "str", "l_shipdate" -> "time",
+          "l_suppkey" -> "str", "l_tax" -> "num")
+          .map { case (c, k) => block(c, k) }
+          .mkString("", "\nUNION ALL ", "\nORDER BY col_name")
+      },
+      // same scored CTE as the calibration family; tp/fp are descending
+      // prefix integers, each metric one division
+      "q_pr_curve" ->
+        """WITH model AS (
+          |  SELECT CAST(f AS BIGINT) AS feature_id,
+          |         CAST('0x' || substr(md5('w:' || CAST(f AS VARCHAR)), 1, 15) AS BIGINT)
+          |           % 2001 - 1000 AS weight
+          |  FROM (SELECT unnest(range(0, 1024)) AS f)),
+          |toks AS (
+          |  SELECT doc_id, (lang = 'en') AS y,
+          |         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+          |  FROM documents),
+          |feat AS (
+          |  SELECT doc_id,
+          |         CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 1024 AS feature_id
+          |  FROM toks, LATERAL (SELECT unnest(w) AS tok) t),
+          |scored AS (
+          |  SELECT f.doc_id, CAST(sum(m.weight) AS BIGINT) AS s
+          |  FROM feat f JOIN model m USING (feature_id) GROUP BY f.doc_id),
+          |p AS (
+          |  SELECT t.y,
+          |    500000 + CASE WHEN sc.s >= 0
+          |      THEN (500000 * abs(sc.s)) // (20000 + abs(sc.s))
+          |      ELSE -((500000 * abs(sc.s)) // (20000 + abs(sc.s))) END AS p
+          |  FROM scored sc JOIN toks t USING (doc_id)),
+          |b AS (
+          |  SELECT least(p // 15625, 63) AS bin, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(count(*) FILTER (WHERE y) AS BIGINT) AS n_pos
+          |  FROM p GROUP BY 1),
+          |pre AS (SELECT bin, n, n_pos,
+          |    CAST(sum(n) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_pred_pos,
+          |    CAST(sum(n_pos) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+          |    CAST(sum(n_pos) OVER () AS BIGINT) AS total_pos
+          |  FROM b)
+          |SELECT bin, bin * 15625 AS threshold_micro, n, n_pos, n_pred_pos, tp,
+          |  CAST(tp AS DOUBLE) / CAST(n_pred_pos AS DOUBLE) AS precision,
+          |  CASE WHEN total_pos = 0 THEN NULL
+          |    ELSE CAST(tp AS DOUBLE) / CAST(total_pos AS DOUBLE) END AS recall,
+          |  CAST(2 * tp AS DOUBLE)
+          |    / CAST(2 * tp + (n_pred_pos - tp) + (total_pos - tp) AS DOUBLE) AS f1
+          |FROM pre ORDER BY bin""".stripMargin,
+      // Horvitz-Thompson ESS: N^2 / sum(pop_g^2 / smp_g) with HUGEINT
+      // numerators and the grp-ordered contractual fold; the sample is the
+      // q_sample_stratified predicate verbatim
+      "q_sample_ess" ->
+        """WITH pop AS (SELECT CAST(lang AS VARCHAR) AS grp, count(*) AS pop
+          |  FROM documents GROUP BY 1),
+          |smp AS (SELECT CAST(lang AS VARCHAR) AS grp, count(*) AS smp
+          |  FROM documents
+          |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft_sample_v1'), 1, 8)) AS BIGINT) % 100
+          |        < CASE WHEN lang = 'en' THEN 37 ELSE 83 END
+          |  GROUP BY 1),
+          |j AS (SELECT p.grp, p.pop, coalesce(s.smp, 0) AS smp
+          |  FROM pop p LEFT JOIN smp s USING (grp)),
+          |t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+          |    CAST(sum(pop) AS BIGINT) AS n_pop,
+          |    CAST(sum(smp) AS BIGINT) AS n_sample,
+          |    CAST(sum(CASE WHEN smp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_uncovered,
+          |    list(struct_pack(grp := grp, pop := pop, smp := smp) ORDER BY grp) AS lad
+          |  FROM j),
+          |d AS (SELECT *, list_reduce(list_transform(lad, r ->
+          |    CASE WHEN r.smp > 0
+          |      THEN CAST(CAST(r.pop AS HUGEINT) * CAST(r.pop AS HUGEINT) AS DOUBLE) / CAST(r.smp AS DOUBLE)
+          |      ELSE 0.0 END), (a, b) -> a + b) AS denom FROM t)
+          |SELECT k, n_pop, n_sample, n_uncovered,
+          |  CAST(n_sample AS DOUBLE) / CAST(n_pop AS DOUBLE) AS coverage,
+          |  CASE WHEN n_uncovered > 0 THEN NULL
+          |    ELSE CAST(n_pop AS DOUBLE) * CAST(n_pop AS DOUBLE) / denom END AS ess,
+          |  CASE WHEN n_uncovered > 0 THEN NULL
+          |    ELSE CAST(n_sample AS DOUBLE) * denom
+          |      / (CAST(n_pop AS DOUBLE) * CAST(n_pop AS DOUBLE)) END AS deff
+          |FROM d""".stripMargin,
       // verdict-boolean pattern (the eigenbasis has no SQL form): the
       // oracle derives the raw sequential-fold ||x||^2 and asserts the
       // Parseval booleans the Jacobi basis must earn

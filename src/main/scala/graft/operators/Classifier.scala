@@ -150,6 +150,54 @@ object Classifier {
       .orderBy("bin")
   }
 
+  /** PRECISION/RECALL curve of the classifier against a boolean truth —
+    * the threshold-sweep companion to [[calibrationReport]]: one row per
+    * OBSERVED probability bin, reading "if we admit everything scored at
+    * or above this bin, here is the precision / recall / F1". The sweep
+    * that picks a quality-filter operating point.
+    *
+    * Exactness: bin evidence is integer; tp/fp at each threshold are
+    * DESCENDING prefix sums over the bin ladder (exact); precision,
+    * recall, and F1 = 2tp/(2tp+fp+fn) are each ONE IEEE division of exact
+    * integers. No float ever sums.
+    *
+    * Scale: one map-side-combined row-grain aggregate to ≤`bins` rows;
+    * the sweep windows run on that ladder. */
+  def prCurve(scored: DataFrame, scoreCol: String, truthCol: String,
+              bins: Int = 64, scale: Long = 20000L): DataFrame = {
+    require(1000000L % bins == 0, s"bins must divide 1e6, got $bins")
+    def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val s = col(scoreCol).cast("long")
+    val mag = idiv(lit(500000L) * abs(s), lit(scale) + abs(s))
+    val pMicro = lit(500000L) + when(s >= 0, mag).otherwise(-mag)
+    val width = 1000000L / bins
+    val byBin = scored.select(
+        least(idiv(pMicro, lit(width)), lit(bins - 1L)).as("bin"),
+        col(truthCol).cast("long").as("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("__y").as("n_pos"))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    byBin
+      .withColumn("n_pred_pos", sum("n").over(wDesc))
+      .withColumn("tp", sum("n_pos").over(wDesc))
+      .withColumn("__total_pos", sum("n_pos").over(wAll))
+      .select(col("bin"),
+        (col("bin") * width).as("threshold_micro"),
+        col("n"), col("n_pos"), col("n_pred_pos"), col("tp"),
+        (col("tp").cast("double") / col("n_pred_pos").cast("double"))
+          .as("precision"),
+        when(col("__total_pos") === 0L, lit(null).cast("double"))
+          .otherwise(col("tp").cast("double") / col("__total_pos").cast("double"))
+          .as("recall"),
+        ((lit(2L) * col("tp")).cast("double") /
+          (lit(2L) * col("tp") + (col("n_pred_pos") - col("tp")) +
+            (col("__total_pos") - col("tp"))).cast("double")).as("f1"))
+      .orderBy("bin")
+  }
+
   /** ISOTONIC calibration (the PAV fit) of the classifier's algebraic-
     * sigmoid probabilities against a boolean truth — the production
     * recalibration step when [[calibrationReport]] shows a miscalibrated

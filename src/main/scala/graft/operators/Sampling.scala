@@ -286,4 +286,51 @@ object Sampling {
       .filter(col("sel_rk") <= col("__quota"))
       .drop("__quota")
   }
+  /** KISH effective sample size + design effect of a (stratified) sample —
+    * the audit that says whether weighting the sample back to the
+    * population costs you variance: weights per stratum are
+    * w_g = pop_g / smp_g (the Horvitz-Thompson expansion), and
+    * ESS = (Σ w)² / (Σ w²) collapses algebraically to
+    * N² / Σ_g (pop_g² / smp_g) — each term an EXACT decimal numerator
+    * with ONE division, folded in stratum order (the anovaOneWay
+    * contract: an unordered IEEE sum is not an oracle). deff = n/ESS.
+    *
+    * A stratum with population but NO sampled rows cannot be expanded —
+    * ESS/deff emit null and `n_uncovered` flags how many strata are
+    * unrepresented (the caller's sampling rates are broken, which is the
+    * point of running the audit).
+    *
+    * Scale: two group-grain aggregates (map-side combined) + one
+    * strata-cardinality ladder fold. */
+  def samplingEss(population: DataFrame, sample: DataFrame,
+                  strataCol: String): DataFrame = {
+    val pop = population.groupBy(col(strataCol).cast("string").as("grp"))
+      .agg(count(lit(1)).as("pop"))
+    val smp = sample.groupBy(col(strataCol).cast("string").as("grp"))
+      .agg(count(lit(1)).as("smp"))
+    val joined = pop.join(smp, Seq("grp"), "left")
+      .withColumn("smp", coalesce(col("smp"), lit(0L)))
+    val lad = joined.agg(
+      count(lit(1)).as("k"),
+      sum("pop").cast("long").as("n_pop"),
+      sum("smp").cast("long").as("n_sample"),
+      sum(when(col("smp") === 0L, 1L).otherwise(0L)).cast("long")
+        .as("n_uncovered"),
+      sort_array(collect_list(struct(col("grp"), col("pop"), col("smp"))))
+        .as("__lad"))
+    def popD(r: Column) = r.getField("pop").cast("decimal(38,0)")
+    val denom = aggregate(col("__lad"), lit(0.0), (acc, r) =>
+      acc + when(r.getField("smp") > 0L,
+        (popD(r) * popD(r)).cast("double") / r.getField("smp").cast("double"))
+        .otherwise(lit(0.0)))
+    val nPopD = col("n_pop").cast("double")
+    lad.withColumn("__denom", denom)
+      .select(col("k"), col("n_pop"), col("n_sample"), col("n_uncovered"),
+        (col("n_sample").cast("double") / nPopD).as("coverage"),
+        when(col("n_uncovered") > 0L, lit(null).cast("double"))
+          .otherwise(nPopD * nPopD / col("__denom")).as("ess"),
+        when(col("n_uncovered") > 0L, lit(null).cast("double"))
+          .otherwise(col("n_sample").cast("double") * col("__denom")
+            / (nPopD * nPopD)).as("deff"))
+  }
 }
