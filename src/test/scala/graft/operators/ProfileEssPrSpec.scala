@@ -30,9 +30,18 @@ class ProfileEssPrSpec extends SparkSpec {
     assert(v.isNullAt(v.fieldIndex("min_str")))
   }
 
-  test("tableProfile: one aggregate pass, no join") {
+  test("tableProfile plan: hash aggregates only (the naive multi-distinct " +
+    "form degrades to SortAggregate over a 12-field key), broadcast stitch") {
     val d = Profile.tableProfile(graft.sources.Tables.lineitem(spark, sf))
-    assert(!d.queryExecution.executedPlan.toString.contains("Join"))
+    val p = d.queryExecution.executedPlan.toString
+    // the multi-distinct rewrite's signature is an Expand feeding a KEYED
+    // sort aggregate over every profiled column at once; the two-pass form
+    // must not contain it (grouping-free SortAggregate from string min/max
+    // buffers is fine — it sorts nothing)
+    assert(!p.contains("Expand"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
   }
 
   test("prCurve: two clean bins — exact precision/recall/F1 ladder") {
