@@ -1273,6 +1273,27 @@ object SparkEntry {
         Sampling.stratified(docs, "doc_id", "lang",
           Map("en" -> 37), defaultPct = 83), "lang")
     }),
+    // chance-corrected agreement between the hashed classifier and the
+    // lang gate: kappa = (N*D - E)/(N^2 - E), one division
+    "q_cohens_kappa" -> ((s, dir) => {
+      val scored = Classifier.scoreUnsorted(Tables.documents(s, dir),
+        keep = Seq(when(col("lang") === "en", "pos").otherwise("neg")
+          .as("rater_b")))
+      Relational.cohensKappa(
+        scored.withColumn("rater_a",
+          when(col("score") > 0, "pos").otherwise("neg")),
+        "rater_a", "rater_b")
+    }),
+    // token-weighted doc-length percentiles: what the TOKEN MASS sees —
+    // exact integer ladder, division-free selection
+    "q_weighted_pctl" -> ((s, dir) => {
+      val words = split(trim(regexp_replace(lower(col("text")),
+        "[^a-z0-9]+", " ")), " ")
+      Relational.weightedPercentiles(
+        Tables.documents(s, dir)
+          .select(col("n_chars"), size(words).cast("long").as("w")),
+        "n_chars", "w", Seq(25, 50, 90, 99))
+    }),
   )
 
   /** Unrolled fixed-round k-core peeling over the co-purchase edge CTE
@@ -5993,6 +6014,59 @@ object SparkEntry {
           .map { case (c, k) => block(c, k) }
           .mkString("", "\nUNION ALL ", "\nORDER BY col_name")
       },
+      // kappa = (N*D - E)/(N^2 - E) with HUGEINT numerators; E from the
+      // margin equi-join; one division per emitted stat
+      "q_cohens_kappa" ->
+        """WITH model AS (
+          |  SELECT CAST(f AS BIGINT) AS feature_id,
+          |         CAST('0x' || substr(md5('w:' || CAST(f AS VARCHAR)), 1, 15) AS BIGINT)
+          |           % 2001 - 1000 AS weight
+          |  FROM (SELECT unnest(range(0, 1024)) AS f)),
+          |toks AS (
+          |  SELECT doc_id, (lang = 'en') AS y,
+          |         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+          |  FROM documents),
+          |feat AS (
+          |  SELECT doc_id,
+          |         CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 1024 AS feature_id
+          |  FROM toks, LATERAL (SELECT unnest(w) AS tok) t),
+          |scored AS (
+          |  SELECT f.doc_id, CAST(sum(m.weight) AS BIGINT) AS s
+          |  FROM feat f JOIN model m USING (feature_id) GROUP BY f.doc_id),
+          |r AS (SELECT CASE WHEN sc.s > 0 THEN 'pos' ELSE 'neg' END AS a,
+          |             CASE WHEN t.y THEN 'pos' ELSE 'neg' END AS b
+          |  FROM scored sc JOIN toks t USING (doc_id)),
+          |cells AS (SELECT a, b, count(*) AS n FROM r GROUP BY a, b),
+          |lad AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+          |  CAST(sum(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT) AS d_agree,
+          |  CAST(count(DISTINCT a) AS BIGINT) AS k_a,
+          |  CAST(count(DISTINCT b) AS BIGINT) AS k_b FROM cells),
+          |ra AS (SELECT a, CAST(sum(n) AS BIGINT) AS rt FROM cells GROUP BY a),
+          |rb AS (SELECT b, CAST(sum(n) AS BIGINT) AS ct FROM cells GROUP BY b),
+          |e AS (SELECT coalesce(sum(CAST(rt AS HUGEINT) * ct), 0) AS e_cross
+          |  FROM ra JOIN rb ON a = b)
+          |SELECT n_total, k_a, k_b, d_agree,
+          |  CAST(d_agree AS DOUBLE) / CAST(n_total AS DOUBLE) AS p_o,
+          |  CAST(e_cross AS DOUBLE) / CAST(CAST(n_total AS HUGEINT) * n_total AS DOUBLE) AS p_e,
+          |  CASE WHEN CAST(n_total AS HUGEINT) * n_total = e_cross THEN NULL
+          |    ELSE CAST(CAST(n_total AS HUGEINT) * d_agree - e_cross AS DOUBLE)
+          |       / CAST(CAST(n_total AS HUGEINT) * n_total - e_cross AS DOUBLE) END AS kappa
+          |FROM lad, e""".stripMargin,
+      // exact lower weighted percentile: integer cumulative ladder,
+      // division-free 100*cw >= p*W selection
+      "q_weighted_pctl" ->
+        """WITH d AS (SELECT n_chars AS v,
+          |    CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) AS w
+          |  FROM documents WHERE n_chars IS NOT NULL),
+          |byv AS (SELECT v, CAST(sum(w) AS BIGINT) AS w FROM d WHERE w > 0 GROUP BY v),
+          |lad AS (SELECT v, w,
+          |    CAST(sum(w) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+          |    CAST(sum(w) OVER () AS BIGINT) AS tw FROM byv),
+          |p AS (SELECT unnest([25, 50, 90, 99]) AS p)
+          |SELECT CAST(p.p AS BIGINT) AS p, min(l.v) AS value,
+          |  CAST(max(l.tw) AS BIGINT) AS total_weight
+          |FROM lad l, p WHERE CAST(l.cw AS HUGEINT) * 100 >= CAST(p.p AS HUGEINT) * l.tw
+          |GROUP BY p.p ORDER BY p""".stripMargin,
       // same scored CTE as the calibration family; tp/fp are descending
       // prefix integers, each metric one division
       "q_pr_curve" ->

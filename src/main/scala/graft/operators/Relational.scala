@@ -938,6 +938,91 @@ object Relational {
           .as("cramers_v"))
   }
 
+  /** COHEN'S KAPPA — chance-corrected agreement between two categorical
+    * raters (two classifiers, a heuristic gate vs a model, two annotation
+    * runs): the eval that distinguishes "they agree 80% of the time" from
+    * "they agree 80% of the time but chance alone gives 75%".
+    *
+    * Exactness: with N = total, D = Σ diagonal agreement, and
+    * E = Σ_k row_k·col_k (the chance-agreement cross product),
+    * κ = (N·D − E) / (N² − E) — numerator and denominator EXACT decimals,
+    * ONE division; p_o = D/N and p_e = E/N² are one division each.
+    * Degenerate case: a single category on both sides makes N² = E
+    * (chance explains everything) — κ emits null, not a division error.
+    *
+    * Scale: one row-grain aggregate to the K×K cell grid, margins as
+    * cell-frame windows (the [[chi2Cells]] shape), one K²-ladder fold. */
+  def cohensKappa(df: DataFrame, raterA: String, raterB: String): DataFrame = {
+    val cells = df
+      .filter(col(raterA).isNotNull && col(raterB).isNotNull)
+      .groupBy(col(raterA).cast("string").as("a"), col(raterB).cast("string").as("b"))
+      .agg(count(lit(1)).as("n"))
+    def dec(x: Column) = x.cast("decimal(19,0)")
+    val lad = cells.agg(
+      sum("n").cast("long").as("n_total"),
+      sum(when(col("a") === col("b"), col("n")).otherwise(lit(0L)))
+        .cast("long").as("d_agree"),
+      countDistinct("a").as("k_a"),
+      countDistinct("b").as("k_b"))
+    // E = Σ_k row_k·col_k over categories BOTH raters use (a one-sided
+    // category has the other margin 0 and contributes nothing) — an
+    // equi-join of the two category-grain margin frames
+    val ra = cells.groupBy("a").agg(sum("n").as("rt"))
+    val rb = cells.groupBy("b").agg(sum("n").as("ct"))
+    val e = ra.join(rb, col("a") === col("b"))
+      .agg(coalesce(sum((dec(col("rt")) * dec(col("ct"))).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("e_cross"))
+    val nD = col("n_total").cast("decimal(38,0)")
+    lad.crossJoin(broadcast(e))
+      .select(col("n_total"), col("k_a"), col("k_b"), col("d_agree"),
+        (col("d_agree").cast("double") / col("n_total").cast("double")).as("p_o"),
+        (col("e_cross").cast("double") /
+          (nD * nD).cast("double")).as("p_e"),
+        when((nD * nD).cast("decimal(38,0)") === col("e_cross"),
+          lit(null).cast("double"))
+          .otherwise((nD * dec(col("d_agree")) - col("e_cross")).cast("double") /
+            ((nD * nD) - col("e_cross")).cast("double")).as("kappa"))
+  }
+
+  /** EXACT WEIGHTED percentiles — the percentile of a value distribution
+    * where each row counts `weight` times (token-weighted doc length,
+    * byte-weighted file age …): the curation metric that answers "what
+    * does the TOKEN MASS see", which differs from the row-grain percentile
+    * whenever size correlates with the value (it always does).
+    *
+    * Exact lower weighted percentile: smallest v whose cumulative weight
+    * reaches ⌈p·W/100⌉ — all integer arithmetic (the cumulative ladder is
+    * a window over the VALUE-grain aggregate, bounded by value cardinality
+    * like [[mannWhitney]]'s rank ladder; 100·cumW ≥ p·W compares exact
+    * decimals, no division anywhere).
+    *
+    * Scale: one value-grain aggregate (map-side combined), one ladder
+    * window, a ladder × |ps| broadcast probe. */
+  def weightedPercentiles(df: DataFrame, valueCol: String, weightCol: String,
+                          ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1,100], got $ps")
+    val byV = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .groupBy(col(valueCol).as("v"))
+      .agg(sum(col(weightCol).cast("long")).as("w"))
+    val wLad = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    val ladder = byV
+      .withColumn("cw", sum("w").over(wLad))
+      .withColumn("tw", sum("w").over(wAll))
+    val probes = explode(array(ps.distinct.sorted.map(p => lit(p)): _*)).as("p")
+    ladder.select(col("v"), col("cw"), col("tw"), probes)
+      // smallest v with 100*cw >= p*W  (exact decimals, division-free)
+      .where(col("cw").cast("decimal(38,0)") * 100 >=
+        col("p").cast("decimal(38,0)") * col("tw").cast("decimal(38,0)"))
+      .groupBy(col("p").cast("long").as("p"))
+      .agg(min("v").as("value"), max("tw").cast("long").as("total_weight"))
+      .orderBy("p")
+  }
+
   /** Two-sample KOLMOGOROV–SMIRNOV test — the distribution-drift companion
     * to [[mannWhitney]]: D = max |F_a(v) - F_b(v)| over the pooled value
     * axis, the standard "did this feed's distribution shift" gate run
