@@ -776,12 +776,19 @@ object SparkEntry {
         col("lang") === "en")),
     // chunk->doc mean pooling in deterministic member order (the float
     // fold order IS the contract) — the long-document embedding recipe
+    // oracle surface is the FLATTENED (doc, dim, val) grain — an array
+    // output column is unsortable/unhashable at the comparison layer
+    // (pandas lexsort over list cells throws); the flatten loses nothing:
+    // every pooled double is still individually hash-checked
     "q_vec_pool" -> ((s, dir) =>
       VectorOps.meanPool(
           Tables.embeddings(s, dir)
             .withColumn("doc", pmod(col("vec_id"), lit(50L))),
           "doc", "vec_id")
-        .orderBy("doc")),
+        .select(col("doc"), col("n_members"),
+          posexplode(col("pooled")).as(Seq("dim", "val")))
+        .withColumn("dim", col("dim").cast("long"))
+        .orderBy("doc", "dim")),
     // ORC format hop (ext_orc_roundtrip): same values through ORC bytes
     "q_orc_roundtrip" -> ((s, dir) =>
       graft.sources.OrcSource.roundtripAgg(s, dir)),
@@ -4678,12 +4685,12 @@ object SparkEntry {
           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
           |  FROM embeddings),
           |p AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_members,
-          |    list(e ORDER BY m) AS es FROM g GROUP BY doc)
-          |SELECT doc, n_members,
-          |  list_transform(range(len(es[1])), i ->
+          |    list(e ORDER BY m) AS es FROM g GROUP BY doc),
+          |f AS (SELECT doc, n_members, CAST(i AS BIGINT) AS dim,
           |    list_reduce(list_transform(es, v -> v[CAST(i AS INT) + 1]),
-          |      (a, b) -> a + b) / CAST(n_members AS DOUBLE)) AS pooled
-          |FROM p ORDER BY doc""".stripMargin,
+          |      (a, b) -> a + b) / CAST(n_members AS DOUBLE) AS val
+          |  FROM p, LATERAL (SELECT unnest(range(len(es[1]))) AS i) ii)
+          |SELECT doc, n_members, dim, val FROM f ORDER BY doc, dim""".stripMargin,
       "q_auc_subgroup" ->
         """WITH s AS (SELECT source AS g, n_chars AS v,
           |    (lang = 'en') AS y FROM documents),
@@ -5929,9 +5936,9 @@ object SparkEntry {
           |  LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) ii,
           |  LATERAL (SELECT unnest(range(0, len(embedding) + 1 - ii.i)) AS j) jj)
           |SELECT i, j, CAST(count(*) AS BIGINT) AS n,
-          |  CAST(sum(CAST(qx AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sum_qx,
-          |  CAST(sum(CAST(qy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sum_qy,
-          |  CAST(sum(CAST(qx AS DECIMAL(19,0)) * CAST(qy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sum_qxy,
+          |  CAST(sum(CAST(qx AS DECIMAL(19,0))) AS DOUBLE) AS sum_qx,
+          |  CAST(sum(CAST(qy AS DECIMAL(19,0))) AS DOUBLE) AS sum_qy,
+          |  CAST(sum(CAST(qx AS DECIMAL(19,0)) * CAST(qy AS DECIMAL(19,0))) AS DOUBLE) AS sum_qxy,
           |  (CAST(sum(CAST(qx AS DECIMAL(19,0)) * CAST(qy AS DECIMAL(19,0))) AS DOUBLE)
           |   - CAST(sum(CAST(qx AS DECIMAL(19,0))) AS DOUBLE) * CAST(sum(CAST(qy AS DECIMAL(19,0))) AS DOUBLE) / CAST(count(*) AS DOUBLE))
           |  / CAST(count(*) AS DOUBLE) / 1099511627776.0 AS cov_pop
@@ -5941,7 +5948,7 @@ object SparkEntry {
       "q_chi2_cells" ->
         """WITH e AS (SELECT CAST(event_type AS VARCHAR) AS r,
           |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS VARCHAR) AS c
-          |  FROM events WHERE event_type IS NOT NULL),
+          |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
           |g AS (SELECT r, c, count(*) AS n FROM e GROUP BY r, c),
           |grid AS (SELECT rr.r, cc.c, coalesce(g.n, 0) AS n
           |  FROM (SELECT DISTINCT r FROM g) rr
@@ -5962,7 +5969,7 @@ object SparkEntry {
       "q_chi2_summary" ->
         """WITH e AS (SELECT CAST(event_type AS VARCHAR) AS r,
           |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS VARCHAR) AS c
-          |  FROM events WHERE event_type IS NOT NULL),
+          |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
           |g AS (SELECT r, c, count(*) AS n FROM e GROUP BY r, c),
           |grid AS (SELECT rr.r, cc.c, coalesce(g.n, 0) AS n
           |  FROM (SELECT DISTINCT r FROM g) rr

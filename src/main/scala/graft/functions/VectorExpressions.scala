@@ -267,7 +267,15 @@ case class MatVecProduct(left: Expression, right: Expression)
       s"$prettyName requires (array<float|double>, array<array<double>>), got " +
         s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
   }
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  // an output element is null iff any consumed input element is null (the
+  // HOF fold contract: zip_with multiplies null→null, and the running
+  // `a + null` poisons the accumulator) — so containsNull follows the inputs
+  override def dataType: DataType = ArrayType(DoubleType,
+    containsNull = left.dataType.asInstanceOf[ArrayType].containsNull ||
+      (right.dataType match {
+        case ArrayType(ArrayType(_, inner), _) => inner
+        case _                                 => false
+      }))
   override def prettyName: String = "mat_vec"
 
   private lazy val vecIsFloat = left.dataType match {
@@ -293,27 +301,39 @@ object MatVecProduct {
   import org.apache.spark.sql.catalyst.util.GenericArrayData
 
   /** Shared by interpreted eval and codegen. Sequential ascending-index
-    * accumulation — the HOF fold order, bit-for-bit. */
+    * accumulation — the HOF fold order, bit-for-bit, INCLUDING null
+    * semantics: a null element in either operand poisons that output
+    * element to null (`zip_with` multiplies null→null, and the running
+    * `acc + null` stays null), never silently reads as 0.0 — ArrayData's
+    * getFloat/getDouble ignore the null bitmap, so the bitmap is checked
+    * explicitly. A null row in the matrix likewise yields a null output. */
   def compute(vec: ArrayData, mat: ArrayData, vecIsFloat: Boolean): ArrayData = {
     val nRows = mat.numElements()
     val out = new Array[Any](nRows)
     var r = 0
     while (r < nRows) {
-      val row = mat.getArray(r)
-      if (vec.numElements() != row.numElements())
-        throw new IllegalArgumentException(
-          s"mat_vec: vector dim ${vec.numElements()} != " +
-            s"matrix row dim ${row.numElements()} (row $r)")
-      val n = vec.numElements()
-      var acc = 0.0
-      var i = 0
-      while (i < n) {
-        val v = if (vecIsFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
-        acc += row.getDouble(i) * v
-        i += 1
+      if (mat.isNullAt(r)) { out(r) = null; r += 1 }
+      else {
+        val row = mat.getArray(r)
+        if (vec.numElements() != row.numElements())
+          throw new IllegalArgumentException(
+            s"mat_vec: vector dim ${vec.numElements()} != " +
+              s"matrix row dim ${row.numElements()} (row $r)")
+        val n = vec.numElements()
+        var acc = 0.0
+        var sawNull = false
+        var i = 0
+        while (i < n && !sawNull) {
+          if (vec.isNullAt(i) || row.isNullAt(i)) sawNull = true
+          else {
+            val v = if (vecIsFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+            acc += row.getDouble(i) * v
+          }
+          i += 1
+        }
+        out(r) = if (sawNull) null else acc
+        r += 1
       }
-      out(r) = acc
-      r += 1
     }
     new GenericArrayData(out)
   }

@@ -84,10 +84,20 @@ object Profile {
         col(s"__${c}_mxs").as("max_str"))
     }: _*)).as("p")).select("p.*")
 
-    // pass 2: exact per-column distincts over the exploded value relation
-    def render(c: String): Column = kinds(c) match {
-      case "time" => col(c).cast("timestamp").cast("string")
-      case _      => col(c).cast("string")
+    // pass 2: exact per-column distincts over the exploded value relation.
+    // Floating columns normalize BEFORE rendering: native count(DISTINCT)
+    // groups -0.0 with 0.0 and all NaNs together (Spark normalizes both in
+    // grouping keys), but their rendered strings differ — `x + 0.0` folds
+    // -0.0 to +0.0 (IEEE: -0.0 + 0.0 = +0.0, identity elsewhere) and every
+    // NaN payload renders as the one string "NaN", restoring injectivity
+    // on the grouped value space.
+    def render(c: String): Column = df.schema(c).dataType match {
+      case DoubleType | FloatType =>
+        (col(c).cast("double") + lit(0.0)).cast("string")
+      case _ => kinds(c) match {
+        case "time" => col(c).cast("timestamp").cast("string")
+        case _      => col(c).cast("string")
+      }
     }
     val vals = df
       .select(explode(array(cols.map(c =>

@@ -209,10 +209,17 @@ object VectorOps {
         sum(qxD).as("sum_qx"),
         sum(qyD).as("sum_qy"),
         sum(qxD * qyD).as("sum_qxy"))
+      // moment sums surface as DOUBLE, not decimal: the aggregation is
+      // exact decimal throughout, but a decimal OUTPUT column is engine-
+      // ambiguous at the comparison layer (pandas reads parquet decimals
+      // as Decimal objects; DuckDB's df() renders them float64 — same
+      // value, different type, hash mismatch). Int sums here are < 2^53
+      // (n·2^40 at fixture scale), so the double carries them exactly;
+      // the decimal→double cast is correctly rounded on both engines.
       .select(col("i"), col("j"), col("n"),
-        col("sum_qx").cast("decimal(38,0)").as("sum_qx"),
-        col("sum_qy").cast("decimal(38,0)").as("sum_qy"),
-        col("sum_qxy").cast("decimal(38,0)").as("sum_qxy"),
+        col("sum_qx").cast("double").as("sum_qx"),
+        col("sum_qy").cast("double").as("sum_qy"),
+        col("sum_qxy").cast("double").as("sum_qxy"),
         ((col("sum_qxy").cast("double")
           - col("sum_qx").cast("double") * col("sum_qy").cast("double")
             / col("n").cast("double"))

@@ -50,7 +50,10 @@ object BucketedTables {
     * sums, one final double cast each). */
   def colocatedJoinAgg(spark: SparkSession, sfDir: String,
                        buckets: Int = 8): DataFrame = {
-    val t = tag(sfDir)
+    // namespace paths AND table names by the Spark application id: the
+    // write is a query side effect, and two concurrent sessions over the
+    // same sfDir would otherwise race on the files and metastore entries
+    val t = tag(sfDir) + "_" + tag(spark.sparkContext.applicationId)
     val oTable = s"graft_bkt_orders_$t"
     val lTable = s"graft_bkt_lineitem_$t"
     val base = s"/tmp/graft_bucketed/$t"

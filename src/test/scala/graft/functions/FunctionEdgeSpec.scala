@@ -105,4 +105,30 @@ class FunctionEdgeSpec extends SparkSpec {
       }
     }
   }
+
+  test("mat_vec: null vector element null-propagates (HOF contract), never reads as 0") {
+    // aggregate(zip_with(row, vec, _*_), 0.0, _+_) with a null element
+    // poisons the accumulator to null — the native expression must match,
+    // not silently read the null slot as 0.0 through ArrayData.getDouble
+    val df = spark.sql(
+      """SELECT CAST(array(1.0, NULL, 3.0) AS ARRAY<DOUBLE>) AS v,
+        |       array(CAST(array(2.0, 5.0, 7.0) AS ARRAY<DOUBLE>),
+        |             CAST(array(1.0, 1.0, 1.0) AS ARRAY<DOUBLE>)) AS m,
+        |       CAST(array(1.0, 2.0, 3.0) AS ARRAY<DOUBLE>) AS vok""".stripMargin)
+    val r = df.select(
+      VectorFunctions.mat_vec(col("v"), col("m")).as("nulled"),
+      VectorFunctions.mat_vec(col("vok"), col("m")).as("clean")).head()
+    val nulled = r.getSeq[Any](0)
+    assert(nulled == Seq(null, null), s"got $nulled")
+    assert(r.getSeq[Double](1) == Seq(2.0 + 10.0 + 21.0, 6.0))
+  }
+
+  test("mat_vec: null matrix row yields a null output element") {
+    val df = spark.sql(
+      """SELECT CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>) AS v,
+        |       array(CAST(array(3.0, 4.0) AS ARRAY<DOUBLE>),
+        |             CAST(NULL AS ARRAY<DOUBLE>)) AS m""".stripMargin)
+    val out = df.select(VectorFunctions.mat_vec(col("v"), col("m"))).head().getSeq[Any](0)
+    assert(out == Seq(11.0, null), s"got $out")
+  }
 }

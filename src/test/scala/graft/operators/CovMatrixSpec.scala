@@ -23,10 +23,11 @@ class CovMatrixSpec extends SparkSpec {
       assert(r.getAs[Long]("n") == 2L)
       assert(r.getAs[Double]("cov_pop") == 1.0)
     }
-    // exact quantized sums: 4 * 2^20 and 6 * 2^20
+    // exact quantized sums (surfaced as doubles — exact below 2^53):
+    // 4 * 2^20 and 6 * 2^20
     val d01 = got((0L, 1L))
-    assert(d01.getAs[java.math.BigDecimal]("sum_qx").longValueExact == 4L << 20)
-    assert(d01.getAs[java.math.BigDecimal]("sum_qy").longValueExact == 6L << 20)
+    assert(d01.getAs[Double]("sum_qx") == (4L << 20).toDouble)
+    assert(d01.getAs[Double]("sum_qy") == (6L << 20).toDouble)
   }
 
   test("grid contract: moments equal a direct floor(x * 2^20) replay") {
@@ -37,9 +38,8 @@ class CovMatrixSpec extends SparkSpec {
     def q(x: Float): Long = math.floor(x.toDouble * 1048576.0).toLong
     for (i <- 0 until 3; j <- i until 3) {
       val sxy = rows.map(r => q(r(i)) * q(r(j))).sum
-      assert(got((i.toLong, j.toLong))
-        .getAs[java.math.BigDecimal]("sum_qxy").longValueExact == sxy,
-        s"pair ($i,$j)")
+      assert(got((i.toLong, j.toLong)).getAs[Double]("sum_qxy")
+        == sxy.toDouble, s"pair ($i,$j)")
     }
     // diagonal variance is nonnegative
     for (i <- 0 until 3)

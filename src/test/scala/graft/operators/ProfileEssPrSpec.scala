@@ -30,6 +30,16 @@ class ProfileEssPrSpec extends SparkSpec {
     assert(v.isNullAt(v.fieldIndex("min_str")))
   }
 
+  test("tableProfile: -0.0 groups with 0.0 and all NaNs group together " +
+    "(native count(DISTINCT) grouping semantics)") {
+    import spark.implicits._
+    val df = Seq(0.0, -0.0, Double.NaN, Double.NaN, 1.5).toDF("x")
+    val got = Profile.tableProfile(df).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    // native distinct: {0.0(-0.0 folds in), NaN, 1.5} = 3
+    assert(got("x").getAs[Long]("n_distinct") == 3L)
+  }
+
   test("tableProfile plan: hash aggregates only (the naive multi-distinct " +
     "form degrades to SortAggregate over a 12-field key), broadcast stitch") {
     val d = Profile.tableProfile(graft.sources.Tables.lineitem(spark, sf))
