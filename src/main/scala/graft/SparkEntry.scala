@@ -1301,6 +1301,31 @@ object SparkEntry {
           .select(col("n_chars"), size(words).cast("long").as("w")),
         "n_chars", "w", Seq(25, 50, 90, 99))
     }),
+
+    // ---- round-8 lanes ----
+    // Welch two-sample t-test on MEANS (the z-test lane covers rates):
+    // mean doc length, en vs non-en — exact cross-multiplied mean diff
+    "q_welch_ttest" -> ((s, dir) =>
+      Relational.welchTTest(
+        Tables.documents(s, dir).withColumn("arm",
+          when(col("lang") === "en", "en").otherwise("other")),
+        "arm", "n_chars")),
+    // t-closeness audit (3rd rung after k-anonymity / l-diversity): EMD of
+    // each QI class's sensitive distribution vs global, ordered domain
+    "q_t_closeness" -> ((s, dir) =>
+      Validate.tCloseness(
+        Tables.customer(s, dir).join(Tables.orders(s, dir),
+          col("c_custkey") === col("o_custkey")),
+        "c_nationkey", "c_mktsegment", "o_orderpriority")),
+    // K-fold leakage-free target encoding of source -> P(lang=en), with
+    // pseudo-count smoothing toward the out-of-fold prior — one division
+    "q_target_encode" -> ((s, dir) =>
+      Classifier.targetEncode(Tables.documents(s, dir), "source", "doc_id",
+        when(col("lang") === "en", 1).otherwise(0))),
+    // daily-volume autocorrelation per event type at lags 1..7 — the
+    // weekly-pulse probe; exact integer Pearson moments
+    "q_acf_daily" -> ((s, dir) =>
+      Funnel.acfDaily(Tables.events(s, dir))),
   )
 
   /** Unrolled fixed-round k-core peeling over the co-purchase edge CTE
@@ -6200,6 +6225,122 @@ object SparkEntry {
           |SELECT b.bin, b.n, b.n_pos,
           |  CAST(b.n_pos AS DOUBLE) / CAST(b.n AS DOUBLE) AS rate, f.fitted
           |FROM b JOIN f ON b.bin = f.k ORDER BY bin""".stripMargin,
+
+      // ---- round-8 lanes ----
+      // exact decimal moments per arm; exact cross-multiplied mean diff
+      // and variance numerators; fixed double tree for t / Welch df
+      "q_welch_ttest" ->
+        """WITH a AS (SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS arm,
+          |    n_chars AS v FROM documents WHERE n_chars IS NOT NULL),
+          |g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(CAST(v AS DECIMAL(25,0))) AS DECIMAL(38,0)) AS s,
+          |    CAST(sum(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS q
+          |  FROM a GROUP BY arm),
+          |p AS (SELECT list(struct_pack(arm := arm, n := n, s := s, q := q)
+          |    ORDER BY arm) AS la FROM g),
+          |f AS (SELECT la[1].arm AS arm_a, la[2].arm AS arm_b,
+          |    la[1].n AS n_a, la[2].n AS n_b,
+          |    CAST(la[1].s AS DOUBLE) / CAST(la[1].n AS DOUBLE) AS mean_a,
+          |    CAST(la[2].s AS DOUBLE) / CAST(la[2].n AS DOUBLE) AS mean_b,
+          |    CAST(CAST(la[1].s AS DECIMAL(19,0)) * CAST(la[2].n AS DECIMAL(19,0))
+          |        - CAST(la[2].s AS DECIMAL(19,0)) * CAST(la[1].n AS DECIMAL(19,0)) AS DOUBLE)
+          |      / CAST(la[1].n * la[2].n AS DOUBLE) AS mean_diff,
+          |    CASE WHEN la[1].n >= 2 THEN
+          |      CAST(CAST(la[1].q AS DECIMAL(25,0)) * CAST(la[1].n AS DECIMAL(13,0))
+          |          - CAST(la[1].s AS DECIMAL(19,0)) * CAST(la[1].s AS DECIMAL(19,0)) AS DOUBLE)
+          |        / CAST(la[1].n * (la[1].n - 1) AS DOUBLE) END AS var_a,
+          |    CASE WHEN la[2].n >= 2 THEN
+          |      CAST(CAST(la[2].q AS DECIMAL(25,0)) * CAST(la[2].n AS DECIMAL(13,0))
+          |          - CAST(la[2].s AS DECIMAL(19,0)) * CAST(la[2].s AS DECIMAL(19,0)) AS DOUBLE)
+          |        / CAST(la[2].n * (la[2].n - 1) AS DOUBLE) END AS var_b
+          |  FROM p WHERE len(la) = 2),
+          |w AS (SELECT *, (var_a / CAST(n_a AS DOUBLE)) + (var_b / CAST(n_b AS DOUBLE)) AS se2
+          |  FROM f)
+          |SELECT arm_a, arm_b, n_a, n_b, mean_a, mean_b, mean_diff, var_a, var_b,
+          |  CASE WHEN se2 > 0.0 THEN mean_diff / sqrt(se2) END AS t_stat,
+          |  CASE WHEN se2 > 0.0 AND n_a >= 2 AND n_b >= 2 THEN
+          |    (se2 * se2) /
+          |      ((var_a / CAST(n_a AS DOUBLE)) * (var_a / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE)
+          |      + (var_b / CAST(n_b AS DOUBLE)) * (var_b / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE)) END AS df_welch,
+          |  CASE WHEN se2 > 0.0 THEN abs(mean_diff / sqrt(se2)) > 1.96 END AS significant
+          |FROM w""".stripMargin,
+      // EMD over the ordered sensitive domain: exact integer cumulative
+      // numerators over the common denominator n_c*N, ONE division per class
+      "q_t_closeness" ->
+        """WITH j AS (SELECT CAST(c_nationkey AS VARCHAR) AS qi1,
+          |    CAST(c_mktsegment AS VARCHAR) AS qi2,
+          |    CAST(o_orderpriority AS VARCHAR) AS sv
+          |  FROM customer JOIN orders ON c_custkey = o_custkey
+          |  WHERE o_orderpriority IS NOT NULL),
+          |cells AS (SELECT qi1, qi2, sv, count(*) AS cnt FROM j GROUP BY 1, 2, 3),
+          |cls AS (SELECT qi1, qi2, CAST(sum(cnt) AS BIGINT) AS n_rows
+          |  FROM cells GROUP BY 1, 2),
+          |dom AS (SELECT sv, CAST(sum(cnt) AS BIGINT) AS g FROM cells GROUP BY 1),
+          |tot AS (SELECT CAST(sum(g) AS BIGINT) AS n_total,
+          |    CAST(count(*) AS BIGINT) AS m FROM dom),
+          |grid AS (SELECT c.qi1, c.qi2, c.n_rows, d.sv, d.g, t.n_total, t.m,
+          |    coalesce(ce.cnt, 0) AS cnt
+          |  FROM cls c CROSS JOIN dom d CROSS JOIN tot t
+          |  LEFT JOIN cells ce ON ce.qi1 = c.qi1 AND ce.qi2 = c.qi2 AND ce.sv = d.sv),
+          |cm AS (SELECT qi1, qi2, n_rows, m, n_total,
+          |    sum(CAST(cnt AS DECIMAL(19,0)) * CAST(n_total AS DECIMAL(19,0))
+          |      - CAST(g AS DECIMAL(19,0)) * CAST(n_rows AS DECIMAL(19,0)))
+          |      OVER (PARTITION BY qi1, qi2 ORDER BY sv ROWS UNBOUNDED PRECEDING) AS c
+          |  FROM grid),
+          |agg AS (SELECT qi1, qi2, n_rows, m, n_total,
+          |    CAST(sum(abs(c)) AS DECIMAL(38,0)) AS emd_num
+          |  FROM cm GROUP BY 1, 2, 3, 4, 5)
+          |SELECT qi1, qi2, n_rows, m,
+          |  CASE WHEN m > 1 THEN CAST(emd_num AS DOUBLE)
+          |    / CAST(n_rows * n_total * (m - 1) AS DOUBLE) ELSE 0.0 END AS t_closeness,
+          |  (CASE WHEN m > 1 THEN CAST(emd_num AS DOUBLE)
+          |    / CAST(n_rows * n_total * (m - 1) AS DOUBLE) ELSE 0.0 END) <= 0.2 AS ok_t
+          |FROM agg ORDER BY qi1, qi2""".stripMargin,
+      // out-of-fold target mean with pseudo-count smoothing, collapsed to
+      // ONE division of exact integers
+      "q_target_encode" ->
+        """WITH d AS (SELECT source AS category, doc_id % 5 AS fold,
+          |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          |  FROM documents WHERE source IS NOT NULL AND doc_id IS NOT NULL),
+          |base AS (SELECT category, fold, CAST(count(*) AS BIGINT) AS n_cf,
+          |    CAST(sum(y) AS BIGINT) AS s_cf FROM d GROUP BY 1, 2),
+          |g AS (SELECT *,
+          |    sum(n_cf) OVER (PARTITION BY category) AS n_c,
+          |    sum(s_cf) OVER (PARTITION BY category) AS s_c,
+          |    sum(n_cf) OVER (PARTITION BY fold) AS n_f,
+          |    sum(s_cf) OVER (PARTITION BY fold) AS s_f,
+          |    sum(n_cf) OVER () AS n_tot,
+          |    sum(s_cf) OVER () AS s_tot
+          |  FROM base)
+          |SELECT category, fold, CAST(n_c - n_cf AS BIGINT) AS n_oof,
+          |  CAST((s_c - s_cf) * (n_tot - n_f) + 20 * (s_tot - s_f) AS DOUBLE)
+          |    / CAST((n_c - n_cf + 20) * (n_tot - n_f) AS DOUBLE) AS encoded
+          |FROM g ORDER BY category, fold""".stripMargin,
+      // per-type self-correlation at lags 1..7 — the q_xcorr_daily moment
+      // chain, per event type
+      "q_acf_daily" ->
+        """WITH daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |lg AS (SELECT CAST(unnest(range(1, 8)) AS INT) AS lag),
+          |j AS (SELECT a.event_type, lag, a.n AS a_n, b.n AS b_n
+          |  FROM daily a, lg
+          |  JOIN daily b ON b.event_type = a.event_type
+          |    AND b.day = a.day + lag),
+          |m AS (SELECT event_type, lag, count(*) AS n_pairs,
+          |    CAST(sum(CAST(a_n AS DECIMAL(20,0))) AS DECIMAL(20,0)) AS sa,
+          |    CAST(sum(CAST(b_n AS DECIMAL(20,0))) AS DECIMAL(20,0)) AS sb,
+          |    CAST(sum(CAST(a_n * b_n AS DECIMAL(30,0))) AS DECIMAL(30,0)) AS sab,
+          |    CAST(sum(CAST(a_n * a_n AS DECIMAL(30,0))) AS DECIMAL(30,0)) AS saa,
+          |    CAST(sum(CAST(b_n * b_n AS DECIMAL(30,0))) AS DECIMAL(30,0)) AS sbb
+          |  FROM j GROUP BY event_type, lag)
+          |SELECT event_type, CAST(lag AS BIGINT) AS lag, n_pairs,
+          |  CASE WHEN n_pairs * saa - sa * sa = 0
+          |         OR n_pairs * sbb - sb * sb = 0 THEN NULL
+          |       ELSE CAST(n_pairs * sab - sa * sb AS DOUBLE)
+          |         / (sqrt(CAST(n_pairs * saa - sa * sa AS DOUBLE))
+          |           * sqrt(CAST(n_pairs * sbb - sb * sb AS DOUBLE))) END AS r
+          |FROM m ORDER BY event_type, lag""".stripMargin,
     ) match {
       // merged sketch state ≡ from-scratch sketch — same oracle by design
       case m => m + ("q_quantile_sketch_merge" -> m("q_quantile_sketch"))

@@ -256,4 +256,57 @@ object Classifier {
         col("fitted"))
       .orderBy("bin")
   }
+
+  /** K-fold LEAKAGE-FREE target encoding — the categorical-feature recipe
+    * for training data: replace a category with the target mean computed
+    * from the OTHER folds only (a row must never see its own label through
+    * its feature — in-fold target means are the classic leakage bug that
+    * inflates offline metrics and dies in production), smoothed toward the
+    * out-of-fold global prior with pseudo-count weight `m` so rare
+    * categories don't memorize their few labels:
+    *
+    *   enc(c, f) = (S_c − S_cf + m·prior_f) / (C_c − C_cf + m),
+    *   prior_f   = (S − S_f) / (N − N_f)
+    *
+    * Exactness: everything is counts and integer target sums, so the
+    * encoded value collapses to ONE division of exact decimals:
+    *   ((S_c−S_cf)·(N−N_f) + m·(S−S_f)) / ((C_c−C_cf+m)·(N−N_f)).
+    * A category present ONLY in fold f encodes to exactly the prior (the
+    * numerator and denominator both reduce to m·(…)). Folds are assigned
+    * by id modulus — deterministic, engine-portable, stable under
+    * repartitioning.
+    *
+    * Scale shape: one row-grain map-side-combined aggregate to the
+    * (category, fold) grain; the category / fold / global totals are
+    * windows over that tiny grid (#cats · k rows), never re-touching the
+    * row stream. Output = the encoding TABLE (broadcast-join it back to
+    * the training rows — model-sized, like the PQ codebooks). */
+  def targetEncode(df: DataFrame, catCol: String, idCol: String,
+                   targetCol: Column, kFolds: Int = 5, m: Long = 20L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(col(catCol).isNotNull && col(idCol).isNotNull)
+      .groupBy(col(catCol).cast("string").as("category"),
+        pmod(col(idCol), lit(kFolds.toLong)).as("fold"))
+      .agg(count(lit(1)).as("n_cf"),
+        sum(targetCol.cast("long")).cast("decimal(38,0)").as("s_cf"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val grid = base
+      .withColumn("n_c", sum(col("n_cf")).over(w.partitionBy("category")))
+      .withColumn("s_c", sum(col("s_cf")).over(w.partitionBy("category")))
+      .withColumn("n_f", sum(col("n_cf")).over(w.partitionBy("fold")))
+      .withColumn("s_f", sum(col("s_cf")).over(w.partitionBy("fold")))
+      .withColumn("n_tot", sum(col("n_cf")).over(w.partitionBy()))
+      .withColumn("s_tot", sum(col("s_cf")).over(w.partitionBy()))
+    grid.select(
+        col("category"), col("fold"),
+        (col("n_c") - col("n_cf")).cast("long").as("n_oof"),
+        (((dec(col("s_c")) - dec(col("s_cf"))) *
+            dec(col("n_tot") - col("n_f")) +
+          lit(m).cast("decimal(38,0)") * (dec(col("s_tot")) - dec(col("s_f"))))
+          .cast("double") /
+         ((dec(col("n_c")) - dec(col("n_cf")) + lit(m).cast("decimal(38,0)")) *
+            dec(col("n_tot") - col("n_f"))).cast("double")).as("encoded"))
+      .orderBy("category", "fold")
+  }
 }

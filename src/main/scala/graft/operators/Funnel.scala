@@ -377,6 +377,60 @@ object Funnel {
       .orderBy("lag")
   }
 
+  /** Autocorrelation function (ACF) of each event type's daily volume —
+    * the self-similarity companion to [[crossCorrelation]] and the first
+    * periodicity probe a drift dashboard runs ("does this feed have a
+    * weekly pulse, and did it survive the pipeline change"): Pearson r
+    * between the series and itself shifted by lag 1..maxLag, one row per
+    * (event_type, lag).
+    *
+    * Same conventions as [[crossCorrelation]]: pairs are days where BOTH
+    * endpoints observed events (no zero-padding — a fabricated zero day
+    * manufactures correlation); exact integer moments with the
+    * cross-multiplied Pearson numerator, one final IEEE division+sqrt
+    * chain; degenerate (constant) windows yield null r.
+    *
+    * Scale shape: the self-join runs on the DAY-grain relation — |types|
+    * × |days| rows regardless of event volume — fanned ×maxLag by a
+    * narrow explode; one row-grain aggregate feeds it. */
+  def acfDaily(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val dec20 = "decimal(20,0)"
+    val dec30 = "decimal(30,0)"
+    val a = daily.select(col("event_type"), col("day").as("a_day"),
+      col("n").as("a_n"))
+    val b = daily.select(col("event_type").as("b_type"),
+      col("day").as("b_day"), col("n").as("b_n"))
+    val lagged = a
+      .select(col("event_type"), col("a_day"), col("a_n"),
+        explode(array((1 to maxLag).map(lit(_)): _*)).as("lag"))
+      .withColumn("b_key", date_add(col("a_day"), col("lag")))
+      .join(b, col("event_type") === col("b_type") &&
+        col("b_key") === col("b_day"))
+    val m = lagged.groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("a_n").cast(dec20)).as("sa"),
+        sum(col("b_n").cast(dec20)).as("sb"),
+        sum((col("a_n") * col("b_n")).cast(dec30)).as("sab"),
+        sum((col("a_n") * col("a_n")).cast(dec30)).as("saa"),
+        sum((col("b_n") * col("b_n")).cast(dec30)).as("sbb"))
+    m.select(col("event_type"), col("lag").cast("long").as("lag"),
+        col("n_pairs"),
+        when((col("n_pairs") * col("saa") - col("sa") * col("sa")) === 0 ||
+          (col("n_pairs") * col("sbb") - col("sb") * col("sb")) === 0,
+          lit(null).cast("double"))
+          .otherwise(
+            (col("n_pairs") * col("sab") - col("sa") * col("sb")).cast("double")
+              / (sqrt((col("n_pairs") * col("saa") - col("sa") * col("sa"))
+                  .cast("double"))
+                * sqrt((col("n_pairs") * col("sbb") - col("sb") * col("sb"))
+                  .cast("double"))))
+          .as("r"))
+      .orderBy("event_type", "lag")
+  }
+
   /** Classical seasonal decomposition of each event type's daily series —
     * the STL-lite additive model every ops/drift dashboard starts from:
     * trend = centered 7-day moving average, seasonal = day-of-week mean of

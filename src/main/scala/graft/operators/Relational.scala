@@ -864,6 +864,73 @@ object Relational {
         .otherwise(col("ssb") / (col("ssb") + col("ssw"))).as("eta_sq"))
   }
 
+  /** Welch two-sample t-test on a continuous metric — the A/B readout for
+    * MEANS (the two-proportion z-test in [[Funnel.abTest]] covers
+    * conversion rates; this covers revenue-per-user / length / latency,
+    * where arm variances genuinely differ and pooled-variance Student's t
+    * is the classic mistake). Exactly two arms; arms are compared in
+    * SORTED label order (a = first).
+    *
+    * Exactness: per-arm moments (n, Σx, Σx²) are exact decimals; the
+    * mean DIFFERENCE uses the exact cross-multiplied numerator
+    * (s_a·n_b − s_b·n_a)/(n_a·n_b) — subtracting two rounded per-arm
+    * means catastrophically cancels when the effect is small relative to
+    * the mean (the [[anovaOneWay]] lesson); each sample variance is the
+    * exact-numerator (n·q − s²)/(n·(n−1)). After that: one division per
+    * reported quantity and a fixed double tree for t and the
+    * Welch–Satterthwaite df. Degenerate arms (n < 2 or zero variance on
+    * both sides) yield null t/df, not a division error. No p-value — erf
+    * is not engine-portable; the t statistic and the |t| > 1.96
+    * large-sample 5% verdict are.
+    *
+    * Scale shape: ONE row-grain map-side-combined aggregate to two arm
+    * rows, then 1-row arithmetic over the sorted 2-element fold. */
+  def welchTTest(df: DataFrame, armCol: String, valueCol: String): DataFrame = {
+    val vDec = col(valueCol).cast("decimal(19,0)")
+    val arms = df
+      .filter(col(armCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(armCol).cast("string").as("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(38,0)")).as("s"),
+        sum((vDec * vDec).cast("decimal(38,0)")).as("q"))
+    val two = arms.agg(
+      count(lit(1)).as("k"),
+      sort_array(collect_list(struct(col("arm"), col("n"), col("s"), col("q"))))
+        .as("__a"))
+    def f(i: Int, name: String) = element_at(col("__a"), i).getField(name)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val (na, nb) = (f(1, "n"), f(2, "n"))
+    val (sa, sb) = (f(1, "s"), f(2, "s"))
+    val (qa, qb) = (f(1, "q"), f(2, "q"))
+    // sample variances, exact numerators
+    def sVar(n: Column, s: Column, q: Column): Column =
+      when(n >= 2L, (dec(q) * dec(n) - dec(s) * dec(s)).cast("double") /
+        (n * (n - 1L)).cast("double"))
+    val base = two.filter(col("k") === 2).select(
+      f(1, "arm").as("arm_a"), f(2, "arm").as("arm_b"),
+      na.cast("long").as("n_a"), nb.cast("long").as("n_b"),
+      (dec(sa).cast("double") / na.cast("double")).as("mean_a"),
+      (dec(sb).cast("double") / nb.cast("double")).as("mean_b"),
+      ((dec(sa) * dec(nb) - dec(sb) * dec(na)).cast("double") /
+        (dec(na) * dec(nb)).cast("double")).as("mean_diff"),
+      sVar(na, sa, qa).as("var_a"), sVar(nb, sb, qb).as("var_b"))
+    val ra = col("var_a") / col("n_a").cast("double")
+    val rb = col("var_b") / col("n_b").cast("double")
+    base
+      .withColumn("se2", ra + rb)
+      .withColumn("t_stat",
+        when(col("se2") > 0.0, col("mean_diff") / sqrt(col("se2"))))
+      .withColumn("df_welch",
+        when(col("se2") > 0.0 && col("n_a") >= 2L && col("n_b") >= 2L,
+          (col("se2") * col("se2")) /
+            (ra * ra / (col("n_a") - 1L).cast("double") +
+             rb * rb / (col("n_b") - 1L).cast("double"))))
+      .withColumn("significant",
+        when(col("t_stat").isNotNull, abs(col("t_stat")) > 1.96))
+      .select("arm_a", "arm_b", "n_a", "n_b", "mean_a", "mean_b",
+        "mean_diff", "var_a", "var_b", "t_stat", "df_welch", "significant")
+  }
+
   /** Chi-square test of INDEPENDENCE between two categoricals — per-cell
     * contributions. The contingency companion to [[anovaOneWay]]: "is the
     * event mix independent of the weekday / is language independent of

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -245,6 +245,74 @@ object Validate {
       .withColumn("ok", col("n_rows") >= k && col("l_distinct") >= l)
       .select("qi1", "qi2", "n_rows", "l_distinct", "dominant_value",
         "dominant_share", "ok")
+      .orderBy("qi1", "qi2")
+  }
+
+  /** t-CLOSENESS audit — the third rung of the anonymization ladder after
+    * [[kAnonymize]] (class size) and [[lDiversity]] (value spread): a
+    * class can hold ≥k rows and ≥l distinct sensitive values yet still
+    * leak, if its sensitive DISTRIBUTION skews far from the table's (a
+    * class that is 90% '1-URGENT' in a 20%-urgent table reveals plenty).
+    * Per quasi-identifier class: the Earth-Mover's Distance between the
+    * class's sensitive-value distribution and the global one, over the
+    * ORDERED value domain with the unit ground distance of Li et al. —
+    * t = (1/(m−1))·Σᵢ|Σ_{j≤i}(p_j − q_j)| — and the `ok_t` verdict at
+    * the caller's threshold.
+    *
+    * Exactness: p_j − q_j over the common denominator n_c·N has the exact
+    * integer numerator cnt_cj·N − g_j·n_c; the inner cumulative sums stay
+    * exact decimals (window over the class×domain grid), and each class
+    * pays exactly ONE division at the end: Σ|cum| / (n_c·N·(m−1)). The
+    * final (m-th) cumulative term is identically zero by construction
+    * (both distributions sum to 1), so summing all m terms equals the
+    * canonical i<m sum.
+    *
+    * Scale shape: one row-grain pass to (class, value) cells; everything
+    * after lives on the class×domain grid — #classes · m rows, bounded by
+    * category cardinalities, never row count; the domain and its totals
+    * broadcast. */
+  def tCloseness(df: DataFrame, qi1: String, qi2: String, sensitive: String,
+                 t: Double = 0.2): DataFrame = {
+    val cells = df
+      .filter(col(sensitive).isNotNull)
+      .groupBy(
+        col(qi1).cast("string").as("qi1"), col(qi2).cast("string").as("qi2"),
+        col(sensitive).cast("string").as("sv"))
+      .agg(count(lit(1)).as("cnt"))
+    val classes = cells.groupBy("qi1", "qi2")
+      .agg(sum(col("cnt")).cast("long").as("n_rows"))
+    val domain = cells.groupBy("sv").agg(sum(col("cnt")).cast("long").as("g"))
+    val totals = domain.agg(sum(col("g")).cast("long").as("n_total"),
+      count(lit(1)).as("m"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val grid = classes
+      .crossJoin(broadcast(domain))
+      .crossJoin(broadcast(totals))
+      // cells is (class, value)-grain — bounded by category cardinalities
+      // like every other frame here, so the stitch broadcasts by
+      // construction (the row stream was left behind at the first groupBy)
+      .join(broadcast(cells), Seq("qi1", "qi2", "sv"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      // exact numerator of p_j − q_j over the common denominator n_c·N
+      .withColumn("num",
+        (dec(col("cnt")) * dec(col("n_total")) -
+          dec(col("g")) * dec(col("n_rows"))).cast("decimal(38,0)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qi1", "qi2").orderBy("sv")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid
+      .withColumn("cum", sum(col("num")).over(w))
+      .groupBy(col("qi1"), col("qi2"), col("n_rows"), col("m"),
+        col("n_total"))
+      .agg(sum(abs(col("cum"))).cast("decimal(38,0)").as("emd_num"))
+      .withColumn("t_closeness",
+        when(col("m") > 1,
+          col("emd_num").cast("double") /
+            (dec(col("n_rows")) * dec(col("n_total")) *
+              dec(col("m") - 1)).cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("ok_t", col("t_closeness") <= t)
+      .select("qi1", "qi2", "n_rows", "m", "t_closeness", "ok_t")
       .orderBy("qi1", "qi2")
   }
 
