@@ -1326,6 +1326,11 @@ object SparkEntry {
     // weekly-pulse probe; exact integer Pearson moments
     "q_acf_daily" -> ((s, dir) =>
       Funnel.acfDaily(Tables.events(s, dir))),
+    // Holt linear-trend forecast of daily volume per event type — the
+    // capacity-planning extrapolation EWMA can't do; contractual day-order
+    // fold with literal alpha/beta shared with the oracle
+    "q_holt_forecast" -> ((s, dir) =>
+      Funnel.holtForecast(Tables.events(s, dir))),
   )
 
   /** Unrolled fixed-round k-core peeling over the co-purchase edge CTE
@@ -6341,6 +6346,35 @@ object SparkEntry {
           |         / (sqrt(CAST(n_pairs * saa - sa * sa AS DOUBLE))
           |           * sqrt(CAST(n_pairs * sbb - sb * sb AS DOUBLE))) END AS r
           |FROM m ORDER BY event_type, lag""".stripMargin,
+      // textbook Holt init (l1=x1, b1=x2-x1) + the day-ordered recurrence
+      // with the SAME literal alpha/beta and expression tree, unrolled by a
+      // RECURSIVE CTE (one step per day). Deliberately NOT list_reduce:
+      // DuckDB's list_reduce evaluates struct_pack fields sequentially IN
+      // PLACE — the t field sees the already-updated l — a semantics quirk
+      // this session measured diverging from the all-at-once HOF fold.
+      "q_holt_forecast" ->
+        """WITH RECURSIVE daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day,
+          |    CAST(count(*) AS DOUBLE) AS x
+          |  FROM events GROUP BY 1, 2),
+          |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+          |    list(x ORDER BY day) AS xs FROM daily GROUP BY 1),
+          |r AS (
+          |  SELECT event_type, n_days, xs, CAST(1 AS BIGINT) AS i,
+          |    xs[1] AS l,
+          |    CASE WHEN n_days >= 2 THEN xs[2] - xs[1] ELSE 0.0 END AS t
+          |  FROM s
+          |  UNION ALL
+          |  SELECT event_type, n_days, xs, i + 1,
+          |    0.2 * xs[CAST(i + 1 AS INT)] + 0.8 * (l + t),
+          |    0.1 * ((0.2 * xs[CAST(i + 1 AS INT)] + 0.8 * (l + t)) - l)
+          |      + 0.9 * t
+          |  FROM r WHERE i < n_days)
+          |SELECT event_type, n_days, l AS level, t AS trend,
+          |  l + 1.0 * t AS fc_1,
+          |  l + 3.0 * t AS fc_3,
+          |  l + 7.0 * t AS fc_7
+          |FROM r WHERE i = n_days ORDER BY event_type""".stripMargin,
     ) match {
       // merged sketch state ≡ from-scratch sketch — same oracle by design
       case m => m + ("q_quantile_sketch_merge" -> m("q_quantile_sketch"))

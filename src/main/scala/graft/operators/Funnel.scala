@@ -377,6 +377,55 @@ object Funnel {
       .orderBy("lag")
   }
 
+  /** HOLT linear-trend forecast (double exponential smoothing) of each
+    * event type's daily volume — the capacity-planning readout on top of
+    * the [[ewmaDaily]] level: EWMA alone lags a trending series by
+    * construction; Holt carries an explicit trend term and extrapolates.
+    *   l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1});  b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+    * Init is the textbook l₁ = x₁, b₁ = x₂ − x₁ (b₁ = 0 for a 1-day
+    * series); the recurrence folds over x₂..x_n IN DAY ORDER — the float
+    * fold order IS the contract (same discipline as every sequential lane
+    * here), with α, β fixed literals shared with the oracle. Forecast
+    * ĥ(h) = l_n + h·b_n. Days are the OBSERVED series (no zero-padding —
+    * the [[crossCorrelation]]/[[acfDaily]] convention).
+    *
+    * Scale shape: one row-grain map-side-combined daily aggregate; the
+    * fold state is per-TYPE and day-grain-bounded (|days| elements), so
+    * the collect_list is report-sized, never row-scale. */
+  def holtForecast(events: DataFrame, alpha: Double = 0.2,
+                   beta: Double = 0.1): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val series = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        array_sort(collect_list(struct(col("day"), col("x")))).as("__s"))
+      .withColumn("xs", transform(col("__s"), s => s.getField("x")))
+    val x1 = element_at(col("xs"), 1)
+    val x2 = element_at(col("xs"), 2)
+    val init = struct(
+      x1.as("l"),
+      when(col("n_days") >= 2L, x2 - x1).otherwise(lit(0.0)).as("t"))
+    val a = lit(alpha); val a1 = lit(1.0 - alpha)
+    val b = lit(beta); val b1 = lit(1.0 - beta)
+    val folded = series.withColumn("st",
+      aggregate(slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+        init,
+        (acc, x) => {
+          val lNew = a * x + a1 * (acc.getField("l") + acc.getField("t"))
+          struct(
+            lNew.as("l"),
+            (b * (lNew - acc.getField("l")) + b1 * acc.getField("t")).as("t"))
+        }))
+    folded.select(col("event_type"), col("n_days"),
+        col("st").getField("l").as("level"),
+        col("st").getField("t").as("trend"))
+      .withColumn("fc_1", col("level") + lit(1.0) * col("trend"))
+      .withColumn("fc_3", col("level") + lit(3.0) * col("trend"))
+      .withColumn("fc_7", col("level") + lit(7.0) * col("trend"))
+      .orderBy("event_type")
+  }
+
   /** Autocorrelation function (ACF) of each event type's daily volume —
     * the self-similarity companion to [[crossCorrelation]] and the first
     * periodicity probe a drift dashboard runs ("does this feed have a
