@@ -1331,6 +1331,15 @@ object SparkEntry {
     // fold with literal alpha/beta shared with the oracle
     "q_holt_forecast" -> ((s, dir) =>
       Funnel.holtForecast(Tables.events(s, dir))),
+    // leave-one-out recommender evaluation: hold out each basket's max
+    // item, rebuild CF on the rest, report hit@3 + exact-rational MRR
+    "q_rec_eval" -> ((s, dir) => {
+      val b = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      Graph.recommendationEval(b, "cust", "supp")
+    }),
   )
 
   /** Unrolled fixed-round k-core peeling over the co-purchase edge CTE
@@ -6375,6 +6384,41 @@ object SparkEntry {
           |  l + 3.0 * t AS fc_3,
           |  l + 7.0 * t AS fc_7
           |FROM r WHERE i = n_days ORDER BY event_type""".stripMargin,
+      // the q_cf_recommend CF chain over the TRAIN split (held-out item =
+      // per-basket max id), then the leave-one-out verdict: hit@3 + MRR
+      // with the exact rational 6/rank numerator, one division per stat
+      "q_rec_eval" ->
+        """WITH b AS (SELECT DISTINCT o_custkey AS basket, l_suppkey AS item
+          |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          |elig AS (SELECT basket, max(item) AS held FROM b
+          |         GROUP BY basket HAVING count(*) >= 2),
+          |train AS (SELECT b.basket, b.item FROM b LEFT JOIN elig USING (basket)
+          |          WHERE elig.held IS NULL OR b.item <> elig.held),
+          |cnt AS (SELECT item, count(*) AS cnt FROM train GROUP BY item),
+          |co AS (SELECT a.item AS item_a, b2.item AS item_b, count(*) AS co_cnt
+          |       FROM train a JOIN train b2 ON a.basket = b2.basket AND a.item < b2.item
+          |       GROUP BY 1, 2 HAVING count(*) >= 2),
+          |sym AS (SELECT item_a, item_b, co_cnt FROM co
+          |        UNION ALL SELECT item_b, item_a, co_cnt FROM co),
+          |sc AS (SELECT item_a, item_b,
+          |         CAST(co_cnt AS DOUBLE) / sqrt(CAST(ca.cnt * cb.cnt AS DOUBLE)) AS cosine
+          |       FROM sym JOIN cnt ca ON ca.item = sym.item_a
+          |       JOIN cnt cb ON cb.item = sym.item_b),
+          |r AS (SELECT item_a AS item, item_b AS rec,
+          |        CAST(row_number() OVER (PARTITION BY item_a ORDER BY cosine DESC, item_b) AS BIGINT) AS rk
+          |      FROM sc),
+          |hits AS (SELECT e.basket, min(r.rk) AS rank
+          |         FROM elig e JOIN train t ON t.basket = e.basket
+          |         JOIN r ON r.item = t.item AND r.rec = e.held
+          |         WHERE r.rk <= 3 GROUP BY e.basket),
+          |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM elig),
+          |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_hit,
+          |         CAST(coalesce(sum(6 // rank), 0) AS BIGINT) AS mrr_num
+          |        FROM hits)
+          |SELECT n_users, n_hit,
+          |  CAST(n_hit AS DOUBLE) / CAST(n_users AS DOUBLE) AS hit_rate,
+          |  CAST(mrr_num AS DOUBLE) / CAST(6 * n_users AS DOUBLE) AS mrr
+          |FROM tot, agg""".stripMargin,
     ) match {
       // merged sketch state ≡ from-scratch sketch — same oracle by design
       case m => m + ("q_quantile_sketch_merge" -> m("q_quantile_sketch"))

@@ -381,6 +381,71 @@ object Graph {
     * ranked per source item instead of globally. The rank window partitions
     * by item (parallel; each item ranks only its own co-occurring
     * neighbors, never the catalog), so there is no global sort anywhere. */
+  /** Leave-one-out HOLDOUT evaluation of [[recommendations]] — the offline
+    * gate a recommender ships through: per basket with ≥2 distinct items,
+    * hold out ONE item (the max item id — deterministic, no RNG), rebuild
+    * the CF model on the remaining interactions, and score whether any of
+    * the basket's train items ranks the held-out item in its top-k.
+    * Reports hit-rate@k and MRR in one row.
+    *
+    * Exactness: a user's reciprocal rank uses the EXACT rational
+    * L/rank with L = lcm(1..k) (integer — rank divides L), so the MRR
+    * numerator is an order-free integer sum and the statistic pays ONE
+    * division; hit_rate likewise. Misses contribute 0 (the standard
+    * convention). The train/holdout split is derivable (max id), so the
+    * whole lane replays in SQL.
+    *
+    * Scale shape: the split adds one basket-grain aggregate + one keyed
+    * join to the [[recommendations]] pipeline; the eval join runs on the
+    * (basket, item)-grain train relation against the top-k rec table
+    * (item-grain × k), and the verdict is a 1-row aggregate. */
+  def recommendationEval(baskets: DataFrame, basketCol: String,
+                         itemCol: String, minCo: Int = 2,
+                         k: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 20, s"k=$k out of the exact-lcm range")
+    val lcm = (1 to k).map(BigInt(_)).reduce((a, x) => a * x / a.gcd(x)).toLong
+    // b fans out to elig/train/eval and train to model+eval — persist both
+    // or the source join+distinct recomputes once per consumer (measured
+    // 24 s -> ~6 s at sf0.01)
+    val b = baskets
+      .select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val elig = b.groupBy("basket")
+      .agg(count(lit(1)).as("n"), max(col("item")).as("held"))
+      .filter(col("n") >= 2L)
+      .select("basket", "held")
+    val train = b.join(elig, Seq("basket"), "left")
+      .filter(col("held").isNull || col("item") =!= col("held"))
+      .select("basket", "item")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // re-alias the rec table's columns (fresh exprIds): recs derives from
+    // train, so unaliased attributes on both join sides are ambiguous
+    val recs = recommendations(train, "basket", "item", minCo, k)
+      .select(col("item").as("r_item"), col("rec").as("r_rec"),
+        col("rk").as("r_rk"))
+    // per eligible basket: best (min) rank at which any train item
+    // recommends the held-out item
+    val hits = elig
+      .join(train, Seq("basket"))
+      .join(recs, col("item") === col("r_item") &&
+        col("r_rec") === col("held"))
+      .groupBy(col("basket")).agg(min(col("r_rk")).as("rank"))
+    // rank divides lcm by construction, so lcm/rank is an exact integer
+    // (a double division of exactly-representable ints, then a long cast)
+    val recip = (lit(lcm) / col("rank")).cast("long")
+    val agg = hits.agg(
+      count(lit(1)).as("n_hit"),
+      coalesce(sum(recip), lit(0L)).as("mrr_num"))
+    elig.agg(count(lit(1)).as("n_users"))
+      .crossJoin(agg)
+      .select(col("n_users"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_users").cast("double"))
+          .as("hit_rate"),
+        (col("mrr_num").cast("double") /
+          (lit(lcm) * col("n_users")).cast("double")).as("mrr"))
+  }
+
   def recommendations(baskets: DataFrame, basketCol: String, itemCol: String,
                       minCo: Int = 2, k: Int = 3): DataFrame = {
     val b = baskets.select(col(basketCol).as("basket"), col(itemCol).as("item"))

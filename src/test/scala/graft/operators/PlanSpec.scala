@@ -469,4 +469,48 @@ class PlanSpec extends SparkSpec {
     // never the binary payload column
     assert(!p.contains("payload"), p.take(3000))
   }
+
+  test("welchTTest: one row-grain hash aggregate, no join anywhere") {
+    val p = plan(Relational.welchTTest(
+      Tables.documents(spark, sf).withColumn("arm",
+        when(col("lang") === "en", "en").otherwise("other")),
+      "arm", "n_chars"))
+    assert(!p.contains("Join"), p.take(2000))
+    // row stream -> 2 arm rows -> 1 row: hash aggregates only
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("tCloseness: the row stream aggregates ONCE; every stitch broadcasts") {
+    val base = Tables.customer(spark, sf).join(Tables.orders(spark, sf),
+      col("c_custkey") === col("o_custkey"))
+    val p = plan(Validate.tCloseness(base, "c_nationkey", "c_mktsegment",
+      "o_orderpriority"))
+    // the class/domain/cells/totals frames are category-cardinality-sized
+    // and must all meet as broadcasts, never a shuffled join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(3000))
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+  }
+
+  test("targetEncode: row stream leaves at the (category, fold) aggregate; " +
+    "totals are windows over that grid") {
+    val p = plan(Classifier.targetEncode(Tables.documents(spark, sf),
+      "source", "doc_id", when(col("lang") === "en", 1).otherwise(0)))
+    assert(!p.contains("Join"), p.take(2000))
+    // one row-grain aggregate feeds the window stack
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents.parquet")) == 1,
+      p.take(2000))
+  }
+
+  test("acfDaily / holtForecast: row stream leaves at the day-grain aggregate") {
+    val pa = plan(Funnel.acfDaily(Tables.events(spark, sf)))
+    // the self-join runs on the day-grain relation — both join inputs are
+    // post-aggregate, so exactly two aggregated scans of events, no more
+    assert(pa.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("events.parquet")) <= 2,
+      pa.take(2000))
+    val ph = plan(Funnel.holtForecast(Tables.events(spark, sf)))
+    assert(!ph.contains("Join"), ph.take(2000))
+  }
 }
