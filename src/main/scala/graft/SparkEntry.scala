@@ -1331,6 +1331,10 @@ object SparkEntry {
     // fold with literal alpha/beta shared with the oracle
     "q_holt_forecast" -> ((s, dir) =>
       Funnel.holtForecast(Tables.events(s, dir))),
+    // DPO-style preference pairs: widest classifier-score gaps within each
+    // prompt group, margin-gated, deterministic tiebreaks
+    "q_dpo_pairs" -> ((s, dir) =>
+      Classifier.preferencePairs(Tables.documents(s, dir))),
     // leave-one-out recommender evaluation: hold out each basket's max
     // item, rebuild CF on the rest, report hit@3 + exact-rational MRR
     "q_rec_eval" -> ((s, dir) => {
@@ -6384,6 +6388,37 @@ object SparkEntry {
           |  l + 3.0 * t AS fc_3,
           |  l + 7.0 * t AS fc_7
           |FROM r WHERE i = n_days ORDER BY event_type""".stripMargin,
+      // the classifier-score CTE + within-group self-join, margin gate,
+      // (gap desc, ids) rank — integer scores make every compare exact
+      "q_dpo_pairs" ->
+        """WITH model AS (
+          |  SELECT CAST(f AS BIGINT) AS feature_id,
+          |         CAST('0x' || substr(md5('w:' || CAST(f AS VARCHAR)), 1, 15) AS BIGINT)
+          |           % 2001 - 1000 AS weight
+          |  FROM (SELECT unnest(range(0, 1024)) AS f)),
+          |toks AS (
+          |  SELECT doc_id,
+          |         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+          |  FROM documents),
+          |feat AS (
+          |  SELECT doc_id,
+          |         CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 1024 AS feature_id
+          |  FROM toks, LATERAL (SELECT unnest(w) AS tok) t),
+          |scored AS (
+          |  SELECT f.doc_id % 200 AS grp, f.doc_id,
+          |         CAST(sum(m.weight) AS BIGINT) AS score
+          |  FROM feat f JOIN model m USING (feature_id) GROUP BY f.doc_id),
+          |pairs AS (
+          |  SELECT a.grp, a.doc_id AS chosen_id, b.doc_id AS rejected_id,
+          |         a.score AS s_chosen, b.score AS s_rejected,
+          |         a.score - b.score AS gap
+          |  FROM scored a JOIN scored b
+          |    ON a.grp = b.grp AND a.score - b.score >= 40),
+          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY grp
+          |        ORDER BY gap DESC, chosen_id, rejected_id) AS BIGINT) AS rk
+          |      FROM pairs)
+          |SELECT grp, rk, chosen_id, rejected_id, s_chosen, s_rejected, gap
+          |FROM r WHERE rk <= 2 ORDER BY grp, rk""".stripMargin,
       // the q_cf_recommend CF chain over the TRAIN split (held-out item =
       // per-basket max id), then the leave-one-out verdict: hit@3 + MRR
       // with the exact rational 6/rank numerator, one division per stat

@@ -257,6 +257,42 @@ object Classifier {
       .orderBy("bin")
   }
 
+  /** Preference-pair (DPO-style) mining — the alignment-data recipe:
+    * within each prompt group, pair a high-scoring response (chosen)
+    * against a low-scoring one (rejected) when the quality gap clears a
+    * margin, keeping the `topPairs` widest-gap pairs per group with a
+    * fully deterministic (gap desc, chosen id, rejected id) tiebreak. The
+    * fixture stands in prompt ids with `doc_id mod groups`; a real corpus
+    * passes its natural prompt key.
+    *
+    * Scale shape: the self-join is WITHIN-GROUP only (hash join on the
+    * group key; candidate count is bounded by responses-per-prompt
+    * squared — responses per prompt is small by construction in
+    * preference data, never corpus-scale), and the rank window partitions
+    * by group. Scores are the integer classifier margins, so gaps and
+    * ordering are exact on any engine. */
+  def preferencePairs(docs: DataFrame, groups: Long = 200L,
+                      margin: Long = 40L, topPairs: Int = 2,
+                      nFeatures: Int = NFeatures): DataFrame = {
+    val scored = scoreUnsorted(docs, nFeatures)
+      .withColumn("grp", pmod(col("doc_id"), lit(groups)))
+      .select("grp", "doc_id", "score")
+    val ch = scored.select(col("grp"), col("doc_id").as("chosen_id"),
+      col("score").as("s_chosen"))
+    val rj = scored.select(col("grp").as("g2"), col("doc_id").as("rejected_id"),
+      col("score").as("s_rejected"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+      .orderBy(col("gap").desc, col("chosen_id"), col("rejected_id"))
+    ch.join(rj, col("grp") === col("g2") &&
+        (col("s_chosen") - col("s_rejected")) >= margin)
+      .withColumn("gap", col("s_chosen") - col("s_rejected"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topPairs)
+      .select("grp", "rk", "chosen_id", "rejected_id",
+        "s_chosen", "s_rejected", "gap")
+      .orderBy("grp", "rk")
+  }
+
   /** K-fold LEAKAGE-FREE target encoding — the categorical-feature recipe
     * for training data: replace a category with the target mean computed
     * from the OTHER folds only (a row must never see its own label through
