@@ -1335,6 +1335,10 @@ object SparkEntry {
     // prompt group, margin-gated, deterministic tiebreaks
     "q_dpo_pairs" -> ((s, dir) =>
       Classifier.preferencePairs(Tables.documents(s, dir))),
+    // SFT chat assembly: sessionize -> role-tagged ordered transcript ->
+    // turn/token counts + md5 digest (byte-exact assembly contract)
+    "q_chat_assemble" -> ((s, dir) =>
+      JsonOps.chatAssemble(Tables.events(s, dir))),
     // leave-one-out recommender evaluation: hold out each basket's max
     // item, rebuild CF on the rest, report hit@3 + exact-rational MRR
     "q_rec_eval" -> ((s, dir) => {
@@ -6388,6 +6392,39 @@ object SparkEntry {
           |  l + 3.0 * t AS fc_3,
           |  l + 7.0 * t AS fc_7
           |FROM r WHERE i = n_days ORDER BY event_type""".stripMargin,
+      // the sessionize recurrence (with event_type carried), role by turn
+      // parity, ordered string_agg, md5 of the identical byte stream
+      "q_chat_assemble" ->
+        """WITH e AS (
+          |  SELECT user_id, event_id, event_type,
+          |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+          |         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+          |           (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev_sec
+          |  FROM events),
+          |f AS (
+          |  SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 1800
+          |                 THEN 1 ELSE 0 END AS new_session FROM e),
+          |g AS (
+          |  SELECT *, sum(new_session) OVER
+          |    (PARTITION BY user_id ORDER BY ts_sec, event_id
+          |     ROWS UNBOUNDED PRECEDING) AS session_seq FROM f),
+          |lines AS (
+          |  SELECT user_id, session_seq, ts_sec, event_id,
+          |    (CASE WHEN (row_number() OVER
+          |        (PARTITION BY user_id, session_seq ORDER BY ts_sec, event_id)
+          |        - 1) % 2 = 0 THEN 'user' ELSE 'assistant' END)
+          |      || ': ' || coalesce(event_type, '') AS line
+          |  FROM g),
+          |t AS (
+          |  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+          |    CAST(count(*) AS BIGINT) AS n_turns,
+          |    string_agg(line, chr(10) ORDER BY ts_sec, event_id) AS transcript
+          |  FROM lines GROUP BY 1, 2)
+          |SELECT user_id, session_seq, n_turns,
+          |  CAST(len(string_split(trim(regexp_replace(lower(transcript),
+          |    '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
+          |  md5(transcript) AS transcript_md5
+          |FROM t ORDER BY user_id, session_seq""".stripMargin,
       // the classifier-score CTE + within-group self-join, margin gate,
       // (gap desc, ids) rank — integer scores make every compare exact
       "q_dpo_pairs" ->

@@ -110,6 +110,52 @@ object JsonOps {
       .orderBy("user_id", "session_seq")
   }
 
+  /** SFT chat-transcript ASSEMBLY — the conversational-training-data
+    * recipe: gap-sessionize an interaction log ([[sessionize]]'s exact
+    * recurrence), render each session as a role-tagged transcript in
+    * deterministic (ts, event_id) order with roles alternating by turn
+    * parity, and report per session the turn count, the whitespace-token
+    * count (the same normalize/split idiom as the text lanes), and the
+    * transcript's md5. The digest, not the raw string, is the output
+    * contract — rows stay narrow at any session length, and two engines
+    * agree on the digest iff they agree on every byte of the assembly.
+    *
+    * Scale shape: one shuffle on the user key (the sessionize window),
+    * then a (user, session)-grain aggregate whose state is one session's
+    * lines — bounded by session length, never corpus-scale. */
+  def chatAssemble(df: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    val sessions = df
+      .withColumn("ts_sec", col("ts").cast("timestamp").cast("long"))
+      .withColumn("prev_sec", lag("ts_sec", 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > gapSeconds)
+          .cast("long"))
+      .withColumn("session_seq", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val bySession = Window.partitionBy("user_id", "session_seq")
+      .orderBy("ts_sec", "event_id")
+    val lines = sessions
+      .withColumn("turn", row_number().over(bySession) - 1)
+      .withColumn("line", concat(
+        when(pmod(col("turn"), lit(2)) === 0, lit("user"))
+          .otherwise(lit("assistant")),
+        lit(": "), coalesce(col("event_type"), lit(""))))
+    val assembled = lines
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_turns"),
+        array_join(transform(
+          sort_array(collect_list(struct(
+            col("ts_sec"), col("event_id"), col("line")))),
+          s => s.getField("line")), "\n").as("transcript"))
+    assembled.select(col("user_id"),
+        col("session_seq").cast("long").as("session_seq"), col("n_turns"),
+        size(split(trim(regexp_replace(lower(col("transcript")),
+          "[^a-z0-9]+", " ")), " ")).cast("long").as("n_tokens"),
+        md5(col("transcript")).as("transcript_md5"))
+      .orderBy("user_id", "session_seq")
+  }
+
   /** TRUE time-window running aggregates: a RANGE frame over epoch seconds
     * — each event sees the count/sum of its user's events in the trailing
     * `horizonSeconds`, regardless of how many rows that is (the ROWS-frame
