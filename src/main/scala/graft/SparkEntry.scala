@@ -1339,6 +1339,10 @@ object SparkEntry {
     // turn/token counts + md5 digest (byte-exact assembly contract)
     "q_chat_assemble" -> ((s, dir) =>
       JsonOps.chatAssemble(Tables.events(s, dir))),
+    // Markov removal-effect attribution: absorbing-chain value iteration
+    // on the session-path transition matrix, per-channel knockout credit
+    "q_markov_attribution" -> ((s, dir) =>
+      Funnel.markovAttribution(Tables.events(s, dir))),
     // leave-one-out recommender evaluation: hold out each basket's max
     // item, rebuild CF on the rest, report hit@3 + exact-rational MRR
     "q_rec_eval" -> ((s, dir) => {
@@ -1794,6 +1798,92 @@ object SparkEntry {
       |  SELECT *, sum(new_session) OVER
       |    (PARTITION BY user_id ORDER BY ts_sec, event_id
       |     ROWS UNBOUNDED PRECEDING) AS session_seq FROM f)""".stripMargin
+
+  /** Unrolled Markov-attribution oracle: fixed 12-step value iteration per
+    * removal variant (none + each fixture channel), each state update the
+    * ORDERED fold matching the driver solve — list_reduce over ascending
+    * destinations, conversion term added last (fold(0,…)+conv; 0.0+x is an
+    * IEEE identity, so the init-free list_reduce is bit-identical). The
+    * channel set is the fixture's (a static SQL text cannot enumerate a
+    * data-dependent removal list) — same convention as the xcorr lanes'
+    * literal event types. */
+  private def markovOracle(iters: Int = 12): String = {
+    val channels = Seq("click", "error", "signup", "view")
+    val removals = ("none", "") +: channels.map(c => (c, s" AND t.dst <> '$c'"))
+    val iterCtes = removals.flatMap { case (tag, pred) =>
+      (s"p${tag}0 AS MATERIALIZED (SELECT src AS i, CAST(0.0 AS DOUBLE) AS p FROM outs)") +:
+        (1 to iters).map { k =>
+          s"""p$tag$k AS MATERIALIZED (
+             |  SELECT o.src AS i, coalesce(f.s, 0.0) + coalesce(c.cv, 0.0) AS p
+             |  FROM outs o
+             |  LEFT JOIN (SELECT t.src, list_reduce(
+             |      list(CAST(t.n AS DOUBLE) / CAST(o2.n_out AS DOUBLE) * q.p ORDER BY t.dst),
+             |      (a, b) -> a + b) AS s
+             |    FROM trans t JOIN outs o2 ON o2.src = t.src
+             |    JOIN p$tag${k - 1} q ON q.i = t.dst
+             |    WHERE t.dst NOT IN ('__conv__', '__end__')$pred
+             |    GROUP BY t.src) f ON f.src = o.src
+             |  LEFT JOIN conv c ON c.src = o.src)""".stripMargin
+        }
+    }.mkString(",\n")
+    val resRows = channels.map { c =>
+      s"""SELECT '$c' AS channel,
+         |  (SELECT p FROM pnone$iters WHERE i = '__start__') AS p_conv,
+         |  (SELECT p FROM p$c$iters WHERE i = '__start__') AS p_conv_removed""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type,
+       |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+       |         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+       |           (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev_sec
+       |  FROM events WHERE event_type IS NOT NULL),
+       |f AS (
+       |  SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 1800
+       |                 THEN 1 ELSE 0 END AS new_session FROM e),
+       |g AS (
+       |  SELECT *, sum(new_session) OVER
+       |    (PARTITION BY user_id ORDER BY ts_sec, event_id
+       |     ROWS UNBOUNDED PRECEDING) AS session_seq FROM f),
+       |k AS (
+       |  SELECT *, coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY user_id, session_seq ORDER BY ts_sec, event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_conv
+       |  FROM g),
+       |kk AS (SELECT * FROM k WHERE prior_conv = 0),
+       |st AS (
+       |  SELECT user_id, session_seq, ts_sec, event_id,
+       |    CASE WHEN event_type = 'purchase' THEN '__conv__' ELSE event_type END AS dst,
+       |    coalesce(lag(event_type) OVER
+       |      (PARTITION BY user_id, session_seq ORDER BY ts_sec, event_id),
+       |      '__start__') AS src,
+       |    row_number() OVER (PARTITION BY user_id, session_seq
+       |      ORDER BY ts_sec DESC, event_id DESC) AS rn_last
+       |  FROM kk),
+       |walk AS (SELECT src, dst FROM st
+       |  UNION ALL
+       |  SELECT dst AS src, '__end__' AS dst FROM st
+       |  WHERE rn_last = 1 AND dst <> '__conv__'),
+       |trans AS (SELECT src, dst, count(*) AS n FROM walk GROUP BY 1, 2),
+       |outs AS (SELECT src, sum(n) AS n_out FROM trans GROUP BY 1),
+       |conv AS (SELECT t.src, CAST(t.n AS DOUBLE) / CAST(o.n_out AS DOUBLE) AS cv
+       |         FROM trans t JOIN outs o ON o.src = t.src WHERE t.dst = '__conv__'),
+       |$iterCtes,
+       |res AS (
+       |$resRows),
+       |vis AS (SELECT dst AS channel, CAST(sum(n) AS BIGINT) AS n_visits
+       |        FROM trans WHERE dst IN ('click', 'error', 'signup', 'view')
+       |        GROUP BY dst),
+       |eff AS (SELECT r.channel, coalesce(v.n_visits, 0) AS n_visits,
+       |    r.p_conv, r.p_conv_removed,
+       |    CASE WHEN r.p_conv > 0 THEN (r.p_conv - r.p_conv_removed) / r.p_conv
+       |         END AS removal_effect
+       |  FROM res r LEFT JOIN vis v USING (channel)),
+       |tot AS (SELECT list_reduce(list(removal_effect ORDER BY channel),
+       |    (a, b) -> a + b) AS te FROM eff)
+       |SELECT channel, n_visits, p_conv, p_conv_removed, removal_effect,
+       |  CASE WHEN te > 0 THEN removal_effect / te END AS share
+       |FROM eff, tot ORDER BY channel""".stripMargin
+  }
 
   /** Content-defined chunking chain over a (doc_id, w) tokens CTE: rolling
     * 4-token window digests mark boundaries (mod 16), doc end always
@@ -6392,6 +6482,9 @@ object SparkEntry {
           |  l + 3.0 * t AS fc_3,
           |  l + 7.0 * t AS fc_7
           |FROM r WHERE i = n_days ORDER BY event_type""".stripMargin,
+      // unrolled 12-step value iteration per removal variant; ordered
+      // folds mirror the driver solve term-for-term (see markovOracle)
+      "q_markov_attribution" -> markovOracle(),
       // the sessionize recurrence (with event_type carried), role by turn
       // parity, ordered string_agg, md5 of the identical byte stream
       "q_chat_assemble" ->

@@ -377,6 +377,105 @@ object Funnel {
       .orderBy("lag")
   }
 
+  /** MARKOV removal-effect attribution — the data-driven alternative to
+    * rule-based attribution ([[attribution]]'s interval join): model the
+    * session paths as a first-order Markov chain over channels with
+    * absorbing CONVERT/END states, estimate P(convert) from START by
+    * FIXED-COUNT value iteration, and credit each channel by its REMOVAL
+    * EFFECT — how much P(convert) drops when the channel is knocked out
+    * (visits to it become dead ends). Shares normalize the effects.
+    *
+    * Determinism contract (the kcore/holt discipline): the iteration
+    * count is FIXED (a data-dependent convergence test can't be replayed
+    * by an unrolled SQL oracle); each state's update folds its outgoing
+    * terms in ASCENDING destination order with the conversion term added
+    * LAST — `fold(0, terms…) + conv` — and every T(i,j) is the single
+    * division n_ij/n_i of exact counts; the removal variant contributes
+    * nothing for knocked-out destinations (bit-identical to forcing
+    * p(channel)=0, since adding 0.0 is an IEEE identity). Paths truncate
+    * at the FIRST conversion; events after it belong to no path.
+    *
+    * Scale shape: the row stream collapses to transition counts — a
+    * (channels+1)² grain, never row-scale — in one sessionized window
+    * pass; the chain solve runs driver-side on that model-sized matrix
+    * (the PQ-codebook / Jacobi pattern). */
+  def markovAttribution(events: DataFrame, convertType: String = "purchase",
+                        gapSeconds: Long = 1800L, iters: Int = 12): DataFrame = {
+    val START = "__start__"; val CONV = "__conv__"; val END = "__end__"
+    val byUser = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    val sess = events
+      .filter(col("event_type").isNotNull)
+      .withColumn("ts_sec", col("ts").cast("timestamp").cast("long"))
+      .withColumn("prev_sec", lag("ts_sec", 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > gapSeconds)
+          .cast("long"))
+      .withColumn("session_seq", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val w = Window.partitionBy("user_id", "session_seq")
+      .orderBy("ts_sec", "event_id")
+    val isConv = (col("event_type") === convertType).cast("long")
+    // truncate each path at its FIRST conversion
+    val kept = sess
+      .withColumn("prior_conv", coalesce(
+        sum(isConv).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("prior_conv") === 0L)
+    val wk = Window.partitionBy("user_id", "session_seq")
+      .orderBy("ts_sec", "event_id")
+    val steps = kept
+      .withColumn("dst", when(col("event_type") === convertType, lit(CONV))
+        .otherwise(col("event_type")))
+      .withColumn("src", coalesce(lag("event_type", 1).over(wk), lit(START)))
+      .withColumn("is_last",
+        row_number().over(Window.partitionBy("user_id", "session_seq")
+          .orderBy(col("ts_sec").desc, col("event_id").desc)) === 1)
+    val walk = steps.select(col("src"), col("dst"))
+      .unionAll(steps.filter(col("is_last") && col("dst") =!= CONV)
+        .select(col("dst").as("src"), lit(END).as("dst")))
+    val trans = walk.groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // ---- driver-side chain solve (model-sized: (channels+1)^2) ----
+    val outSum = trans.groupBy(_._1).map { case (s, ts) => s -> ts.map(_._3).sum }
+    val channels = (trans.map(_._1) ++ trans.map(_._2))
+      .filter(s => s != START && s != CONV && s != END).distinct.sorted
+    val srcs = trans.map(_._1).distinct.sorted
+    val bySrc: Map[String, Array[(String, Long)]] = trans.groupBy(_._1)
+      .map { case (s, ts) => s -> ts.map(t => (t._2, t._3)).sortBy(_._1) }
+    def pStart(removed: Option[String]): Double = {
+      var p = Map.empty[String, Double].withDefaultValue(0.0)
+      for (_ <- 1 to iters) {
+        p = srcs.map { i =>
+          var acc = 0.0
+          var conv = 0.0
+          bySrc(i).foreach { case (dst, n) =>
+            if (dst == CONV) conv = n.toDouble / outSum(i).toDouble
+            else if (dst != END && !removed.contains(dst))
+              acc += n.toDouble / outSum(i).toDouble * p(dst)
+          }
+          i -> (acc + conv)
+        }.toMap.withDefaultValue(0.0)
+      }
+      p(START)
+    }
+    val pFull = pStart(None)
+    val visits = trans.filter(t => channels.contains(t._2))
+      .groupBy(_._2).map { case (c, ts) => c -> ts.map(_._3).sum }
+    val effects = channels.map { c =>
+      val pr = pStart(Some(c))
+      val eff = if (pFull > 0.0) (pFull - pr) / pFull else Double.NaN
+      (c, visits.getOrElse(c, 0L), pFull, pr, eff)
+    }
+    val total = effects.foldLeft(0.0)((a, e) => a + e._5)
+    val spark = events.sparkSession
+    import spark.implicits._
+    effects.map { case (c, v, pf, pr, eff) =>
+      (c, v, pf, pr, eff, if (total > 0.0) eff / total else Double.NaN)
+    }.toSeq
+      .toDF("channel", "n_visits", "p_conv", "p_conv_removed",
+        "removal_effect", "share")
+      .orderBy("channel")
+  }
+
   /** HOLT linear-trend forecast (double exponential smoothing) of each
     * event type's daily volume — the capacity-planning readout on top of
     * the [[ewmaDaily]] level: EWMA alone lags a trending series by
