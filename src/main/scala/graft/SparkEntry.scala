@@ -1343,6 +1343,10 @@ object SparkEntry {
     // on the session-path transition matrix, per-channel knockout credit
     "q_markov_attribution" -> ((s, dir) =>
       Funnel.markovAttribution(Tables.events(s, dir))),
+    // IPF raking of the lang x source mixture to equal-share margins —
+    // the survey-weighting fixpoint applied to dataset balancing
+    "q_mixture_rake" -> ((s, dir) =>
+      Sampling.rakeMixture(Tables.documents(s, dir), "lang", "source")),
     // leave-one-out recommender evaluation: hold out each basket's max
     // item, rebuild CF on the rest, report hit@3 + exact-rational MRR
     "q_rec_eval" -> ((s, dir) => {
@@ -1883,6 +1887,49 @@ object SparkEntry {
        |SELECT channel, n_visits, p_conv, p_conv_removed, removal_effect,
        |  CASE WHEN te > 0 THEN removal_effect / te END AS share
        |FROM eff, tot ORDER BY channel""".stripMargin
+  }
+
+  /** Unrolled IPF-raking oracle: fixed-count alternating margin fits over
+    * the (lang, source) cell grid, each margin the ascending-ordered
+    * list_reduce fold of w·n — term-for-term the driver rake (absent cells
+    * contribute the 0.0 IEEE identity there, nothing here — same fold). */
+  private def rakeOracle(iters: Int = 10): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""ma$k AS MATERIALIZED (
+         |  SELECT a, list_reduce(list(w * CAST(n AS DOUBLE) ORDER BY b),
+         |    (x, y) -> x + y) AS ms
+         |  FROM w${k - 1} GROUP BY a),
+         |wh$k AS MATERIALIZED (
+         |  SELECT c.a, c.b, c.n, c.w * (t.ta / m.ms) AS w
+         |  FROM w${k - 1} c JOIN ma$k m ON m.a = c.a CROSS JOIN t),
+         |mb$k AS MATERIALIZED (
+         |  SELECT b, list_reduce(list(w * CAST(n AS DOUBLE) ORDER BY a),
+         |    (x, y) -> x + y) AS ms
+         |  FROM wh$k GROUP BY b),
+         |w$k AS MATERIALIZED (
+         |  SELECT c.a, c.b, c.n, c.w * (t.tb / m.ms) AS w
+         |  FROM wh$k c JOIN mb$k m ON m.b = c.b CROSS JOIN t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cells AS (
+       |  SELECT CAST(lang AS VARCHAR) AS a, CAST(source AS VARCHAR) AS b,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+       |  GROUP BY 1, 2),
+       |t AS MATERIALIZED (
+       |  SELECT CAST(sum(n) AS DOUBLE) / CAST(count(DISTINCT a) AS DOUBLE) AS ta,
+       |         CAST(sum(n) AS DOUBLE) / CAST(count(DISTINCT b) AS DOUBLE) AS tb
+       |  FROM cells),
+       |w0 AS MATERIALIZED (SELECT a, b, n, CAST(1.0 AS DOUBLE) AS w FROM cells),
+       |$iterCtes,
+       |fma AS (SELECT a, list_reduce(list(w * CAST(n AS DOUBLE) ORDER BY b),
+       |    (x, y) -> x + y) AS m FROM w$iters GROUP BY a),
+       |fmb AS (SELECT b, list_reduce(list(w * CAST(n AS DOUBLE) ORDER BY a),
+       |    (x, y) -> x + y) AS m FROM w$iters GROUP BY b)
+       |SELECT c.a, c.b, c.n, c.w AS weight,
+       |  c.w * CAST(c.n AS DOUBLE) AS fitted,
+       |  fma.m AS margin_a, fmb.m AS margin_b
+       |FROM w$iters c JOIN fma ON fma.a = c.a JOIN fmb ON fmb.b = c.b
+       |ORDER BY c.a, c.b""".stripMargin
   }
 
   /** Content-defined chunking chain over a (doc_id, w) tokens CTE: rolling
@@ -6485,6 +6532,8 @@ object SparkEntry {
       // unrolled 12-step value iteration per removal variant; ordered
       // folds mirror the driver solve term-for-term (see markovOracle)
       "q_markov_attribution" -> markovOracle(),
+      // unrolled alternating margin fits, ordered folds (see rakeOracle)
+      "q_mixture_rake" -> rakeOracle(),
       // the sessionize recurrence (with event_type carried), role by turn
       // parity, ordered string_agg, md5 of the identical byte stream
       "q_chat_assemble" ->

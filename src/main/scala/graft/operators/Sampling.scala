@@ -333,4 +333,61 @@ object Sampling {
           .otherwise(col("n_sample").cast("double") * col("__denom")
             / (nPopD * nPopD)).as("deff"))
   }
+
+  /** IPF RAKING (iterative proportional fitting) of a two-way training
+    * mixture — "reweight the corpus so the language margins AND the
+    * source margins both hit their targets": the classic survey-weighting
+    * algorithm applied to dataset mixture balancing, where per-dimension
+    * upsampling knobs fight each other and raking is the fixpoint that
+    * satisfies both. Targets here are EQUAL SHARES per observed category
+    * on each dimension (the uniform-mixture recipe); cells carry the
+    * multiplicative weight, the fitted mass w·n, and the achieved margins
+    * after the final iteration.
+    *
+    * Determinism contract: FIXED iteration count; within each iteration
+    * the row step scales every cell by target_r / rowsum_r with rowsum_r
+    * the ASCENDING-column-ordered fold of w·n (then the column step,
+    * symmetric, ascending-row-ordered) — every double replays engine-side.
+    * A margin with zero mass cannot occur (cells exist only for observed
+    * combinations).
+    *
+    * Scale shape: ONE row-grain aggregate to the |A|×|B| cell grid;
+    * the rake runs driver-side on that model-sized grid (the
+    * PQ/Jacobi/Markov pattern). */
+  def rakeMixture(df: DataFrame, dimA: String, dimB: String,
+                  iters: Int = 10): DataFrame = {
+    val cellsDf = df
+      .filter(col(dimA).isNotNull && col(dimB).isNotNull)
+      .groupBy(col(dimA).cast("string").as("a"), col(dimB).cast("string").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val cells = cellsDf.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val as = cells.map(_._1).distinct.sorted
+    val bs = cells.map(_._2).distinct.sorted
+    val nTot = cells.map(_._3).sum
+    val targetA = nTot.toDouble / as.length.toDouble
+    val targetB = nTot.toDouble / bs.length.toDouble
+    var w: Map[(String, String), Double] =
+      cells.map(c => (c._1, c._2) -> 1.0).toMap
+    val n: Map[(String, String), Long] = cells.map(c => (c._1, c._2) -> c._3).toMap
+    def marginA(key: String): Double =
+      bs.foldLeft(0.0)((acc, b) => acc +
+        (if (n.contains((key, b))) w((key, b)) * n((key, b)).toDouble else 0.0))
+    def marginB(key: String): Double =
+      as.foldLeft(0.0)((acc, a) => acc +
+        (if (n.contains((a, key))) w((a, key)) * n((a, key)).toDouble else 0.0))
+    for (_ <- 1 to iters) {
+      val ra = as.map(a => a -> (targetA / marginA(a))).toMap
+      w = w.map { case ((a, b), v) => (a, b) -> v * ra(a) }
+      val rb = bs.map(b => b -> (targetB / marginB(b))).toMap
+      w = w.map { case ((a, b), v) => (a, b) -> v * rb(b) }
+    }
+    val rows = cells.map { case (a, b, cn) =>
+      (a, b, cn, w((a, b)), w((a, b)) * cn.toDouble, marginA(a), marginB(b))
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toDF("a", "b", "n", "weight", "fitted", "margin_a", "margin_b")
+      .orderBy("a", "b")
+  }
 }
