@@ -1347,6 +1347,10 @@ object SparkEntry {
     // the survey-weighting fixpoint applied to dataset balancing
     "q_mixture_rake" -> ((s, dir) =>
       Sampling.rakeMixture(Tables.documents(s, dir), "lang", "source")),
+    // A/B power review: MDE at the current sample, n required for the
+    // observed effect, powered verdict — literal z constants, no erf
+    "q_ab_power" -> ((s, dir) =>
+      Funnel.abTestPower(Tables.events(s, dir))),
     // leave-one-out recommender evaluation: hold out each basket's max
     // item, rebuild CF on the rest, report hit@3 + exact-rational MRR
     "q_rec_eval" -> ((s, dir) => {
@@ -6534,6 +6538,39 @@ object SparkEntry {
       "q_markov_attribution" -> markovOracle(),
       // unrolled alternating margin fits, ordered folds (see rakeOracle)
       "q_mixture_rake" -> rakeOracle(),
+      // the q_ab_test arm CTE + the same literal-z power arithmetic
+      "q_ab_power" ->
+        """WITH u AS (SELECT user_id,
+          |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15
+          |         THEN 1 ELSE 0 END AS converted,
+          |    CAST(user_id % 2 AS INT) AS arm
+          |  FROM events GROUP BY user_id),
+          |arms AS (SELECT arm, count(*) AS n, CAST(sum(converted) AS BIGINT) AS k
+          |         FROM u GROUP BY arm),
+          |ab AS (SELECT
+          |    (SELECT n FROM arms WHERE arm = 0) AS n_a,
+          |    (SELECT k FROM arms WHERE arm = 0) AS k_a,
+          |    (SELECT n FROM arms WHERE arm = 1) AS n_b,
+          |    (SELECT k FROM arms WHERE arm = 1) AS k_b),
+          |base AS (SELECT n_a, n_b,
+          |    CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+          |    CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+          |    CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS p_pool,
+          |    CAST(k_a * n_b - k_b * n_a AS DOUBLE)
+          |      / CAST(n_a * n_b AS DOUBLE) AS diff
+          |  FROM ab),
+          |m AS (SELECT *,
+          |    (1.96 + 0.8416212335729143) *
+          |      sqrt(p_pool * (1.0 - p_pool) *
+          |        (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS mde
+          |  FROM base)
+          |SELECT n_a, n_b, p_a, p_b, diff, mde,
+          |  CASE WHEN diff <> 0.0 THEN
+          |    CAST(ceil((1.96 + 0.8416212335729143) * (1.96 + 0.8416212335729143)
+          |      * (p_a * (1.0 - p_a) + p_b * (1.0 - p_b))
+          |      / (diff * diff)) AS BIGINT) END AS n_req_per_arm,
+          |  abs(diff) >= mde AS powered
+          |FROM m""".stripMargin,
       // the sessionize recurrence (with event_type carried), role by turn
       // parity, ordered string_agg, md5 of the identical byte stream
       "q_chat_assemble" ->

@@ -255,6 +255,57 @@ object Funnel {
       .withColumn("significant", abs(col("z")) > 1.96)
   }
 
+  /** A/B POWER / MDE report — the design-review companion to [[abTest]]:
+    * given the two arms' exact counts, report the minimum detectable
+    * effect at the CURRENT sample (two-sided α=0.05, 80% power — the
+    * z-constants are fixed literals shared with the oracle; no inverse
+    * normal is evaluated anywhere), the per-arm sample size required to
+    * detect the OBSERVED difference, and whether the experiment as run
+    * was powered for what it saw. The observed difference uses the exact
+    * cross-multiplied numerator (k_a·n_b − k_b·n_a)/(n_a·n_b) — the
+    * [[Relational.welchTTest]] discipline — so a near-zero effect is not
+    * an artifact of subtracting rounded rates.
+    *
+    * Scale shape: identical to [[abTest]] — one per-user aggregate
+    * (map-side combinable), then 1-row arithmetic. */
+  def abTestPower(events: DataFrame, convertType: String = "purchase",
+                  minCount: Long = 15L): DataFrame = {
+    val users = events.groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === convertType, 1L).otherwise(0L))
+          >= minCount, 1L).otherwise(0L)
+        .as("converted"))
+      .withColumn("arm", pmod(col("user_id"), lit(2)).cast("int"))
+    val arms = users.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum(col("converted")).cast("long").as("k"))
+    val a = arms.filter(col("arm") === 0)
+      .select(col("n").as("n_a"), col("k").as("k_a"))
+    val b = arms.filter(col("arm") === 1)
+      .select(col("n").as("n_b"), col("k").as("k_b"))
+    val zSum = lit(1.96) + lit(0.8416212335729143) // z_{0.975} + z_{0.80}
+    a.crossJoin(broadcast(b))
+      .withColumn("p_a", col("k_a").cast("double") / col("n_a").cast("double"))
+      .withColumn("p_b", col("k_b").cast("double") / col("n_b").cast("double"))
+      .withColumn("p_pool",
+        (col("k_a") + col("k_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("diff",
+        (col("k_a") * col("n_b") - col("k_b") * col("n_a")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"))
+      .withColumn("mde", zSum *
+        sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+          (lit(1.0) / col("n_a").cast("double") +
+           lit(1.0) / col("n_b").cast("double"))))
+      .withColumn("n_req_per_arm",
+        when(col("diff") =!= 0.0,
+          ceil(zSum * zSum *
+            (col("p_a") * (lit(1.0) - col("p_a")) +
+             col("p_b") * (lit(1.0) - col("p_b"))) /
+            (col("diff") * col("diff"))).cast("long")))
+      .withColumn("powered", abs(col("diff")) >= col("mde"))
+      .select("n_a", "n_b", "p_a", "p_b", "diff", "mde",
+        "n_req_per_arm", "powered")
+  }
+
   /** CUSUM change-point detection over each event type's daily volume
     * series — the classic upward-shift detector: C_t = max(0, C_{t-1} +
     * (x_t - mean)). The sequential recurrence looks window-hostile, but it
