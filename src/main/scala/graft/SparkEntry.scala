@@ -1351,6 +1351,10 @@ object SparkEntry {
     // observed effect, powered verdict — literal z constants, no erf
     "q_ab_power" -> ((s, dir) =>
       Funnel.abTestPower(Tables.events(s, dir))),
+    // cohort LTV curve: cumulative revenue per cohort member by week
+    // offset — 2^-20-grid revenue, exact integer running sums
+    "q_cohort_ltv" -> ((s, dir) =>
+      Funnel.cohortLtv(Tables.events(s, dir))),
     // leave-one-out recommender evaluation: hold out each basket's max
     // item, rebuild CF on the rest, report hit@3 + exact-rational MRR
     "q_rec_eval" -> ((s, dir) => {
@@ -6538,6 +6542,29 @@ object SparkEntry {
       "q_markov_attribution" -> markovOracle(),
       // unrolled alternating margin fits, ordered folds (see rakeOracle)
       "q_mixture_rake" -> rakeOracle(),
+      // the retention cohort CTEs + 2^-20-grid revenue and an exact
+      // integer running sum; one double chain per reported number
+      "q_cohort_ltv" ->
+        """WITH uw AS (SELECT user_id,
+          |    CAST(floor(epoch(date_trunc('week', ts))) AS BIGINT) AS week,
+          |    value FROM events),
+          |c AS (SELECT user_id, min(week) AS cohort_week
+          |      FROM (SELECT DISTINCT user_id, week FROM uw) GROUP BY 1),
+          |s AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_n
+          |      FROM c GROUP BY 1),
+          |a AS (SELECT c.cohort_week,
+          |        (uw.week - c.cohort_week) // 604800 AS offset_weeks,
+          |        CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_active,
+          |        sum(CAST(floor(CAST(uw.value AS DOUBLE) * 1048576.0) AS BIGINT)) AS rev_q
+          |      FROM uw JOIN c USING (user_id) GROUP BY 1, 2),
+          |w AS (SELECT *, sum(rev_q) OVER (PARTITION BY cohort_week
+          |        ORDER BY offset_weeks ROWS UNBOUNDED PRECEDING) AS cum_q
+          |      FROM a)
+          |SELECT w.cohort_week, offset_weeks, n_active, cohort_n,
+          |  CAST(rev_q AS DOUBLE) / 1048576.0 AS week_revenue,
+          |  CAST(cum_q AS DOUBLE) / 1048576.0 / CAST(cohort_n AS DOUBLE) AS ltv_per_user
+          |FROM w JOIN s USING (cohort_week)
+          |ORDER BY cohort_week, offset_weeks""".stripMargin,
       // the q_ab_test arm CTE + the same literal-z power arithmetic
       "q_ab_power" ->
         """WITH u AS (SELECT user_id,

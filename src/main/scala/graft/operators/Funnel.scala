@@ -90,6 +90,51 @@ object Funnel {
       .orderBy("cohort_week", "offset_weeks")
   }
 
+  /** Cohort LTV curve — the revenue companion to [[cohortRetention]]:
+    * per (cohort week, week offset), the cohort's weekly revenue and the
+    * CUMULATIVE revenue per cohort member (the lifetime-value readout a
+    * growth dashboard plots per cohort age). Offsets are the OBSERVED
+    * grain (a cohort silent for a week has no row there; the cumulative
+    * resumes at its next active week — the [[cohortRetention]] convention).
+    *
+    * Exactness: revenue is a DOUBLE column, and a double→decimal cast is
+    * not correctly rounded on every engine (the cov-matrix lesson), so
+    * values land on the 2⁻²⁰ grid via `floor(v·2²⁰)` — the multiply only
+    * shifts the exponent (EXACT), floor is portable — and every sum and
+    * running sum after that is exact integer arithmetic; each reported
+    * number is one fixed double chain at the end. Grid error ≤2⁻²⁰ per
+    * event — far below any LTV decision threshold.
+    *
+    * Scale shape: one row-grain aggregate to the (cohort, offset) grain;
+    * the running sum is a window over that report-sized relation. */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    val uw = events.select(col("user_id"),
+      date_trunc("week", col("ts")).cast("timestamp").cast("long").as("week"),
+      col("value"))
+    val cohort = uw.select("user_id", "week").distinct()
+      .groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_n"))
+    val grid = floor(col("value").cast("double") * lit(1048576.0)).cast("long")
+    val byOffset = uw
+      .join(cohort, "user_id")
+      .withColumn("offset_weeks",
+        ((col("week") - col("cohort_week")) / 604800L).cast("long"))
+      .groupBy("cohort_week", "offset_weeks")
+      .agg(countDistinct(col("user_id")).as("n_active"),
+        sum(grid).as("rev_q"))
+    val w = Window.partitionBy("cohort_week").orderBy("offset_weeks")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byOffset
+      .withColumn("cum_q", sum(col("rev_q")).over(w))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("offset_weeks"), col("n_active"),
+        col("cohort_n"),
+        (col("rev_q").cast("double") / lit(1048576.0)).as("week_revenue"),
+        (col("cum_q").cast("double") / lit(1048576.0) /
+          col("cohort_n").cast("double")).as("ltv_per_user"))
+      .orderBy("cohort_week", "offset_weeks")
+  }
+
   /** Volume TREND per event type: ordinary-least-squares slope/intercept of
     * daily counts against the day index — the "is this feed growing,
     * flat, or dying" line behind every ingest dashboard. Exactness: x is
