@@ -1355,6 +1355,9 @@ object SparkEntry {
     // offset — 2^-20-grid revenue, exact integer running sums
     "q_cohort_ltv" -> ((s, dir) =>
       Funnel.cohortLtv(Tables.events(s, dir))),
+    // engagement stickiness: DAU/WAU/MAU + ratios per full-history day
+    "q_stickiness" -> ((s, dir) =>
+      Funnel.stickiness(Tables.events(s, dir))),
     // leave-one-out recommender evaluation: hold out each basket's max
     // item, rebuild CF on the rest, report hit@3 + exact-rational MRR
     "q_rec_eval" -> ((s, dir) => {
@@ -6542,6 +6545,27 @@ object SparkEntry {
       "q_markov_attribution" -> markovOracle(),
       // unrolled alternating margin fits, ordered folds (see rakeOracle)
       "q_mixture_rake" -> rakeOracle(),
+      // the explode-coverage rolling distincts at 1/7/28 days, exact
+      // integer counts, one division per ratio; full-history days only
+      "q_stickiness" ->
+        """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+          |b AS (SELECT max(day) AS max_day, min(day) AS min_day FROM ud),
+          |dau AS (SELECT day AS win_end, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+          |        FROM ud GROUP BY 1),
+          |wau AS (SELECT day + CAST(k AS INT) AS win_end,
+          |          CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+          |        FROM ud, LATERAL (SELECT unnest(range(0, 7)) AS k) kk GROUP BY 1),
+          |mau AS (SELECT day + CAST(k AS INT) AS win_end,
+          |          CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+          |        FROM ud, LATERAL (SELECT unnest(range(0, 28)) AS k) kk GROUP BY 1)
+          |SELECT dau.win_end AS day, dau, wau, mau,
+          |  CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) AS dau_mau,
+          |  CAST(wau AS DOUBLE) / CAST(mau AS DOUBLE) AS wau_mau
+          |FROM dau JOIN wau ON wau.win_end = dau.win_end
+          |JOIN mau ON mau.win_end = dau.win_end
+          |CROSS JOIN b
+          |WHERE dau.win_end <= b.max_day AND dau.win_end - 27 >= b.min_day
+          |ORDER BY day""".stripMargin,
       // the retention cohort CTEs + 2^-20-grid revenue and an exact
       // integer running sum; one double chain per reported number
       "q_cohort_ltv" ->

@@ -224,6 +224,46 @@ object Funnel {
       .orderBy("win_end")
   }
 
+  /** STICKINESS report — per day: DAU, WAU (trailing 7), MAU (trailing
+    * 28), and the DAU/MAU ratio the engagement dashboard tracks ("of the
+    * monthly actives, what share shows up daily"). Built on the
+    * [[rollingDistinctUsers]] explode-coverage trick: each (user, day)
+    * visit covers the next k window-ends with a NARROW explode, so every
+    * window's exact distinct count is one map-side-combinable aggregate —
+    * no per-day re-scan, no approximate sketch. Days reported are those
+    * with a full 28-day history ending inside the observed range (a
+    * partial-history window understates MAU and poisons the ratio).
+    *
+    * Exactness: counts are exact integers; each ratio is ONE division.
+    * Scale: the explode is ×(7+28) on the (user, day)-DISTINCT relation
+    * (user-day grain, far below event grain); aggregates map-side combine
+    * to day-grain rows. */
+  def stickiness(events: DataFrame): DataFrame = {
+    val userDay = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val bounds = userDay.agg(max(col("day")).as("max_day"),
+      min(col("day")).as("min_day"))
+    def rolling(days: Int, name: String): DataFrame = userDay
+      .withColumn("k", explode(sequence(lit(0), lit(days - 1))))
+      .withColumn("win_end", date_add(col("day"), col("k").cast("int")))
+      .groupBy("win_end")
+      .agg(countDistinct(col("user_id")).as(name))
+    val dau = userDay.groupBy(col("day").as("win_end"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    dau
+      .join(rolling(7, "wau"), Seq("win_end"))
+      .join(rolling(28, "mau"), Seq("win_end"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("win_end") <= col("max_day") &&
+        date_sub(col("win_end"), 27) >= col("min_day"))
+      .select(col("win_end").as("day"), col("dau"), col("wau"), col("mau"),
+        (col("dau").cast("double") / col("mau").cast("double"))
+          .as("dau_mau"),
+        (col("wau").cast("double") / col("mau").cast("double"))
+          .as("wau_mau"))
+      .orderBy("day")
+  }
+
   /** EWMA smoothing of the daily volume series per event type — the
     * exponential forecast behind burn-rate alerts, at α = 1/2 exactly:
     * s_t = (y_t + s_{t-1}) / 2. The recursion is order-sensitive and
