@@ -481,17 +481,22 @@ class PlanSpec extends SparkSpec {
   }
 
   test("tCloseness: the row stream aggregates ONCE; every stitch broadcasts") {
+    // checkpoint the base input: the contract under test is tCloseness's
+    // OWN stitches. An inlined base join would re-plan once per consumer
+    // subtree, and its physical form flips when other suites mutate the
+    // shared session's broadcast threshold (BucketedJoinSpec sets -1) —
+    // both effects are the caller's plan, not this operator's.
     val base = Tables.customer(spark, sf).join(Tables.orders(spark, sf),
       col("c_custkey") === col("o_custkey"))
+      .select("c_nationkey", "c_mktsegment", "o_orderpriority")
+      .localCheckpoint()
     val p = plan(Validate.tCloseness(base, "c_nationkey", "c_mktsegment",
       "o_orderpriority"))
     // the class/domain/cells/totals frames are category-cardinality-sized
-    // and must all meet as broadcasts; the ONLY join allowed to shuffle is
-    // the row-grain customer x orders BASE join (whose physical form other
-    // suites may flip by mutating the shared session's broadcast threshold)
-    val shuffled = "SortMergeJoin".r.findAllIn(p).size +
-      "ShuffledHashJoin".r.findAllIn(p).size
-    assert(shuffled <= 1, p.take(3000))
+    // and must all meet as broadcasts (hinted — threshold-independent),
+    // never a shuffled join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(3000))
     assert(p.contains("BroadcastExchange"), p.take(3000))
   }
 
