@@ -1358,6 +1358,10 @@ object SparkEntry {
     // engagement stickiness: DAU/WAU/MAU + ratios per full-history day
     "q_stickiness" -> ((s, dir) =>
       Funnel.stickiness(Tables.events(s, dir))),
+    // RFM user segmentation: value-ladder quintiles, integer-exact ceil,
+    // coarse-grid monetary scoring, "555" segment labels
+    "q_rfm_segments" -> ((s, dir) =>
+      Funnel.rfmSegments(Tables.events(s, dir))),
     // leave-one-out recommender evaluation: hold out each basket's max
     // item, rebuild CF on the rest, report hit@3 + exact-rational MRR
     "q_rec_eval" -> ((s, dir) => {
@@ -6545,6 +6549,34 @@ object SparkEntry {
       "q_markov_attribution" -> markovOracle(),
       // unrolled alternating margin fits, ordered folds (see rakeOracle)
       "q_mixture_rake" -> rakeOracle(),
+      // per-user RFM metrics + value-grain ladders; score = exact integer
+      // ceil(5*cum/N); recency inverted so most-recent lands at 5
+      "q_rfm_segments" ->
+        """WITH md AS (SELECT max(CAST(ts AS DATE)) AS max_day FROM events),
+          |u AS (SELECT user_id,
+          |    CAST(date_diff('day', max(CAST(ts AS DATE)), (SELECT max_day FROM md)) AS BIGINT) AS r,
+          |    CAST(count(*) AS BIGINT) AS f,
+          |    CAST(coalesce(sum(CAST(floor(CAST(value AS DOUBLE) * 1048576.0) AS BIGINT)), 0) AS BIGINT) AS m_q
+          |  FROM events GROUP BY user_id),
+          |uu AS (SELECT *, m_q // 65536 AS m_s FROM u),
+          |n AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM uu),
+          |lr AS (SELECT r AS v, sum(count(*)) OVER (ORDER BY r
+          |         ROWS UNBOUNDED PRECEDING) AS cum FROM uu GROUP BY r),
+          |lf AS (SELECT f AS v, sum(count(*)) OVER (ORDER BY f
+          |         ROWS UNBOUNDED PRECEDING) AS cum FROM uu GROUP BY f),
+          |lm AS (SELECT m_s AS v, sum(count(*)) OVER (ORDER BY m_s
+          |         ROWS UNBOUNDED PRECEDING) AS cum FROM uu GROUP BY m_s)
+          |SELECT uu.user_id, uu.r, uu.f,
+          |  CAST(uu.m_q AS DOUBLE) / 1048576.0 AS m_revenue,
+          |  CAST(6 - (lr.cum * 5 + n.n_users - 1) // n.n_users AS BIGINT) AS score_r,
+          |  CAST((lf.cum * 5 + n.n_users - 1) // n.n_users AS BIGINT) AS score_f,
+          |  CAST((lm.cum * 5 + n.n_users - 1) // n.n_users AS BIGINT) AS score_m,
+          |  CAST(6 - (lr.cum * 5 + n.n_users - 1) // n.n_users AS VARCHAR)
+          |    || CAST((lf.cum * 5 + n.n_users - 1) // n.n_users AS VARCHAR)
+          |    || CAST((lm.cum * 5 + n.n_users - 1) // n.n_users AS VARCHAR) AS segment
+          |FROM uu JOIN lr ON lr.v = uu.r JOIN lf ON lf.v = uu.f
+          |JOIN lm ON lm.v = uu.m_s CROSS JOIN n
+          |ORDER BY uu.user_id""".stripMargin,
       // the explode-coverage rolling distincts at 1/7/28 days, exact
       // integer counts, one division per ratio; full-history days only
       "q_stickiness" ->

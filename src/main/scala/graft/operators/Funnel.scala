@@ -224,6 +224,70 @@ object Funnel {
       .orderBy("win_end")
   }
 
+  /** RFM SEGMENTATION — the classic user-value grid: per user, Recency
+    * (days since last event, against the corpus max day), Frequency
+    * (event count), Monetary (revenue on the 2⁻²⁰ grid — the
+    * [[cohortLtv]] discipline for the double revenue column), each scored
+    * into quintiles 1..5 and concatenated into the familiar "555" segment
+    * label. Monetary/Frequency score high-is-better; Recency scores
+    * 6 − quintile so the MOST RECENT users land at 5.
+    *
+    * Determinism & scale: quintiles come from a VALUE-GRAIN ladder
+    * (groupBy metric value → cumulative count → back-join), not a global
+    * row sort — ties share a ladder rung and therefore a score, and the
+    * score is the exact integer ⌈5·cum/N⌉ (ceil by integer arithmetic,
+    * no float). Every ladder must stay BOUNDED for the cumulative window
+    * to be report-sized: R is bounded by the day span, F by the count
+    * range, and M SCORES on the coarse 1/16 grid (m_q div 2¹⁶ — rungs
+    * bounded by the revenue RANGE, not the user count; the reported
+    * m_revenue keeps the full 2⁻²⁰ precision). Coarse-grid ties share a
+    * score by design — the quintile of a lifetime-revenue figure does not
+    * turn on its 5th decimal. */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val grid = floor(col("value").cast("double") * lit(1048576.0)).cast("long")
+    val maxDay = events.agg(max(to_date(col("ts"))).as("max_day"))
+    val users = events
+      .groupBy("user_id")
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("f"),
+        coalesce(sum(grid), lit(0L)).as("m_q"))
+      .crossJoin(broadcast(maxDay))
+      .withColumn("r", datediff(col("max_day"), col("last_day")).cast("long"))
+      // coarse 1/16-grid scoring key: bounded ladder rungs at any user count
+      .withColumn("m_s",
+        ((col("m_q") - pmod(col("m_q"), lit(65536L))) / 65536L).cast("long"))
+      .select("user_id", "r", "f", "m_q", "m_s")
+    val n = users.agg(count(lit(1)).as("n_users"))
+    def ceil5(cum: Column, tot: Column): Column = {
+      val x = cum * 5L + tot - 1L
+      ((x - pmod(x, tot)) / tot).cast("long")
+    }
+    def laddered(metric: String, score: String,
+                 invert: Boolean): DataFrame = {
+      val lad = users.groupBy(col(metric).as("__v"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(
+          Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(n))
+      val s = ceil5(col("__cum"), col("n_users"))
+      lad.select(col("__v"),
+        (if (invert) lit(6L) - s else s).as(score))
+    }
+    users
+      .join(laddered("r", "score_r", invert = true),
+        users("r") === col("__v")).drop("__v")
+      .join(laddered("f", "score_f", invert = false),
+        users("f") === col("__v")).drop("__v")
+      .join(laddered("m_s", "score_m", invert = false),
+        users("m_s") === col("__v")).drop("__v")
+      .select(col("user_id"), col("r"), col("f"),
+        (col("m_q").cast("double") / lit(1048576.0)).as("m_revenue"),
+        col("score_r"), col("score_f"), col("score_m"),
+        concat(col("score_r").cast("string"), col("score_f").cast("string"),
+          col("score_m").cast("string")).as("segment"))
+      .orderBy("user_id")
+  }
+
   /** STICKINESS report — per day: DAU, WAU (trailing 7), MAU (trailing
     * 28), and the DAU/MAU ratio the engagement dashboard tracks ("of the
     * monthly actives, what share shows up daily"). Built on the
