@@ -5,11 +5,13 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, MinHashSignature, NfcNormalize, RollingHash32, SimHash32, SortedIntersectCount}
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, NfcNormalize, RollingHash32, SimHash32, SortedIntersectCount}
+import graft.plans.DotProductRewrite
 
 /** SparkSessionExtensions entry point: registers graft's native expressions
   * as SQL functions, so `spark.sql("SELECT cosine_similarity(a, b) ...")`
-  * works alongside the Column API.
+  * works alongside the Column API, and injects the optimizer rules
+  * (HOF dot-product → codegen'd [[graft.functions.DotProduct]]).
   *
   * Activate via
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
@@ -25,8 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier(name), info(name),
       (exprs: Seq[Expression]) => builder(exprs)))
 
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, b) => register(e, name, b) }
+    e.injectOptimizerRule(_ => DotProductRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -58,13 +62,19 @@ object GraftExtensions {
     "simhash32" -> (exprs => SimHash32(exprs(0))),
     "rolling_hash32" -> (exprs => RollingHash32(exprs(0))),
     "nfc_normalize" -> (exprs => NfcNormalize(exprs(0))),
+    "dot_product" -> (exprs => DotProduct(exprs(0), exprs(1))),
   )
 
   /** Register on an already-running session (withExtensions only applies to
-    * sessions built fresh). */
-  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    * sessions built fresh): SQL functions plus the optimizer rules, the
+    * latter via `experimental.extraOptimizations` (idempotent). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     builders.foreach { case (name, b) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, b, "built-in")
     }
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.contains(graft.plans.DotProductRewrite))
+      spark.experimental.extraOptimizations = extra :+ graft.plans.DotProductRewrite
+  }
 }

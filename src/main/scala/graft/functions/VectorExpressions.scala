@@ -244,6 +244,83 @@ object SquaredDistances {
   }
 }
 
+/** Plain dot product with the EXACT semantics of the canonical HOF form
+  * `aggregate(zip_with(x, y, (a,b) -> a·b), 0.0, (s,v) -> s+v)` — the
+  * rewrite target of [[graft.plans.DotProductRewrite]], so the contract is
+  * bit-for-bit INCLUDING the null algebra: `zip_with` null-pads the
+  * shorter array (unequal lengths poison the sum to null), a null element
+  * yields a null product which poisons the running `acc + null`, and two
+  * empty arrays fold to the zero literal 0.0. Accumulation is sequential
+  * ascending-index with floats widened to double before the multiply. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _                                    => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float|double> arguments, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // unequal lengths / null elements
+  override def prettyName: String = "dot_product"
+
+  private def isFloat(e: Expression) = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) null
+    else {
+      val n = a.numElements()
+      val (fa, fb) = (isFloat(left), isFloat(right))
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        val x = if (fa) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (fb) b.getFloat(i).toDouble else b.getDouble(i)
+        acc += x * y
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i"); val bad = ctx.freshName("bad")
+      def get(arr: String, e: Expression, idx: String) =
+        if (isFloat(e)) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    $acc += ${get(a, left, i)} * ${get(b, right, i)};
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Dense matrix·vector product: `out[r] = Σ_i mat[r][i]·vec[i]` with the
   * accumulation running in ascending element order — BIT-IDENTICAL to the
   * `aggregate(zip_with(mat[r], vec, _*_), 0.0, _+_)` HOF form it replaces
@@ -343,6 +420,12 @@ object VectorFunctions {
   /** Column-level API: codegen'd cosine similarity over float vectors. */
   def cosine_similarity(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Codegen'd dot product (exact HOF `aggregate(zip_with(...))` contract);
+    * also the rewrite target of [[graft.plans.DotProductRewrite]]. */
+  def dot_product(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Codegen'd dense matrix·vector product (HOF-fold accumulation order). */
