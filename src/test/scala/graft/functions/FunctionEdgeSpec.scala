@@ -78,6 +78,28 @@ class FunctionEdgeSpec extends SparkSpec {
     }
   }
 
+  test("cosine_similarity: null algebra matches the cosineHof composition") {
+    ensureRegistered()
+    // unequal lengths / null elements poison to NULL (zip_with padding),
+    // never a silent min-length truncation or null-read-as-0.0 — the same
+    // defect class fixed in mat_vec in round 7
+    val r = spark.sql(
+      """SELECT
+        |  cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                    array(CAST(1.0 AS FLOAT))) AS len_mismatch,
+        |  cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)),
+        |                    array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS null_elem,
+        |  cosine_similarity(CAST(NULL AS ARRAY<FLOAT>),
+        |                    array(CAST(1.0 AS FLOAT))) AS null_array,
+        |  cosine_similarity(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)),
+        |                    array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS self
+        |""".stripMargin).head()
+    assert(r.isNullAt(0), "unequal lengths must be NULL, not min-length truncation")
+    assert(r.isNullAt(1), "a null element must poison, not read as 0.0")
+    assert(r.isNullAt(2))
+    assert(r.getDouble(3) == 1.0)
+  }
+
   test("word_grams: native one-pass form is bit-identical to the HOF chain") {
     import spark.implicits._
     // adversarial corners: empty, all-punctuation, fewer tokens than n,
