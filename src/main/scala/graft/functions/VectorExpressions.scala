@@ -243,16 +243,22 @@ object SquaredDistances {
       var acc = JBig.ZERO
       var i = 0
       while (i < n) {
-        val v = if (vecIsFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
-        val d = v - c.getDouble(i)
-        val term = d * d
-        // Spark's Cast(double -> decimal(38,18)): shortest decimal repr of the
-        // double, then HALF_UP to scale 18 (Decimal.changePrecision). A
-        // non-finite term under non-ANSI Cast becomes null, and sum() skips
-        // null terms — mirror that by skipping the term rather than letting
-        // JBig.valueOf throw NumberFormatException.
-        if (java.lang.Double.isFinite(term))
-          acc = acc.add(JBig.valueOf(term).setScale(18, RoundingMode.HALF_UP))
+        // A NULL element in either operand makes the exploded form's term
+        // (v - c) * (v - c) NULL, and sum() skips null terms — mirror by
+        // skipping (ArrayData getFloat/getDouble ignore the null bitmap and
+        // would silently read 0.0 — the round-7 mat_vec lesson).
+        if (!vec.isNullAt(i) && !c.isNullAt(i)) {
+          val v = if (vecIsFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+          val d = v - c.getDouble(i)
+          val term = d * d
+          // Spark's Cast(double -> decimal(38,18)): shortest decimal repr of
+          // the double, then HALF_UP to scale 18 (Decimal.changePrecision). A
+          // non-finite term under non-ANSI Cast becomes null, and sum() skips
+          // null terms — mirror that by skipping the term rather than letting
+          // JBig.valueOf throw NumberFormatException.
+          if (java.lang.Double.isFinite(term))
+            acc = acc.add(JBig.valueOf(term).setScale(18, RoundingMode.HALF_UP))
+        }
         i += 1
       }
       out(li) = Decimal(acc, 38, 18)

@@ -100,6 +100,24 @@ class FunctionEdgeSpec extends SparkSpec {
     assert(r.getDouble(3) == 1.0)
   }
 
+  test("squared_distances: a null element skips its term (sum-skips-null), never reads 0.0") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(Some(1.0f), None, Some(3.0f)), Seq(Some(1.0f), Some(3.0f)))) // (withNull, withoutThatDim)
+      .toDF("u", "w")
+    val cents3 = typedlit(Seq(Seq(0.0, 5.0, 0.0)))
+    val cents2 = typedlit(Seq(Seq(0.0, 0.0)))
+    val r = df.select(
+      VectorFunctions.squared_distances(col("u"), cents3).as("withNull"),
+      VectorFunctions.squared_distances(col("w"), cents2).as("control")).head()
+    // u = [1, NULL, 3] vs c = [0, 5, 0]: the NULL dim contributes nothing
+    // (the exploded form's (v-c)*(v-c) is NULL there and sum skips it) —
+    // NOT (0-5)^2 = 25, which the old bitmap-ignoring read produced.
+    val got = r.getSeq[java.math.BigDecimal](0).head
+    val want = r.getSeq[java.math.BigDecimal](1).head // 1^2 + 3^2 = 10
+    assert(got.compareTo(want) == 0, s"null dim leaked into the sum: $got vs $want")
+  }
+
   test("word_grams: native one-pass form is bit-identical to the HOF chain") {
     import spark.implicits._
     // adversarial corners: empty, all-punctuation, fewer tokens than n,
