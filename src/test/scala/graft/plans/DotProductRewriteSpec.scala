@@ -80,6 +80,36 @@ class DotProductRewriteSpec extends SparkSpec {
     assert(out("plain") == ((23.0, 23.0)))
   }
 
+  test("null algebra holds on the CODEGEN path (repartition barrier defeats constant folding)") {
+    ensure()
+    import spark.implicits._
+    // Literal frames fold via interpreted eval (ConvertToLocalRelation) — a
+    // repartition barrier forces the projection into whole-stage codegen, so
+    // this exercises doGenCode's isNull branches for BOTH expressions.
+    val df = Seq(
+      ("len_mismatch", Some(Seq(Some(1.0f), Some(2.0f))), Some(Seq(Some(1.0f)))),
+      ("null_elem", Some(Seq(Some(1.0f), None)), Some(Seq(Some(1.0f), Some(2.0f)))),
+      ("plain", Some(Seq(Some(2.0f), Some(3.0f))), Some(Seq(Some(4.0f), Some(5.0f)))))
+      .toDF("tag", "a", "b").repartition(2)
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = df.select(col("tag"),
+          graft.functions.VectorFunctions.dot_product(col("a"), col("b")).as("d"),
+          graft.functions.VectorFunctions.cosine_similarity(col("a"), col("b")).as("c"))
+        .collect().map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) null else r.getDouble(1),
+           if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+      assert(out("len_mismatch") == ((null, null)))
+      assert(out("null_elem") == ((null, null)))
+      assert(out("plain")._1 == 23.0)
+      assert(out("plain")._2 == 23.0 / (math.sqrt(13.0) * math.sqrt(41.0)))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None    => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("guard: a -0.0 zero literal is NOT rewritten (empty-array sign differs)") {
     ensure()
     import spark.implicits._
