@@ -370,12 +370,15 @@ case class MatVecProduct(left: Expression, right: Expression)
   }
   // an output element is null iff any consumed input element is null (the
   // HOF fold contract: zip_with multiplies null→null, and the running
-  // `a + null` poisons the accumulator) — so containsNull follows the inputs
+  // `a + null` poisons the accumulator) — OR the matrix ROW itself is null
+  // (compute() emits a null output element for a null outer row), so the
+  // matrix's OUTER containsNull must be included too or downstream unsafe
+  // serialization that trusts the schema could read a null slot as 0.0
   override def dataType: DataType = ArrayType(DoubleType,
     containsNull = left.dataType.asInstanceOf[ArrayType].containsNull ||
       (right.dataType match {
-        case ArrayType(ArrayType(_, inner), _) => inner
-        case _                                 => false
+        case ArrayType(ArrayType(_, inner), outerNull) => inner || outerNull
+        case _                                         => false
       }))
   override def prettyName: String = "mat_vec"
 

@@ -871,8 +871,15 @@ object Relational {
     * is the classic mistake). Exactly two arms; arms are compared in
     * SORTED label order (a = first).
     *
-    * Exactness: per-arm moments (n, Σx, Σx²) are exact decimals; the
-    * mean DIFFERENCE uses the exact cross-multiplied numerator
+    * Exactness: values land on the 2⁻²⁰ grid via `floor(v·2²⁰)` (the
+    * [[Funnel.cohortLtv]]/[[Funnel.rfmSegments]] pattern — a straight
+    * decimal cast would HALF_UP-round fractional metrics, silently
+    * corrupting means/variances for continuous revenue/latency inputs;
+    * for integer metrics the grid is bit-identical since power-of-two
+    * scaling commutes with IEEE rounding, so the integer oracle is
+    * unchanged); per-arm moments (n, Σg, Σg²) are exact decimals on the
+    * grid, de-scaled at the end by 2⁻²⁰ / 2⁻⁴⁰ — exact exponent shifts;
+    * the mean DIFFERENCE uses the exact cross-multiplied numerator
     * (s_a·n_b − s_b·n_a)/(n_a·n_b) — subtracting two rounded per-arm
     * means catastrophically cancels when the effect is small relative to
     * the mean (the [[anovaOneWay]] lesson); each sample variance is the
@@ -886,13 +893,15 @@ object Relational {
     * Scale shape: ONE row-grain map-side-combined aggregate to two arm
     * rows, then 1-row arithmetic over the sorted 2-element fold. */
   def welchTTest(df: DataFrame, armCol: String, valueCol: String): DataFrame = {
-    val vDec = col(valueCol).cast("decimal(19,0)")
+    // 2^-20 grid: exact long per value, exact decimal moments thereafter
+    val grid = floor(col(valueCol).cast("double") * lit(1048576.0)).cast("long")
+    val gDec = grid.cast("decimal(19,0)")
     val arms = df
       .filter(col(armCol).isNotNull && col(valueCol).isNotNull)
       .groupBy(col(armCol).cast("string").as("arm"))
       .agg(count(lit(1)).as("n"),
-        sum(col(valueCol).cast("decimal(38,0)")).as("s"),
-        sum((vDec * vDec).cast("decimal(38,0)")).as("q"))
+        sum(grid.cast("decimal(38,0)")).as("s"),
+        sum((gDec * gDec).cast("decimal(38,0)")).as("q"))
     val two = arms.agg(
       count(lit(1)).as("k"),
       sort_array(collect_list(struct(col("arm"), col("n"), col("s"), col("q"))))
@@ -902,17 +911,21 @@ object Relational {
     val (na, nb) = (f(1, "n"), f(2, "n"))
     val (sa, sb) = (f(1, "s"), f(2, "s"))
     val (qa, qb) = (f(1, "q"), f(2, "q"))
-    // sample variances, exact numerators
+    // sample variances, exact numerators on the grid, de-scaled by 2^-40
+    // (exact exponent shift — bit-identical to the ungridded form for
+    // integer metrics)
     def sVar(n: Column, s: Column, q: Column): Column =
       when(n >= 2L, (dec(q) * dec(n) - dec(s) * dec(s)).cast("double") /
-        (n * (n - 1L)).cast("double"))
+        (n * (n - 1L)).cast("double") / lit(1.099511627776e12))
     val base = two.filter(col("k") === 2).select(
       f(1, "arm").as("arm_a"), f(2, "arm").as("arm_b"),
       na.cast("long").as("n_a"), nb.cast("long").as("n_b"),
-      (dec(sa).cast("double") / na.cast("double")).as("mean_a"),
-      (dec(sb).cast("double") / nb.cast("double")).as("mean_b"),
+      (dec(sa).cast("double") / na.cast("double") / lit(1048576.0))
+        .as("mean_a"),
+      (dec(sb).cast("double") / nb.cast("double") / lit(1048576.0))
+        .as("mean_b"),
       ((dec(sa) * dec(nb) - dec(sb) * dec(na)).cast("double") /
-        (dec(na) * dec(nb)).cast("double")).as("mean_diff"),
+        (dec(na) * dec(nb)).cast("double") / lit(1048576.0)).as("mean_diff"),
       sVar(na, sa, qa).as("var_a"), sVar(nb, sb, qb).as("var_b"))
     val ra = col("var_a") / col("n_a").cast("double")
     val rb = col("var_b") / col("n_b").cast("double")

@@ -171,4 +171,29 @@ class FunctionEdgeSpec extends SparkSpec {
     val out = df.select(VectorFunctions.mat_vec(col("v"), col("m"))).head().getSeq[Any](0)
     assert(out == Seq(11.0, null), s"got $out")
   }
+
+  test("mat_vec: declared containsNull includes the matrix OUTER null level " +
+      "and the null survives an unsafe-row shuffle barrier") {
+    import org.apache.spark.sql.types._
+    // matrix with non-null INNER elements but nullable OUTER rows — the
+    // round-8 dataType only consulted the inner level, declaring
+    // containsNull=false while compute() emits a null output element for
+    // the null row; unsafe serialization trusting that schema could read
+    // the slot as 0.0
+    val schema = StructType(Seq(
+      StructField("v", ArrayType(DoubleType, containsNull = false)),
+      StructField("m", ArrayType(
+        ArrayType(DoubleType, containsNull = false), containsNull = true))))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(Seq(1.0, 2.0), Seq(Seq(3.0, 4.0), null)))
+    val df = spark.createDataFrame(rows, schema)
+    val expr = VectorFunctions.mat_vec(col("v"), col("m"))
+    val proj = df.select(expr.as("out"))
+    val outType = proj.schema("out").dataType.asInstanceOf[ArrayType]
+    assert(outType.containsNull,
+      "output containsNull must be true when the matrix outer level is nullable")
+    // round-trip through an exchange (UnsafeRow serialization honors schema)
+    val got = proj.repartition(2).head().getSeq[Any](0)
+    assert(got == Seq(11.0, null), s"got $got")
+  }
 }

@@ -59,6 +59,22 @@ class WelchTTestSpec extends SparkSpec {
     assert(s.isNullAt(s.fieldIndex("t_stat")))
   }
 
+  test("fractional metric: means/variances exact on the 2^-20 grid " +
+      "(a decimal cast would HALF_UP-round 0.5 to 1)") {
+    import spark.implicits._
+    val df = (Seq(0.5, 1.5, 2.5).map(("a", _)) ++
+      Seq(0.25, 0.75).map(("b", _))).toDF("arm", "v")
+    val r = Relational.welchTTest(df, "arm", "v").head()
+    // all inputs are exact multiples of 2^-20, so moments are exact
+    assert(r.getAs[Double]("mean_a") == 1.5)
+    assert(r.getAs[Double]("mean_b") == 0.5)
+    assert(r.getAs[Double]("mean_diff") == 1.0)
+    // sample variances: a -> ((0.25+2.25+6.25)*3 - 4.5^2)/(3*2) = 1.0
+    //                   b -> ((0.0625+0.5625)*2 - 1.0)/(2*1) = 0.125
+    assert(r.getAs[Double]("var_a") == 1.0)
+    assert(r.getAs[Double]("var_b") == 0.125)
+  }
+
   test("one arm only: no output row (the test is undefined)") {
     import spark.implicits._
     val df = Seq(("a", 1L), ("a", 2L)).toDF("arm", "v")
