@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, NfcNormalize, RollingHash32, SimHash32, SortedIntersectCount}
-import graft.plans.DotProductRewrite
+import graft.plans.{CosineFoldRewrite, DotProductRewrite, LongDotRewrite, MinHashRewrite, ZipWithSubtractRewrite}
 
 /** SparkSessionExtensions entry point: registers graft's native expressions
   * as SQL functions, so `spark.sql("SELECT cosine_similarity(a, b) ...")`
@@ -29,11 +29,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, b) => register(e, name, b) }
-    e.injectOptimizerRule(_ => DotProductRewrite)
+    GraftExtensions.rewriteRules.foreach(r => e.injectOptimizerRule(_ => r))
   }
 }
 
 object GraftExtensions {
+
+  /** The injected HOF-to-native rewrite lane, in dependency order:
+    * DotProductRewrite must precede CosineFoldRewrite (the cosine fusion
+    * matches on the DotProduct nodes the first rule produces — both run in
+    * the same fixed-point batch, so convergence does not depend on the
+    * order, but in-order lists fuse in a single pass). */
+  private[graft] val rewriteRules: Seq[org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] = Seq(
+    DotProductRewrite, CosineFoldRewrite, ZipWithSubtractRewrite,
+    LongDotRewrite, MinHashRewrite)
 
   /** The numHashes argument must be a constant: it sizes the signature, so a
     * per-row value has no meaning. Fail analysis with a clear message instead
@@ -74,7 +84,8 @@ object GraftExtensions {
         name, b, "built-in")
     }
     val extra = spark.experimental.extraOptimizations
-    if (!extra.contains(graft.plans.DotProductRewrite))
-      spark.experimental.extraOptimizations = extra :+ graft.plans.DotProductRewrite
+    val missing = rewriteRules.filterNot(extra.contains)
+    if (missing.nonEmpty)
+      spark.experimental.extraOptimizations = extra ++ missing
   }
 }

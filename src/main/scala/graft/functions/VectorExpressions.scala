@@ -443,6 +443,269 @@ object MatVecProduct {
   }
 }
 
+/** Elementwise difference with zip_with's EXACT padding/null algebra — the
+  * residual-quantization hot path (`v − centroid`, graft.operators.PqIndex):
+  * `zip_with(a, b, (x, y) -> x − y)` is CodegenFallback and pays an
+  * interpreted boxed lambda per element over the whole corpus at encode
+  * time; this fuses into whole-stage codegen. Contract (bit-for-bit, spec-
+  * asserted by ZipWithSubtractRewriteSpec):
+  *  - output length = max(|a|, |b|) — zip_with PADS the shorter side with
+  *    nulls, it does not truncate;
+  *  - an output element is null iff either side is null-or-missing at that
+  *    index (null − y = null);
+  *  - floats widen to double BEFORE subtracting (the rewrite only fires
+  *    when the lambda subtracts double-typed operands, so a raw
+  *    float − float — which rounds to float first — is never matched). */
+case class ZipSubtract(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _                                    => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float|double> arguments, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+  // zip_with always declares containsNull=true (padding can introduce nulls)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "zip_subtract"
+
+  private def isFloat(e: Expression) = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    ZipSubtract.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = graft.functions.ZipSubtract.compute(
+         |  $a, $b, ${isFloat(left)}, ${isFloat(right)});""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ZipSubtract {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** Shared by interpreted eval and codegen. The null bitmap is checked
+    * explicitly (ArrayData's getFloat/getDouble ignore it — the mat_vec
+    * lesson); indexes past the shorter side are zip_with padding → null. */
+  def compute(a: ArrayData, b: ArrayData,
+              aFloat: Boolean, bFloat: Boolean): ArrayData = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val n = math.max(na, nb)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (i >= na || i >= nb || a.isNullAt(i) || b.isNullAt(i)) null
+        else {
+          val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+          val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+          x - y
+        }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Integer dot product over two `array<bigint>` columns with the exact
+  * `aggregate(zip_with(a, b, (x, y) -> x·y), 0L, (s, v) -> s+v)` contract —
+  * the int8-quantized scoring loop of the SQ ANN lane
+  * (graft.operators.Similarity.sqTopK), which otherwise pays an interpreted
+  * lambda per element across the corpus × query crossJoin. Long arithmetic
+  * is order-insensitive only in the absence of overflow; accumulation is
+  * sequential ascending anyway (the HOF fold order). `failOnError` mirrors
+  * the matched Multiply/Add's ANSI mode: overflow throws the same
+  * ARITHMETIC_OVERFLOW SparkArithmeticException (minus the SQL-fragment
+  * query context) instead of wrapping. Null algebra: unequal lengths (the
+  * zip_with pad) or a null element poison the sum to null. */
+case class LongDotProduct(left: Expression, right: Expression,
+                          failOnError: Boolean) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true // unequal lengths / null elements
+  override def prettyName: String = "long_dot_product"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) null
+    else {
+      val n = a.numElements()
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        val x = a.getLong(i)
+        val y = b.getLong(i)
+        if (failOnError) {
+          acc = org.apache.spark.sql.catalyst.util.MathUtils.addExact(
+            acc, org.apache.spark.sql.catalyst.util.MathUtils.multiplyExact(
+              x, y, null), null)
+        } else acc += x * y
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i"); val bad = ctx.freshName("bad")
+      val mu = "org.apache.spark.sql.catalyst.util.MathUtils"
+      val step =
+        if (failOnError)
+          s"$acc = $mu.addExact($acc, $mu.multiplyExact($a.getLong($i), $b.getLong($i), null), null);"
+        else s"$acc += $a.getLong($i) * $b.getLong($i);"
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $acc = 0L;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    $step
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fused cosine with the EXACT algebra of the three-fold composition
+  * `dot(a,b) / (sqrt(dot(a,a)) · sqrt(dot(b,b)))` built from HOF (or
+  * [[DotProduct]]) folds and Spark's `Divide` — NOT the same contract as
+  * [[CosineSimilarity]], which predates it and yields IEEE NaN/Inf on
+  * zero-norm inputs where `Divide` yields NULL (legacy) or throws
+  * DIVIDE_BY_ZERO (ANSI). Each of the three accumulators runs its own
+  * sequential ascending fold — fusing them into one pass reorders nothing
+  * within any accumulator, so results are bit-identical to three separate
+  * loops. `failOnError` mirrors the matched Divide's ANSI mode; the thrown
+  * error carries no SQL-fragment query context (the one documented
+  * divergence — error class and condition are identical). */
+case class CosineFold(left: Expression, right: Expression,
+                      failOnError: Boolean) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _                                    => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float|double> arguments, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_fold"
+
+  private def isFloat(e: Expression) = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) null
+    else {
+      val n = a.numElements()
+      val (fa, fb) = (isFloat(left), isFloat(right))
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        val x = if (fa) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (fb) b.getFloat(i).toDouble else b.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) {
+        if (failOnError) throw CosineFold.divideByZeroError()
+        else null
+      } else dot / denom
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val x = ctx.freshName("x")
+      val y = ctx.freshName("y"); val bad = ctx.freshName("bad")
+      val denom = ctx.freshName("denom")
+      def get(arr: String, e: Expression, idx: String) =
+        if (isFloat(e)) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
+      val onZero =
+        if (failOnError)
+          "throw graft.functions.CosineFold.divideByZeroError();"
+        else s"${ev.isNull} = true;"
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    double $x = ${get(a, left, i)};
+         |    double $y = ${get(b, right, i)};
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; }
+         |  else {
+         |    double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    if ($denom == 0.0) { $onZero }
+         |    else { ${ev.value} = $dot / $denom; }
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineFold {
+  /** The identical DIVIDE_BY_ZERO error Spark's Divide throws under ANSI,
+    * minus the SQL-fragment query context (failure-path-only divergence);
+    * routed through the private[sql] bridge. */
+  def divideByZeroError(): ArithmeticException =
+    org.apache.spark.sql.graft.ColumnBridge.divideByZeroError()
+}
+
 object VectorFunctions {
   /** Column-level API: codegen'd cosine similarity over float vectors. */
   def cosine_similarity(a: Column, b: Column): Column =
@@ -469,4 +732,25 @@ object VectorFunctions {
   def squared_distances(vec: Column, cents: Column): Column =
     ColumnBridge.column(SquaredDistances(
       ColumnBridge.expression(vec), ColumnBridge.expression(cents)))
+
+  /** Codegen'd elementwise difference with zip_with's pad/null algebra;
+    * also the rewrite target of [[graft.plans.ZipWithSubtractRewrite]]. */
+  def zip_subtract(a: Column, b: Column): Column =
+    ColumnBridge.column(ZipSubtract(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Codegen'd long dot product (exact HOF fold contract, ANSI-aware);
+    * also the rewrite target of [[graft.plans.LongDotRewrite]]. */
+  def long_dot_product(a: Column, b: Column): Column =
+    ColumnBridge.column(LongDotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b),
+      org.apache.spark.sql.internal.SQLConf.get.ansiEnabled))
+
+  /** Codegen'd fused cosine with the dot/sqrt/Divide COMPOSITION's exact
+    * algebra (Divide-null/throw on zero norms, unlike [[CosineSimilarity]]'s
+    * IEEE NaN); also the rewrite target of [[graft.plans.CosineFoldRewrite]]. */
+  def cosine_fold(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineFold(
+      ColumnBridge.expression(a), ColumnBridge.expression(b),
+      org.apache.spark.sql.internal.SQLConf.get.ansiEnabled))
 }

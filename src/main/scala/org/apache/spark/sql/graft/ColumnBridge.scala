@@ -11,4 +11,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `QueryExecutionErrors.divideByZeroError` is private[sql]; re-export the
+    * context-less form so graft.functions.CosineFold can throw the IDENTICAL
+    * DIVIDE_BY_ZERO error Spark's Divide throws under ANSI (the fused cosine
+    * must reproduce the composition's failure contract, not just its value
+    * contract). The null context means no SQL-fragment pointer in the
+    * message — error class and condition are identical. */
+  def divideByZeroError(): ArithmeticException =
+    org.apache.spark.sql.errors.QueryExecutionErrors.divideByZeroError(null)
 }
