@@ -94,13 +94,13 @@ object GraftCli {
     val tsOnly = spark.read.jdbc(cfg.connectionString, cfg.tableName,
         JdbcPartitionedSource.connectionProperties(cfg))
       .select(col(cfg.timestampColumn).cast("long").as(cfg.timestampColumn))
-    val bounds = Chunking.boundariesDistributed(tsOnly, cfg.timestampColumn,
-      tieBreak = Nil, cfg.chunkSize, cfg.startTime)
-    // O(#chunks) driver materialization — the same boundary list the
-    // reference holds on its driver (HanaToBQ.java:150-172)
-    val ivs = Chunking
-      .intervals(bounds, cfg.timestampColumn, cfg.startTime, cfg.effectiveEnd)
-      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // BOUNDED driver materialization: the chunk grid (distributed
+    // boundaries + lead-window interval zip) coalesced to at most
+    // maxScanPartitions contiguous predicates — the reference holds the
+    // full unbounded boundary list on its driver (HanaToBQ.java:150-172);
+    // here the driver list is O(cap) at any corpus size and scanned rows
+    // are identical (Chunking.boundedScanIntervals).
+    val ivs = Chunking.boundedScanIntervals(tsOnly, cfg, tieBreak = Nil)
     val scanned = JdbcPartitionedSource.read(spark, cfg, ivs)
     val projected =
       RowOps.dropNullLiterals(RowOps.stringifyAll(scanned),

@@ -187,4 +187,37 @@ object Chunking {
     * per predicate, the reference's chunk-per-worker model. */
   def toPredicates(intervals: Seq[(Long, Long)], ts: String): Array[String] =
     intervals.map { case (lo, hi) => s"$ts >= $lo AND $ts < $hi" }.toArray
+
+  /** DRIVER-FACING scan plan with a bounded footprint: the full chunk grid
+    * ([[plan]] — boundaries and interval zip both distributed), coalesced
+    * distributedly into at most `maxScanPartitions` CONTIGUOUS half-open
+    * intervals (groups of `ceil(#chunks / cap)` consecutive chunks; min lo /
+    * max hi per group — coverage and disjointness are inherited from the
+    * grid), and only THAT list collected.
+    *
+    * This is the piece the JDBC scan API forces onto the driver — per-
+    * partition predicates are plan-time strings — and the reference holds
+    * the same list on ITS driver (`HanaToBQ.java:150-172`), unbounded: at
+    * 100 TB with small chunks the grid is ~10^8 intervals, an OOM as a
+    * driver list and useless as a scan fan-out (no DB serves 10^8
+    * concurrent range queries). Capping keeps the driver list O(cap) at any
+    * corpus size; scanned ROWS are identical (the union of the coalesced
+    * intervals is the union of the grid), and the full-grain grid remains
+    * available distributed ([[plan]]) for consumers that want chunk ids. */
+  def boundedScanIntervals(df: DataFrame, cfg: GraftConfig,
+                           tieBreak: Seq[String],
+                           maxScanPartitions: Int = 512): Seq[(Long, Long)] = {
+    require(maxScanPartitions > 0, "maxScanPartitions must be positive")
+    // checkpoint: the grid feeds a count and a group-by — one computation
+    val grid = plan(df, cfg, tieBreak).select("chunk_id", "lo", "hi")
+      .localCheckpoint()
+    val nChunks = grid.count()
+    val stride = math.max(1L,
+      (nChunks + maxScanPartitions - 1) / maxScanPartitions.toLong)
+    grid
+      .groupBy(expr(s"chunk_id DIV $stride").as("__g"))
+      .agg(min("lo").as("lo"), max("hi").as("hi"))
+      .orderBy("lo")
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi"))).toSeq
+  }
 }

@@ -265,22 +265,41 @@ object Classifier {
     * fixture stands in prompt ids with `doc_id mod groups`; a real corpus
     * passes its natural prompt key.
     *
-    * Scale shape: the self-join is WITHIN-GROUP only (hash join on the
-    * group key; candidate count is bounded by responses-per-prompt
-    * squared — responses per prompt is small by construction in
-    * preference data, never corpus-scale), and the rank window partitions
-    * by group. Scores are the integer classifier margins, so gaps and
-    * ordering are exact on any engine. */
+    * Scale shape: the within-group self-join is CAPPED before it happens —
+    * provably result-identical: a pair at rank ≤ topPairs under
+    * (gap desc, chosen_id, rejected_id) must draw its chosen from the
+    * group's topPairs docs by (score desc, doc_id) and its rejected from
+    * the bottomPairs by (score asc, doc_id), because replacing a
+    * non-top-P chosen with any of the ≥ P docs above it yields a pair with
+    * a gap no smaller (and on a tie, an equal score and smaller chosen_id)
+    * that sorts strictly earlier — so ≥ P pairs would outrank it. Both cap
+    * windows and the rank window partition on the same group key (one
+    * exchange, reused), and candidates per group are topPairs², NOT
+    * responses-per-prompt² — the quadratic-per-group growth the round-8
+    * probe flagged is gone even if a prompt key collides corpus-scale.
+    * Scores are the integer classifier margins, so gaps and ordering are
+    * exact on any engine; margin > 0 also keeps a doc from pairing with
+    * itself (gap 0 never clears it). */
   def preferencePairs(docs: DataFrame, groups: Long = 200L,
                       margin: Long = 40L, topPairs: Int = 2,
                       nFeatures: Int = NFeatures): DataFrame = {
+    require(margin > 0L, "margin must be positive (a zero margin would " +
+      "admit self-pairs and ties with no quality gap)")
     val scored = scoreUnsorted(docs, nFeatures)
       .withColumn("grp", pmod(col("doc_id"), lit(groups)))
       .select("grp", "doc_id", "score")
-    val ch = scored.select(col("grp"), col("doc_id").as("chosen_id"),
-      col("score").as("s_chosen"))
-    val rj = scored.select(col("grp").as("g2"), col("doc_id").as("rejected_id"),
-      col("score").as("s_rejected"))
+    val wTop = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+      .orderBy(col("score").desc, col("doc_id"))
+    val wBot = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+      .orderBy(col("score").asc, col("doc_id"))
+    val ch = scored
+      .withColumn("__r", row_number().over(wTop)).filter(col("__r") <= topPairs)
+      .select(col("grp"), col("doc_id").as("chosen_id"),
+        col("score").as("s_chosen"))
+    val rj = scored
+      .withColumn("__r", row_number().over(wBot)).filter(col("__r") <= topPairs)
+      .select(col("grp").as("g2"), col("doc_id").as("rejected_id"),
+        col("score").as("s_rejected"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
       .orderBy(col("gap").desc, col("chosen_id"), col("rejected_id"))
     ch.join(rj, col("grp") === col("g2") &&

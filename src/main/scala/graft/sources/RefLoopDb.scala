@@ -111,9 +111,10 @@ object RefLoopDb {
       s"catalog/scan schema drift: catalog=$cat scan=$live")
 
     val planCfg = cfg.copy(timestampColumn = "ts_epoch") // DataFrame column name
-    val ivs = Chunking.plan(whole, planCfg, Seq("l_orderkey", "l_linenumber"))
-      .select("lo", "hi").orderBy("lo").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // bounded driver list: grid coalesced to <= cap contiguous intervals
+    // (scanned rows identical; see Chunking.boundedScanIntervals)
+    val ivs = Chunking.boundedScanIntervals(whole, planCfg,
+      Seq("l_orderkey", "l_linenumber"))
     // half-open reads are ts >= lo; the seed chunk must honor ts > startTime
     val shifted = ivs.map { case (lo, hi) =>
       if (lo == startTime) (lo + 1, hi) else (lo, hi)

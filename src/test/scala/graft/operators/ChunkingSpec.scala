@@ -89,4 +89,41 @@ class ChunkingSpec extends SparkSpec {
     val k = Chunking.boundaries(li, "ts_epoch", tie, 100L, start).count()
     assert(k == rows / 100)
   }
+
+  test("boundedScanIntervals: driver list capped, contiguous, covers the grid exactly") {
+    val cfg = GraftConfig(tableName = "t", connectionString = "",
+      timestampColumn = "ts_epoch", startTime = start, chunkSize = 50L)
+    val grid = Chunking.plan(li, cfg, tie)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(grid.length > 16, s"fixture too small for a meaningful cap test")
+    val capped = Chunking.boundedScanIntervals(li, cfg, tie,
+      maxScanPartitions = 16)
+    // bounded: the CLI's driver materialization is O(cap) even when the
+    // chunk grid is much larger
+    assert(capped.length <= 16, s"cap violated: ${capped.length}")
+    // contiguous half-open cover with the same start and sentinel close
+    assert(capped.head._1 == grid.head._1)
+    assert(capped.last._2 == grid.last._2)
+    capped.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi == lo2, "gap in coverage")
+      case _ =>
+    }
+    // scanned-row identity: each coarse interval is a union of consecutive
+    // grid chunks, so per-interval row counts tie out to the grid's
+    val rowsOf = (ivs: Seq[(Long, Long)]) => ivs.map { case (lo, hi) =>
+      li.filter(col("ts_epoch") > start &&
+        col("ts_epoch") >= lo && col("ts_epoch") < hi).count()
+    }.sum
+    assert(rowsOf(capped) == rowsOf(grid))
+  }
+
+  test("boundedScanIntervals: grid already under the cap passes through unchanged") {
+    val cfg = GraftConfig(tableName = "t", connectionString = "",
+      timestampColumn = "ts_epoch", startTime = start, chunkSize = 100000L)
+    val capped = Chunking.boundedScanIntervals(li, cfg, tie,
+      maxScanPartitions = 512)
+    val grid = Chunking.plan(li, cfg, tie)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(capped == grid)
+  }
 }

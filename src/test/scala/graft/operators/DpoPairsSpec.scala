@@ -57,6 +57,37 @@ class DpoPairsSpec extends SparkSpec {
     assert(got.forall(_.getAs[Long]("chosen_id") == 600L))
   }
 
+  test("per-group cap is result-identical to the uncapped quadratic recipe " +
+      "(tie-heavy group, brute-force replay)") {
+    // one group stuffed with 30 docs including many score TIES — the case
+    // where the top-P/bottom-P pre-cap could miss a pair if the tiebreak
+    // argument were wrong. Brute-force replay is the uncapped ground truth.
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo")
+    val wScore = words.map(w => w -> scoreOf(w)).toMap
+    val rows = (0 until 30).map(i =>
+      (i * 200L, words(i % words.length))) // all in group 0, 6-way ties
+    val df = docs(rows: _*)
+    val margin = 1L
+    val topPairs = 3
+    val got = Classifier.preferencePairs(df, groups = 200L,
+      margin = margin, topPairs = topPairs)
+      .collect()
+      .map(r => (r.getAs[Long]("rk"), r.getAs[Long]("chosen_id"),
+        r.getAs[Long]("rejected_id"), r.getAs[Long]("gap")))
+      .toSeq
+    // uncapped replay: all pairs, margin-gated, (gap desc, c, r) order
+    val scoredRows = rows.map { case (id, w) => (id, wScore(w)) }
+    val brute = (for {
+      (c, sc) <- scoredRows; (r, sr) <- scoredRows
+      if sc - sr >= margin
+    } yield (c, r, sc - sr))
+      .sortBy { case (c, r, gap) => (-gap, c, r) }
+      .take(topPairs)
+      .zipWithIndex
+      .map { case ((c, r, gap), i) => (i + 1L, c, r, gap) }
+    assert(got == brute, s"capped=$got\nbrute=$brute")
+  }
+
   test("fixture lane: every pair clears the margin, chosen outscores rejected") {
     val rows = Classifier.preferencePairs(
       graft.sources.Tables.documents(spark, sf)).collect()
