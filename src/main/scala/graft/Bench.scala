@@ -69,8 +69,20 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // Memoized-kernel attribution (round-9): without this, the curation
+    // KERNEL's multi-second build lands on whichever memo-consuming lane
+    // runs first alphabetically and q_curation reports a sub-0.1 s memo
+    // hit. Warm the kernel once UNTIMED so every other lane measures its
+    // marginal work; q_curation resets the memo before each timed
+    // iteration below, so it owns the kernel build (iter spread ~1).
+    val curationMemoLanes = Set("q_curation", "q_curation_v2",
+      "q_curation_v3", "q_curation_v4", "q_curation_v5", "q_curation_v6")
+    if (selected.exists(s => curationMemoLanes.contains(s._1)))
+      graft.operators.CurationPipeline.warmKernel(spark, sfDir)
     val results = selected.map { case (name, fn) =>
       val times = (1 to math.max(iters, 1)).map { it =>
+        if (name == "q_curation")
+          graft.operators.CurationPipeline.resetKernelMemo(spark)
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -128,6 +140,10 @@ object Bench {
         var tries = 0
         while (tries < 2 && best > math.max(1.5 * refTimes(name), refTimes(name) + 0.25)
                && retryWall <= retryBudgetSec) {
+          // retries must measure the same computation: a q_curation retry
+          // against a warm memo would record a near-zero "heal"
+          if (name == "q_curation")
+            graft.operators.CurationPipeline.resetKernelMemo(spark)
           val t0 = System.nanoTime()
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           catch { case e: Throwable =>

@@ -74,6 +74,36 @@ object CurationPipeline {
     }
   }
 
+  /** Bench-attribution hooks (round-9): the memo makes the KERNEL's cost
+    * land on whichever curation lane happens to run first (alphabetical
+    * accident — q_admission_report paid it while q_curation reported a
+    * sub-0.1 s memo hit). The bench warms the kernel once UNTIMED at suite
+    * start ([[warmKernel]]), then [[resetKernelMemo]] before each timed
+    * q_curation iteration, so q_curation owns the kernel build on every
+    * iteration (iter spread ~1) and every other lane measures its marginal
+    * work over a warm kernel. Only the "kept" entries reset — "clean" is a
+    * separately-checkpointed frame (truncated lineage, no dependency on the
+    * kept blocks) owned by the manifest lanes. */
+  def resetKernelMemo(spark: SparkSession): Unit = {
+    val it = frameMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == spark && e.getKey._4 == "kept") {
+        e.getValue.queryExecution.analyzed.foreach {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.rdd.unpersist(false)
+          case _ => ()
+        }
+        it.remove()
+      }
+    }
+  }
+
+  /** Build + MATERIALIZE the kernel (localCheckpoint(false) is lazy — the
+    * blocks land on the first action), so later lanes hit a warm memo. */
+  def warmKernel(spark: SparkSession, dir: String): Unit =
+    keptDocuments(spark, dir).count(): Unit
+
   def keptDocuments(spark: SparkSession, dir: String,
                     blockPhrases: Seq[String] = Nil): DataFrame =
     memoFrame(spark, dir, blockPhrases, "kept") {
