@@ -1265,6 +1265,10 @@ object SparkEntry {
     // portable min/max rendering
     "q_table_profile" -> ((s, dir) =>
       Profile.tableProfile(Tables.lineitem(s, dir))),
+    // 100 TB profile twin: one-pass HLL++ distincts, exact ground truth
+    // alongside, oracle gates the accuracy-verdict boolean per column
+    "q_table_profile_approx" -> ((s, dir) =>
+      Profile.tableProfileApprox(Tables.lineitem(s, dir))),
     // classifier threshold sweep: precision/recall/F1 per probability bin
     // from exact descending prefix integers
     "q_pr_curve" -> ((s, dir) =>
@@ -6210,6 +6214,36 @@ object SparkEntry {
           }
           s"SELECT '$c' AS col_name, count(*) AS n_rows, count(*) - count($c) AS n_null, " +
             s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, $mm FROM lineitem"
+        }
+        Seq(
+          "l_discount" -> "num", "l_extendedprice" -> "num",
+          "l_linenumber" -> "str", "l_linestatus" -> "str",
+          "l_orderkey" -> "str", "l_partkey" -> "str", "l_quantity" -> "num",
+          "l_returnflag" -> "str", "l_shipdate" -> "time",
+          "l_suppkey" -> "str", "l_tax" -> "num")
+          .map { case (c, k) => block(c, k) }
+          .mkString("", "\nUNION ALL ", "\nORDER BY col_name")
+      },
+      // HLL estimates aren't engine-reproducible; the oracle checks the
+      // exact profile AND pins the accuracy-verdict boolean TRUE per
+      // column (the q_winsorize_approx rank-bound pattern)
+      "q_table_profile_approx" -> {
+        def block(c: String, kind: String): String = {
+          val mm = kind match {
+            case "num" =>
+              s"CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num, " +
+                "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+            case "str" =>
+              "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, " +
+                s"CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str"
+            case _ =>
+              "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, " +
+                s"CAST(CAST(floor(epoch(min($c))) AS BIGINT) AS VARCHAR) AS min_str, " +
+                s"CAST(CAST(floor(epoch(max($c))) AS BIGINT) AS VARCHAR) AS max_str"
+          }
+          s"SELECT '$c' AS col_name, count(*) AS n_rows, count(*) - count($c) AS n_null, " +
+            s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, $mm, " +
+            "TRUE AS est_within_tol FROM lineitem"
         }
         Seq(
           "l_discount" -> "num", "l_extendedprice" -> "num",
