@@ -83,4 +83,67 @@ class JdbcSourceSpec extends SparkSpec {
       JdbcPartitionedSource.introspect(Seq("G" -> "ST_GEOMETRY"))
     }
   }
+
+  // ---- HANA-dialect conformance (SURVEY §2.3 quirk + §3.2 subtlety a) ----
+  // The reference's chunk query template uses %2$S — CAPITAL S — which
+  // String.format-UPPERCASES the table name (HanaToBQ.java:57). Fine for
+  // HANA's case-insensitive unquoted identifiers; breaking for quoted
+  // case-sensitive ones. Derby reproduces the breakage; our engine passes
+  // identifiers verbatim (quoted names round-trip).
+  test("dialect quirk: %2$S-style uppercasing breaks quoted identifiers; " +
+      "verbatim pass-through reads them (HanaToBQ.java:57)") {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE \"src_lower\"") catch { case _: Exception => () }
+      st.execute("CREATE TABLE \"src_lower\" (TS BIGINT NOT NULL, ID BIGINT NOT NULL)")
+      st.execute("INSERT INTO \"src_lower\" VALUES (5, 1), (15, 2)")
+      st.close()
+    } finally conn.close()
+    // the reference's behavior: "%2$S".format-style uppercase of the name —
+    // a quoted lowercase identifier no longer resolves
+    val upper = "\"src_lower\"".toUpperCase // what %2$S does to the template
+    val broken = intercept[Exception] {
+      JdbcPartitionedSource.read(spark,
+        cfg.copy(tableName = upper), Seq((0L, GraftConfig.Sentinel))).count()
+    }
+    assert(broken.getMessage != null)
+    // our engine: the identifier reaches the source verbatim
+    val ok = JdbcPartitionedSource.read(spark,
+      cfg.copy(tableName = "\"src_lower\""), Seq((0L, GraftConfig.Sentinel)))
+    assert(ok.count() == 2L)
+  }
+
+  // §3.2 subtlety (a): the reference binds chunk bounds with setString
+  // against a NUMERIC timestamp column (HanaToDBRow.java:108-109), leaning
+  // on engine implicit coercion — digit-strings happen to work, anything
+  // else is a runtime SQLException the type system never saw. Our engine
+  // emits typed numeric literals in the partition predicates, so the
+  // failure mode is unreachable. Derby reproduces both sides.
+  test("dialect subtlety: string-bound numeric parameters coerce for digit-" +
+      "strings and explode otherwise; typed predicates can't (HanaToDBRow.java:108-109)") {
+    setupTable()
+    val typedCount = JdbcPartitionedSource.read(spark, cfg, Seq((10L, 2000L)))
+      .count()
+    val conn = DriverManager.getConnection(url)
+    try {
+      val ps = conn.prepareStatement(
+        "SELECT COUNT(*) FROM SRC WHERE TS >= ? AND TS < ?")
+      // the reference's binding style: digit-strings coerce
+      ps.setString(1, "10"); ps.setString(2, "2000")
+      val rs = ps.executeQuery(); rs.next()
+      assert(rs.getLong(1) == typedCount,
+        "digit-string coercion must agree with the typed predicate")
+      rs.close()
+      // the hazard the typed path can't hit: a non-numeric bound is a
+      // RUNTIME error on the worker, per-chunk, after the plan shipped
+      // (Derby rejects at bind time; HANA at execute — either way the type
+      // system never saw it)
+      intercept[java.sql.SQLException] {
+        ps.setString(1, "ten"); ps.setString(2, "2000")
+        ps.executeQuery()
+      }
+      ps.close()
+    } finally conn.close()
+  }
 }

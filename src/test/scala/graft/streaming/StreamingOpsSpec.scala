@@ -785,6 +785,35 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed.size == 64)
   }
 
+  test("streamed quantile STATE yields the full batch sketch REPORT bit-for-bit") {
+    // the ext_quantile_sketch claim in full: the single-agg streaming state
+    // is the sketch — feeding the streamed sample into the report derivation
+    // reproduces batch quantileSketch exactly (estimates AND rank audit)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = (1 to 1500).map(i => (i.toLong, (i * 13 % 300).toDouble))
+    val pop = rows.toDF("id", "v")
+    val stream = MemoryStream[(Long, Double)]
+    val q = StreamingOps.quantileSample(
+        stream.toDF().toDF("id", "v"), k = 64)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("qsketch_state_out").start()
+    try {
+      stream.addData(rows.take(500)); q.processAllAvailable()
+      stream.addData(rows.drop(500)); q.processAllAvailable()
+    } finally q.stop()
+    val streamedState = spark.table("qsketch_state_out")
+    def report(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getDouble(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+       r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    val fromStream = report(graft.operators.Merge.quantileSketchFromSample(
+      pop, streamedState, "v", Seq(0.1, 0.25, 0.5, 0.75, 0.9)))
+    val fromBatch = report(graft.operators.Merge.quantileSketch(
+      pop, k = 64, id = "id", valueCol = "v"))
+    assert(fromStream == fromBatch)
+    assert(fromStream.size == 5)
+  }
+
   test("streaming KMV sketch accumulates to EXACTLY the batch sketch and estimate") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
