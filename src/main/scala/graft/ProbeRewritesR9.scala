@@ -32,7 +32,13 @@ object ProbeRewritesR9 {
       .select(col("embedding").cast("array<double>").as("d"),
         transform(col("embedding"),
           x => floor(x.cast("double") * 100.0).cast("long")).as("q"),
-        col("embedding").as("f"))
+        col("embedding").as("f"),
+        // a DISTINCT second operand: with b == a, codegen subexpression
+        // elimination collapses the "3-pass" composition to one pass and
+        // the A/B is rigged (measured: "fused" came out 0.8x)
+        transform(col("embedding"), x => x + lit(1.0f)).as("f2"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 50.0).cast("long")).as("q2"))
       .localCheckpoint()
     println(s"[probe] vector rows = ${emb.count()} (replicate x$replicate)")
 
@@ -42,6 +48,17 @@ object ProbeRewritesR9 {
     println(s"[probe] doc rows = ${docs.count()}")
 
     def run(df: DataFrame, tag: String, expr: Column, iters: Int = 3): Double = {
+      // self-check: print whether the arm's optimized plan holds the native
+      // expression — a value-twin that an optimizer pass simplified into the
+      // rewritable shape would silently measure native-vs-native
+      val plan = df.select(expr.as("x")).queryExecution.optimizedPlan.toString
+      // word-boundary-ish matching: "dot_product" is a substring of
+      // "long_dot_product", so count occurrences not wrapped by the longer name
+      val natives = Seq("zip_subtract", "long_dot_product", "cosine_fold",
+        "minhash_signature").filter(plan.contains) ++
+        (if (plan.replace("long_dot_product", "").contains("dot_product"))
+           Seq("dot_product") else Nil)
+      println(s"[probe] $tag plan natives: ${if (natives.isEmpty) "NONE (interpreted HOF)" else natives.mkString(",")}")
       var best = Double.MaxValue
       (1 to iters).foreach { i =>
         val t0 = System.nanoTime()
@@ -68,12 +85,16 @@ object ProbeRewritesR9 {
     println(f"[probe] RESULT zip_subtract hof=$s1%.2f s native=$s2%.2f s speedup=${s1 / s2}%.2fx")
 
     // ---- 2. long dot product (int8 SQ scoring shape) ----
-    def ldot(tw: Column => Column) = aggregate(
-      zip_with(col("q"), col("q"), (x, y) => tw(x * y)), lit(0L),
+    def ldot2(mul: (Column, Column) => Column) = aggregate(
+      zip_with(col("q"), col("q2"), (x, y) => mul(x, y)), lit(0L),
       (acc, x) => acc + x)
-    val l1 = run(emb, "longdot-hof-interpreted", ldot(_ * lit(1L)))
-    val l2 = run(emb, "longdot-native-rewritten", ldot(identity))
-    parity(emb, ldot(_ * lit(1L)), ldot(identity), "long_dot_product")
+    // pin: TRY-mode multiply — value-identical on non-overflowing codes,
+    // refused by the matcher BY CONTRACT (null-on-overflow has no native
+    // twin), and no optimizer pass strips it. The x1L twin did NOT survive:
+    // integral multiply-by-one is simplified and the arm went native.
+    val l1 = run(emb, "longdot-hof-interpreted", ldot2(try_multiply))
+    val l2 = run(emb, "longdot-native-rewritten", ldot2((x, y) => x * y))
+    parity(emb, ldot2(try_multiply), ldot2((x, y) => x * y), "long_dot_product")
     println(f"[probe] RESULT long_dot hof=$l1%.2f s native=$l2%.2f s speedup=${l1 / l2}%.2fx")
 
     // ---- 3. cosine fusion: 3-pass DotProduct composition vs fused ----
@@ -81,17 +102,21 @@ object ProbeRewritesR9 {
     def cosUnfused(a: Column, b: Column) =
       (Similarity.dot(a, b) * lit(1.0)) /
         (sqrt(Similarity.dot(a, a)) * sqrt(Similarity.dot(b, b)))
-    val c1 = run(emb, "cosine-3pass-dots", cosUnfused(col("f"), col("f")))
-    val c2 = run(emb, "cosine-fused", Similarity.cosineHof(col("f"), col("f")))
-    parity(emb, cosUnfused(col("f"), col("f")),
-      Similarity.cosineHof(col("f"), col("f")), "cosine_fold")
+    val c1 = run(emb, "cosine-3pass-dots", cosUnfused(col("f"), col("f2")))
+    val c2 = run(emb, "cosine-fused", Similarity.cosineHof(col("f"), col("f2")))
+    parity(emb, cosUnfused(col("f"), col("f2")),
+      Similarity.cosineHof(col("f"), col("f2")), "cosine_fold")
     println(f"[probe] RESULT cosine fused3pass=$c1%.2f s fused=$c2%.2f s speedup=${c1 / c2}%.2fx")
 
     // ---- 4. minhash signature: HOF lambdas vs one native call ----
+    // pin: a trailing empty-string concat operand — byte-identical output,
+    // a 4-element Concat the 3-element matcher refuses, and nothing strips
+    // it. (The nested-concat pin did NOT survive: CombineConcats flattens
+    // it back into the matchable 3-ary shape and the arm went native.)
     val mhPinned = length(element_at(
       transform(sequence(lit(0), lit(graft.operators.NearDup.NumHashes - 1)),
         s => array_min(transform(col("sh"),
-          x => md5(concat(concat(s.cast("string"), lit("_")), x))))), 1))
+          x => md5(concat(s.cast("string"), lit("_"), x, lit("")))))), 1))
     val mhNative = length(element_at(
       graft.operators.NearDup.minhashSigHof(col("sh")), 1))
     val m1 = run(docs, "minhash-hof-interpreted", mhPinned)
