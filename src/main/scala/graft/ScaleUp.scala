@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   *   - `lineitem`: replicas shift `l_orderkey` by a large stride — value
   *     distributions (the winsorize percentile workload) are unchanged.
   *   - `documents`: replicas shift `doc_id` AND deterministically permute
-  *     each text's words (sort by `xxhash64(word, replica)`): the word
+  *     each text's words (sort by `xxhash64(word, occurrence, replica)`): the word
   *     multiset — lengths, stopword/quality/language signals — is
   *     preserved, but shingles are destroyed, so replicas of a doc are NOT
   *     near-duplicates of each other and the dedup workload keeps its
@@ -64,13 +64,10 @@ object ScaleUp {
       .drop("__k")
     li.write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
 
-    // permutation key is (doc, replica)-specific: sorting every doc of a
-    // replica class by the SAME word hash canonicalizes shared vocabulary
-    // into shared order — different docs then share long word runs, i.e.
-    // shingles, and the class becomes one giant near-dup cluster (measured:
-    // 256 -> 2.7M LSH candidate pairs before this fix). A per-doc key keeps
-    // cross-doc shingle overlap at chance level, like natural text.
     val w = split(col("text"), " ")
+    // SALT key is (doc, replica)-specific: a shared salt key would give
+    // every doc of a replica the same substituted tokens — corpus-hot
+    // shingles by construction.
     val permKey = col("doc_id") * lit(1000L) + col("__k")
     // perturb: replica-salted substitution BEFORE the permutation sort, so
     // the word multiset itself differs per replica (breaks order-free
@@ -81,9 +78,28 @@ object ScaleUp {
           concat(lit("r"), col("__k").cast("string"), lit("x"),
             abs(xxhash64(x, permKey)).cast("string"))).otherwise(x))
       else w
+    // The SORT key is (word, OCCURRENCE INDEX, replica) — each term is
+    // load-bearing, and both failure modes were measured:
+    //  - without the occurrence index, every copy of a repeated word gets
+    //    the same key and array_sort CLUMPS duplicates adjacent: every
+    //    permuted doc emits degenerate "w w w" shingles for any word it
+    //    repeats 3+ times. On the round-9 fixtures that manufactured
+    //    trigrams with document frequency 12.6k/50k (base max DF 25) and
+    //    blew the blocking lanes' candidate sets 218x at the decade
+    //    (ProbeCandidates: 256 -> 55.9k pairs).
+    //  - replica-level, NOT doc-level: a doc-level key reorders each
+    //    planted near-dup pair's shared content differently, destroying
+    //    the pair's shingle overlap — the corpus duplication RATE then
+    //    falls ~10x at the decade (measured: flat 262 pairs) instead of
+    //    staying roughly constant as the mode promises. With the shared
+    //    key, docs sharing a word-multiset region emit it in the same
+    //    relative order, so planted pairs survive (measured: 768 pairs at
+    //    10x); the occurrence index keeps unrelated low-vocab docs from
+    //    canonicalizing into one giant cluster (the round-6 2.7M-pair
+    //    failure was per-word keys with no occurrence term).
     val permuted = concat_ws(" ", transform(
       array_sort(transform(wordsIn,
-        x => struct(xxhash64(x, permKey).as("h"), x.as("w")))),
+        (x, i) => struct(xxhash64(x, i, col("__k")).as("h"), x.as("w")))),
       s => s("w")))
     val docs = replicate(spark.read.parquet(s"$src/documents.parquet"), factor)
       .withColumn("doc_id", col("doc_id") + col("__k") * Stride)

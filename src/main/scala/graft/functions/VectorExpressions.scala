@@ -600,6 +600,68 @@ case class LongDotProduct(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Sum of squares with the exact single-array fold contract
+  * `aggregate(v, 0.0, (a, x) -> a + x·x)` — the ‖v‖² kernel under
+  * [[graft.operators.VectorOps.l2Norm]] (quantization digests, unit
+  * normalization) and the PCA Parseval audit. A UNARY expression rather
+  * than `DotProduct(v, v)` so a non-attribute child is never evaluated
+  * twice. Null algebra: a null element poisons the running sum to null
+  * (x·x is null, `a + null` stays null); empty arrays fold to the +0.0
+  * zero; floats widen to double BEFORE squaring. */
+case class SumSquares(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null elements poison
+  override def prettyName: String = "sum_squares"
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      acc += x * x
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i"); val x = ctx.freshName("x")
+      val bad = ctx.freshName("bad")
+      val get = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |boolean $bad = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { $bad = true; break; }
+         |  double $x = $get;
+         |  $acc += $x * $x;
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Fused cosine with the EXACT algebra of the three-fold composition
   * `dot(a,b) / (sqrt(dot(a,a)) · sqrt(dot(b,b)))` built from HOF (or
   * [[DotProduct]]) folds and Spark's `Divide` — NOT the same contract as
