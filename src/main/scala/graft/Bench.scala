@@ -39,8 +39,15 @@ object Bench {
     // was committed over a clean 104s close). Wait — bounded — for ambient
     // load to drain before measuring; a run that still starts contended is
     // MARKED and refuses to overwrite the committed artifact path.
+    // Default wait bound raised 2 -> 10 min in round 10: the driver runs
+    // bench right after its own verify/test work, and the 1-minute load
+    // average needs several minutes to decay below 1.0 on a 32-core box —
+    // rounds 5-9's driver artifacts all landed contaminated-at-start while
+    // the builder's closes (run after a genuine idle) were clean. Waiting
+    // out the decay is cheap next to a 230 s suite; the loop still exits
+    // the moment the box is actually idle.
     val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "1.0").toDouble
-    val maxWaits = sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_WAITS", "6").toInt
+    val maxWaits = sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_WAITS", "30").toInt
     var waits = 0
     while (loadAvg > maxLoad && waits < maxWaits) {
       System.err.println(f"[bench] load ${loadAvg}%.2f > $maxLoad%.2f — waiting for idle (${waits + 1}/$maxWaits)")

@@ -90,9 +90,17 @@ object ScaleUp {
             substring(abs(xxhash64(x, col("__k"))).cast("string"), 1, 4)))
           .otherwise(x))
       else w
-    // The SORT key is (word, OCCURRENCE INDEX, replica) — each term is
+    // The SORT key is (word, ARRAY POSITION, replica) — `transform`'s
+    // (x, i) binds i to the token's position in the array, NOT a per-word
+    // occurrence counter, so the "shared regions emit in the same relative
+    // order" property holds only for POSITION-ALIGNED pairs: a planted
+    // pair differing by an insertion/deletion shifts every subsequent
+    // position and those two docs permute independently. That alignment
+    // assumption is acceptable for fixture generation (the planted
+    // word-swap pairs ARE position-aligned, and pair survival was measured
+    // OK on the current fixtures — 768 pairs at 10x). Each key term is
     // load-bearing, and both failure modes were measured:
-    //  - without the occurrence index, every copy of a repeated word gets
+    //  - without the position index, every copy of a repeated word gets
     //    the same key and array_sort CLUMPS duplicates adjacent: every
     //    permuted doc emits degenerate "w w w" shingles for any word it
     //    repeats 3+ times. On the round-9 fixtures that manufactured
@@ -104,11 +112,11 @@ object ScaleUp {
     //    the pair's shingle overlap — the corpus duplication RATE then
     //    falls ~10x at the decade (measured: flat 262 pairs) instead of
     //    staying roughly constant as the mode promises. With the shared
-    //    key, docs sharing a word-multiset region emit it in the same
-    //    relative order, so planted pairs survive (measured: 768 pairs at
-    //    10x); the occurrence index keeps unrelated low-vocab docs from
-    //    canonicalizing into one giant cluster (the round-6 2.7M-pair
-    //    failure was per-word keys with no occurrence term).
+    //    key, position-aligned docs sharing a word-multiset region emit it
+    //    in the same relative order, so planted pairs survive (measured:
+    //    768 pairs at 10x); the position index keeps unrelated low-vocab
+    //    docs from canonicalizing into one giant cluster (the round-6
+    //    2.7M-pair failure was per-word keys with no position term).
     val permuted = concat_ws(" ", transform(
       array_sort(transform(wordsIn,
         (x, i) => struct(xxhash64(x, i, col("__k")).as("h"), x.as("w")))),

@@ -666,6 +666,11 @@ object SparkEntry {
     // rule attribution (integer cross-multiplied thresholds)
     "q_domain_report" -> ((s, dir) =>
       Validate.domainReport(Tables.documents(s, dir))),
+    // 100 TB twin: the per-domain dup count's second countDistinct pass
+    // swapped for an HLL++ sketch in ONE aggregate; exact ground truth +
+    // accuracy / verdict-agreement booleans are the oracle contract
+    "q_domain_report_approx" -> ((s, dir) =>
+      Validate.domainReportApprox(Tables.documents(s, dir))),
     // pre-join cardinality estimate: key-count join, data rows never meet
     "q_join_cardinality" -> ((s, dir) =>
       Validate.joinCardinality(Tables.events(s, dir),
@@ -1251,8 +1256,11 @@ object SparkEntry {
     // variance ordering, partition invariance)
     "q_pca_project" -> ((s, dir) =>
       Pca.parsevalAudit(Tables.embeddings(s, dir), "embedding")),
-    // 3-core of the co-purchase graph by fixed-round peeling (the
-    // dense-subgraph / bot-ring primitive); in_core all-TRUE = converged
+    // 3-core of the co-purchase graph by adaptive peel-to-fixpoint (the
+    // dense-subgraph / bot-ring primitive); rounds=16 is now a CAP — the
+    // sf0.01 graph converges at 12, so the result is the true core and
+    // in_core is all-TRUE; the unrolled 16-round oracle agrees because an
+    // unrolled count >= peel depth reproduces the fixpoint
     "q_kcore" -> ((s, dir) =>
       Graph.kCore(
         Graph.coOccurrenceEdges(Tables.lineitem(s, dir)
@@ -2922,6 +2930,30 @@ object SparkEntry {
           |  CASE WHEN n_short * 5 > n_docs THEN 'short_heavy'
           |       WHEN n_dups * 10 > n_docs THEN 'dup_heavy'
           |       ELSE 'keep' END AS verdict
+          |FROM a ORDER BY source""".stripMargin,
+      // HLL estimates aren't engine-reproducible; the oracle checks the
+      // exact report AND pins the accuracy/verdict-agreement booleans TRUE
+      // (and verdict_est == verdict, which agreement implies) — the
+      // q_table_profile_approx pattern
+      "q_domain_report_approx" ->
+        """WITH d AS (SELECT source,
+          |    n_chars,
+          |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+          |  FROM documents),
+          |a AS (SELECT source, count(*) AS n_docs,
+          |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          |    CAST(count(CASE WHEN n_chars < 120 THEN 1 END) AS BIGINT) AS n_short,
+          |    CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dups
+          |  FROM d GROUP BY source)
+          |SELECT source, n_docs, total_chars, n_short, n_dups,
+          |  CASE WHEN n_short * 5 > n_docs THEN 'short_heavy'
+          |       WHEN n_dups * 10 > n_docs THEN 'dup_heavy'
+          |       ELSE 'keep' END AS verdict,
+          |  CASE WHEN n_short * 5 > n_docs THEN 'short_heavy'
+          |       WHEN n_dups * 10 > n_docs THEN 'dup_heavy'
+          |       ELSE 'keep' END AS verdict_est,
+          |  TRUE AS est_within_tol,
+          |  TRUE AS verdict_agrees
           |FROM a ORDER BY source""".stripMargin,
       "q_keywords" ->
         """WITH tok AS (SELECT doc_id, tok, count(*) AS tf

@@ -50,7 +50,18 @@ private[graft] object HashUtil {
   }
 }
 
-case class MinHashSignature(child: Expression, numHashes: Int)
+/** @param nullAsAllNull when true, a NULL input ARRAY yields the all-null
+  *   signature `[null × k]` instead of NULL — the exact value the portable
+  *   HOF produces (its outer `transform(0..k-1, …)` iterates the seed range
+  *   even when the shingle array is NULL). [[graft.plans.MinHashRewrite]]
+  *   sets this for nullable inputs so the rewrite needs NO `If(IsNull(sh),…)`
+  *   guard: the guard duplicated `sh`, and for an inline shingles-transform
+  *   chain (the post-CollapseProject shape the rule actually sees) a
+  *   CodegenFallback consumer gets no subexpression elimination, so the
+  *   chain really evaluated twice per row. The SQL-function form keeps the
+  *   default (false): NULL in, NULL out. */
+case class MinHashSignature(child: Expression, numHashes: Int,
+                            nullAsAllNull: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -59,7 +70,16 @@ case class MinHashSignature(child: Expression, numHashes: Int)
       s"$prettyName requires array<string>, got ${child.dataType.simpleString}")
   }
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = !nullAsAllNull && child.nullable
   override def prettyName: String = "minhash_signature"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) {
+      if (nullAsAllNull) new GenericArrayData(new Array[Any](numHashes))
+      else null
+    } else nullSafeEval(v)
+  }
 
   private lazy val seedPrefixes: Array[Array[Byte]] =
     (0 until numHashes).map(s => s"${s}_".getBytes("UTF-8")).toArray

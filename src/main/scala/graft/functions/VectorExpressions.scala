@@ -529,7 +529,20 @@ object ZipSubtract {
   * the matched Multiply/Add's ANSI mode: overflow throws the same
   * ARITHMETIC_OVERFLOW SparkArithmeticException (minus the SQL-fragment
   * query context) instead of wrapping. Null algebra: unequal lengths (the
-  * zip_with pad) or a null element poison the sum to null. */
+  * zip_with pad) or a null element poison the sum to null — and on that
+  * failure path the ANSI THROW contract is still reproduced: zip_with
+  * evaluates a product for every overlap index whose two elements are
+  * non-null (even past a null element or under a length mismatch), so this
+  * expression scans the full overlap with multiplyExact before returning
+  * null, and an overflowing product after a null still throws exactly as
+  * the HOF does. A null product only stops ACCUMULATION (the HOF fold goes
+  * null-absorbing from the first null), never the overflow scan. The one
+  * remaining collapse: the HOF evaluates ALL products before ANY fold step,
+  * while this expression interleaves them in one pass — when a fold-step
+  * overflow and a later product overflow coexist, the two forms throw the
+  * same exception class but may differ in which site (try_add vs
+  * try_multiply hint) reports first. Both always throw; nothing returns
+  * null that the HOF would have thrown on. */
 case class LongDotProduct(left: Expression, right: Expression,
                           failOnError: Boolean) extends BinaryExpression {
 
@@ -550,20 +563,34 @@ case class LongDotProduct(left: Expression, right: Expression,
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    if (a.numElements() != b.numElements()) null
+    val mu = org.apache.spark.sql.catalyst.util.MathUtils
+    if (failOnError) {
+      // ANSI throw parity with the HOF (see scaladoc): zip_with evaluates
+      // a product for EVERY overlap index with both elements non-null —
+      // even past a null element or under a length mismatch — and the fold
+      // adds products until the first null one. So a null/mismatch must
+      // not short-circuit the overflow scan; it only stops accumulation.
+      val m = math.min(a.numElements(), b.numElements())
+      var acc = 0L
+      var poisoned = false
+      var i = 0
+      while (i < m) {
+        if (a.isNullAt(i) || b.isNullAt(i)) poisoned = true
+        else {
+          val p = mu.multiplyExact(a.getLong(i), b.getLong(i), null)
+          if (!poisoned) acc = mu.addExact(acc, p, null)
+        }
+        i += 1
+      }
+      if (poisoned || a.numElements() != b.numElements()) null else acc
+    } else if (a.numElements() != b.numElements()) null
     else {
       val n = a.numElements()
       var acc = 0L
       var i = 0
       while (i < n) {
         if (a.isNullAt(i) || b.isNullAt(i)) return null
-        val x = a.getLong(i)
-        val y = b.getLong(i)
-        if (failOnError) {
-          acc = org.apache.spark.sql.catalyst.util.MathUtils.addExact(
-            acc, org.apache.spark.sql.catalyst.util.MathUtils.multiplyExact(
-              x, y, null), null)
-        } else acc += x * y
+        acc += a.getLong(i) * b.getLong(i)
         i += 1
       }
       acc
@@ -574,25 +601,42 @@ case class LongDotProduct(left: Expression, right: Expression,
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
       val i = ctx.freshName("i"); val bad = ctx.freshName("bad")
+      val p = ctx.freshName("p")
       val mu = "org.apache.spark.sql.catalyst.util.MathUtils"
-      val step =
-        if (failOnError)
-          s"$acc = $mu.addExact($acc, $mu.multiplyExact($a.getLong($i), $b.getLong($i), null), null);"
-        else s"$acc += $a.getLong($i) * $b.getLong($i);"
-      s"""
-         |if ($a.numElements() != $b.numElements()) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  int $n = $a.numElements();
-         |  long $acc = 0L;
-         |  boolean $bad = false;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
-         |    $step
-         |  }
-         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
-         |}
-       """.stripMargin
+      if (failOnError)
+        // ANSI throw parity (see scaladoc / nullSafeEval): scan the whole
+        // overlap for product overflow even past a null or length mismatch;
+        // a null product only stops accumulation, never the scan
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long $acc = 0L;
+           |boolean $bad = false;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; }
+           |  else {
+           |    long $p = $mu.multiplyExact($a.getLong($i), $b.getLong($i), null);
+           |    if (!$bad) { $acc = $mu.addExact($acc, $p, null); }
+           |  }
+           |}
+           |if ($bad || $a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else { ${ev.value} = $acc; }
+         """.stripMargin
+      else
+        s"""
+           |if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $n = $a.numElements();
+           |  long $acc = 0L;
+           |  boolean $bad = false;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+           |    $acc += $a.getLong($i) * $b.getLong($i);
+           |  }
+           |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+           |}
+         """.stripMargin
     })
 
   override protected def withNewChildrenInternal(

@@ -47,13 +47,32 @@ object Compaction {
     * `CompactionSpec` and by the `q_compaction_incr` oracle. */
   def assignIncremental(history: DataFrame, newFiles: DataFrame, target: Long,
                         part: String = "part", id: String = "file_id",
-                        bytes: String = "bytes"): DataFrame = {
+                        bytes: String = "bytes"): DataFrame =
+    assignIncrementalFromTails(tailTotals(history, part, bytes),
+      newFiles, target, part, id, bytes)
+
+  /** The per-partition TAIL state [[assignIncremental]] consumes: one
+    * running byte total per partition dir. A plain SUM — commutative and
+    * mergeable — so a streaming aggregation maintains it online across any
+    * trigger split (agreement spec-asserted in `StreamingOpsSpec` via
+    * [[graft.streaming.StreamingOps.compactionTails]]); at rest it's a
+    * broadcast-sized table, never history rows. */
+  def tailTotals(files: DataFrame, part: String = "part",
+                 bytes: String = "bytes"): DataFrame =
+    files.groupBy(part).agg(sum(bytes).as("__hist"))
+
+  /** [[assignIncremental]] against an already-maintained tail-state table
+    * (the streaming-ingest form: state in, placement out — history rows
+    * never rescanned). */
+  def assignIncrementalFromTails(tails: DataFrame, newFiles: DataFrame,
+                                 target: Long, part: String = "part",
+                                 id: String = "file_id",
+                                 bytes: String = "bytes"): DataFrame = {
     require(target > 0, "target must be positive")
-    val tail = history.groupBy(part).agg(sum(bytes).as("__hist"))
     val w = Window.partitionBy(part).orderBy(id)
       .rowsBetween(Window.unboundedPreceding, -1)
     newFiles
-      .join(broadcast(tail), Seq(part), "left")
+      .join(broadcast(tails.select(col(part), col("__hist"))), Seq(part), "left")
       .withColumn("byte_start",
         coalesce(col("__hist"), lit(0L)) +
           coalesce(sum(bytes).over(w), lit(0L)))

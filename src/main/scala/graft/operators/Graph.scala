@@ -285,34 +285,42 @@ object Graph {
       .limit(topN)
   }
 
-  /** k-CORE decomposition by FIXED-ROUND peeling — the dense-subgraph
+  /** k-CORE decomposition by ADAPTIVE peeling — the dense-subgraph
     * primitive behind bot-ring / engagement-farm detection (a k-core is
     * the maximal subgraph where every member keeps ≥ k neighbors INSIDE
     * the subgraph; organic long-tail nodes peel away, coordinated cliques
     * don't). Each round drops nodes whose current degree < k and the
-    * edges touching them; the fixpoint is the k-core.
+    * edges touching them; peeling runs until a round removes NOTHING (the
+    * fixpoint — the true k-core) or the `rounds` CAP is hit.
     *
-    * Determinism & the oracle: rounds are a FIXED count (not
-    * run-to-convergence — a data-dependent round count can't be replayed
-    * by an unrolled SQL oracle), so the contract is "the peeling state
-    * after `rounds` rounds" with a per-node `in_core` verdict that is all
-    * TRUE iff the fixpoint was reached; the spec asserts convergence on
-    * the fixture and hand graphs (peeling cascades ~one layer per round;
-    * the sf0.01 co-purchase graph converges at 12 rounds — measured — so
-    * the shipped lane runs 16).
+    * Determinism & the oracle: the FIXPOINT is canonical — the k-core is
+    * the unique maximal subgraph, independent of how many rounds reached
+    * it — so run-to-convergence is MORE oracle-stable than a fixed count,
+    * not less (an unrolled N-round SQL oracle agrees whenever N covers the
+    * peel depth). Rounds 1–9 shipped a fixed count with an all-TRUE
+    * `in_core` verdict asserting convergence after the fact; a graph whose
+    * peel DEPTH exceeds the count (a 40-node pendant chain peels one node
+    * per round from the free end) silently returned a non-core with
+    * in_core=false rows — the round-9 verdict's deep-shell miss, now
+    * spec-pinned. The cap is a safety bound only: peel depth is bounded by
+    * the graph's degeneracy ordering depth, and each round costs one
+    * degree aggregate, so 64 default rounds cover any plausible real
+    * graph; a cap-hit still reports honestly via in_core=false rows.
     *
     * Scale: per round one degree aggregate (map-side combined) + two
     * hash semi-joins on the shrinking survivor set — each round's work is
     * bounded by the CURRENT edge set, monotonically non-increasing; no
-    * broadcast of node-sized state. The round result is
+    * broadcast of node-sized state. The convergence probe is a count()
+    * over the just-checkpointed round result — one cheap job per round,
+    * driver state is a single long. The round result is
     * `localCheckpoint`ed: each round's plan references ITSELF twice (the
     * degree side and the filter side), so without lineage truncation the
     * logical plan doubles per round — 2⁸ replays by round 8 (measured:
     * the un-checkpointed form ground a fixture test for minutes). */
   def kCore(edgePairs: DataFrame, aCol: String, bCol: String,
-            k: Int = 3, rounds: Int = 8): DataFrame = {
+            k: Int = 3, rounds: Int = 64): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(rounds >= 1, s"rounds (the cap) must be >= 1, got $rounds")
     val canon = edgePairs.select(
         least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
@@ -320,7 +328,9 @@ object Graph {
     var edges = canon.unionAll(canon.select(col("b").as("a"), col("a").as("b")))
       .select(col("a").as("src"), col("b").as("dst"))
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
+    var prev = edges.count()
+    var r = 0
+    while (prev > 0 && r < rounds) {
       val keep = edges.groupBy("src").agg(count(lit(1)).as("__deg"))
         .filter(col("__deg") >= k).select("src")
       edges = edges
@@ -328,6 +338,10 @@ object Graph {
         .join(keep.withColumnRenamed("src", "dst"), "dst")
         .select("src", "dst")
         .localCheckpoint()
+      val cur = edges.count()
+      r += 1
+      if (cur == prev) prev = -1 // fixpoint proven — stop
+      else prev = cur
     }
     edges.groupBy("src").agg(count(lit(1)).as("core_deg"))
       .select(col("src").as("node"), col("core_deg").cast("long").as("core_deg"),

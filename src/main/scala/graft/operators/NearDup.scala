@@ -600,7 +600,20 @@ object NearDup {
     * and the candidate exchange carries ids+fingerprints only — signatures
     * rejoin from the base scan per side, so documents never ride the pair
     * explosion. A length gate (edit distance >= length gap) skips the DP
-    * for pairs the ratio already rejects. The candidate frame explicitly
+    * for pairs the ratio already rejects — and (round 10) its COARSE form
+    * lives in the blocking key itself: each doc blocks on (half, key,
+    * length-bucket) with the bucket on a geometric token-count grid of
+    * width −ln(1 − maxRatioPct/100) in ln-space, emitted at bucket b AND
+    * b+1. Any pair the ratio gate could accept has a length ratio
+    * ≥ 1 − maxRatioPct/100, hence |Δ ln len| ≤ width, hence bucket
+    * difference ≤ 1 — and the double emission guarantees such a pair still
+    * shares a key, so the OUTPUT is provably identical; pairs ≥ 2 buckets
+    * apart (which the post-block gate rejected anyway) now never become
+    * candidates at all. The width carries a 1% pad so boundary-ratio pairs
+    * survive double rounding of ln. At sf1 the 16-bit halves collide
+    * heavily on UNRELATED docs (the decade-exponent-1.38 candidate share
+    * of SCALE.md probe #6); the bucket term prunes those for free.
+    * The candidate frame explicitly
     * repartitions to the cluster's parallelism first: an id-pair frame is
     * tiny in BYTES, so AQE coalesces the post-distinct shuffle to one
     * partition and the whole verify lands on a single core otherwise
@@ -610,7 +623,11 @@ object NearDup {
     * the longer side — is exact integer arithmetic, engine-identical. */
   def editDistancePairs(docs: DataFrame, hammingMax: Int = 8,
                         maxRatioPct: Int = 30): DataFrame = {
-    val cand = simhashPairs(docs, hammingMax)
+    // pct = 100 accepts every length ratio: width = -ln(0) = +Inf puts all
+    // docs in bucket 0 and the length key prunes nothing — still exact
+    require(maxRatioPct >= 1 && maxRatioPct <= 100,
+      s"maxRatioPct must be in [1, 100], got $maxRatioPct")
+    val cand = lenBucketedSimhashPairs(docs, hammingMax, maxRatioPct)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     val toks = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
     // one char per token: codes 48..111 (printable ASCII, single-byte)
@@ -632,5 +649,46 @@ object NearDup {
         levenshtein(col("a_sig"), col("b_sig")).cast("long").as("edit_dist"))
       .filter(col("edit_dist") * 100 <= greatest(col("len_a"), col("len_b")) * lit(maxRatioPct.toLong))
       .orderBy("a_id", "b_id")
+  }
+
+  /** [[simhashPairs]] with a token-count LENGTH BUCKET added to the blocking
+    * key — the candidate generator for [[editDistancePairs]] only (the plain
+    * simhash lanes must keep pure-Hamming recall). Bucket = floor(ln(max(n,1))
+    * / width) with width = −ln(1 − maxRatioPct/100) padded 1%; each doc emits
+    * every (half, key) at bucket b AND b+1, and the self-join matches on the
+    * bucket too. Exactness argument in the [[editDistancePairs]] scaladoc:
+    * ratio-acceptable pairs differ by ≤ 1 bucket, so the double emission
+    * never loses one; everything pruned fails the post-block ratio gate. */
+  private def lenBucketedSimhashPairs(docs: DataFrame, maxDist: Int,
+                                      maxRatioPct: Int): DataFrame = {
+    val toks = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
+    val width = -math.log1p(-maxRatioPct / 100.0) * 1.01
+    val fps = graft.core.Parallelism.forCompute(docs).select(col("doc_id"),
+      graft.functions.TextHashFunctions.simhash32(toks).as("simhash"),
+      floor(log(greatest(size(toks), lit(1)).cast("double")) / lit(width))
+        .cast("int").as("lb"))
+    val blocked = fps.select(col("doc_id"), col("simhash"),
+        explode(array(
+          struct(lit(0).as("blk"), col("simhash").bitwiseAND(65535L).as("key"),
+            col("lb").as("lb")),
+          struct(lit(1).as("blk"), shiftright(col("simhash"), 16).as("key"),
+            col("lb").as("lb")),
+          struct(lit(0).as("blk"), col("simhash").bitwiseAND(65535L).as("key"),
+            (col("lb") + 1).as("lb")),
+          struct(lit(1).as("blk"), shiftright(col("simhash"), 16).as("key"),
+            (col("lb") + 1).as("lb"))
+        )).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.blk").as("blk"),
+        col("b.key").as("key"), col("b.lb").as("lb"))
+    val a = blocked.alias("a")
+    val b = blocked.alias("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+              col("a.lb") === col("b.lb") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+    // no orderBy: this is candidate generation, immediately repartitioned —
+    // the public simhashPairs keeps its sorted contract, this need not
   }
 }

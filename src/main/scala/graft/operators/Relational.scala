@@ -890,10 +890,20 @@ object Relational {
     * is not engine-portable; the t statistic and the |t| > 1.96
     * large-sample 5% verdict are.
     *
+    * Value DOMAIN: |v| < 2⁴³ (≈ 8.8e12). The 2⁻²⁰ grid long overflows the
+    * `cast("long")` above that, and under the session's ANSI mode that
+    * THROWS (CAST_OVERFLOW) rather than corrupting moments — fail-loud by
+    * construction. The bound is not an artifact of choosing long over the
+    * old decimal(19,0) grid: the per-arm Σg² accumulator is decimal(38,0),
+    * and grid² ≤ 10³⁸ caps |grid| at ~10¹⁹ ⇒ |v| ≲ 9.5e12 — the same
+    * order. A/B metrics (revenue, latency, lengths) sit many orders below
+    * this; a metric near 10¹³ needs pre-scaling, not a wider grid.
+    *
     * Scale shape: ONE row-grain map-side-combined aggregate to two arm
     * rows, then 1-row arithmetic over the sorted 2-element fold. */
   def welchTTest(df: DataFrame, armCol: String, valueCol: String): DataFrame = {
-    // 2^-20 grid: exact long per value, exact decimal moments thereafter
+    // 2^-20 grid: exact long per value (|v| < 2^43 — see scaladoc; ANSI
+    // throws on the cast beyond that), exact decimal moments thereafter
     val grid = floor(col(valueCol).cast("double") * lit(1048576.0)).cast("long")
     val gDec = grid.cast("decimal(19,0)")
     val arms = df

@@ -191,6 +191,52 @@ object Validate {
       .orderBy("source")
   }
 
+  /** The 100 TB twin of [[domainReport]] — oracle-gated, per the round-9
+    * verdict's ask: the per-domain exact-dup count's `countDistinct` (a
+    * second full pass over the normalized-text hashes) swapped for an
+    * HLL++ `approx_count_distinct` sketch, so the whole report is ONE
+    * map-side-combined HashAggregate per domain — the shape a 100 TB
+    * curation run actually executes. The exact report rides alongside as
+    * ground truth (the [[graft.operators.Profile.tableProfileApprox]]
+    * pattern): HLL estimates don't hash-match across engines, but Spark's
+    * HLL++ is deterministic for a given value set, so the oracle pins the
+    * exact columns plus two booleans — `est_within_tol` (the dup-count
+    * estimate's error is within `tolSigmas·rsd` of the DISTINCT count it
+    * derives from — n_dups_est = n_docs − distinct_est, so its absolute
+    * error equals the distinct estimate's) and `verdict_agrees` (the
+    * keep/drop verdict re-derived from the ESTIMATED dup count matches the
+    * exact verdict — the decision a production run would actually take).
+    * In production only the estimate side runs; the join here exists to
+    * score it. */
+  def domainReportApprox(docs: DataFrame, shortChars: Long = 120,
+                         rsd: Double = 0.02,
+                         tolSigmas: Double = 4.0): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    val est = docs.groupBy("source").agg(
+        count(lit(1)).as("__n"),
+        count(when(col("n_chars") < shortChars, 1)).as("__n_short"),
+        approx_count_distinct(md5(norm), rsd).as("__distinct_est"))
+      .select(col("source").as("__src"),
+        (col("__n") - col("__distinct_est")).as("n_dups_est"),
+        when(col("__n_short") * 5 > col("__n"), "short_heavy")
+          .when((col("__n") - col("__distinct_est")) * 10 > col("__n"), "dup_heavy")
+          .otherwise("keep").as("verdict_est"))
+    val tol = tolSigmas * rsd
+    domainReport(docs, shortChars)
+      .join(broadcast(est), col("source") === col("__src"))
+      .select(col("source"), col("n_docs"), col("total_chars"), col("n_short"),
+        col("n_dups"), col("verdict"), col("verdict_est"),
+        // the raw n_dups_est is NOT emitted — HLL values don't reproduce
+        // across engines; only the exact columns and the booleans are
+        // oracle-comparable. n_dups_est's absolute error == the distinct
+        // estimate's, whose bound is tol x the exact distinct count
+        (abs(col("n_dups_est").cast("double") - col("n_dups").cast("double"))
+          <= lit(tol) * (col("n_docs") - col("n_dups")).cast("double"))
+          .as("est_within_tol"),
+        (col("verdict_est") === col("verdict")).as("verdict_agrees"))
+      .orderBy("source")
+  }
+
   /** k-anonymity generalization over a two-column quasi-identifier: an
     * equivalence class smaller than k suppresses its MOST SPECIFIC
     * attribute (qi2 -> '*') and re-pools; classes still under k fully

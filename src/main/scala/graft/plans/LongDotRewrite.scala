@@ -26,7 +26,11 @@ import graft.functions.LongDotProduct
   *    multiplication commutes even in overflow behavior), the merge a plain
   *    `acc + element` in either order, the finish the identity.
   * Null algebra (unequal-length zip_with padding, null elements) is
-  * reproduced exactly — spec-asserted. */
+  * reproduced exactly — including the ANSI FAILURE path: zip_with evaluates
+  * every overlap product before the fold, so an overflow past a null
+  * element (or under a length mismatch) throws in the HOF, and
+  * LongDotProduct scans the full overlap to throw identically instead of
+  * short-circuiting to null (round-10 fix; spec-asserted both ways). */
 object LongDotRewrite extends Rule[LogicalPlan] {
 
   private def sameVar(e: Expression, v: NamedLambdaVariable): Boolean =

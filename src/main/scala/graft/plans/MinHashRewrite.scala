@@ -1,11 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
-  ArrayMin, ArrayTransform, Cast, Concat, Expression, If, IsNull,
-  KnownNotNull, LambdaFunction, Literal, Md5, NamedLambdaVariable, Sequence}
+  ArrayMin, ArrayTransform, Cast, Concat, Expression,
+  LambdaFunction, Literal, Md5, NamedLambdaVariable, Sequence}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{
   ArrayType, BinaryType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -29,11 +28,17 @@ import graft.functions.MinHashSignature
   *  - null shingles are skipped by both (array_min ignores nulls); an
   *    all-null/empty shingle array yields an all-null signature;
   *  - a NULL shingle ARRAY yields `[null × k]` from the HOF (the outer
-  *    transform still iterates the sequence) but NULL from the unary native
-  *    expression — so for a nullable input the rewrite emits
-  *    `if(isnull(sh), [null × k], minhash_signature(sh, k))`, with
-  *    KnownNotNull keeping the If's nullability identical to the
-  *    transform's (non-nullable);
+  *    transform still iterates the sequence) but NULL from the plain unary
+  *    native expression — so for a nullable input the rewrite sets
+  *    MinHashSignature's `nullAsAllNull` flag, which reproduces `[null × k]`
+  *    INSIDE the expression and keeps the output non-nullable like the
+  *    transform's. (Rounds 8–9 emitted an `if(isnull(sh), [null × k],
+  *    minhash_signature(sh, k))` guard instead; that duplicated `sh`, and
+  *    because this rule runs in the last optimizer batch — after
+  *    CollapseProject — `sh` is usually the INLINE shingles transform
+  *    chain, which a CodegenFallback consumer really evaluates twice, with
+  *    no subexpression elimination to recover it and no `With` binding
+  *    available this late. The flag removes the duplication entirely.);
   *  - int→string casts and md5 have no ANSI-mode divergence;
   *  - a sequence with a negative stop (descending: 0, −1, …) is refused —
   *    the native signature has no descending-seed form. */
@@ -64,10 +69,6 @@ object MinHashRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  private def allNullSignature(k: Int): Literal =
-    Literal(new GenericArrayData(Array.fill[Any](k)(null)),
-      ArrayType(StringType, containsNull = true))
-
   /** Some(stop) when the expression is the ascending seed range 0..stop —
     * either the unfolded `sequence(0, stop)` call or (the form this rule
     * actually sees after ConstantFolding ran earlier in the batch) the
@@ -97,9 +98,6 @@ object MinHashRewrite extends Rule[LogicalPlan] {
             sh.dataType.asInstanceOf[ArrayType].elementType == StringType &&
             isSeedHash(inner, s, x) =>
         val k = seedRangeStop(seeds).get + 1
-        if (sh.nullable)
-          If(IsNull(sh), allNullSignature(k),
-            KnownNotNull(MinHashSignature(sh, k)))
-        else MinHashSignature(sh, k)
+        MinHashSignature(sh, k, nullAsAllNull = sh.nullable)
     }
 }

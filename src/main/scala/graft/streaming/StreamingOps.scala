@@ -468,6 +468,43 @@ object StreamingOps {
                      valueCol: String = "v"): DataFrame =
     graft.operators.Merge.quantileSample(rows, k, id, valueCol)
 
+  /** Streaming line-boilerplate doc-frequency maintenance — the online twin
+    * of `LineDedup.docFreq`/`mergeDocFreq`: per-distinct-line document
+    * frequency is a SUM over per-doc contributions, so stream accumulation
+    * over any trigger split equals the batch frequency table exactly.
+    *
+    * The batch form chains TWO aggregates (per-(digest, doc) dedup, then
+    * the digest count) — unsupported as chained streaming aggregations.
+    * But a document arrives WHOLE in one row, so its per-doc line dedup is
+    * stateless: `array_distinct` over the row's own chunked lines, then
+    * explode, leaving ONE stateful aggregation. Equal digests are equal
+    * lines (the same md5-identity assumption the batch per-(digest, doc)
+    * dedup makes), so deduping by line text per doc is the identical set.
+    * Complete mode re-emits the current (digest, doc_freq, line) state. */
+  def lineDocFreq(docs: DataFrame, wordsPerLine: Int): DataFrame = {
+    val chunks = transform(
+      sequence(lit(0),
+        ((size(split(col("text"), " ")) - 1) / wordsPerLine).cast("int")),
+      i => array_join(
+        slice(split(col("text"), " "), i * wordsPerLine + 1,
+          lit(wordsPerLine)), " "))
+    docs.select(col("doc_id"), explode(array_distinct(chunks)).as("line"))
+      .withColumn("__h", md5(col("line")))
+      .groupBy("__h")
+      .agg(count(lit(1)).as("doc_freq"), min(col("line")).as("line"))
+      .select("__h", "line", "doc_freq")
+  }
+
+  /** Streaming compaction tail-state maintenance — the online twin of
+    * `Compaction.tailTotals`: per-partition-dir running byte totals are a
+    * SUM, so the complete-mode state after any trigger split equals the
+    * batch tails, and `Compaction.assignIncrementalFromTails` over the
+    * streamed state places new files bit-identically to batch
+    * `assignIncremental` over the full history (spec-asserted). */
+  def compactionTails(files: DataFrame, part: String = "part",
+                      bytes: String = "bytes"): DataFrame =
+    graft.operators.Compaction.tailTotals(files, part, bytes)
+
   case class FunnelEvent(event_id: Long, user_id: Long,
                          ts: java.sql.Timestamp, event_type: String)
   case class FunnelState(stageTimes: List[Long])

@@ -130,6 +130,32 @@ class TextMiningSpec extends SparkSpec {
     assert(v3 == "dup_heavy")
   }
 
+  test("domainReportApprox: exact columns ride along, HLL verdict/accuracy booleans hold") {
+    import spark.implicits._
+    val d = (Seq.tabulate(6)(i => ("d0", i.toLong, "tiny" + (i % 2), 7L)) ++
+      Seq(("d1", 10L, "longer unique text one", 200L),
+        ("d1", 11L, "longer duplicated text", 210L),
+        ("d1", 12L, "longer duplicated text", 210L),
+        ("d1", 13L, "longer duplicated text", 210L)) ++
+      Seq(("d2", 14L, "w" * 200, 200L), ("d2", 15L, "v" * 300, 300L)))
+      .toDF("source", "doc_id", "text", "n_chars")
+    val exact = Validate.domainReport(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(4), r.getString(5))).toMap
+    val approx = Validate.domainReportApprox(d).collect()
+    assert(approx.map(_.getString(0)).toSeq == Seq("d0", "d1", "d2"))
+    approx.foreach { r =>
+      val (nDocs, nDups, verdict) = exact(r.getString(0))
+      assert(r.getLong(1) == nDocs)
+      assert(r.getLong(4) == nDups)
+      assert(r.getString(5) == verdict)
+      // at these cardinalities HLL++ runs in sparse (exact) mode, so both
+      // booleans are provably TRUE and the estimated verdict matches
+      assert(r.getString(6) == verdict, "verdict_est diverged")
+      assert(r.getBoolean(7), "est_within_tol false")
+      assert(r.getBoolean(8), "verdict_agrees false")
+    }
+  }
+
   test("bm25: exact copy of the query outranks partial overlap; saturation caps tf") {
     import spark.implicits._
     val docs = Seq(

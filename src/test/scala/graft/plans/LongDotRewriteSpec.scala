@@ -109,6 +109,57 @@ class LongDotRewriteSpec extends SparkSpec {
     assert(condition(hofErr) == "ARITHMETIC_OVERFLOW", s"hof: $hofErr")
   }
 
+  test("ANSI failure path: overflow PAST a null element / under a length mismatch still throws like the HOF") {
+    ensure()
+    assume(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    import spark.implicits._
+    def condition(t: Throwable): String = {
+      var c = t
+      while (c != null) {
+        c match {
+          case s: org.apache.spark.SparkThrowable if s.getCondition != null =>
+            return s.getCondition
+          case _ =>
+        }
+        c = c.getCause
+      }
+      "none"
+    }
+    // zip_with evaluates every overlap product, so an overflow AFTER a null
+    // element throws in the HOF — the native expression must scan the full
+    // overlap too, not short-circuit to null at the first null (the round-9
+    // form silently returned null here)
+    val nullThenOverflow =
+      Seq((Seq(Option.empty[Long], Some(Long.MaxValue)),
+           Seq(Some(1L), Some(Long.MaxValue)))).toDF("a", "b").repartition(1)
+    // ...and likewise under a length mismatch: the pad nulls the RESULT but
+    // overlap products still evaluate
+    val mismatchOverflow =
+      Seq((Seq(Long.MaxValue), Seq(Long.MaxValue, 5L))).toDF("a", "b")
+        .repartition(1)
+    for ((df, tag) <- Seq((nullThenOverflow, "null_then_overflow"),
+                          (mismatchOverflow, "mismatch_overflow"))) {
+      val natErr = intercept[Throwable] {
+        df.select(hofDot(col("a"), col("b"))).collect()
+      }
+      val hofErr = intercept[Throwable] {
+        df.select(hofDotRef(col("a"), col("b"))).collect()
+      }
+      assert(condition(natErr) == "ARITHMETIC_OVERFLOW", s"$tag native: $natErr")
+      assert(condition(hofErr) == "ARITHMETIC_OVERFLOW", s"$tag hof: $hofErr")
+    }
+    // and the non-overflowing variants of the same shapes agree on null
+    val benign = Seq(
+      ("null_then_ok", Seq(Option.empty[Long], Some(2L)), Seq(Some(1L), Some(3L))),
+      ("mismatch_ok", Seq(Some(2L)), Seq(Some(3L), Some(4L))))
+      .toDF("tag", "a", "b").repartition(1)
+    benign.select(col("tag"), hofDot(col("a"), col("b")).as("nat"),
+        hofDotRef(col("a"), col("b")).as("hof"))
+      .collect().foreach { r =>
+        assert(r.isNullAt(1) && r.isNullAt(2), s"${r.getString(0)}: expected null/null")
+      }
+  }
+
   test("LEGACY overflow: rewritten form wraps exactly like the HOF") {
     ensure()
     import spark.implicits._

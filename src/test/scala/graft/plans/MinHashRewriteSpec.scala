@@ -9,9 +9,11 @@ import graft.operators.NearDup
 /** The minhash-HOF rewrite must reproduce the portable form exactly:
   * identical signatures on real shingle sets (hex-string min == raw-byte
   * min), null shingles skipped, empty/all-null arrays giving all-null
-  * signatures, and — the corner that forces the If guard — a NULL shingle
-  * ARRAY yielding `[null × k]` (the outer transform still iterates), not
-  * the unary expression's NULL. */
+  * signatures, and a NULL shingle ARRAY yielding `[null × k]` (the outer
+  * transform still iterates) — handled by MinHashSignature's
+  * `nullAsAllNull` flag, NOT an `If(IsNull(sh), …)` guard, because the
+  * guard would duplicate the (usually inline, post-CollapseProject)
+  * shingles chain and evaluate it twice per row. */
 class MinHashRewriteSpec extends SparkSpec {
 
   private def ensure(): Unit = GraftExtensions.registerAll(spark)
@@ -81,6 +83,26 @@ class MinHashRewriteSpec extends SparkSpec {
     // null shingles are skipped: same signature as without them
     assert(out("null_skipped")._1 == out("clean")._1)
     assert(out("clean")._1.forall(_ != null))
+  }
+
+  test("nullable inline shingles chain rewrites WITHOUT duplicating the chain") {
+    ensure()
+    // post-CollapseProject the HOF's input is the inline shingles transform
+    // chain over the (nullable) parquet text column — the rewrite must fire
+    // via the nullAsAllNull flag, with no If(isnull(sh), …) guard and the
+    // chain appearing exactly once in the optimized plan
+    val df = documents
+      .select(NearDup.shingles(col("text")).as("sh"))
+      .select(NearDup.minhashSigHof(col("sh")).as("sig"))
+    val plan = optimizedPlan(df)
+    assert(plan.contains("minhash_signature"), s"rewrite did not fire:\n$plan")
+    // the shingles chain is sort_array(word_grams(text)); a duplicated
+    // operand would show it twice
+    val chainCount = "word_grams".r.findAllIn(plan).size
+    assert(chainCount == 1,
+      s"shingles chain appears $chainCount times (expected 1 — no duplication):\n$plan")
+    assert(!plan.toLowerCase.contains("if (isnull"),
+      s"If(IsNull…) guard survived — should be the nullAsAllNull flag:\n$plan")
   }
 
   test("guard: a descending sequence (negative stop) is NOT rewritten") {

@@ -14,6 +14,16 @@ class AppendSinkSpec extends SparkSpec {
     assert(spec("createDisposition") == "CREATE_IF_NEEDED")  // HanaToBQ.java:259
   }
 
+  test("the EXACT option map handed to format(\"bigquery\") — nothing more, nothing less") {
+    // the one seam no sandbox run can exercise live; this pins the full
+    // contract so a connected environment differs ONLY in `format`
+    assert(AppendSink.bigQuerySpec("proj.dataset.table") == Map(
+      "table" -> "proj.dataset.table",
+      "writeDisposition" -> "WRITE_APPEND",      // HanaToBQ.java:258
+      "createDisposition" -> "CREATE_IF_NEEDED"  // HanaToBQ.java:259
+    ))
+  }
+
   test("caller options pass through (and may override) the spec") {
     val spec = AppendSink.bigQuerySpec("d.t",
       Map("temporaryGcsBucket" -> "stage-bucket", "writeMethod" -> "indirect"))

@@ -901,4 +901,66 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed === Seq((10L, 1L, false), (11L, 3L, false), (12L, 12L, true)))
   }
+
+  test("streaming line doc-frequency accumulates to EXACTLY the batch docFreq (and its merge)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val wpl = 4
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").limit(120)
+      .as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.lineDocFreq(
+        stream.toDF().toDF("doc_id", "text"), wordsPerLine = wpl)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ldf_out").start()
+    try {
+      stream.addData(docs.take(50)); q.processAllAvailable()
+      stream.addData(docs.drop(50)); q.processAllAvailable()
+    } finally q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("__h", "line", "doc_freq").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val streamed = key(spark.table("ldf_out"))
+    // (a) stream state == batch docFreq over the full corpus
+    val full = key(graft.operators.LineDedup.docFreq(
+      docs.toDF("doc_id", "text"), wpl))
+    assert(streamed.nonEmpty && streamed == full)
+    // (b) ...== mergeDocFreq over the two halves' batch states — the
+    // sum-mergeable-state claim, proven directly
+    val merged = key(graft.operators.LineDedup.mergeDocFreq(
+      graft.operators.LineDedup.docFreq(docs.take(50).toDF("doc_id", "text"), wpl),
+      graft.operators.LineDedup.docFreq(docs.drop(50).toDF("doc_id", "text"), wpl)))
+    assert(merged == full)
+  }
+
+  test("streaming compaction tail state places new files bit-identically to batch assignIncremental") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val history = (1L to 40L).map(i =>
+      (s"dt=${i % 4}", i, 37L + (i * 13 % 91)))
+    val newFiles = (41L to 60L).map(i =>
+      (s"dt=${i % 4}", i, 29L + (i * 7 % 83)))
+    val stream = MemoryStream[(String, Long, Long)]
+    val q = StreamingOps.compactionTails(
+        stream.toDF().toDF("part", "file_id", "bytes"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ctails_out").start()
+    try {
+      stream.addData(history.take(17)); q.processAllAvailable()
+      stream.addData(history.drop(17)); q.processAllAvailable()
+    } finally q.stop()
+    val streamedTails = spark.table("ctails_out")
+    def placement(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("part", "file_id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    val viaStream = placement(graft.operators.Compaction
+      .assignIncrementalFromTails(streamedTails,
+        newFiles.toDF("part", "file_id", "bytes"), target = 256L))
+    val viaBatch = placement(graft.operators.Compaction.assignIncremental(
+      history.toDF("part", "file_id", "bytes"),
+      newFiles.toDF("part", "file_id", "bytes"), target = 256L))
+    assert(viaStream.nonEmpty && viaStream == viaBatch)
+  }
 }
