@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, NfcNormalize, RollingHash32, SimHash32, SortedIntersectCount}
-import graft.plans.{CosineFoldRewrite, DotProductRewrite, LongDotRewrite, MinHashRewrite, SumSquaresRewrite, ZipWithSubtractRewrite}
+import graft.plans.{BandKeysRewrite, BucketCountsRewrite, CosineFoldRewrite, DotProductRewrite, LongDotRewrite, MinHashRewrite, SumSquaresRewrite, ZipWithSubtractRewrite}
 
 /** SparkSessionExtensions entry point: registers graft's native expressions
   * as SQL functions, so `spark.sql("SELECT cosine_similarity(a, b) ...")`
@@ -43,7 +43,8 @@ object GraftExtensions {
   private[graft] val rewriteRules: Seq[org.apache.spark.sql.catalyst.rules.Rule[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] = Seq(
     DotProductRewrite, CosineFoldRewrite, ZipWithSubtractRewrite,
-    LongDotRewrite, MinHashRewrite, SumSquaresRewrite)
+    LongDotRewrite, MinHashRewrite, SumSquaresRewrite,
+    BucketCountsRewrite, BandKeysRewrite)
 
   /** The numHashes argument must be a constant: it sizes the signature, so a
     * per-row value has no meaning. Fail analysis with a clear message instead

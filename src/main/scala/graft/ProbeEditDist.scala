@@ -20,10 +20,14 @@ object ProbeEditDist {
     spark.range(1000).selectExpr("sum(id) s").write.format("noop").mode("overwrite").save()
     args.foreach { dir =>
       val docs = Tables.documents(spark, dir)
+      // candidate/output split (round-10 SCALE.md separation): candidates =
+      // the verify DP's input (post length-bucketed blocking + Hamming gate);
+      // output = ratio-accepted true pairs. The gap is the collision share.
+      val cand = NearDup.lenBucketedSimhashPairs(docs, 8, 30).count()
       val t0 = System.nanoTime()
       val n = NearDup.editDistancePairs(docs).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"$dir: editDistancePairs $n rows in $sec%.1f s")
+      println(f"$dir: candidates $cand -> editDistancePairs $n rows in $sec%.1f s")
     }
     spark.stop()
   }

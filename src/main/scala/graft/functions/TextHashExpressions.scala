@@ -4,11 +4,11 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Murmur3HashFunction, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-row sketching expressions for the near-dup hot path.
@@ -355,6 +355,131 @@ case class UnorderedPairs(child: Expression)
         j += 1
       }
       i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** One-pass token-hash bucket histogram: `counts[pmod(hash(tok, seed), n)]++`
+  * over a string array, the PPJoin+ suffix-filter sketch under
+  * `NearDup.prefixCandidates` (NearDup.scala — the 16-int per-doc histogram
+  * whose pairwise min-sum bounds |A∩B|). Replaces the portable HOF
+  * `transform(sequence(0, n-1), k -> size(filter(sh, t -> pmod(hash(t), n) = k)))`
+  * which rescans the whole array once PER BUCKET — n·|sh| interpreted lambda
+  * steps and n·|sh| Murmur3 evaluations become |sh| hash calls in one JVM
+  * loop ([[graft.plans.BucketCountsRewrite]]).
+  *
+  * Parity contract with the HOF, corner for corner:
+  *  - the hash is Spark's own `Murmur3HashFunction` at the same seed, so
+  *    bucket assignment is bit-identical (a NULL element hashes to the seed
+  *    itself — Spark's hash() of NULL leaves the accumulator unchanged —
+  *    and therefore COUNTS, in bucket pmod(seed, n), exactly as the HOF's
+  *    `pmod(hash(null), n) = k` comparison does);
+  *  - a NULL input ARRAY yields `[null × n]`, never NULL: the HOF's outer
+  *    transform iterates the (never-null) sequence literal, and each
+  *    `size(filter(NULL, …))` is `size(NULL)` = NULL under the non-legacy
+  *    sizeOfNull the rewrite requires — so the expression itself is
+  *    non-nullable with element nulls possible only for nullable input. */
+case class BucketCounts(child: Expression, numBuckets: Int, seed: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${child.dataType.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = child.nullable)
+  override def nullable: Boolean = false
+  override def prettyName: String = "bucket_counts"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) new GenericArrayData(new Array[Any](numBuckets))
+    else nullSafeEval(v)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](numBuckets)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h =
+        if (arr.isNullAt(i)) seed
+        else Murmur3HashFunction.hash(
+          arr.getUTF8String(i), StringType, seed.toLong).toInt
+      val m = h % numBuckets
+      counts(if (m < 0) m + numBuckets else m) += 1
+      i += 1
+    }
+    new GenericArrayData(counts.map(c => c: Any))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** One-pass LSH band-key table: `[(b, md5(sig[b·r+1 … b·r+r] ⋈ '|')) × bands]`
+  * over a minhash-signature array — `NearDup.bandFrame`'s per-band
+  * slice + concat_ws + md5 transform collapsed into one JVM loop that
+  * digests each signature element once, no intermediate slice arrays
+  * ([[graft.plans.BandKeysRewrite]]).
+  *
+  * Parity contract with the HOF
+  * `transform(sequence(0, bands-1), b -> struct(b, md5(cast(concat_ws('|',
+  * slice(sig, b·r+1, r)) as binary))))`:
+  *  - concat_ws SKIPS null elements (no separator emitted for them), and a
+  *    NULL or short array behaves like slice's truncation — an empty band
+  *    digest is md5("") exactly as concat_ws over an empty/NULL slice
+  *    yields "";
+  *  - a NULL input array therefore yields the full band table with every
+  *    key = md5("") — concat_ws never returns NULL for a non-null
+  *    separator — so the expression is non-nullable with non-nullable
+  *    struct fields, matching the HOF output type bit for bit. */
+case class BandKeys(child: Expression, numBands: Int, rowsPerBand: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numBands > 0 && rowsPerBand > 0,
+    s"numBands and rowsPerBand must be positive, got $numBands x $rowsPerBand")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${child.dataType.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("band", IntegerType, nullable = false),
+    StructField("key", StringType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "band_keys"
+
+  private val Sep = "|".getBytes("UTF-8")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    val arr = if (v == null) null else v.asInstanceOf[ArrayData]
+    val n = if (arr == null) 0 else arr.numElements()
+    val out = new Array[Any](numBands)
+    val parts = new scala.collection.mutable.ArrayBuffer[Array[Byte]](2 * rowsPerBand)
+    var b = 0
+    while (b < numBands) {
+      parts.clear()
+      val start = b * rowsPerBand
+      val end = math.min(start + rowsPerBand, n)
+      var i = start
+      while (i < end) {
+        if (!arr.isNullAt(i)) {
+          if (parts.nonEmpty) parts += Sep
+          parts += arr.getUTF8String(i).getBytes
+        }
+        i += 1
+      }
+      val digest = HashUtil.md5(parts.toSeq: _*)
+      out(b) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](b, UTF8String.fromString(HashUtil.hex(digest))))
+      b += 1
     }
     new GenericArrayData(out)
   }

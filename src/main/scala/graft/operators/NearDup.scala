@@ -659,8 +659,8 @@ object NearDup {
     * bucket too. Exactness argument in the [[editDistancePairs]] scaladoc:
     * ratio-acceptable pairs differ by ≤ 1 bucket, so the double emission
     * never loses one; everything pruned fails the post-block ratio gate. */
-  private def lenBucketedSimhashPairs(docs: DataFrame, maxDist: Int,
-                                      maxRatioPct: Int): DataFrame = {
+  private[graft] def lenBucketedSimhashPairs(docs: DataFrame, maxDist: Int,
+                                             maxRatioPct: Int): DataFrame = {
     val toks = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
     val width = -math.log1p(-maxRatioPct / 100.0) * 1.01
     val fps = graft.core.Parallelism.forCompute(docs).select(col("doc_id"),
