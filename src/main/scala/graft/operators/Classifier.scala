@@ -89,14 +89,40 @@ object Classifier {
     val spark = docs.sparkSession
     val weights: Map[Long, Long] = model(spark, nFeatures)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one-pass native (round-10 measured rewrite): the HOF twin below
+    // tokenized twice and paid Catalyst's LINEAR map-literal scan per token
+    // (element_at on ArrayBasedMapData); the native hashes each token once
+    // against a real HashMap — identical values, ClassifierSpec-pinned.
+    // Two-step select: TokenScore is not "cheap", so CollapseProject will
+    // not inline it twice across the field reads.
+    val ts = graft.functions.TextScoreFunctions
+      .token_score(tokens(col("text")), nFeatures, weights)
+    val first = docs.select(col("doc_id") +: ts.as("__ts") +: keep: _*)
+    val keepCols = first.columns.filter(c => c != "doc_id" && c != "__ts")
+      .toSeq.map(col)
+    first.select(
+      (col("doc_id") +:
+        col("__ts.n_feats").as("n_feats") +:
+        col("__ts.score").as("score") +:
+        keepCols) :+
+        (col("__ts.score") > 0).as("label"): _*)
+  }
+
+  /** The portable HOF twin of [[scoreUnsorted]]'s scoring expression, kept
+    * for parity specs: the weight map rides as one literal and scoring
+    * folds `element_at(map, featureId(tok))` per token. */
+  private[graft] def scoreUnsortedHof(docs: DataFrame,
+                                      nFeatures: Int = NFeatures): DataFrame = {
+    val spark = docs.sparkSession
+    val weights: Map[Long, Long] = model(spark, nFeatures)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val wmap = typedlit(weights)
     val perTok = transform(tokens(col("text")),
       t => element_at(wmap, featureId(t, nFeatures)))
     docs.select(
-        col("doc_id") +:
-        size(tokens(col("text"))).cast("long").as("n_feats") +:
-        aggregate(perTok, lit(0L), (acc, x) => acc + x).as("score") +:
-        keep: _*)
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_feats"),
+        aggregate(perTok, lit(0L), (acc, x) => acc + x).as("score"))
       .withColumn("label", col("score") > 0)
   }
 

@@ -34,19 +34,14 @@ object ContentChunking {
   def cdcChunks(docs: DataFrame, window: Int = 4, divisor: Int = 16): DataFrame = {
     val w = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
     val n = size(w)
-    // digest of the window ENDING at 1-based position i
-    def winDigest(toks: Column, i: Column) =
-      conv(substr(md5(array_join(slice(toks, i - window + 1, lit(window)), " ")),
-        lit(1), lit(15)), 16, 10).cast("long")
+    // boundary positions: window..n whose window digest hits the mask, plus
+    // the document end — computed by the one-pass native expression
+    // (round-10 measured rewrite; the HOF twin below is parity-pinned in
+    // ContentChunkingSpec: per window it allocated a slice, joined it,
+    // hex-encoded the digest and string-parsed 15 hex chars back to a long)
     val rows = docs.select(col("doc_id"), w.as("w"), n.as("n"))
-      // candidate boundary positions: window..n whose digest hits the mask,
-      // plus the document end; array_distinct since n may hit twice
-      .withColumn("bounds", array_distinct(concat(
-        filter(
-          when(col("n") >= window, sequence(lit(window), col("n")))
-            .otherwise(array().cast("array<int>")),
-          i => winDigest(col("w"), i) % divisor === 0),
-        array(col("n")))))
+      .withColumn("bounds", graft.functions.TextScoreFunctions
+        .cdc_boundaries(col("w"), window, divisor))
       .select(col("doc_id"), col("w"),
         explode(transform(col("bounds"), (b, idx) => struct(
           (idx + 1).as("chunk_id"),
@@ -63,6 +58,23 @@ object ContentChunking {
           slice(col("w"), col("c.chunk_start"),
             col("c.chunk_end") - col("c.chunk_start") + 1), " ")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_id")
+  }
+
+  /** The portable HOF twin of the native boundary scan, kept for parity
+    * specs ([[graft.functions.CdcBoundaries]] must match it corner for
+    * corner): candidate positions window..n whose digest hits the mask,
+    * plus the document end; array_distinct since n may hit twice. */
+  private[graft] def cdcBoundariesHof(toks: Column, n: Column,
+                                      window: Int, divisor: Int): Column = {
+    def winDigest(i: Column) =
+      conv(substr(md5(array_join(slice(toks, i - window + 1, lit(window)), " ")),
+        lit(1), lit(15)), 16, 10).cast("long")
+    array_distinct(concat(
+      filter(
+        when(n >= window, sequence(lit(window), n))
+          .otherwise(array().cast("array<int>")),
+        i => winDigest(i) % divisor === 0),
+      array(n)))
   }
 
   /** Cross-version chunk dedup — the CDC payoff as an operator: chunk two

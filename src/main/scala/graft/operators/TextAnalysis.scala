@@ -347,16 +347,20 @@ object TextAnalysis {
                   text: String = "text", id: String = "doc_id"): DataFrame = {
     val w = split(trim(regexp_replace(lower(col(text)), "[^a-z0-9]+", " ")), " ")
     val n = size(col("__w")).cast("long")
-    val totLen = aggregate(col("__w"), lit(0L), (acc, x) => acc + length(x))
-    val nAlpha = size(filter(col("__w"), x => x.rlike("[a-z]"))).cast("long")
+    // one-pass native for the three per-token stats (round-10 measured
+    // rewrite): the HOF forms — documented and parity-pinned in
+    // GopherRulesSpec — fold length per token, regex-filter per token, and
+    // rescan the WHOLE array once per DISTINCT token for max term frequency
+    // (O(distinct·n) interpreted steps); graft.functions.GopherStats does
+    // all three in one counting pass.
+    val gs = graft.functions.TextScoreFunctions.gopher_stats(col("__w"))
     val nStop = size(array_intersect(array_distinct(col("__w")),
       array(Stopwords.map(lit): _*))).cast("long")
-    val maxTf = coalesce(
-      array_max(transform(array_distinct(col("__w")),
-        x => size(filter(col("__w"), y => y === x)))).cast("long"), lit(0L))
     docs.select(col(id), w.as("__w"))
-      .select(col(id), n.as("n_words"), totLen.as("__len"), nAlpha.as("__na"),
-        nStop.as("__ns"), maxTf.as("max_tf"))
+      .select(col(id), n.as("n_words"), gs.as("__gs"), nStop.as("__ns"))
+      .select(col(id), col("n_words"), col("__gs.total_len").as("__len"),
+        col("__gs.n_alpha").as("__na"), col("__ns"),
+        coalesce(col("__gs.max_tf"), lit(0L)).as("max_tf"))
       .select(col(id), col("n_words"), col("max_tf"),
         (col("n_words") >= minWords && col("n_words") <= maxWords).as("r_word_count"),
         (lit(minMeanLen) * col("n_words") <= col("__len") &&
