@@ -170,14 +170,49 @@ object Similarity {
     * per-cluster curation statistics, and the one that composes with an
     * existing IVF index for free (same assignment, zero extra passes).
     *
-    * Scale shape: assignment is the IVF trainer (codebook collects are
-    * O(nLists x dims)); the candidate self-join is blocked per cell and
-    * carries ids only — embeddings rejoin from the base scan per candidate
-    * pair, so the pair exchange never ships 2x vectors. Within-cell
-    * quadratic cost is the algorithm; nLists must grow with the corpus to
-    * bound cell sizes (same knob an IVF index already tunes). */
+    * Scale shape (round-10 rework, measured): assignment is the IVF
+    * trainer (codebook collects are O(nLists x dims)); the pair stream is
+    * built by ONE cell-keyed self-join that already carries (id, vector,
+    * norm) per side, so the cosine evaluates inline in the join's output
+    * pipeline and the pair stream itself is never exchanged. (The previous
+    * id-only candidate join + two rejoin-by-id exchanges shipped the full
+    * quadratic pair stream through two extra shuffles; id-only discipline
+    * pays when candidates get deduped between block and verify — LSH — but
+    * cell blocking verifies EVERY candidate, so the rejoins were pure
+    * overhead.) The self-join is salted [[SaltedJoin]]-style: nLists
+    * distinct keys alone would cap the quadratic verify at nLists-way
+    * parallelism. Per-vector norms are computed once per VECTOR (not 2x
+    * per pair): cos = dot(a,b)/(nrm_a·nrm_b) is bit-identical to the fused
+    * [[graft.functions.CosineSimilarity]] (same fold order, same sqrt and
+    * multiply sequence — SimilaritySpec pins it). Within-cell quadratic
+    * cost is the algorithm; nLists must grow with the corpus to bound cell
+    * sizes (same knob an IVF index already tunes). */
   def semanticNearDupPairs(emb: DataFrame, threshold: Double = 0.4,
                            nLists: Int = 8): DataFrame = {
+    val assign = IvfIndex.assignments(emb, nLists)
+    val base = assign.select(col("vec_id"), col("list"))
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions
+        .dot_product(col("embedding"), col("embedding"))))
+    val a = base.select(col("list"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = base.select(col("list"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    val salts = math.max(8, emb.sparkSession.sparkContext.defaultParallelism)
+    SaltedJoin.salted(a, b, Seq("list"), saltBy = Seq("a_id"), salts = salts)
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", graft.functions.VectorFunctions
+        .dot_product(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** The pre-round-10 formulation of [[semanticNearDupPairs]] (id-only
+    * candidate join + rejoin-by-id + fused cosine), kept as the parity
+    * twin: output must be IDENTICAL, including cosine bits. */
+  private[graft] def semanticNearDupPairsRejoin(emb: DataFrame,
+      threshold: Double = 0.4, nLists: Int = 8): DataFrame = {
     val assign = IvfIndex.assignments(emb, nLists)
     val a = assign.select(col("vec_id").as("a_id"), col("list"))
     val b = assign.select(col("vec_id").as("b_id"), col("list"))

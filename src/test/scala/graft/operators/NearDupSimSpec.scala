@@ -246,6 +246,20 @@ class NearDupSimSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("semanticNearDupPairs: salted inline-cosine form bit-identical to the rejoin twin") {
+    val emb = Tables.embeddings(spark, sf)
+    val now = Similarity.semanticNearDupPairs(emb, 0.4).collect().toSeq
+    val old = Similarity.semanticNearDupPairsRejoin(emb, 0.4).collect().toSeq
+    assert(now.nonEmpty && now.size == old.size, s"${now.size} vs ${old.size}")
+    now.zip(old).foreach { case (x, y) =>
+      assert(x.getLong(0) == y.getLong(0) && x.getLong(1) == y.getLong(1),
+        s"pair mismatch: $x vs $y")
+      assert(java.lang.Double.doubleToRawLongBits(x.getDouble(2)) ==
+        java.lang.Double.doubleToRawLongBits(y.getDouble(2)),
+        s"cosine bits differ: $x vs $y")
+    }
+  }
+
   test("LSH top-k neighbors are a subset of the corpus with valid cosines") {
     val emb = Tables.embeddings(spark, sf)
     val lsh = Similarity.lshTopK(emb, nQueries = 4, k = 5).collect()
