@@ -718,8 +718,52 @@ object Relational {
     spearmanBy(Tables.lineitem(spark, dir), "l_returnflag",
       "l_quantity", "l_extendedprice")
 
-  /** Generic grouped Spearman (see [[spearmanCorr]] for the contract). */
+  /** Generic grouped Spearman (see [[spearmanCorr]] for the contract).
+    *
+    * Ranks come from VALUE-GRAIN maps, not a row-grain window (round-10
+    * rework, the Mann-Whitney discipline below): a window partitioned by
+    * `group` caps the sort at |groups| tasks — 3 for lineitem's returnflag
+    * — so the full row stream sorted twice inside 3 tasks was the lane's
+    * whole cost at sf1 and would be a scale-killer on a cluster. The
+    * doubled average rank of a value v is the exact integer
+    * 2·C_v + c_v + 1 (C_v rows strictly smaller, c_v ties), i.e.
+    * 2·cum − c + 1 over the value-grain cumulative count — so the window
+    * now runs over DISTINCT (group, value) rows only, and the row stream
+    * meets the rank maps in two hash joins that parallelize freely. Output
+    * bit-identical to the window form (2·rank + ties − 1 = 2(C+1) + c − 1 =
+    * 2C + c + 1; RelationalMoreSpec pins it against the retained twin). */
   def spearmanBy(df: DataFrame, group: String, x: String, y: String): DataFrame = {
+    def rankMap(value: String, out: String): DataFrame = {
+      val w = Window.partitionBy(group).orderBy(col(value))
+      df.groupBy(col(group), col(value)).agg(count(lit(1)).as("__c"))
+        .select(col(group), col(value),
+          (sum("__c").over(w) * 2 - col("__c") + 1).cast("long").as(out))
+    }
+    val r = df.select(col(group), col(x), col(y))
+      .join(rankMap(x, "rx"), Seq(group, x))
+      .join(rankMap(y, "ry"), Seq(group, y))
+    r.groupBy(group)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("rx").cast("decimal(20,0)")).as("sx"),
+        sum(col("ry").cast("decimal(20,0)")).as("sy"),
+        sum((col("rx") * col("ry")).cast("decimal(30,0)")).as("sxy"),
+        sum((col("rx") * col("rx")).cast("decimal(30,0)")).as("sxx"),
+        sum((col("ry") * col("ry")).cast("decimal(30,0)")).as("syy"))
+      .select(
+        col(group), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("spearman_rho"))
+      .orderBy(group)
+  }
+
+  /** The pre-round-10 row-grain-window form of [[spearmanBy]], kept as the
+    * parity twin: output must be identical (doubled ranks are the same
+    * exact integers). */
+  private[graft] def spearmanByWindow(df: DataFrame, group: String,
+                                      x: String, y: String): DataFrame = {
     def ranked2(value: Column): Column = {
       val wr = Window.partitionBy(group).orderBy(value)
       val wt = Window.partitionBy(col(group), value)

@@ -145,6 +145,22 @@ class FunnelSpec extends SparkSpec {
     assert(math.abs(got("h") + 1.0) < 1e-12, s"reversed ~-1, got ${got("h")}")
   }
 
+  test("spearman: value-grain rank-map form bit-identical to the row-grain-window twin") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val now = Relational.spearmanBy(li, "l_returnflag",
+      "l_quantity", "l_extendedprice").collect().toSeq
+    val old = Relational.spearmanByWindow(li, "l_returnflag",
+      "l_quantity", "l_extendedprice").collect().toSeq
+    assert(now.nonEmpty && now.size == old.size)
+    now.zip(old).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0) && a.getLong(1) == b.getLong(1),
+        s"group/n mismatch: $a vs $b")
+      assert(java.lang.Double.doubleToRawLongBits(a.getAs[Double]("spearman_rho")) ==
+        java.lang.Double.doubleToRawLongBits(b.getAs[Double]("spearman_rho")),
+        s"rho bits differ: $a vs $b")
+    }
+  }
+
   test("invertedIndex: postings sorted, capped, df keeps the true count") {
     import spark.implicits._
     // 'common' in 30 docs (cap 20 postings), 'rare' in 2 (below minDf)
