@@ -52,23 +52,123 @@ object Sampling {
     * behavior (real recipes then re-normalize or upsample; detecting the
     * shortfall is one groupBy on the output).
     *
-    * One window shuffle on the stratum key; rank state is O(quota) per
-    * group under AQE skew handling. Output keeps (key, stratum, mix_rk). */
+    * Scale shape (round-10 rework): the naive form ranks the WHOLE stratum
+    * with one row_number window — a per-stratum global sort whose
+    * parallelism is |strata| tasks (a handful of languages = a handful of
+    * cores sorting the corpus). Instead the hash order's first 16 bits
+    * bucket every row; one (stratum, bucket) count aggregation + a running
+    * total over the 65536-row-per-stratum bucket grain finds the buckets
+    * wholly inside the quota and the ONE straddling bucket, whose rows
+    * alone (≈ corpus/65536) are window-ranked to cut the prefix exactly.
+    * Only then does a window rank the SELECTED rows — bounded by `budget`,
+    * a training-recipe constant, not by the corpus. Output identical to
+    * the naive form (same total order, same prefix, same dense ranks —
+    * SamplingSpec pins it against the retained twin).
+    * Output keeps (key, stratum, mix_rk). */
   def mixture(df: DataFrame, keyCol: String, strataCol: String,
               weights: Map[String, Double], budget: Long,
               salt: String = "graft_mix_v1"): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ >= 0),
       "weights must be non-negative")
-    val quota: Column = weights.toSeq.sortBy(_._1)
-      .foldLeft(lit(0L)) { case (acc, (stratum, w)) =>
-        when(col(strataCol) === stratum,
-          lit(math.floor(budget * w).toLong)).otherwise(acc)
+    val quota = quotaOf(strataCol, weights.view.mapValues(w =>
+      math.floor(budget * w).toLong).toMap)
+    val sel = prefixSelect(df, keyCol, strataCol, salt, quota,
+      tokensCol = None)
+    val win = Window.partitionBy(strataCol)
+      .orderBy(col("__h").asc, col(keyCol).asc)
+    sel.withColumn("mix_rk", row_number().over(win).cast("long"))
+      .drop("__h", "__b")
+  }
+
+  /** Per-stratum quota literal fold (strata absent from the map get 0). */
+  private def quotaOf(strataCol: String, quotas: Map[String, Long]): Column =
+    quotas.toSeq.sortBy(_._1)
+      .foldLeft(lit(0L)) { case (acc, (stratum, q)) =>
+        when(col(strataCol) === stratum, lit(q)).otherwise(acc)
       }
+
+  /** EXACT hash-order prefix per stratum without a corpus-wide sort: rows
+    * whose (md5(key|salt), key) order position puts them strictly inside
+    * the stratum's quota — counted in ROWS, or in TOKENS when `tokensCol`
+    * is set (take-while-before-strictly-under, so the first straddling doc
+    * is included; zero-token docs at the exact boundary are excluded, both
+    * matching the windowed cumulative form).
+    *
+    * Mechanics: bucket = first 16 hash bits. Pass 1 aggregates per
+    * (stratum, bucket) counts/token sums; a bucket-grain running total
+    * (65536 rows per stratum, trivially small) classifies each bucket as
+    * wholly-selected, straddling, or beyond. Wholly-selected buckets pass
+    * through with no sort; the straddling bucket's rows (≈ n/65536) are
+    * ranked alone. The hash is uniform, so bucket counts concentrate
+    * sharply around n/65536 — no bucket-level skew to split. Returns the
+    * selected rows with `__h`/`__b` still attached (callers rank/cumsum the
+    * budget-bounded result and drop them). */
+  private def prefixSelect(df: DataFrame, keyCol: String, strataCol: String,
+                           salt: String, quota: Column,
+                           tokensCol: Option[String]): DataFrame = {
+    val withH = df
+      .withColumn("__h", md5(concat(col(keyCol).cast("string"), lit("|" + salt))))
+      .withColumn("__b", conv(substr(col("__h"), lit(1), lit(4)), 16, 10).cast("int"))
+    val weight = tokensCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val counts = withH.groupBy(col(strataCol), col("__b"))
+      .agg(sum(weight).as("__w"))
+    val wb = Window.partitionBy(strataCol).orderBy("__b")
+    val cum = counts
+      .withColumn("__through", sum("__w").over(wb))
+      .withColumn("__before", col("__through") - col("__w"))
+      .withColumn("__q", quota)
+    // wholly-selected: every row's cumulative-before stays strictly under
+    // the quota even at the bucket end (row grain: __through <= __q works,
+    // but the token grain needs strict — a zero-token doc AT the boundary
+    // is excluded by the take-while rule — so strict-< is used for both;
+    // the at-most-one bucket this reclassifies lands in the straddle path
+    // and resolves identically there)
+    val full = cum.filter(col("__through") < col("__q"))
+      .select(col(strataCol), col("__b"))
+    val straddle = cum
+      .filter(col("__before") < col("__q") && col("__q") <= col("__through"))
+      .select(col(strataCol), col("__b"), col("__before"), col("__q"))
+    val fullRows = withH.join(broadcast(full), Seq(strataCol, "__b"))
+    val wr = Window.partitionBy(strataCol)
+      .orderBy(col("__h").asc, col(keyCol).asc)
+    val straddleRows = withH
+      .join(broadcast(straddle), Seq(strataCol, "__b"))
+      .withColumn("__cumB", sum(weight).over(
+        wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__before") + col("__cumB") - weight < col("__q"))
+      .drop("__cumB", "__before", "__q")
+    fullRows.unionByName(straddleRows)
+  }
+
+  /** The pre-round-10 corpus-wide-window forms of [[mixture]] /
+    * [[mixtureByTokens]], kept as parity twins: output must be identical
+    * (same hash total order, same prefix cut, same ranks/cumulative). */
+  private[graft] def mixtureWindow(df: DataFrame, keyCol: String,
+      strataCol: String, weights: Map[String, Double], budget: Long,
+      salt: String = "graft_mix_v1"): DataFrame = {
+    val quota = quotaOf(strataCol, weights.view.mapValues(w =>
+      math.floor(budget * w).toLong).toMap)
     val win = Window.partitionBy(strataCol)
       .orderBy(md5(concat(col(keyCol).cast("string"), lit("|" + salt))).asc,
         col(keyCol).asc)
     df.withColumn("mix_rk", row_number().over(win).cast("long"))
       .filter(col("mix_rk") <= quota)
+  }
+
+  private[graft] def mixtureByTokensWindow(df: DataFrame, keyCol: String,
+      strataCol: String, tokensCol: String, weights: Map[String, Double],
+      tokenBudget: Long, salt: String = "graft_mix_v1"): DataFrame = {
+    val quota = quotaOf(strataCol, weights.view.mapValues(w =>
+      math.floor(tokenBudget * w).toLong).toMap)
+    val win = Window.partitionBy(strataCol)
+      .orderBy(md5(concat(col(keyCol).cast("string"), lit("|" + salt))).asc,
+        col(keyCol).asc)
+    df.withColumn("cum_tokens",
+        sum(col(tokensCol).cast("long")).over(
+          win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") - col(tokensCol).cast("long") < quota &&
+        quota > 0)
+      .withColumn("cum_tokens", col("cum_tokens").cast("long"))
   }
 
   /** TOKEN-budget mixture sampler — [[mixture]] with the budget denominated
@@ -82,30 +182,31 @@ object Sampling {
     * prefix; the first doc straddling the boundary is included — quotas are
     * met-or-slightly-exceeded, never starved by an unlucky long doc.
     *
-    * Same single window shuffle on the stratum key as [[mixture]]; the
-    * running sum is frame-bounded state. Output keeps
-    * (key, stratum, n_tokens, cum_tokens). */
+    * Same two-pass exact prefix selection as [[mixture]] (round-10 rework —
+    * bucket-grain token totals find the straddling bucket; only its rows
+    * and then the budget-bounded SELECTED set are ever window-ranked); the
+    * take-while-strictly-under rule is evaluated identically, so the doc
+    * set, including the boundary straddler, matches the naive windowed
+    * cumulative bit for bit (SamplingSpec pins it against the twin).
+    * Output keeps (key, stratum, n_tokens, cum_tokens). */
   def mixtureByTokens(df: DataFrame, keyCol: String, strataCol: String,
                       tokensCol: String, weights: Map[String, Double],
                       tokenBudget: Long,
                       salt: String = "graft_mix_v1"): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ >= 0),
       "weights must be non-negative")
-    val quota: Column = weights.toSeq.sortBy(_._1)
-      .foldLeft(lit(0L)) { case (acc, (stratum, w)) =>
-        when(col(strataCol) === stratum,
-          lit(math.floor(tokenBudget * w).toLong)).otherwise(acc)
-      }
+    val quota = quotaOf(strataCol, weights.view.mapValues(w =>
+      math.floor(tokenBudget * w).toLong).toMap)
+    val sel = prefixSelect(df, keyCol, strataCol, salt, quota,
+      tokensCol = Some(tokensCol))
     val win = Window.partitionBy(strataCol)
-      .orderBy(md5(concat(col(keyCol).cast("string"), lit("|" + salt))).asc,
-        col(keyCol).asc)
-    df.withColumn("cum_tokens",
+      .orderBy(col("__h").asc, col(keyCol).asc)
+    sel
+      .withColumn("cum_tokens",
         sum(col(tokensCol).cast("long")).over(
-          win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      // quota not exhausted strictly before this doc = prefix membership
-      .filter(col("cum_tokens") - col(tokensCol).cast("long") < quota &&
-        quota > 0)
-      .withColumn("cum_tokens", col("cum_tokens").cast("long"))
+          win.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .drop("__h", "__b")
   }
 
   /** EPOCH-denominated UPSAMPLING mixture — the other half of the

@@ -179,6 +179,39 @@ class SamplingVectorSpec extends SparkSpec {
     assert(p2 == p1.map(_ * 2.0))
   }
 
+  test("mixture samplers: bucketed two-pass prefix identical to the corpus-window twins") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"),
+      size(split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")),
+        " ")).cast("long").as("n_tokens"))
+    val weights = Map("en" -> 0.55, "de" -> 0.25, "fr" -> 0.0)
+    // row-budget form: same rows, same ranks
+    val nowR = Sampling.mixture(docs, "doc_id", "lang", weights, 400L)
+      .select("doc_id", "lang", "mix_rk").orderBy("doc_id").collect().toSeq
+    val oldR = Sampling.mixtureWindow(docs, "doc_id", "lang", weights, 400L)
+      .select("doc_id", "lang", "mix_rk").orderBy("doc_id").collect().toSeq
+    assert(nowR.nonEmpty && nowR == oldR,
+      s"mixture diverged: ${nowR.size} vs ${oldR.size} rows")
+    // token-budget form: same docs, same cumulative, incl. the straddler
+    val nowT = Sampling.mixtureByTokens(docs, "doc_id", "lang", "n_tokens",
+        weights, 9000L)
+      .select("doc_id", "lang", "n_tokens", "cum_tokens")
+      .orderBy("doc_id").collect().toSeq
+    val oldT = Sampling.mixtureByTokensWindow(docs, "doc_id", "lang",
+        "n_tokens", weights, 9000L)
+      .select("doc_id", "lang", "n_tokens", "cum_tokens")
+      .orderBy("doc_id").collect().toSeq
+    assert(nowT.nonEmpty && nowT == oldT,
+      s"mixtureByTokens diverged: ${nowT.size} vs ${oldT.size} rows")
+    // degenerate quotas: empty weights -> nothing; tiny budget -> prefix of 1
+    assert(Sampling.mixture(docs, "doc_id", "lang", Map("xx" -> 1.0), 100L)
+      .count() == 0)
+    val one = Sampling.mixture(docs, "doc_id", "lang", Map("en" -> 1.0), 1L)
+    val oneOld = Sampling.mixtureWindow(docs, "doc_id", "lang", Map("en" -> 1.0), 1L)
+    assert(one.select("doc_id").collect().toSeq ==
+      oneOld.select("doc_id").collect().toSeq)
+  }
+
   test("epoch mixture: realized mass tracks epochs, copies contiguous, unmapped dropped") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
