@@ -104,6 +104,16 @@ object Bench {
         // Memoized cross-query frames (the curation kernel) are exempt:
         // their lineage is truncated, so dropping their blocks is fatal —
         // and sharing them across capstones is the point.
+        // Round-10 attribution fix: unpersisting the backing RDDs does NOT
+        // deregister df.persist() plans from the session CacheManager, so a
+        // later query whose subplan canonically matches a previous query's
+        // persisted frame silently reuses (or re-materializes into) its
+        // InMemoryRelation — measured as q_vec_rpq "running" in 0.02 s when
+        // q_sim_topk_ivfrpq preceded it (both persist the same
+        // forCompute(embeddings) plan). clearCache() deregisters them all;
+        // the curation kernel survives (localCheckpoint is RDD-level state,
+        // not a CacheManager entry).
+        spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .filter(_.name != graft.operators.CurationPipeline.PinnedRddName)
           .foreach(_.unpersist(blocking = false))
@@ -156,6 +166,7 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name retry failed: ${e.getMessage}") }
           val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
           spark.sparkContext.getPersistentRDDs.values
             .filter(_.name != graft.operators.CurationPipeline.PinnedRddName)
             .foreach(_.unpersist(blocking = false))
