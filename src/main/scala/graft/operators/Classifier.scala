@@ -98,8 +98,15 @@ object Classifier {
     val ts = graft.functions.TextScoreFunctions
       .token_score(tokens(col("text")), nFeatures, weights)
     val first = docs.select(col("doc_id") +: ts.as("__ts") +: keep: _*)
-    val keepCols = first.columns.filter(c => c != "doc_id" && c != "__ts")
-      .toSeq.map(col)
+    // keep columns pass through POSITIONALLY (slots 2..), so a keep named
+    // like an output column cannot be silently dropped — but it would
+    // still collide in the final schema, so refuse it loudly
+    val keepNames = first.columns.drop(2).toSeq
+    val reserved = Set("doc_id", "n_feats", "score", "label", "__ts")
+    require(keepNames.forall(n => !reserved.contains(n)),
+      s"keep column names collide with reserved output columns: " +
+        keepNames.filter(reserved.contains).mkString(", "))
+    val keepCols = keepNames.map(col)
     first.select(
       (col("doc_id") +:
         col("__ts.n_feats").as("n_feats") +:

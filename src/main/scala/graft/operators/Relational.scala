@@ -733,15 +733,23 @@ object Relational {
     * bit-identical to the window form (2·rank + ties − 1 = 2(C+1) + c − 1 =
     * 2C + c + 1; RelationalMoreSpec pins it against the retained twin). */
   def spearmanBy(df: DataFrame, group: String, x: String, y: String): DataFrame = {
-    def rankMap(value: String, out: String): DataFrame = {
+    def rankMap(value: String, out: String, gAs: String, vAs: String): DataFrame = {
       val w = Window.partitionBy(group).orderBy(col(value))
       df.groupBy(col(group), col(value)).agg(count(lit(1)).as("__c"))
-        .select(col(group), col(value),
+        .select(col(group).as(gAs), col(value).as(vAs),
           (sum("__c").over(w) * 2 - col("__c") + 1).cast("long").as(out))
     }
+    // NULL-SAFE equi-joins (<=>): the window twin ranks null-valued rows
+    // (orderBy sorts nulls first; a null group is its own partition), and
+    // groupBy/partitionBy treat nulls identically on the rank-map side —
+    // so null-bearing rows must MATCH here too, or n/rho diverge between
+    // the two forms (RelationalMoreSpec pins a null-bearing input)
+    val rx = rankMap(x, "rx", "__g_rx", "__v_rx")
+    val ry = rankMap(y, "ry", "__g_ry", "__v_ry")
     val r = df.select(col(group), col(x), col(y))
-      .join(rankMap(x, "rx"), Seq(group, x))
-      .join(rankMap(y, "ry"), Seq(group, y))
+      .join(rx, col(group) <=> col("__g_rx") && col(x) <=> col("__v_rx"))
+      .join(ry, col(group) <=> col("__g_ry") && col(y) <=> col("__v_ry"))
+      .select(col(group), col("rx"), col("ry"))
     r.groupBy(group)
       .agg(
         count(lit(1)).as("n"),

@@ -137,7 +137,11 @@ object Sampling {
         wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("__before") + col("__cumB") - weight < col("__q"))
       .drop("__cumB", "__before", "__q")
+    // the using-column joins moved (strataCol, __b) to the front; restore
+    // the caller's original column order so mixture/mixtureByTokens return
+    // the same positional schema as their window twins
     fullRows.unionByName(straddleRows)
+      .select(df.columns.map(col) :+ col("__h") :+ col("__b"): _*)
   }
 
   /** The pre-round-10 corpus-wide-window forms of [[mixture]] /

@@ -198,7 +198,13 @@ object Similarity {
       col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = base.select(col("list"), col("vec_id").as("b_id"),
       col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
-    val salts = math.max(8, emb.sparkSession.sparkContext.defaultParallelism)
+    // salts multiply the replicated (id, embedding, norm) exchange, so they
+    // must NOT scale with cluster cores (a 1000-executor cluster would ship
+    // the corpus thousands of times). nLists × salts ≈ parallelism is the
+    // task-count target; cap at 16 — beyond that, growing nLists (which
+    // also shrinks the quadratic cells) is the right knob, not more salt.
+    val salts = math.min(16, math.max(2,
+      (emb.sparkSession.sparkContext.defaultParallelism + nLists - 1) / nLists))
     SaltedJoin.salted(a, b, Seq("list"), saltBy = Seq("a_id"), salts = salts)
       .filter(col("a_id") < col("b_id"))
       .withColumn("cos", graft.functions.VectorFunctions

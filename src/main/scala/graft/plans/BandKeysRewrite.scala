@@ -49,11 +49,17 @@ object BandKeysRewrite extends Rule[LogicalPlan] {
     case _                       => false
   }
 
-  /** Some(r) when e is `b·r + 1` over the band lambda variable. */
+  /** Some(r) when e is `b·r + 1` over the band lambda variable, r > 0.
+    * The positivity guard matters: a degenerate `slice(sig, b·0+1, 0)`
+    * evaluates fine as a HOF (empty slices), but `BandKeys` requires
+    * rowsPerBand > 0 — matching it would turn a valid query into an
+    * optimizer-time crash, so the rule refuses the shape instead. */
   private def strideOf(e: Expression, b: NamedLambdaVariable): Option[Int] = {
     def mul(m: Expression): Option[Int] = m match {
-      case Multiply(bv, Literal(r: Int, IntegerType), _) if sameVar(bv, b) => Some(r)
-      case Multiply(Literal(r: Int, IntegerType), bv, _) if sameVar(bv, b) => Some(r)
+      case Multiply(bv, Literal(r: Int, IntegerType), _)
+        if sameVar(bv, b) && r > 0 => Some(r)
+      case Multiply(Literal(r: Int, IntegerType), bv, _)
+        if sameVar(bv, b) && r > 0 => Some(r)
       case _ => None
     }
     e match {

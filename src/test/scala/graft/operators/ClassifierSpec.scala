@@ -28,6 +28,24 @@ class ClassifierSpec extends SparkSpec {
     assert(p.contains("rangepartitioning"), p.take(2000))
   }
 
+  test("keep columns pass through in order; reserved-name collisions are refused loudly") {
+    import org.apache.spark.sql.functions._
+    val out = Classifier.scoreUnsorted(docs,
+      keep = Seq(col("lang"), length(col("text")).as("n_chars")))
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_feats", "score", "lang", "n_chars", "label"))
+    assert(out.count() == docs.count())
+    // a keep aliased to a reserved output name must throw, not silently
+    // drop or shadow
+    Seq(col("lang").as("doc_id"), col("lang").as("score"),
+        col("lang").as("label"), col("lang").as("n_feats")).foreach { bad =>
+      val e = intercept[IllegalArgumentException] {
+        Classifier.scoreUnsorted(docs, keep = Seq(bad)).schema
+      }
+      assert(e.getMessage.contains("collide"), e.getMessage)
+    }
+  }
+
   test("join form broadcasts the model — never a sort-merge join") {
     val p = Classifier.scoreJoin(docs).queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

@@ -161,6 +161,29 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("spearman: null groups and null values match the window twin (null-safe joins)") {
+    import spark.implicits._
+    val rows = Seq[(String, java.lang.Double, java.lang.Double)](
+      ("g", 1.0, 2.0), ("g", 2.0, 1.0), ("g", null, 3.0), ("g", 3.0, null),
+      ("g", 4.0, 4.0),
+      (null, 1.0, 1.0), (null, 2.0, 3.0), (null, null, null), (null, 3.0, 2.0),
+      ("h", 5.0, 5.0), ("h", 6.0, 7.0), ("h", 7.0, 6.0))
+    val df = rows.toDF("grp", "x", "y")
+    val now = Relational.spearmanBy(df, "grp", "x", "y").collect().toSeq
+    val old = Relational.spearmanByWindow(df, "grp", "x", "y").collect().toSeq
+    assert(now.size == old.size && now.size == 3,
+      s"expected 3 groups incl. null: ${now.size} vs ${old.size}")
+    now.zip(old).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0) && a.getLong(1) == b.getLong(1),
+        s"group/n mismatch on null-bearing input: $a vs $b")
+      val (ra, rb) = (a.getAs[Double]("spearman_rho"), b.getAs[Double]("spearman_rho"))
+      assert(java.lang.Double.doubleToRawLongBits(ra) ==
+        java.lang.Double.doubleToRawLongBits(rb), s"rho bits differ: $a vs $b")
+    }
+    // the null group must carry ALL its rows (n=4), not drop them
+    assert(now.find(_.isNullAt(0)).exists(_.getLong(1) == 4L))
+  }
+
   test("invertedIndex: postings sorted, capped, df keeps the true count") {
     import spark.implicits._
     // 'common' in 30 docs (cap 20 postings), 'rare' in 2 (below minDf)

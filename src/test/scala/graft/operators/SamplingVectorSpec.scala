@@ -185,6 +185,18 @@ class SamplingVectorSpec extends SparkSpec {
       size(split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")),
         " ")).cast("long").as("n_tokens"))
     val weights = Map("en" -> 0.55, "de" -> 0.25, "fr" -> 0.0)
+    // POSITIONAL schema parity: the two-pass form must return columns in
+    // the same order as the window twins (positional consumers break if
+    // the prefix-select joins reorder them)
+    assert(Sampling.mixture(docs, "doc_id", "lang", weights, 400L)
+        .columns.toSeq ==
+      Sampling.mixtureWindow(docs, "doc_id", "lang", weights, 400L)
+        .columns.toSeq, "mixture column order diverged from the window twin")
+    assert(Sampling.mixtureByTokens(docs, "doc_id", "lang", "n_tokens",
+        weights, 9000L).columns.toSeq ==
+      Sampling.mixtureByTokensWindow(docs, "doc_id", "lang", "n_tokens",
+        weights, 9000L).columns.toSeq,
+      "mixtureByTokens column order diverged from the window twin")
     // row-budget form: same rows, same ranks
     val nowR = Sampling.mixture(docs, "doc_id", "lang", weights, 400L)
       .select("doc_id", "lang", "mix_rk").orderBy("doc_id").collect().toSeq

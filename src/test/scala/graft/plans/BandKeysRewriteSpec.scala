@@ -104,6 +104,25 @@ class BandKeysRewriteSpec extends SparkSpec {
       "renamed struct fields must not match")
   }
 
+  test("degenerate stride 0 is refused, not crashed: slice(sig, b*0+1, 0) still evaluates") {
+    ensure()
+    // contrived but valid HOF: every band slices nothing -> concat_ws("")
+    // -> md5(""). Matching it would construct BandKeys(_, bands, 0) whose
+    // require(rowsPerBand > 0) throws AT OPTIMIZATION TIME — the guard must
+    // leave the shape alone instead.
+    val zero = transform(sequence(lit(0), lit(1)),
+      b => struct(b.as("band"),
+        md5(concat_ws("|", slice(col("sig"), b * 0 + 1, lit(0)))).as("key")))
+    val rows = sigs.limit(4).select(zero.as("bands"))
+      .selectExpr("transform(bands, s -> concat(s.band, ':', s.key)) as b")
+      .collect()
+    val md5Empty = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.empty[Byte]).map("%02x".format(_)).mkString
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == Seq(s"0:$md5Empty", s"1:$md5Empty"))
+    }
+  }
+
   test("the real minhashPairs lane carries band_keys in its plan") {
     ensure()
     val docs = graft.sources.Tables.documents(spark, sf).limit(200)
