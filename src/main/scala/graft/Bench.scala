@@ -86,10 +86,29 @@ object Bench {
       "q_curation_v3", "q_curation_v4", "q_curation_v5", "q_curation_v6")
     if (selected.exists(s => curationMemoLanes.contains(s._1)))
       graft.operators.CurationPipeline.warmKernel(spark, sfDir)
+    // same discipline for round 11's two new shared frames: the co-purchase
+    // edge CTE (owner q_triangle_count) and the BPE train state (owner
+    // q_bpe_merges) — warm untimed, reset before the owner's iterations
+    val edgeMemoLanes = Set("q_triangle_count", "q_label_prop", "q_kcore")
+    if (selected.exists(s => edgeMemoLanes.contains(s._1)))
+      SparkEntry.warmCoPurchaseEdges(spark, sfDir)
+    val bpeMemoLanes = Set("q_bpe_merges", "q_bpe_apply")
+    if (selected.exists(s => bpeMemoLanes.contains(s._1)))
+      graft.operators.BpeTrainer.warmShared(
+        graft.sources.Tables.documents(spark, sfDir), key = sfDir)
+    // every timed run of an OWNER lane — first pass AND retry pass — must
+    // rebuild its shared memo, or a warm-memo run records a near-zero time
+    def resetOwnedMemos(name: String): Unit = {
+      if (name == "q_curation")
+        graft.operators.CurationPipeline.resetKernelMemo(spark)
+      if (name == "q_triangle_count")
+        SparkEntry.resetCoPurchaseEdges(spark)
+      if (name == "q_bpe_merges")
+        graft.operators.BpeTrainer.resetSharedMemo(spark)
+    }
     val results = selected.map { case (name, fn) =>
       val times = (1 to math.max(iters, 1)).map { it =>
-        if (name == "q_curation")
-          graft.operators.CurationPipeline.resetKernelMemo(spark)
+        resetOwnedMemos(name)
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -157,10 +176,9 @@ object Bench {
         var tries = 0
         while (tries < 2 && best > math.max(1.5 * refTimes(name), refTimes(name) + 0.25)
                && retryWall <= retryBudgetSec) {
-          // retries must measure the same computation: a q_curation retry
+          // retries must measure the same computation: an owner-lane retry
           // against a warm memo would record a near-zero "heal"
-          if (name == "q_curation")
-            graft.operators.CurationPipeline.resetKernelMemo(spark)
+          resetOwnedMemos(name)
           val t0 = System.nanoTime()
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           catch { case e: Throwable =>

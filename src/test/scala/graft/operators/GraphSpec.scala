@@ -6,6 +6,22 @@ import org.apache.spark.sql.functions._
 class GraphSpec extends SparkSpec {
   import spark.implicits._
 
+  test("shared co-purchase edge CTE: memoized frame identical to the direct derivation") {
+    graft.SparkEntry.resetCoPurchaseEdges(spark)
+    val memo = graft.SparkEntry.coPurchaseEdges(spark, sf)
+      .orderBy("item_a", "item_b").collect().toSeq
+    val direct = Graph.coOccurrenceEdges(
+        graft.sources.Tables.lineitem(spark, sf)
+          .select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey")
+      .orderBy("item_a", "item_b").collect().toSeq
+    assert(memo.nonEmpty && memo == direct)
+    // a second call is a memo hit — the same checkpointed frame object
+    assert(graft.SparkEntry.coPurchaseEdges(spark, sf) eq
+      graft.SparkEntry.coPurchaseEdges(spark, sf))
+    graft.SparkEntry.resetCoPurchaseEdges(spark)
+  }
+
   test("marketBasket: counts, confidence, and lift match hand computation") {
     // 4 baskets; items 1,2 co-occur in 3 of them, item 3 rides along once;
     // duplicate (basket, item) rows must collapse before counting
