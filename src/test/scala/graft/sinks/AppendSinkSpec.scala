@@ -69,4 +69,31 @@ class AppendSinkSpec extends SparkSpec {
     assert(AppendSink.appendIdempotent(b2, dest, 3L))       // retry commits
     assert(AppendSink.readCommitted(spark, dest).count() == 4L)
   }
+
+  test("idempotent sink: crash DURING marker write replays as a no-op") {
+    import spark.implicits._
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft_idem_marker").toString + "/t"
+    val b = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    // the marker is a zero-byte file created strictly AFTER the data
+    // commit, so a crash mid-marker-write leaves exactly this state: data
+    // complete, marker present but written by a process that died before
+    // returning. Simulate it by hand instead of going through
+    // appendIdempotent.
+    b.write.mode("overwrite").parquet(s"$dest/__batch_id=7")
+    val fs = new org.apache.hadoop.fs.Path(dest).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$dest/_committed_batch_7"), true).close()
+    // the data was durable before the marker write began, so the batch IS
+    // committed: the orchestrator's replay must be a no-op (no duplicate
+    // write) and readers must see the rows exactly once
+    assert(!AppendSink.appendIdempotent(b, dest, 7L))
+    val got = AppendSink.readCommitted(spark, dest)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b")))
+    // and a LATER batch still lands normally next to the replayed one
+    assert(AppendSink.appendIdempotent(b, dest, 8L))
+    assert(AppendSink.readCommitted(spark, dest).count() == 4L)
+  }
 }
