@@ -96,6 +96,9 @@ object Bench {
     if (selected.exists(s => bpeMemoLanes.contains(s._1)))
       graft.operators.BpeTrainer.warmShared(
         graft.sources.Tables.documents(spark, sfDir), key = sfDir)
+    val covMemoLanes = Set("q_cov_matrix", "q_pca_project")
+    if (selected.exists(s => covMemoLanes.contains(s._1)))
+      SparkEntry.warmEmbeddingCov(spark, sfDir)
     // every timed run of an OWNER lane — first pass AND retry pass — must
     // rebuild its shared memo, or a warm-memo run records a near-zero time
     def resetOwnedMemos(name: String): Unit = {
@@ -105,6 +108,8 @@ object Bench {
         SparkEntry.resetCoPurchaseEdges(spark)
       if (name == "q_bpe_merges")
         graft.operators.BpeTrainer.resetSharedMemo(spark)
+      if (name == "q_cov_matrix")
+        SparkEntry.resetEmbeddingCov(spark)
     }
     val results = selected.map { case (name, fn) =>
       val times = (1 to math.max(iters, 1)).map { it =>

@@ -75,10 +75,14 @@ object Pca {
     (pairs.map(_._1).toArray, pairs.map(_._3).toArray)
   }
 
-  /** Eigendecompose the corpus covariance (driver-side, model-sized). */
-  private[operators] def fitComponents(df: DataFrame, vecCol: String)
+  /** Eigendecompose the corpus covariance (driver-side, model-sized).
+    * `cov` lets a caller hand in an ALREADY-MATERIALIZED covariance frame
+    * (same (i, j, cov_pop) grain) so a process serving both the covariance
+    * lane and a PCA lane computes the d2/2 moment aggregate once. */
+  private[operators] def fitComponents(df: DataFrame, vecCol: String,
+      cov: Option[DataFrame] = None)
   : (Array[Double], Array[Array[Double]]) = {
-    val rows = VectorOps.covarianceMatrix(df, vecCol)
+    val rows = cov.getOrElse(VectorOps.covarianceMatrix(df, vecCol))
       .select("i", "j", "cov_pop").collect()
     val d = rows.map(_.getAs[Long]("j")).max.toInt + 1
     val m = Array.ofDim[Double](d, d)
@@ -112,8 +116,9 @@ object Pca {
     * squared norm iff the basis is orthonormal, so `ok_parseval` flips on
     * any Jacobi defect, per vector, on real data. */
   def parsevalAudit(df: DataFrame, vecCol: String,
-                    relTol: Double = 1e-9): DataFrame = {
-    val (_, comps) = fitComponents(df, vecCol)
+                    relTol: Double = 1e-9,
+                    cov: Option[DataFrame] = None): DataFrame = {
+    val (_, comps) = fitComponents(df, vecCol, cov)
     val d = comps.length
     val v = col(vecCol)
     val sqRaw = aggregate(v, lit(0.0),

@@ -7,6 +7,19 @@ import graft.SparkSpec
   * ordering, and partition invariance (the rows-only lane's contract). */
 class PcaSpec extends SparkSpec {
 
+  test("parsevalAudit with a precomputed covariance is identical to the self-computed form") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    graft.SparkEntry.resetEmbeddingCov(spark)
+    val shared = Pca.parsevalAudit(emb, "embedding",
+      cov = Some(graft.SparkEntry.embeddingCov(spark, sf))).collect().toSeq
+    val direct = Pca.parsevalAudit(emb, "embedding").collect().toSeq
+    assert(shared.nonEmpty && shared == direct)
+    // and the memoized covariance frame itself matches the direct operator
+    assert(graft.SparkEntry.embeddingCov(spark, sf).collect().toSeq ==
+      VectorOps.covarianceMatrix(emb, "embedding").collect().toSeq)
+    graft.SparkEntry.resetEmbeddingCov(spark)
+  }
+
   test("jacobi: known 2x2 eigensystem") {
     // [[2,1],[1,2]] -> eigenvalues 3, 1; vectors (1,1)/sqrt2, (1,-1)/sqrt2
     val (evs, vecs) = Pca.jacobiEigSym(
