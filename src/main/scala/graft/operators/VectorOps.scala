@@ -188,6 +188,38 @@ object VectorOps {
     * combines to d²/2 groups per partition — the shuffle is d²/2 rows
     * TOTAL (2080 for d=64) regardless of row count. Zero joins. */
   def covarianceMatrix(df: DataFrame, vecCol: String): DataFrame = {
+    // round-11 measured rewrite: ONE typed moment-grid aggregate instead of
+    // the d²/2-per-row posexplode into a hash aggregate (the exploded twin
+    // below, kept for parity specs — CovMatrixSpec pins bit-identity). Per
+    // vector this is a tight triangular integer loop into a flat long[]
+    // buffer; partials merge elementwise, so nothing row-amplified ever
+    // exists and the exchange is ~170 KB of buffers, not pair rows.
+    val spark = df.sparkSession
+    implicit val vecEnc: org.apache.spark.sql.Encoder[Seq[java.lang.Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[java.lang.Double]]()
+    val cells = graft.core.Parallelism.forCompute(df)
+      .select(col(vecCol).cast("array<double>"))
+      .as[Seq[java.lang.Double]]
+      .select(new graft.functions.CovMomentAggregator.MomentGrid()
+        .toColumn.name("cells"))
+      .toDF("cells")
+      .select(explode(col("cells")).as("c"))
+    cells.select(
+        col("c.i").as("i"), col("c.j").as("j"), col("c.n").as("n"),
+        col("c.sum_qx").as("sum_qx"),
+        col("c.sum_qy").as("sum_qy"),
+        col("c.sum_qxy").as("sum_qxy"))
+      .withColumn("cov_pop",
+        (col("sum_qxy") - col("sum_qx") * col("sum_qy") / col("n").cast("double"))
+          / col("n").cast("double") / lit(1099511627776.0))
+      .orderBy("i", "j")
+  }
+
+  /** The exploded decimal-sum form of [[covarianceMatrix]], kept as the
+    * parity twin: output must be IDENTICAL (same exact integer moments
+    * surfaced through the same correctly-rounded double casts and the same
+    * final IEEE chain) on any input within the decimal(30,0) domain. */
+  private[graft] def covarianceMatrixExploded(df: DataFrame, vecCol: String): DataFrame = {
     val v = col(vecCol)
     // (i, xᵢ, suffix from i): the second posexplode walks the suffix so
     // each unordered pair appears exactly once, no self-join

@@ -62,6 +62,34 @@ class CovMatrixSpec extends SparkSpec {
     }
   }
 
+  test("moment-grid aggregate bit-identical to the exploded decimal twin " +
+    "(fixture + ragged + null-bearing, multi-partition merge path)") {
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().toSeq.map { r =>
+        def bits(n: Int) =
+          if (r.isNullAt(n)) "null"
+          else java.lang.Double.doubleToRawLongBits(r.getDouble(n)).toString
+        s"${r.getLong(0)},${r.getLong(1)},${r.getLong(2)}," +
+          s"${bits(3)},${bits(4)},${bits(5)},${bits(6)}"
+      }
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    assert(rowsOf(VectorOps.covarianceMatrix(emb, "embedding")) ==
+      rowsOf(VectorOps.covarianceMatrixExploded(emb, "embedding")))
+    // ragged lengths, null elements, a null vector, negatives and values
+    // past the float-unit range — repartitioned so merge() runs
+    import spark.implicits._
+    val ugly = Seq(
+      (1L, Seq[java.lang.Float](1.5f, -2.25f, 3.125f, 0.001f)),
+      (2L, Seq[java.lang.Float](-0.5f, null, 2.0f)),
+      (3L, Seq[java.lang.Float](4.75f)),
+      (4L, null.asInstanceOf[Seq[java.lang.Float]]),
+      (5L, Seq[java.lang.Float](null, null, -3000.5f, 7.125f)),
+      (6L, Seq[java.lang.Float](0.0f, 123.456f, -0.0f, 9.5f)))
+      .toDF("vec_id", "embedding").repartition(4)
+    assert(rowsOf(VectorOps.covarianceMatrix(ugly, "embedding")) ==
+      rowsOf(VectorOps.covarianceMatrixExploded(ugly, "embedding")))
+  }
+
   test("plan: no join — the pair expansion is a narrow generate") {
     val df = VectorOps.covarianceMatrix(
       graft.sources.Tables.embeddings(spark, sf), "embedding")
