@@ -15,6 +15,20 @@ object Parallelism {
   def forCompute(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
+    // IDEMPOTENT: operators apply forCompute defensively at their entry
+    // points, and callers often hand in an already-repartitioned (and
+    // persisted) frame — wrapping again would stack a second full shuffle
+    // per action AND miss the caller's cache (the CacheManager matches the
+    // inner subtree only). A frame whose top node is already a shuffling
+    // repartition needs nothing more.
+    val already = df.queryExecution.logical match {
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition =>
+        r.shuffle
+      case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression =>
+        true
+      case _ => false
+    }
+    if (already) return df
     // estimate the scan's split count from optimizer statistics — NOT from
     // df.rdd.getNumPartitions, which forces eager physical planning of the
     // whole upstream subtree on every call. sizeInBytes is the file size for

@@ -39,9 +39,20 @@ object IvfIndex {
     emb.select(col(id), posexplode(col("embedding")).as(Seq("dim", "v")))
       .withColumn("v", col("v").cast("double"))
 
-  /** (list, dim, c) centroids from an assignment (vec_id -> list). */
-  private def centroids(ve: DataFrame, assign: DataFrame): DataFrame =
-    ve.join(assign, "vec_id")
+  /** (list, dim, c) centroids with the list computed INLINE (round-11
+    * rework): the old form joined the d-exploded component stream (64n
+    * rows) against a corpus-sized (vec_id -> list) relation — a shuffle of
+    * the amplified stream per Lloyd step. Computing the list as a narrow
+    * expression on the un-exploded row first means the explode feeds the
+    * (map-side-combined, nLists x d group) aggregate directly: zero joins,
+    * zero windows, one scan per step. Decimal sums unchanged — the same
+    * values reach the same groups, and exact decimal addition is
+    * order-free, so centroids (and every downstream assignment/probe) are
+    * bit-identical to the join form. */
+  private def centroidsFrom(emb: DataFrame, listCol: Column): DataFrame =
+    emb.select(listCol.as("list"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("v", col("v").cast("double"))
       .groupBy("list", "dim")
       .agg((sum(col("v").cast("decimal(28,12)")).cast("double") /
             count(lit(1))).as("c"))
@@ -74,6 +85,26 @@ object IvfIndex {
       .select("vec_id", "list", "dist2")
   }
 
+  /** The pre-round-11 trainer+assignment path (exploded centroid join,
+    * windowed argmin), kept as the parity twin: IvfIndexParitySpec pins
+    * [[assignments]] identical to this on fixture data. */
+  private[graft] def assignmentsLegacy(emb: DataFrame, nLists: Int = 8,
+                                       nIters: Int = 1): DataFrame = {
+    def centroidsJoin(ve: DataFrame, assign: DataFrame): DataFrame =
+      ve.join(assign, "vec_id")
+        .groupBy("list", "dim")
+        .agg((sum(col("v").cast("decimal(28,12)")).cast("double") /
+              count(lit(1))).as("c"))
+    val ve = exploded(emb, "vec_id")
+    val seed = emb.select(col("vec_id"),
+      pmod(col("vec_id"), lit(nLists.toLong)).as("list"))
+    var cents = collectMatrix(centroidsJoin(ve, seed))
+    (1 to nIters).foreach { _ =>
+      cents = collectMatrix(centroidsJoin(ve, argmin(distances(emb, cents))))
+    }
+    argmin(distances(emb, cents))
+  }
+
   private def argmin(d: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("list").asc)
     d.withColumn("__rn", row_number().over(w))
@@ -86,21 +117,27 @@ object IvfIndex {
     * aggregation + one O(nLists x dims) driver collect — the standard
     * distributed k-means loop; cost is linear in iterations, corpus scanned
     * once per iteration, centroid state independent of corpus size. */
-  private def lloyd(emb: DataFrame, ve: DataFrame, nLists: Int,
+  private def lloyd(emb: DataFrame, nLists: Int,
                     nIters: Int): (Column, Column) = {
-    val seed = emb.select(col("vec_id"),
-      pmod(col("vec_id"), lit(nLists.toLong)).as("list"))
-    var cents = collectMatrix(centroids(ve, seed))
+    var cents = collectMatrix(
+      centroidsFrom(emb, pmod(col("vec_id"), lit(nLists.toLong))))
     (1 to nIters).foreach { _ =>
-      cents = collectMatrix(centroids(ve, argmin(distances(emb, cents))))
+      cents = collectMatrix(centroidsFrom(emb, listExpr(cents)))
     }
     cents
   }
 
   /** Final inverted-list assignment after seed + `nIters` Lloyd steps. */
   def assignments(emb: DataFrame, nLists: Int = 8, nIters: Int = 1): DataFrame = {
-    val ve = exploded(emb, "vec_id")
-    argmin(distances(emb, lloyd(emb, ve, nLists, nIters)))
+    // fused narrow assignment (listExpr): no explode, no window, no
+    // shuffle (parity with the exploded-argmin twin is spec-pinned).
+    // forCompute matters here: the legacy path's window shuffle used to
+    // (incidentally) spread a single-split parquet scan across cores; a
+    // fully narrow pipeline of per-row decimal distance kernels must
+    // claim that parallelism explicitly or it serializes on one core.
+    val e = graft.core.Parallelism.forCompute(emb)
+    val cents = lloyd(e, nLists, nIters)
+    e.select(col("vec_id"), listExpr(cents).as("list"))
   }
 
   /** The coarse-quantizer outputs both IVF consumers need: per-query probe
@@ -111,9 +148,9 @@ object IvfIndex {
     * consume the same packed literal. */
   private[operators] def probeAndAssign(emb: DataFrame, nQueries: Int,
       nLists: Int, nProbe: Int, nIters: Int): (DataFrame, DataFrame) = {
-    val ve = exploded(emb, "vec_id")
-    val finalCents = lloyd(emb, ve, nLists, nIters)
-    val finalAssign = argmin(distances(emb, finalCents))
+    val e = graft.core.Parallelism.forCompute(emb)
+    val finalCents = lloyd(e, nLists, nIters)
+    val finalAssign = e.select(col("vec_id"), listExpr(finalCents).as("list"))
     (probes(emb, finalCents, nQueries, nProbe), finalAssign)
   }
 
@@ -122,7 +159,7 @@ object IvfIndex {
     * lists with a single narrow corpus scan. */
   private[operators] def trainCoarse(emb: DataFrame, nLists: Int,
                                      nIters: Int): (Column, Column) =
-    lloyd(emb, exploded(emb, "vec_id"), nLists, nIters)
+    lloyd(graft.core.Parallelism.forCompute(emb), nLists, nIters)
 
   /** Per-query nProbe nearest lists under pre-trained centroids. The window
     * input is nQueries x nLists rows — driver-bounded, never corpus-sized. */
@@ -227,9 +264,9 @@ object IvfIndex {
                    nLists: Int = 8, nProbes: Seq[Int] = Seq(1, 2, 4, 8),
                    nIters: Int = 1): DataFrame = {
     require(nProbes.nonEmpty && nProbes.forall(_ >= 1), "need probe depths >= 1")
-    val ve = exploded(emb, "vec_id")
-    val finalCents = lloyd(emb, ve, nLists, nIters)
-    val finalAssign = argmin(distances(emb, finalCents))
+    val e = graft.core.Parallelism.forCompute(emb)
+    val finalCents = lloyd(e, nLists, nIters)
+    val finalAssign = e.select(col("vec_id"), listExpr(finalCents).as("list"))
     val wProbe = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("list").asc)
     val ranked = distances(emb.filter(col("vec_id") < nQueries), finalCents)
       .withColumn("probe_rank", row_number().over(wProbe))

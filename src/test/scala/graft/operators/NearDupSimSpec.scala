@@ -179,6 +179,21 @@ class NearDupSimSpec extends SparkSpec {
     assert(full == brute) // recall = 1 when nothing is pruned
   }
 
+  test("IVF fused narrow trainer identical to the exploded-join/windowed-argmin twin") {
+    val emb = Tables.embeddings(spark, sf)
+    // the round-11 trainer computes the per-step list inline and assigns
+    // via listExpr (no join, no window); decimal sums are order-free, so
+    // the assignment must match the legacy path exactly — both at one
+    // Lloyd iteration and at two (compounding would amplify any drift)
+    for (iters <- Seq(1, 2)) {
+      val now = IvfIndex.assignments(emb, nLists = 8, nIters = iters)
+        .orderBy("vec_id").collect().toSeq
+      val old = IvfIndex.assignmentsLegacy(emb, nLists = 8, nIters = iters)
+        .orderBy("vec_id").collect().toSeq
+      assert(now.nonEmpty && now == old, s"nIters=$iters diverged")
+    }
+  }
+
   test("IVF multi-iteration Lloyd is deterministic and partition-invariant") {
     val emb = Tables.embeddings(spark, sf)
     val a = IvfIndex.assignments(emb, nLists = 8, nIters = 2)
