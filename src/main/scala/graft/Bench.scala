@@ -99,6 +99,30 @@ object Bench {
     val covMemoLanes = Set("q_cov_matrix", "q_pca_project")
     if (selected.exists(s => covMemoLanes.contains(s._1)))
       SparkEntry.warmEmbeddingCov(spark, sfDir)
+    // round-12: the trained IVF coarse quantizer (owner q_vec_clusters) —
+    // nine lanes train the identical (8,1) quantizer on the same corpus
+    val ivfMemoLanes = Set("q_vec_clusters", "q_sim_topk_ivf",
+      "q_sim_topk_ivfpq", "q_sim_topk_ivfrpq", "q_vec_rpq",
+      "q_ivf_recall_report", "q_hard_negatives_ivf", "q_dedup_semantic")
+    if (selected.exists(s => ivfMemoLanes.contains(s._1)))
+      graft.operators.IvfIndex.warmCoarse(
+        graft.sources.Tables.embeddings(spark, sfDir), key = sfDir)
+    // A consumer lane benched WITHOUT its owner measures marginal work over
+    // a warm memo that is never reset — a fine number for plan iteration,
+    // but NOT comparable to full-suite or reference figures where the owner
+    // pays the build. Say so loudly and flag it in the artifact.
+    val memoOwners = Map(
+      "q_curation" -> curationMemoLanes, "q_triangle_count" -> edgeMemoLanes,
+      "q_bpe_merges" -> bpeMemoLanes, "q_cov_matrix" -> covMemoLanes,
+      "q_vec_clusters" -> ivfMemoLanes)
+    val selectedNames = selected.map(_._1).toSet
+    val unownedWarm = memoOwners.collect {
+      case (owner, lanes) if !selectedNames.contains(owner) =>
+        (lanes - owner).filter(selectedNames.contains)
+    }.flatten.toSeq.sorted
+    unownedWarm.foreach(l => System.err.println(
+      s"[bench] note: $l measured against a warm shared memo whose owner " +
+        "lane is not selected — time excludes the shared build"))
     // every timed run of an OWNER lane — first pass AND retry pass — must
     // rebuild its shared memo, or a warm-memo run records a near-zero time
     def resetOwnedMemos(name: String): Unit = {
@@ -110,6 +134,8 @@ object Bench {
         graft.operators.BpeTrainer.resetSharedMemo(spark)
       if (name == "q_cov_matrix")
         SparkEntry.resetEmbeddingCov(spark)
+      if (name == "q_vec_clusters")
+        graft.operators.IvfIndex.resetCoarseMemo(spark)
     }
     // Spill accounting (opt-in: SPARK_GRAFT_BENCH_SPILL=1): a task-end
     // listener sums memory/disk bytes spilled; read per query. This is the
@@ -269,8 +295,9 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$fs,"iters":$iters,"contaminated":$contaminated}"""
     val perQuery =
       s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}"""
+    val uw = unownedWarm.map("\"" + _ + "\"").mkString("[", ",", "]")
     val diagnostics =
-      s"""{"load_avg_ambient":$loadAmbient,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"cpu_wall_ratio":$cpuWallRatio,"wall_sec":$wallSec,"retried":$rt,"iter_spread":$spread}"""
+      s"""{"load_avg_ambient":$loadAmbient,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"cpu_wall_ratio":$cpuWallRatio,"wall_sec":$wallSec,"retried":$rt,"iter_spread":$spread,"warm_memo_unowned":$uw}"""
     System.err.println(s"[bench] diagnostics: $diagnostics")
     // a contaminated run must not overwrite the committed artifact path —
     // it records next to it and the total line says so. Likewise (round-5

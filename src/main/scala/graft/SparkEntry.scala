@@ -612,9 +612,10 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.4)),
     // SemDeDup lane: k-means-cell blocking instead of LSH-bucket blocking
     "q_dedup_semantic" -> ((s, dir) =>
-      Similarity.semanticNearDupPairs(Tables.embeddings(s, dir), 0.4)),
+      Similarity.semanticNearDupPairs(Tables.embeddings(s, dir), 0.4,
+        coarseMemoKey = Some(dir))),
     "q_sim_topk_ivf" -> ((s, dir) =>
-      IvfIndex.topK(Tables.embeddings(s, dir))),
+      IvfIndex.topK(Tables.embeddings(s, dir), memoKey = Some(dir))),
     "q_tfidf_topk" -> ((s, dir) =>
       TfIdf.topKSimilar(Tables.documents(s, dir))),
     // full BM25: rational idf + TF saturation + length normalization
@@ -627,10 +628,11 @@ object SparkEntry {
     "q_hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(Tables.embeddings(s, dir))),
     "q_hard_negatives_ivf" -> ((s, dir) =>
-      Similarity.hardNegativesIvf(Tables.embeddings(s, dir))),
+      Similarity.hardNegativesIvf(Tables.embeddings(s, dir),
+        coarseMemoKey = Some(dir))),
     // index-quality report: recall@k vs brute per probe depth, one training
     "q_ivf_recall_report" -> ((s, dir) =>
-      IvfIndex.recallReport(Tables.embeddings(s, dir))),
+      IvfIndex.recallReport(Tables.embeddings(s, dir), memoKey = Some(dir))),
     // MMR diversified selection over each anchor's retrieval neighborhood
     "q_mmr_diverse" -> ((s, dir) =>
       Similarity.mmrSelect(Tables.embeddings(s, dir))),
@@ -1132,13 +1134,13 @@ object SparkEntry {
       VectorOps.projectDigest(Tables.embeddings(s, dir)).orderBy("vec_id")),
     // residual PQ: codes quantize v - coarse_centroid, the true IVF-PQ form
     "q_vec_rpq" -> ((s, dir) =>
-      PqIndex.residualCodes(Tables.embeddings(s, dir))),
+      PqIndex.residualCodes(Tables.embeddings(s, dir), coarseMemoKey = Some(dir))),
     "q_vec_pq" -> ((s, dir) =>
       PqIndex.codes(Tables.embeddings(s, dir))),
     // cluster-size histogram of the IVF assignment — the index-balance
     // check an ANN deployment monitors (a collapsed list = a hot probe)
     "q_vec_clusters" -> ((s, dir) =>
-      IvfIndex.assignments(Tables.embeddings(s, dir))
+      IvfIndex.assignments(Tables.embeddings(s, dir), memoKey = Some(dir))
         .groupBy("list").agg(count(lit(1)).as("n"))
         .orderBy("list")),
     "q_vec_adc" -> ((s, dir) =>
@@ -1146,11 +1148,11 @@ object SparkEntry {
     // the composed index: IVF list pruning in front of ADC code scoring —
     // the billion-scale ANN architecture (only probed lists are scored)
     "q_sim_topk_ivfpq" -> ((s, dir) =>
-      PqIndex.ivfpqTopK(Tables.embeddings(s, dir))),
+      PqIndex.ivfpqTopK(Tables.embeddings(s, dir), coarseMemoKey = Some(dir))),
     // FAISS IndexIVFPQ's actual query path: ADC over RESIDUAL codes with
     // per-(query, probed-list) lookup tables
     "q_sim_topk_ivfrpq" -> ((s, dir) =>
-      PqIndex.ivfrpqTopK(Tables.embeddings(s, dir))),
+      PqIndex.ivfrpqTopK(Tables.embeddings(s, dir), coarseMemoKey = Some(dir))),
     // index maintenance: assign a new ingest batch under the FROZEN coarse
     // quantizer (history vec_id < 400 trains; the rest is the batch)
     "q_vec_assign_new" -> ((s, dir) => {

@@ -97,13 +97,17 @@ object BpeTrainer {
   // the pinned RDD name so the bench's between-query cleanup keeps its
   // blocks (truncated lineage — dropping them is unrecoverable). At real
   // scale this is "tokenizer state written once, read by both consumers".
+  // keyed on the column names too (round-12 ADVICE fix): `mergesShared`/
+  // `tokenizedShared` accept text/id column parameters, so a second caller
+  // with the same key but different columns must NOT be served state
+  // trained on the wrong columns.
   private val trainMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String, Int),
+    (org.apache.spark.sql.SparkSession, String, Int, String, String),
     (Seq[(Long, String, String, Long)], DataFrame)]()
 
   private def trainedState(docs: DataFrame, key: String, steps: Int,
       text: String, id: String): (Seq[(Long, String, String, Long)], DataFrame) = {
-    val k = (docs.sparkSession, key, steps)
+    val k = (docs.sparkSession, key, steps, text, id)
     val hit = trainMemo.get(k)
     if (hit != null) hit
     else {

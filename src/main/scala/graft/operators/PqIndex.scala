@@ -144,10 +144,11 @@ object PqIndex {
     * O(M x K x SubDim)); encoding is the same narrow argmin pass. Output
     * carries the coarse `list` alongside the codes — exactly the row an
     * IVF-PQ index persists. */
-  def residualCodes(emb: DataFrame, nLists: Int = 8, nIters: Int = 1): DataFrame = {
+  def residualCodes(emb: DataFrame, nLists: Int = 8, nIters: Int = 1,
+                    coarseMemoKey: Option[String] = None): DataFrame = {
     // feeds the coarse collect, two codebook collects, and the encode scan
     val e = graft.core.Parallelism.forCompute(emb).persist()
-    val (matrix, listIds) = IvfIndex.trainCoarse(e, nLists, nIters)
+    val (matrix, listIds) = IvfIndex.trainCoarse(e, nLists, nIters, coarseMemoKey)
     val ds = VectorFunctions.squared_distances(col("embedding"), matrix)
     val pos = array_position(ds, array_min(ds)).cast("int")
     val rframe = e.select(
@@ -267,11 +268,13 @@ object PqIndex {
     * count, strictly lower quantization error than raw-PQ [[ivfpqTopK]] —
     * the reason every production IVF-PQ index quantizes residuals. */
   def ivfrpqTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
-                 nLists: Int = 8, nProbe: Int = 2, nIters: Int = 1): DataFrame = {
+                 nLists: Int = 8, nProbe: Int = 2, nIters: Int = 1,
+                 coarseMemoKey: Option[String] = None): DataFrame = {
     // persisted: feeds the coarse collects, the residual codebook collects,
     // the probe window, and the final scan (see ivfpqTopK's rationale)
     val e = graft.core.Parallelism.forCompute(emb).persist()
-    val coarse @ (matrix, listIds) = IvfIndex.trainCoarse(e, nLists, nIters)
+    val coarse @ (matrix, listIds) =
+      IvfIndex.trainCoarse(e, nLists, nIters, coarseMemoKey)
     val ds = VectorFunctions.squared_distances(col("embedding"), matrix)
     val pos = array_position(ds, array_min(ds)).cast("int")
     val rframe = e.select(
@@ -338,14 +341,15 @@ object PqIndex {
   }
 
   def ivfpqTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
-                nLists: Int = 8, nProbe: Int = 2, nIters: Int = 1): DataFrame = {
+                nLists: Int = 8, nProbe: Int = 2, nIters: Int = 1,
+                coarseMemoKey: Option[String] = None): DataFrame = {
     // persisted: the frame feeds FOUR training actions (two coarse collects,
     // two codebook collects) plus the final scan — each would otherwise
     // re-run the scan lineage; embeddings are the training input and
     // training state is O(centroids), so this is the one cache that pays
     // for itself (the bench harness unpersists after each query)
     val e = graft.core.Parallelism.forCompute(emb).persist()
-    val coarse = IvfIndex.trainCoarse(e, nLists, nIters)
+    val coarse = IvfIndex.trainCoarse(e, nLists, nIters, coarseMemoKey)
     val probes = IvfIndex.probes(e, coarse, nQueries, nProbe)
     val packed = train(e, nIters)
     val cs = codeExprs(packed).zipWithIndex

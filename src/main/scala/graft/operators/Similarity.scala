@@ -188,8 +188,9 @@ object Similarity {
     * cost is the algorithm; nLists must grow with the corpus to bound cell
     * sizes (same knob an IVF index already tunes). */
   def semanticNearDupPairs(emb: DataFrame, threshold: Double = 0.4,
-                           nLists: Int = 8): DataFrame = {
-    val assign = IvfIndex.assignments(emb, nLists)
+                           nLists: Int = 8,
+                           coarseMemoKey: Option[String] = None): DataFrame = {
+    val assign = IvfIndex.assignments(emb, nLists, memoKey = coarseMemoKey)
     val base = assign.select(col("vec_id"), col("list"))
       .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
       .withColumn("nrm", sqrt(graft.functions.VectorFunctions
@@ -351,9 +352,11 @@ object Similarity {
     * Candidate exchange carries ids only; embeddings rejoin from the base
     * scan per side. */
   def hardNegativesIvf(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
-                       nLists: Int = 8, nProbe: Int = 2, nIters: Int = 1): DataFrame = {
+                       nLists: Int = 8, nProbe: Int = 2, nIters: Int = 1,
+                       coarseMemoKey: Option[String] = None): DataFrame = {
     val (probes, finalAssign) =
-      IvfIndex.probeAndAssign(emb, nQueries, nLists, nProbe, nIters)
+      IvfIndex.probeAndAssign(emb, nQueries, nLists, nProbe, nIters,
+        coarseMemoKey)
     val members = finalAssign.select(col("vec_id").as("n_id"), col("list"))
     val q = emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("label").as("q_label"))

@@ -62,6 +62,14 @@ class CovMatrixSpec extends SparkSpec {
     }
   }
 
+  // SCOPE OF THE PARITY CLAIM (deliberate, do not tighten): the aggregate's
+  // i128 sums stay EXACT past the twin's decimal(30,0) domain, where Spark's
+  // non-ANSI decimal sum would overflow to NULL — so "bit-identical" holds
+  // only for in-domain inputs (|sum of quantized products| < 10^30, i.e.
+  // every realistic embedding corpus; ~2^99 quantized-unit mass). Out of
+  // domain the aggregate diverges in the EXACT direction by design
+  // (CovMomentAggregator.scala scaladoc). This spec exercises in-domain
+  // inputs only, intentionally.
   test("moment-grid aggregate bit-identical to the exploded decimal twin " +
     "(fixture + ragged + null-bearing, multi-partition merge path)") {
     def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =

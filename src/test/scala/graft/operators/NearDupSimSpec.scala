@@ -194,6 +194,46 @@ class NearDupSimSpec extends SparkSpec {
     }
   }
 
+  test("IVF assignment drops null/empty embeddings; null case matches legacy") {
+    // intended degenerate-input behavior (round-12 ADVICE fix): training
+    // ignores null/empty embeddings in BOTH paths (posexplode emits no
+    // rows), and the fused assignment FILTERS them rather than emitting a
+    // null `list` row. For a NULL embedding the legacy twin agrees (a null
+    // distance array explodes to nothing); an EMPTY embedding would throw
+    // in the legacy twin's distance kernel (fail-fast ragged check), so
+    // dropping it is the fused path's documented, more useful choice.
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val degenerate = Seq(
+      (1000000L, null.asInstanceOf[Seq[Float]]),
+      (1000001L, Seq.empty[Float])).toDF("vec_id", "embedding")
+    val clean = IvfIndex.assignments(emb, nLists = 8)
+      .orderBy("vec_id").collect().toSeq
+    val withBad = IvfIndex.assignments(emb.unionByName(degenerate), nLists = 8)
+      .orderBy("vec_id").collect().toSeq
+    assert(withBad == clean) // degenerates neither assigned nor train
+    val nullOnly = emb.unionByName(degenerate.filter(col("embedding").isNull))
+    assert(IvfIndex.assignmentsLegacy(nullOnly, nLists = 8)
+      .orderBy("vec_id").collect().toSeq == clean)
+  }
+
+  test("shared coarse-quantizer memo: warm == fresh across consumers, reset forgets") {
+    val emb = Tables.embeddings(spark, sf)
+    val fresh = IvfIndex.assignments(emb, nLists = 8)
+      .orderBy("vec_id").collect().toSeq
+    IvfIndex.warmCoarse(emb, key = "spec-memo")
+    // decimal-exact training makes the memoized quantizer bit-identical,
+    // so every consumer path reads the same entry and agrees with fresh
+    val warm = IvfIndex.assignments(emb, nLists = 8, memoKey = Some("spec-memo"))
+      .orderBy("vec_id").collect().toSeq
+    assert(warm == fresh)
+    assert(IvfIndex.topK(emb, memoKey = Some("spec-memo")).collect().toSeq ==
+      IvfIndex.topK(emb).collect().toSeq)
+    assert(Similarity.semanticNearDupPairs(emb, 0.4,
+        coarseMemoKey = Some("spec-memo")).collect().toSeq ==
+      Similarity.semanticNearDupPairs(emb, 0.4).collect().toSeq)
+    IvfIndex.resetCoarseMemo(spark)
+  }
+
   test("IVF multi-iteration Lloyd is deterministic and partition-invariant") {
     val emb = Tables.embeddings(spark, sf)
     val a = IvfIndex.assignments(emb, nLists = 8, nIters = 2)
