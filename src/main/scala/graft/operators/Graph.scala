@@ -110,10 +110,18 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edges = und.unionAll(
       und.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edgesDeg = edges.join(deg, "src")
-      .repartition(col("src"))
+    // per-src degree via a window over the ONE src-partitioned exchange the
+    // iteration joins need anyway — the groupBy-degree + join-back +
+    // repartition form shuffled the edge relation three times for the same
+    // (src, dst, deg) rows (round-12 targeted A/B, iters=6 idle, canaries
+    // flat: 4.67 -> 2.96 s at sf0.1; exact same integer output — nodes and
+    // degrees are identical row sets either way)
+    val edgesDeg = edges.repartition(col("src"))
+      .withColumn("deg",
+        count(lit(1)).over(Window.partitionBy("src")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = edgesDeg.select("src", "deg").groupBy("src")
+      .agg(first("deg").as("deg")) // node-sized, co-partitioned: no exchange
     val nRow = deg.agg(count(lit(1)).as("n")) // 1 row
     var rank = deg.crossJoin(broadcast(nRow))
       .select(col("src").as("node"), expr(s"$U DIV n").as("rank"))
