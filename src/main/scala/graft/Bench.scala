@@ -107,6 +107,21 @@ object Bench {
     if (selected.exists(s => ivfMemoLanes.contains(s._1)))
       graft.operators.IvfIndex.warmCoarse(
         graft.sources.Tables.embeddings(spark, sfDir), key = sfDir)
+    // round-12: the CF co-occurrence model (owner q_cf_similarity) — the
+    // similarity and recommendation lanes build the identical pair table
+    val cfMemoLanes = Set("q_cf_similarity", "q_cf_recommend")
+    def cfBaskets() = {
+      import org.apache.spark.sql.functions.col
+      graft.sources.Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_custkey")
+        .join(graft.sources.Tables.lineitem(spark, sfDir)
+            .select("l_orderkey", "l_suppkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+    }
+    if (selected.exists(s => cfMemoLanes.contains(s._1)))
+      graft.operators.Graph.warmCoState(cfBaskets(), key = sfDir,
+        basketCol = "cust", itemCol = "supp")
     // A consumer lane benched WITHOUT its owner measures marginal work over
     // a warm memo that is never reset — a fine number for plan iteration,
     // but NOT comparable to full-suite or reference figures where the owner
@@ -114,7 +129,7 @@ object Bench {
     val memoOwners = Map(
       "q_curation" -> curationMemoLanes, "q_triangle_count" -> edgeMemoLanes,
       "q_bpe_merges" -> bpeMemoLanes, "q_cov_matrix" -> covMemoLanes,
-      "q_vec_clusters" -> ivfMemoLanes)
+      "q_vec_clusters" -> ivfMemoLanes, "q_cf_similarity" -> cfMemoLanes)
     val selectedNames = selected.map(_._1).toSet
     val unownedWarm = memoOwners.collect {
       case (owner, lanes) if !selectedNames.contains(owner) =>
@@ -136,6 +151,8 @@ object Bench {
         SparkEntry.resetEmbeddingCov(spark)
       if (name == "q_vec_clusters")
         graft.operators.IvfIndex.resetCoarseMemo(spark)
+      if (name == "q_cf_similarity")
+        graft.operators.Graph.resetCoStateMemo(spark)
     }
     // Spill accounting (opt-in: SPARK_GRAFT_BENCH_SPILL=1): a task-end
     // listener sums memory/disk bytes spilled; read per query. This is the

@@ -828,7 +828,7 @@ object SparkEntry {
         .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-      Graph.itemSimilarity(b, "cust", "supp")
+      Graph.itemSimilarity(b, "cust", "supp", memoKey = Some(dir))
     }),
     // sequential-pattern mining: most-walked 3-step event-type paths
     "q_path_mining" -> ((s, dir) =>
@@ -839,7 +839,7 @@ object SparkEntry {
         .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-      Graph.recommendations(b, "cust", "supp")
+      Graph.recommendations(b, "cust", "supp", memoKey = Some(dir))
     }),
     // CUSUM upward-shift detector per event type, exact 1/n_days units
     "q_cusum_daily" -> ((s, dir) =>

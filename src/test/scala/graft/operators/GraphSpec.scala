@@ -22,6 +22,27 @@ class GraphSpec extends SparkSpec {
     graft.SparkEntry.resetCoPurchaseEdges(spark)
   }
 
+  test("shared CF co-occurrence memo: warm == fresh for both consumers, reset forgets") {
+    val b = graft.sources.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey")
+      .join(graft.sources.Tables.lineitem(spark, sf)
+          .select("l_orderkey", "l_suppkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+    Graph.resetCoStateMemo(spark)
+    val simFresh = Graph.itemSimilarity(b, "cust", "supp").collect().toSeq
+    val recFresh = Graph.recommendations(b, "cust", "supp").collect().toSeq
+    Graph.warmCoState(b, key = "spec-cf", basketCol = "cust", itemCol = "supp")
+    // the memoized model is the same deterministic pair/count state, so
+    // both consumers must match fresh builds row for row, doubles included
+    assert(Graph.itemSimilarity(b, "cust", "supp", memoKey = Some("spec-cf"))
+      .collect().toSeq == simFresh)
+    assert(Graph.recommendations(b, "cust", "supp", memoKey = Some("spec-cf"))
+      .collect().toSeq == recFresh)
+    assert(simFresh.nonEmpty && recFresh.nonEmpty)
+    Graph.resetCoStateMemo(spark)
+  }
+
   test("marketBasket: counts, confidence, and lift match hand computation") {
     // 4 baskets; items 1,2 co-occur in 3 of them, item 3 rides along once;
     // duplicate (basket, item) rows must collapse before counting
