@@ -122,6 +122,12 @@ object Bench {
     if (selected.exists(s => cfMemoLanes.contains(s._1)))
       graft.operators.Graph.warmCoState(cfBaskets(), key = sfDir,
         basketCol = "cust", itemCol = "supp")
+    // round-12: the exact table profile (owner q_table_profile) — the
+    // approx lane reads it as its oracle-checked ground truth
+    val profileMemoLanes = Set("q_table_profile", "q_table_profile_approx")
+    if (selected.exists(s => profileMemoLanes.contains(s._1)))
+      graft.operators.Profile.warmProfile(
+        graft.sources.Tables.lineitem(spark, sfDir), key = s"$sfDir#lineitem")
     // A consumer lane benched WITHOUT its owner measures marginal work over
     // a warm memo that is never reset — a fine number for plan iteration,
     // but NOT comparable to full-suite or reference figures where the owner
@@ -129,7 +135,8 @@ object Bench {
     val memoOwners = Map(
       "q_curation" -> curationMemoLanes, "q_triangle_count" -> edgeMemoLanes,
       "q_bpe_merges" -> bpeMemoLanes, "q_cov_matrix" -> covMemoLanes,
-      "q_vec_clusters" -> ivfMemoLanes, "q_cf_similarity" -> cfMemoLanes)
+      "q_vec_clusters" -> ivfMemoLanes, "q_cf_similarity" -> cfMemoLanes,
+      "q_table_profile" -> profileMemoLanes)
     val selectedNames = selected.map(_._1).toSet
     val unownedWarm = memoOwners.collect {
       case (owner, lanes) if !selectedNames.contains(owner) =>
@@ -153,6 +160,8 @@ object Bench {
         graft.operators.IvfIndex.resetCoarseMemo(spark)
       if (name == "q_cf_similarity")
         graft.operators.Graph.resetCoStateMemo(spark)
+      if (name == "q_table_profile")
+        graft.operators.Profile.resetProfileMemo(spark)
     }
     // Spill accounting (opt-in: SPARK_GRAFT_BENCH_SPILL=1): a task-end
     // listener sums memory/disk bytes spilled; read per query. This is the

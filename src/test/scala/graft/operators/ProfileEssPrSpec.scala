@@ -54,6 +54,25 @@ class ProfileEssPrSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("shared exact-profile memo: warm == fresh for both lanes, reset forgets") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    Profile.resetProfileMemo(spark)
+    val fresh = Profile.tableProfile(li).collect().toSeq
+    val freshApprox = Profile.tableProfileApprox(li).collect().toSeq
+    Profile.warmProfile(li, key = "spec-profile")
+    // the memo holds the checkpointed exact profile; both consumers must
+    // match their fresh builds row for row (the approx lane's ground-truth
+    // columns come straight from the memoized frame)
+    assert(Profile.tableProfile(li, memoKey = Some("spec-profile"))
+      .collect().toSeq == fresh)
+    assert(Profile.tableProfileApprox(li, memoKey = Some("spec-profile"))
+      .collect().toSeq == freshApprox)
+    // a second memoized call is a hit — the same checkpointed frame object
+    assert(Profile.tableProfile(li, memoKey = Some("spec-profile")) eq
+      Profile.tableProfile(li, memoKey = Some("spec-profile")))
+    Profile.resetProfileMemo(spark)
+  }
+
   test("prCurve: two clean bins — exact precision/recall/F1 ladder") {
     import spark.implicits._
     val rows = Seq.fill(50)((-80000L, false)) ++ Seq.fill(50)((80000L, true))
