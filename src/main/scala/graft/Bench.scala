@@ -128,6 +128,12 @@ object Bench {
     if (selected.exists(s => profileMemoLanes.contains(s._1)))
       graft.operators.Profile.warmProfile(
         graft.sources.Tables.lineitem(spark, sfDir), key = s"$sfDir#lineitem")
+    // round-12: the verified edit-distance pair table (owner
+    // q_dedup_editdist) — the survivors lane clusters the same evidence
+    val edMemoLanes = Set("q_dedup_editdist", "q_dedup_editdist_survivors")
+    if (selected.exists(s => edMemoLanes.contains(s._1)))
+      graft.operators.NearDup.warmEditDistancePairs(
+        graft.sources.Tables.documents(spark, sfDir), key = sfDir)
     // A consumer lane benched WITHOUT its owner measures marginal work over
     // a warm memo that is never reset — a fine number for plan iteration,
     // but NOT comparable to full-suite or reference figures where the owner
@@ -136,7 +142,8 @@ object Bench {
       "q_curation" -> curationMemoLanes, "q_triangle_count" -> edgeMemoLanes,
       "q_bpe_merges" -> bpeMemoLanes, "q_cov_matrix" -> covMemoLanes,
       "q_vec_clusters" -> ivfMemoLanes, "q_cf_similarity" -> cfMemoLanes,
-      "q_table_profile" -> profileMemoLanes)
+      "q_table_profile" -> profileMemoLanes,
+      "q_dedup_editdist" -> edMemoLanes)
     val selectedNames = selected.map(_._1).toSet
     val unownedWarm = memoOwners.collect {
       case (owner, lanes) if !selectedNames.contains(owner) =>
@@ -162,6 +169,8 @@ object Bench {
         graft.operators.Graph.resetCoStateMemo(spark)
       if (name == "q_table_profile")
         graft.operators.Profile.resetProfileMemo(spark)
+      if (name == "q_dedup_editdist")
+        graft.operators.NearDup.resetEditDistanceMemo(spark)
     }
     // Spill accounting (opt-in: SPARK_GRAFT_BENCH_SPILL=1): a task-end
     // listener sums memory/disk bytes spilled; read per query. This is the

@@ -589,14 +589,16 @@ object SparkEntry {
     // blocking+verify record linkage: simhash candidates confirmed by
     // token-level Levenshtein within 30% of the longer side
     "q_dedup_editdist" -> ((s, dir) =>
-      NearDup.editDistancePairs(Tables.documents(s, dir))),
+      NearDup.editDistancePairs(Tables.documents(s, dir),
+        memoKey = Some(dir))),
     // pairs -> connected components -> keep cluster minimum: the actionable
     // dedup built on the edit-distance evidence (same CC machinery as
     // q_dedup_survivors, different pair source)
     "q_dedup_editdist_survivors" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.clusterSurvivors(docs.select("doc_id"),
-          NearDup.editDistancePairs(docs).select("a_id", "b_id"))
+          NearDup.editDistancePairs(docs, memoKey = Some(dir))
+            .select("a_id", "b_id"))
         .orderBy("doc_id")
     }),
 

@@ -56,6 +56,25 @@ class EditDistanceSpec extends SparkSpec {
     assert(lens == 0L)
   }
 
+  test("shared pair-table memo: warm == fresh for pairs and survivors, reset forgets") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    NearDup.resetEditDistanceMemo(spark)
+    val fresh = NearDup.editDistancePairs(docs)
+      .orderBy("a_id", "b_id").collect().toSeq
+    val freshSurv = Dedup.clusterSurvivors(docs.select("doc_id"),
+        NearDup.editDistancePairs(docs).select("a_id", "b_id"))
+      .orderBy("doc_id").collect().toSeq
+    NearDup.warmEditDistancePairs(docs, key = "spec-ed")
+    assert(NearDup.editDistancePairs(docs, memoKey = Some("spec-ed"))
+      .orderBy("a_id", "b_id").collect().toSeq == fresh)
+    assert(Dedup.clusterSurvivors(docs.select("doc_id"),
+        NearDup.editDistancePairs(docs, memoKey = Some("spec-ed"))
+          .select("a_id", "b_id"))
+      .orderBy("doc_id").collect().toSeq == freshSurv)
+    assert(fresh.nonEmpty && freshSurv.nonEmpty)
+    NearDup.resetEditDistanceMemo(spark)
+  }
+
   test("pair exchange carries no document text (ids+fingerprints only)") {
     val p = NearDup.editDistancePairs(docs).queryExecution.executedPlan.toString
     // the self-join's exchanges are on the blocked fingerprint frame; the
