@@ -100,7 +100,9 @@ object Bench {
     if (selected.exists(s => covMemoLanes.contains(s._1)))
       SparkEntry.warmEmbeddingCov(spark, sfDir)
     // round-12: the trained IVF coarse quantizer (owner q_vec_clusters) —
-    // nine lanes train the identical (8,1) quantizer on the same corpus
+    // these eight lanes train the identical (8,1) quantizer on the same
+    // corpus (q_vec_assign_new also trains one but on its history SUBSET,
+    // deliberately outside the memo — see IvfIndex.assignNewBatch)
     val ivfMemoLanes = Set("q_vec_clusters", "q_sim_topk_ivf",
       "q_sim_topk_ivfpq", "q_sim_topk_ivfrpq", "q_vec_rpq",
       "q_ivf_recall_report", "q_hard_negatives_ivf", "q_dedup_semantic")

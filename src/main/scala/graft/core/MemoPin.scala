@@ -34,4 +34,15 @@ object MemoPin {
         l.rdd.unpersist(false)
       case _ => ()
     }
+
+  /** Cheap identity for a memo's INPUT relation: the analyzed plan's
+    * semantic hash (no job runs). Every shared-state memo folds this into
+    * its key so a caller reusing a corpus key with a DIFFERENT input frame
+    * misses the memo and rebuilds, instead of being silently served state
+    * trained on someone else's data. Two frames built by the same
+    * DataFrame code over the same paths hash equal (semanticHash ignores
+    * cosmetic differences like expression ids), so legitimate owner →
+    * consumer sharing still hits. */
+  def planFingerprint(df: DataFrame): Int =
+    df.queryExecution.analyzed.semanticHash()
 }

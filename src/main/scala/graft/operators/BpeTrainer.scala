@@ -101,13 +101,17 @@ object BpeTrainer {
   // `tokenizedShared` accept text/id column parameters, so a second caller
   // with the same key but different columns must NOT be served state
   // trained on the wrong columns.
+  // ... and on the docs frame's plan fingerprint (round-13): the column
+  // names identify WHICH columns, the fingerprint identifies WHICH corpus —
+  // a reused key over a different input relation misses and retrains.
   private val trainMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String, Int, String, String),
+    (org.apache.spark.sql.SparkSession, String, Int, String, String, Int),
     (Seq[(Long, String, String, Long)], DataFrame)]()
 
   private def trainedState(docs: DataFrame, key: String, steps: Int,
       text: String, id: String): (Seq[(Long, String, String, Long)], DataFrame) = {
-    val k = (docs.sparkSession, key, steps, text, id)
+    val k = (docs.sparkSession, key, steps, text, id,
+      graft.core.MemoPin.planFingerprint(docs))
     val hit = trainMemo.get(k)
     if (hit != null) hit
     else {

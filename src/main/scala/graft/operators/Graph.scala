@@ -286,8 +286,13 @@ object Graph {
   // trains on the holdout-split TRAIN relation, not this corpus. At real
   // scale this is "the co-occurrence model is materialized once, every
   // serving/ranking surface reads it".
+  // The key folds in the SELECTED input's plan fingerprint (round-12
+  // ADVICE): a caller reusing a corpus key with a different baskets frame
+  // — or the same frame but different basket/item columns — misses and
+  // rebuilds instead of being served the wrong model.
   private val coMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String, Int), (DataFrame, DataFrame)]()
+    (org.apache.spark.sql.SparkSession, String, Int, Int),
+    (DataFrame, DataFrame)]()
 
   /** (itemCnt, co) through the shared memo; None builds fresh (and leaves
     * the caller's persist/caching choices untouched). */
@@ -302,7 +307,11 @@ object Graph {
         (b.groupBy("item").agg(count(lit(1)).as("cnt")),
           coOccurrenceEdges(b, "basket", "item", minCo))
       case Some(key) =>
-        coMemo.computeIfAbsent((baskets.sparkSession, key, minCo), _ => {
+        // fingerprint the selected two-column view: captures both the
+        // input relation and the basket/item column choice
+        val fp = graft.core.MemoPin.planFingerprint(
+          baskets.select(col(basketCol).as("basket"), col(itemCol).as("item")))
+        coMemo.computeIfAbsent((baskets.sparkSession, key, minCo, fp), _ => {
           val b = baskets
             .select(col(basketCol).as("basket"), col(itemCol).as("item"))
             .distinct()

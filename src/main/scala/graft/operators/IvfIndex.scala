@@ -129,10 +129,12 @@ object IvfIndex {
 
   // ---- shared trained coarse quantizer (the BpeTrainer.trainMemo
   // discipline, minus the pinning) ----
-  // Nine lanes in the suite train the SAME (nLists=8, nIters=1) coarse
+  // Eight lanes in the suite train the SAME (nLists=8, nIters=1) coarse
   // quantizer on the SAME embeddings table — IVF/IVF-PQ/IVF-RPQ top-k,
   // cluster histogram, recall report, hard-negative mining, semantic
-  // dedup, residual PQ codes. Decimal-exact centroid sums make the result
+  // dedup, residual PQ codes. (q_vec_assign_new trains a ninth quantizer
+  // but on its HISTORY SUBSET — deliberately outside this memo, see
+  // [[assignNewBatch]].) Decimal-exact centroid sums make the result
   // bit-identical across call paths and partitionings, so one trained
   // quantizer serves all consumers. Unlike the BPE/edge/covariance memos
   // the value is MODEL-SIZED DRIVER STATE (nLists x dims literal columns,
@@ -144,8 +146,14 @@ object IvfIndex {
   // deliberately has NO column-name component: every entry point reads
   // the fixed (vec_id, embedding) schema (the BpeTrainer memo-key lesson
   // — a key narrower than the call's free parameters serves wrong state).
+  // ... plus the training frame's plan fingerprint (round-13): a reused
+  // corpus key over a different embeddings relation misses and retrains
+  // instead of serving a quantizer trained on someone else's vectors.
+  // Every call site passes forCompute(emb), so owner and consumers
+  // fingerprint the same plan shape.
   private val coarseMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String, Int, Int), (Column, Column)]()
+    (org.apache.spark.sql.SparkSession, String, Int, Int, Int),
+    (Column, Column)]()
 
   /** [[lloyd]] through the shared-quantizer memo (see above): a memoKey
     * names the training corpus; None bypasses the memo entirely. */
@@ -155,7 +163,8 @@ object IvfIndex {
       case None => lloyd(emb, nLists, nIters)
       case Some(key) =>
         coarseMemo.computeIfAbsent(
-          (emb.sparkSession, key, nLists, nIters),
+          (emb.sparkSession, key, nLists, nIters,
+            graft.core.MemoPin.planFingerprint(emb)),
           _ => lloyd(emb, nLists, nIters))
     }
 
@@ -205,7 +214,13 @@ object IvfIndex {
       memoKey: Option[String] = None): (DataFrame, DataFrame) = {
     val e = graft.core.Parallelism.forCompute(emb)
     val finalCents = coarse(e, nLists, nIters, memoKey)
-    val finalAssign = e.select(col("vec_id"), listExpr(finalCents).as("list"))
+    // null/empty embeddings DROPPED, same as [[assignments]] — without the
+    // filter this path would emit list=null member rows (benign for the
+    // probe join but divergent degenerate-input semantics) and an empty
+    // array would throw inside the distance kernel
+    val finalAssign = e
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"), listExpr(finalCents).as("list"))
     (probes(emb, finalCents, nQueries, nProbe), finalAssign)
   }
 
@@ -326,7 +341,10 @@ object IvfIndex {
     require(nProbes.nonEmpty && nProbes.forall(_ >= 1), "need probe depths >= 1")
     val e = graft.core.Parallelism.forCompute(emb)
     val finalCents = coarse(e, nLists, nIters, memoKey)
-    val finalAssign = e.select(col("vec_id"), listExpr(finalCents).as("list"))
+    // null/empty embeddings DROPPED, same as [[assignments]]/[[probeAndAssign]]
+    val finalAssign = e
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"), listExpr(finalCents).as("list"))
     val wProbe = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("list").asc)
     val ranked = distances(emb.filter(col("vec_id") < nQueries), finalCents)
       .withColumn("probe_rank", row_number().over(wProbe))

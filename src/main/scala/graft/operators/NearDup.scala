@@ -630,8 +630,11 @@ object NearDup {
   // corpus key, hammingMax, maxRatioPct): eager localCheckpoint, pinned
   // blocks, q_dedup_editdist owns the build in the bench. At real scale:
   // "the linkage job publishes its evidence table; clustering reads it".
+  // The key folds in the docs frame's plan fingerprint (round-12 ADVICE):
+  // a reused corpus key over a DIFFERENT input relation misses and
+  // rebuilds instead of serving someone else's pair table.
   private val edMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String, Int, Int), DataFrame]()
+    (org.apache.spark.sql.SparkSession, String, Int, Int, Int), DataFrame]()
 
   /** Build the shared pair table eagerly (bench warms this untimed). */
   def warmEditDistancePairs(docs: DataFrame, key: String,
@@ -657,7 +660,8 @@ object NearDup {
       case None => buildEditDistancePairs(docs, hammingMax, maxRatioPct)
       case Some(key) =>
         edMemo.computeIfAbsent(
-          (docs.sparkSession, key, hammingMax, maxRatioPct), _ => {
+          (docs.sparkSession, key, hammingMax, maxRatioPct,
+            graft.core.MemoPin.planFingerprint(docs)), _ => {
             val p = buildEditDistancePairs(docs, hammingMax, maxRatioPct)
               .localCheckpoint(true)
             graft.core.MemoPin.pin(p)

@@ -50,8 +50,11 @@ object Profile {
   // between-query cleanup; q_table_profile owns the build. At real scale
   // this is "the profile job publishes its table; the accuracy audit
   // reads it".
+  // The key folds in the input frame's plan fingerprint (round-12
+  // ADVICE): a reused corpus key over a DIFFERENT relation misses and
+  // rebuilds instead of serving another table's profile.
   private val profileMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String, Seq[String]), DataFrame]()
+    (org.apache.spark.sql.SparkSession, String, Seq[String], Int), DataFrame]()
 
   /** Build the shared exact profile eagerly (bench warms this untimed). */
   def warmProfile(df: DataFrame, key: String,
@@ -75,7 +78,8 @@ object Profile {
     memoKey match {
       case None => buildProfile(df, columns)
       case Some(key) =>
-        profileMemo.computeIfAbsent((df.sparkSession, key, columns), _ => {
+        profileMemo.computeIfAbsent((df.sparkSession, key, columns,
+          graft.core.MemoPin.planFingerprint(df)), _ => {
           val p = buildProfile(df, columns).localCheckpoint(true)
           graft.core.MemoPin.pin(p)
           p

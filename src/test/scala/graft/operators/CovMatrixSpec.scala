@@ -98,6 +98,41 @@ class CovMatrixSpec extends SparkSpec {
       rowsOf(VectorOps.covarianceMatrixExploded(ugly, "embedding")))
   }
 
+  test("out-of-domain divergence pins the EXACT direction: past the twin's " +
+    "decimal range the aggregate stays exact while the twin NULLs") {
+    // Two rows of [1e13]: floor(1e13 * 2^20) saturates to Long.MaxValue in
+    // BOTH paths (the JVM .toLong and the twin's non-ANSI double→long
+    // cast). Per-row product = Long.MaxValue² ≈ 8.5e37 still fits the
+    // twin's decimal(38,0); the 2-row SUM ≈ 1.7e38 needs 39 digits →
+    // non-ANSI decimal sum overflows to NULL. The aggregate's i128 holds
+    // it exactly (2·(2^63−1)² = 2^127 − 2^65 + 2 < 2^127 − 1) and
+    // surfaces the correctly-rounded double — the one DELIBERATE
+    // divergence the parity scaladoc claims, asserted here so the claim
+    // has a guarded boundary.
+    import spark.implicits._
+    val huge = Seq((1L, Seq(1e13f)), (2L, Seq(1e13f)))
+      .toDF("vec_id", "embedding")
+    val native = CovMatrixFixture.collectMap(
+      VectorOps.covarianceMatrix(huge, "embedding"))((0L, 0L))
+    val qMax = BigInt(Long.MaxValue)
+    assert(native.getAs[Long]("n") == 2L)
+    assert(native.getAs[Double]("sum_qx") == (qMax * 2).doubleValue)
+    assert(native.getAs[Double]("sum_qxy") == (qMax.pow(2) * 2).doubleValue)
+    // the twin's documented behavior is non-ANSI (saturating casts,
+    // overflow→NULL); pin the session mode explicitly around its run
+    val ansiBefore = spark.conf.get("spark.sql.ansi.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val twin = CovMatrixFixture.collectMap(
+        VectorOps.covarianceMatrixExploded(huge, "embedding"))((0L, 0L))
+      assert(twin.getAs[Long]("n") == 2L)
+      // the linear sums are still in-domain for decimal(29,0): identical
+      assert(twin.getAs[Double]("sum_qx") == native.getAs[Double]("sum_qx"))
+      // the product sum overflowed: NULL in the twin, exact in the native
+      assert(twin.isNullAt(twin.fieldIndex("sum_qxy")))
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
+  }
+
   test("plan: no join — the pair expansion is a narrow generate") {
     val df = VectorOps.covarianceMatrix(
       graft.sources.Tables.embeddings(spark, sf), "embedding")
