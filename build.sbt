@@ -31,6 +31,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Round-13 measured A/B (interleaved pairs, full 288-query suite,
+  // iters=2): the JDK-17 default 240m code cache runs its profiled
+  // segment at ~75% occupancy by suite end, and the sweeper's flushing
+  // re-profiles long-lived generated kernels late in the suite — the
+  // in-suite "JVM aging" tax. 512m: 244.2 -> 232.6 s avg (-4.8%), wins
+  // concentrated in the late composite lanes (curation_incr -0.74,
+  // triangle_count -0.73, rec_eval -0.63, dedup_jaccard -0.46), both
+  // pairs agreeing per-lane. full_count=0 either way — this is sweeper
+  // pressure, not exhaustion. See SCALE.md round-13.
+  "-XX:ReservedCodeCacheSize=512m",
 ) ++
   // Diagnostics hook: extra JVM flags (e.g. -Xlog:gc) without editing the
   // build — used to chase the round-5 local[32] bench cliff.
