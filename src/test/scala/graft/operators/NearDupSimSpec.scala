@@ -216,6 +216,33 @@ class NearDupSimSpec extends SparkSpec {
       .orderBy("vec_id").collect().toSeq == clean)
   }
 
+  test("degenerate embeddings are invisible to EVERY IVF entry point " +
+    "(topK, recallReport, assignNewBatch agree with the clean corpus)") {
+    // round-12 ADVICE follow-through: assignments() gained the null/empty
+    // drop first; the sibling entry points (probeAndAssign inside topK,
+    // recallReport, assignNewBatch) were aligned later. Pin the uniform
+    // semantics: adding null/empty vectors to the corpus changes NOTHING —
+    // they neither train, nor join as members, nor count in balances.
+    // Degenerate ids sit ABOVE nQueries so the query side is unchanged.
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val degenerate = Seq(
+      (1000000L, null.asInstanceOf[Seq[Float]]),
+      (1000001L, Seq.empty[Float])).toDF("vec_id", "embedding")
+    val dirty = emb.unionByName(degenerate)
+    assert(IvfIndex.topK(dirty, nQueries = 4, k = 3).collect().toSeq ==
+      IvfIndex.topK(emb, nQueries = 4, k = 3).collect().toSeq)
+    assert(IvfIndex.recallReport(dirty, nQueries = 4, k = 3,
+        nProbes = Seq(1, 8)).collect().toSeq ==
+      IvfIndex.recallReport(emb, nQueries = 4, k = 3,
+        nProbes = Seq(1, 8)).collect().toSeq)
+    // assignNewBatch: degenerates in history AND batch drop from counts
+    val hist = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    assert(IvfIndex.assignNewBatch(hist.unionByName(degenerate),
+        batch.unionByName(degenerate)).collect().toSeq ==
+      IvfIndex.assignNewBatch(hist, batch).collect().toSeq)
+  }
+
   test("shared coarse-quantizer memo: warm == fresh across consumers, reset forgets") {
     val emb = Tables.embeddings(spark, sf)
     val fresh = IvfIndex.assignments(emb, nLists = 8)
