@@ -1,10 +1,15 @@
 #!/usr/bin/env python3
 """Build the full-suite sf0.1 -> sf1 scaling-exponent table.
 
-Inputs (defaults are the COMMITTED close pair — same epoch, same code):
-  BENCH_sf1_close.json - the committed full-suite sf1 close
-                         (graft.ScaleUp perturb mode, local[32])
-  BENCH_METRIC.json    - the committed full-suite sf0.1 close
+Inputs (defaults are the committed SAME-EPOCH pair — both sides measured
+back-to-back on the same box in the same half-day, same code):
+  BENCH_sf1_close.json       - the committed full-suite sf1 close
+                               (graft.ScaleUp perturb mode, local[32])
+  BENCH_sf01_epoch_twin.json - the sf0.1 side of the SAME epoch (the
+                               committed BENCH_METRIC.json close is a
+                               different, faster epoch — pairing across
+                               epochs inflates exponents ~0.03 aggregate
+                               and manufactures phantom per-lane flags)
 
 exponent = log10(t_sf1 / t_sf01)  at a 10x data decade.
 
@@ -25,7 +30,7 @@ FLAG = 1.3
 MIN_SF1_SEC = 2.0
 
 DEFAULT_SF1 = "BENCH_sf1_close.json"
-DEFAULT_REF = "BENCH_METRIC.json"
+DEFAULT_REF = "BENCH_sf01_epoch_twin.json"
 
 
 def per_query(path):
