@@ -109,6 +109,15 @@ object Bench {
     if (selected.exists(s => ivfMemoLanes.contains(s._1)))
       graft.operators.IvfIndex.warmCoarse(
         graft.sources.Tables.embeddings(spark, sfDir), key = sfDir)
+    // round-13: the trained PQ codebooks — three lanes train the identical
+    // raw-vector codebook (owner q_vec_pq), two the identical residual
+    // codebook under the shared coarse quantizer (owner q_vec_rpq)
+    val pqRawMemoLanes = Set("q_vec_pq", "q_vec_adc", "q_sim_topk_ivfpq")
+    val pqResMemoLanes = Set("q_vec_rpq", "q_sim_topk_ivfrpq")
+    if (selected.exists(s =>
+        pqRawMemoLanes.contains(s._1) || pqResMemoLanes.contains(s._1)))
+      graft.operators.PqIndex.warmCodebooks(
+        graft.sources.Tables.embeddings(spark, sfDir), key = sfDir)
     // round-12: the CF co-occurrence model (owner q_cf_similarity) — the
     // similarity and recommendation lanes build the identical pair table
     val cfMemoLanes = Set("q_cf_similarity", "q_cf_recommend")
@@ -145,7 +154,8 @@ object Bench {
       "q_bpe_merges" -> bpeMemoLanes, "q_cov_matrix" -> covMemoLanes,
       "q_vec_clusters" -> ivfMemoLanes, "q_cf_similarity" -> cfMemoLanes,
       "q_table_profile" -> profileMemoLanes,
-      "q_dedup_editdist" -> edMemoLanes)
+      "q_dedup_editdist" -> edMemoLanes,
+      "q_vec_pq" -> pqRawMemoLanes, "q_vec_rpq" -> pqResMemoLanes)
     val selectedNames = selected.map(_._1).toSet
     val unownedWarm = memoOwners.collect {
       case (owner, lanes) if !selectedNames.contains(owner) =>
@@ -173,6 +183,10 @@ object Bench {
         graft.operators.Profile.resetProfileMemo(spark)
       if (name == "q_dedup_editdist")
         graft.operators.NearDup.resetEditDistanceMemo(spark)
+      if (name == "q_vec_pq")
+        graft.operators.PqIndex.resetPqMemo(spark, "raw")
+      if (name == "q_vec_rpq")
+        graft.operators.PqIndex.resetPqMemo(spark, "residual")
     }
     // Spill accounting (opt-in: SPARK_GRAFT_BENCH_SPILL=1): a task-end
     // listener sums memory/disk bytes spilled; read per query. This is the

@@ -1138,7 +1138,7 @@ object SparkEntry {
     "q_vec_rpq" -> ((s, dir) =>
       PqIndex.residualCodes(Tables.embeddings(s, dir), coarseMemoKey = Some(dir))),
     "q_vec_pq" -> ((s, dir) =>
-      PqIndex.codes(Tables.embeddings(s, dir))),
+      PqIndex.codes(Tables.embeddings(s, dir), memoKey = Some(dir))),
     // cluster-size histogram of the IVF assignment — the index-balance
     // check an ANN deployment monitors (a collapsed list = a hot probe)
     "q_vec_clusters" -> ((s, dir) =>
@@ -1146,7 +1146,7 @@ object SparkEntry {
         .groupBy("list").agg(count(lit(1)).as("n"))
         .orderBy("list")),
     "q_vec_adc" -> ((s, dir) =>
-      PqIndex.adcTopK(Tables.embeddings(s, dir))),
+      PqIndex.adcTopK(Tables.embeddings(s, dir), memoKey = Some(dir))),
     // the composed index: IVF list pruning in front of ADC code scoring —
     // the billion-scale ANN architecture (only probed lists are scored)
     "q_sim_topk_ivfpq" -> ((s, dir) =>
