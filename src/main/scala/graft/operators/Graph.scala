@@ -261,9 +261,18 @@ object Graph {
   }
 
   def coOccurrenceEdges(baskets: DataFrame, basketCol: String, itemCol: String,
-                        minCo: Int = 2): DataFrame = {
-    val b = baskets.select(col(basketCol).as("basket"), col(itemCol).as("item"))
-      .distinct()
+                        minCo: Int = 2): DataFrame =
+    coEdgesOfDistinct(
+      baskets.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+        .distinct(),
+      minCo)
+
+  /** [[coOccurrenceEdges]] body for a frame already distinct on
+    * (basket, item) — round-13: [[coState]]'s input is distinct+persisted
+    * by construction, and the extra `.distinct()` the public entry point
+    * runs was a full exchange + hash-aggregate of the basket relation
+    * that changes nothing (distinct of distinct). Guide §2.4. */
+  private def coEdgesOfDistinct(b: DataFrame, minCo: Int): DataFrame =
     b.groupBy("basket")
       .agg(sort_array(collect_set(col("item"))).as("items"))
       // native one-pass pair expansion (see graft.functions.UnorderedPairs)
@@ -272,7 +281,6 @@ object Graph {
       .select(col("p.item_a"), col("p.item_b"))
       .groupBy("item_a", "item_b").agg(count(lit(1)).as("co_cnt"))
       .filter(col("co_cnt") >= minCo)
-  }
 
   // ---- shared CF co-occurrence state (the BpeTrainer.trainMemo
   // discipline) ----
@@ -297,30 +305,37 @@ object Graph {
   /** (itemCnt, co) through the shared memo; None builds fresh (and leaves
     * the caller's persist/caching choices untouched). */
   private def coState(baskets: DataFrame, basketCol: String, itemCol: String,
-      minCo: Int, memoKey: Option[String]): (DataFrame, DataFrame) =
+      minCo: Int, memoKey: Option[String],
+      inputDistinct: Boolean = false): (DataFrame, DataFrame) = {
+    // round-13: the model needs the (basket, item)-DISTINCT relation; when
+    // the caller proves its input already is (recommendationEval's train
+    // derives from a distinct frame by filtering), re-distincting is a
+    // pure-waste exchange + hash-aggregate (guide §2.4) — skip it. The
+    // inner coOccurrenceEdges distinct is likewise skipped for ALL coState
+    // paths, b being distinct here by construction.
+    def distinctB() = {
+      val sel = baskets
+        .select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      (if (inputDistinct) sel else sel.distinct())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
     memoKey match {
       case None =>
-        val b = baskets
-          .select(col(basketCol).as("basket"), col(itemCol).as("item"))
-          .distinct()
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        val b = distinctB()
         (b.groupBy("item").agg(count(lit(1)).as("cnt")),
-          coOccurrenceEdges(b, "basket", "item", minCo))
+          coEdgesOfDistinct(b, minCo))
       case Some(key) =>
         // fingerprint the selected two-column view: captures both the
         // input relation and the basket/item column choice
         val fp = graft.core.MemoPin.planFingerprint(
           baskets.select(col(basketCol).as("basket"), col(itemCol).as("item")))
         coMemo.computeIfAbsent((baskets.sparkSession, key, minCo, fp), _ => {
-          val b = baskets
-            .select(col(basketCol).as("basket"), col(itemCol).as("item"))
-            .distinct()
-            .persist(StorageLevel.MEMORY_AND_DISK)
+          val b = distinctB()
           // eager localCheckpoints: materialize while b's blocks exist,
           // then release b — the memo holds only the model-grain frames
           val itemCnt = b.groupBy("item").agg(count(lit(1)).as("cnt"))
             .localCheckpoint(true)
-          val co = coOccurrenceEdges(b, "basket", "item", minCo)
+          val co = coEdgesOfDistinct(b, minCo)
             .localCheckpoint(true)
           graft.core.MemoPin.pin(itemCnt)
           graft.core.MemoPin.pin(co)
@@ -328,6 +343,7 @@ object Graph {
           (itemCnt, co)
         })
     }
+  }
 
   /** Build the shared CF state eagerly (the bench warms this untimed at
     * suite start; q_cf_similarity owns the build per timed iteration). */
@@ -514,7 +530,11 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // re-alias the rec table's columns (fresh exprIds): recs derives from
     // train, so unaliased attributes on both join sides are ambiguous
-    val recs = recommendations(train, "basket", "item", minCo, k)
+    // train derives from the distinct b by filtering, so it is
+    // (basket, item)-distinct by construction — tell coState so it skips
+    // the redundant re-distinct exchange (round-13, guide §2.4)
+    val recs = recommendations(train, "basket", "item", minCo, k,
+        inputDistinct = true)
       .select(col("item").as("r_item"), col("rec").as("r_rec"),
         col("rk").as("r_rk"))
     // per eligible basket: best (min) rank at which any train item
@@ -541,8 +561,10 @@ object Graph {
 
   def recommendations(baskets: DataFrame, basketCol: String, itemCol: String,
                       minCo: Int = 2, k: Int = 3,
-                      memoKey: Option[String] = None): DataFrame = {
-    val (itemCnt, co) = coState(baskets, basketCol, itemCol, minCo, memoKey)
+                      memoKey: Option[String] = None,
+                      inputDistinct: Boolean = false): DataFrame = {
+    val (itemCnt, co) =
+      coState(baskets, basketCol, itemCol, minCo, memoKey, inputDistinct)
     val sym = co.unionAll(co.select(
       col("item_b").as("item_a"), col("item_a").as("item_b"), col("co_cnt")))
     val ca = itemCnt.select(col("item").as("item_a"), col("cnt").as("cnt_a"))
