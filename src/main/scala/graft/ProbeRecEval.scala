@@ -83,6 +83,29 @@ object ProbeRecEval {
         .select("basket", "item").persist()
       graft.operators.Graph.recommendations(train, "basket", "item")
     }
+    // window isolation: the scored CF relation with vs without the rank
+    // window — bounds the win available to a bounded-heap top-k swap
+    def scoredCf(): DataFrame = {
+      val b = baskets().select(col("cust").as("basket"), col("supp").as("item"))
+        .distinct().persist()
+      val itemCnt = b.groupBy("item").agg(count(lit(1)).as("cnt"))
+      val co = graft.operators.Graph.coOccurrenceEdges(b, "basket", "item")
+      val sym = co.unionAll(co.select(
+        col("item_b").as("item_a"), col("item_a").as("item_b"), col("co_cnt")))
+      val ca = itemCnt.select(col("item").as("item_a"), col("cnt").as("cnt_a"))
+      val cb = itemCnt.select(col("item").as("item_b"), col("cnt").as("cnt_b"))
+      sym.join(broadcast(ca), "item_a").join(broadcast(cb), "item_b")
+        .withColumn("cosine", col("co_cnt").cast("double") /
+          sqrt((col("cnt_a") * col("cnt_b")).cast("double")))
+    }
+    timeIt("scored_no_window") { scoredCf() }
+    timeIt("scored_with_window") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("item_a")
+        .orderBy(col("cosine").desc, col("item_b").asc)
+      scoredCf().withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+    }
     spark.stop()
   }
 }
