@@ -109,6 +109,11 @@ object Bench {
     if (selected.exists(s => ivfMemoLanes.contains(s._1)))
       graft.operators.IvfIndex.warmCoarse(
         graft.sources.Tables.embeddings(spark, sfDir), key = sfDir)
+    // round-13: the admission funnel run (owner q_curation_incr) — the
+    // report lane is a per-stage aggregate over the SAME funnel output
+    val admMemoLanes = Set("q_curation_incr", "q_admission_report")
+    if (selected.exists(s => admMemoLanes.contains(s._1)))
+      graft.operators.CurationPipeline.warmAdmission(spark, sfDir)
     // round-13: the trained PQ codebooks — three lanes train the identical
     // raw-vector codebook (owner q_vec_pq), two the identical residual
     // codebook under the shared coarse quantizer (owner q_vec_rpq)
@@ -155,7 +160,8 @@ object Bench {
       "q_vec_clusters" -> ivfMemoLanes, "q_cf_similarity" -> cfMemoLanes,
       "q_table_profile" -> profileMemoLanes,
       "q_dedup_editdist" -> edMemoLanes,
-      "q_vec_pq" -> pqRawMemoLanes, "q_vec_rpq" -> pqResMemoLanes)
+      "q_vec_pq" -> pqRawMemoLanes, "q_vec_rpq" -> pqResMemoLanes,
+      "q_curation_incr" -> admMemoLanes)
     val selectedNames = selected.map(_._1).toSet
     val unownedWarm = memoOwners.collect {
       case (owner, lanes) if !selectedNames.contains(owner) =>
@@ -187,6 +193,8 @@ object Bench {
         graft.operators.PqIndex.resetPqMemo(spark, "raw")
       if (name == "q_vec_rpq")
         graft.operators.PqIndex.resetPqMemo(spark, "residual")
+      if (name == "q_curation_incr")
+        graft.operators.CurationPipeline.resetAdmissionMemo(spark)
     }
     // Spill accounting (opt-in: SPARK_GRAFT_BENCH_SPILL=1): a task-end
     // listener sums memory/disk bytes spilled; read per query. This is the
