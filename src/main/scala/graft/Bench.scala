@@ -74,8 +74,17 @@ object Bench {
     // the heavy queries without paying for the whole suite at 10x data
     val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selectedAlpha = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // measurement-only ordering knob (round-14 task 4): ORDER=swap runs the
+    // second alphabetical half first, so a lane's "late-in-suite" aging term
+    // can be separated from the lane itself by comparing the two orders.
+    // Default (unset) keeps the driver-comparable alphabetical order.
+    val selected = sys.env.get("SPARK_GRAFT_BENCH_ORDER") match {
+      case Some("swap") =>
+        val (a, b) = selectedAlpha.splitAt(selectedAlpha.size / 2); b ++ a
+      case _ => selectedAlpha
+    }
     // Memoized-kernel attribution (round-9): without this, the curation
     // KERNEL's multi-second build lands on whichever memo-consuming lane
     // runs first alphabetically and q_curation reports a sub-0.1 s memo
@@ -119,10 +128,14 @@ object Bench {
     // codebook under the shared coarse quantizer (owner q_vec_rpq)
     val pqRawMemoLanes = Set("q_vec_pq", "q_vec_adc", "q_sim_topk_ivfpq")
     val pqResMemoLanes = Set("q_vec_rpq", "q_sim_topk_ivfrpq")
-    if (selected.exists(s =>
-        pqRawMemoLanes.contains(s._1) || pqResMemoLanes.contains(s._1)))
+    // per-basis warm (round-14 ADVICE): selecting only raw-basis lanes no
+    // longer pays the residual+coarse training, and vice versa
+    val needPqRaw = selected.exists(s => pqRawMemoLanes.contains(s._1))
+    val needPqRes = selected.exists(s => pqResMemoLanes.contains(s._1))
+    if (needPqRaw || needPqRes)
       graft.operators.PqIndex.warmCodebooks(
-        graft.sources.Tables.embeddings(spark, sfDir), key = sfDir)
+        graft.sources.Tables.embeddings(spark, sfDir), key = sfDir,
+        warmRaw = needPqRaw, warmResidual = needPqRes)
     // round-12: the CF co-occurrence model (owner q_cf_similarity) — the
     // similarity and recommendation lanes build the identical pair table
     val cfMemoLanes = Set("q_cf_similarity", "q_cf_recommend")
@@ -166,7 +179,7 @@ object Bench {
     val unownedWarm = memoOwners.collect {
       case (owner, lanes) if !selectedNames.contains(owner) =>
         (lanes - owner).filter(selectedNames.contains)
-    }.flatten.toSeq.sorted
+    }.flatten.toSeq.distinct.sorted
     unownedWarm.foreach(l => System.err.println(
       s"[bench] note: $l measured against a warm shared memo whose owner " +
         "lane is not selected — time excludes the shared build"))
@@ -352,8 +365,13 @@ object Bench {
     // spread) go to stderr and the side file, never onto the parsed line.
     val totalLine =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$fs,"iters":$iters,"contaminated":$contaminated}"""
+    // owner lanes pay their shared memo's build inside their timed
+    // iterations (reset + rebuild); tag them so per-lane readers can
+    // separate attribution from regression mechanically (round-13 verdict)
+    val ownersJson = memoOwners.keys.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val perQuery =
-      s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"per_query","queries":$qs,"owners":$ownersJson,"sf":"$sfDir"}"""
     val uw = unownedWarm.map("\"" + _ + "\"").mkString("[", ",", "]")
     val diagnostics =
       s"""{"load_avg_ambient":$loadAmbient,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"cpu_wall_ratio":$cpuWallRatio,"wall_sec":$wallSec,"retried":$rt,"iter_spread":$spread,"warm_memo_unowned":$uw}"""
@@ -387,7 +405,35 @@ object Bench {
     java.nio.file.Files.write(out,
       (totalLine + "\n" + perQuery + "\n" + diagnostics + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(perQuery)
+    // Per-lane ground truth for the driver (round-13 verdict item 1): the
+    // driver tail-captures only ~2 KB of stdout, so the 288-entry map can
+    // never ride one line. Two additive channels: (a) ms-rounded chunked
+    // `per_query_part` lines, each under ~1.6 KB so the FINAL part + the
+    // total line both survive the tail intact; (b) the complete map in a
+    // BENCH_LANES.json artifact (full-suite runs only, so subset probes and
+    // the epoch canary don't churn it). The legacy full-precision
+    // `per_query` line is unchanged in the side file above.
+    val msEntries = results2.map { case (k, v, _) =>
+      s""""$k":${math.rint(v * 1000) / 1000}""" }
+    val chunkBudget = 1500 // bytes of entries per part line
+    val chunks = msEntries.foldLeft(List.empty[List[String]]) { (acc, e) =>
+      acc match {
+        case head :: tail if (head.map(_.length + 1).sum + e.length) <= chunkBudget =>
+          (e :: head) :: tail
+        case _ => List(e) :: acc
+      }
+    }.map(_.reverse).reverse
+    val nParts = chunks.size
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"metric":"per_query_part","part":${i + 1},"of":$nParts,"queries":${c.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+    }
+    if (only.isEmpty) {
+      val lanesPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_LANES", "BENCH_LANES.json")
+      val lanesJson =
+        s"""{"metric":"per_query","value":$total,"unit":"sec","n_queries":${results.size},"iters":$iters,"cpus":$cpus,"contaminated":$contaminated,"failed":$fs,"sf":"$sfDir","owners":$ownersJson,"warm_memo_unowned":$uw,"queries":${msEntries.mkString("{", ",", "}")}}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(lanesPath),
+        (lanesJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     println(totalLine)
     spark.stop()
     // a failed query must not masquerade as a clean bench run

@@ -22,7 +22,9 @@ object PlanSnap {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     GraftExtensions.registerAll(spark)
-    val dir = "/root/testdata/sf0.001"
+    // fixture dir from the standard env hook (round-13 ADVICE: the
+    // hardcoded sf0.001 silently pinned snapshots to one scale)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     Files.createDirectories(Paths.get(outDir))
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)

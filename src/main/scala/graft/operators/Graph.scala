@@ -533,8 +533,8 @@ object Graph {
     // train derives from the distinct b by filtering, so it is
     // (basket, item)-distinct by construction — tell coState so it skips
     // the redundant re-distinct exchange (round-13, guide §2.4)
-    val recs = recommendations(train, "basket", "item", minCo, k,
-        inputDistinct = true)
+    val recs = recommendationsFrom(train, "basket", "item", minCo, k,
+        memoKey = None, inputDistinct = true)
       .select(col("item").as("r_item"), col("rec").as("r_rec"),
         col("rk").as("r_rk"))
     // per eligible basket: best (min) rank at which any train item
@@ -561,8 +561,21 @@ object Graph {
 
   def recommendations(baskets: DataFrame, basketCol: String, itemCol: String,
                       minCo: Int = 2, k: Int = 3,
-                      memoKey: Option[String] = None,
-                      inputDistinct: Boolean = false): DataFrame = {
+                      memoKey: Option[String] = None): DataFrame =
+    recommendationsFrom(baskets, basketCol, itemCol, minCo, k, memoKey,
+      inputDistinct = false)
+
+  /** `inputDistinct = true` skips the (basket,item) de-dup exchange; the
+    * caller MUST guarantee the relation is already distinct on those two
+    * columns or item counts and co_cnt silently inflate (wrong cosines).
+    * Private so external callers cannot opt out incorrectly (round-13
+    * ADVICE); the only `true` caller is [[recommendationEval]], whose train
+    * split derives from a distinct frame by filtering. */
+  private def recommendationsFrom(
+                      baskets: DataFrame, basketCol: String, itemCol: String,
+                      minCo: Int, k: Int,
+                      memoKey: Option[String],
+                      inputDistinct: Boolean): DataFrame = {
     val (itemCnt, co) =
       coState(baskets, basketCol, itemCol, minCo, memoKey, inputDistinct)
     val sym = co.unionAll(co.select(

@@ -148,11 +148,15 @@ object PqIndex {
     * suite start; q_vec_pq / q_vec_rpq own the builds per timed
     * iteration). */
   def warmCodebooks(emb: DataFrame, key: String, nLists: Int = 8,
-                    nIters: Int = 1): Unit = {
+                    nIters: Int = 1, warmRaw: Boolean = true,
+                    warmResidual: Boolean = true): Unit = {
     val e = graft.core.Parallelism.forCompute(emb)
-    trainShared(e, nIters, "raw", Some(key)): Unit
-    val coarse = IvfIndex.trainCoarse(e, nLists, nIters, Some(key))
-    trainShared(residualFrame(e, coarse), nIters, "residual", Some(key)): Unit
+    if (warmRaw)
+      trainShared(e, nIters, "raw", Some(key)): Unit
+    if (warmResidual) {
+      val coarse = IvfIndex.trainCoarse(e, nLists, nIters, Some(key))
+      trainShared(residualFrame(e, coarse), nIters, "residual", Some(key)): Unit
+    }
   }
 
   /** Drop this session's trained codebooks for one basis — the bench calls
