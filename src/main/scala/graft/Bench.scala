@@ -64,6 +64,51 @@ object Bench {
     spark.range(1000).selectExpr("sum(id) s").write.format("noop").mode("overwrite").save()
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().write.format("noop").mode("overwrite").save()
+    // Round-14 warmup extension, measured first (ordering A/B, two full
+    // 288-lane runs with the suite halves swapped): the first ~24 timed
+    // lanes of EITHER ordering run 1.4-1.7x their late-position times while
+    // late lanes show no aging at all — i.e. ~10-15 s of the suite total
+    // was shared-runtime JIT/profile maturation (parquet reader, exchange,
+    // SMJ/BHJ, hash-agg, window, string/array codegen infrastructure), a
+    // JVM tax charged to whichever lanes happen to run first. Warm those
+    // shared paths untimed with SYNTHETIC shapes that match no timed lane's
+    // plan (so no lane gets a free extra iteration of its own query).
+    // Toggle off with SPARK_GRAFT_BENCH_WARMUP=off to reproduce the old
+    // methodology; OPTIMIZATION_r14.md records numbers under both.
+    if (!sys.env.get("SPARK_GRAFT_BENCH_WARMUP").contains("off")) {
+      import org.apache.spark.sql.functions._
+      def warm(df: org.apache.spark.sql.DataFrame): Unit =
+        try df.write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup shape failed (ignored): ${e.getMessage}") }
+      spark.sparkContext.setJobDescription("warmup: shared runtime shapes")
+      val li = graft.sources.Tables.lineitem(spark, sfDir)
+      val ord = graft.sources.Tables.orders(spark, sfDir)
+      // scan + wide hash-agg over numeric/decimal kernels
+      warm(li.groupBy("l_returnflag")
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_tax"))).as("s"),
+          avg("l_quantity").as("a"), count(lit(1)).as("n")))
+      // exchange + sort-merge join + agg (fact-fact key join machinery)
+      warm(ord.select("o_orderkey", "o_orderstatus")
+        .join(li.select("l_orderkey", "l_linenumber"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n")))
+      // window + sort machinery
+      warm(li.select(col("l_orderkey"), col("l_linenumber"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("l_orderkey").orderBy("l_linenumber")).as("rn"))
+        .groupBy("rn").agg(count(lit(1)).as("n")))
+      // string kernels over the documents corpus
+      warm(graft.sources.Tables.documents(spark, sfDir)
+        .select(length(upper(col("text"))).as("l"))
+        .agg(sum(col("l")).as("s")))
+      // array/higher-order kernels over the embeddings corpus
+      warm(graft.sources.Tables.embeddings(spark, sfDir)
+        .select(aggregate(transform(col("embedding"), x => x * x),
+          lit(0.0), (acc, x) => acc + x).as("n2"))
+        .agg(sum(col("n2")).as("s")))
+      spark.sparkContext.setJobDescription(null)
+    }
     // noop sink: forces full materialization of every column (count() would
     // let Spark prune all columns and skip the actual work).
     val loadStart = loadAvg

@@ -88,6 +88,39 @@ object ProbeDecadeCounts {
     println(s"[decade] attribution_clicks = $clicks views = $views " +
       s"pairs = $pairs")
 
+    // ---- round-14: the next sf1 tier (verdict task 6) ----
+    // q_rec_eval / q_cf_similarity: the CF pair build's volumes — exploded
+    // within-basket pairs (the quadratic term), distinct pairs, and minCo
+    // survivors. The eval lane pays this on its TRAIN split, the
+    // similarity owner on the full basket relation.
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+    val baskets = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(graft.sources.Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+    val nBasketRows = baskets.count()
+    val bD = baskets.distinct()
+    val nBasketDistinct = bD.count()
+    val cfExpanded = bD.groupBy("cust").agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1L) DIV 2L"))).collect()(0).getLong(0)
+    val cfDistinctPairs = graft.operators.Graph
+      .coOccurrenceEdges(baskets, "cust", "supp", minCo = 1).count()
+    val cfSurvivors = graft.operators.Graph
+      .coOccurrenceEdges(baskets, "cust", "supp", minCo = 2).count()
+    println(s"[decade] cf_basket_rows = $nBasketRows distinct = " +
+      s"$nBasketDistinct expanded_pairs = $cfExpanded distinct_pairs = " +
+      s"$cfDistinctPairs minco2_pairs = $cfSurvivors")
+
+    // q_vec_pq: training scans n·dim decimals per Lloyd iteration and the
+    // encode emits one M-code row per vector — both row-linear; record n
+    // and dim so the decade exponent's carrier is explicit.
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val nEmb = emb.count()
+    val dim = emb.select(size(col("embedding")).as("d")).agg(max(col("d")))
+      .collect()(0).getInt(0)
+    println(s"[decade] pq_vectors = $nEmb dim = $dim")
+
     println("[decade] done")
     spark.stop()
   }

@@ -9,20 +9,19 @@ import org.apache.spark.sql.types._
   * and min/max. The ingest-time contract check (does this column look like
   * the dictionary says) and the stats a query planner's cost model wants.
   *
-  * Two passes, both pure HashAggregates:
-  *  1. counts + min/max for every column in ONE aggregate job;
-  *  2. exact distinct counts over a COLUMN-EXPLODED (col, rendered-value)
-  *     relation — groupBy(col, value) then groupBy(col), both map-side
-  *     combined. The naive alternative — 11 `count(DISTINCT c)` in one
-  *     aggregate — rewrites to an Expand grouped BY ALL 11 COLUMNS AT
-  *     ONCE, which plans as SortAggregate over the 12-field composite key
-  *     (measured: 36 s at sf0.1 for the sort chain; this form runs ~2 s).
-  *     Rendering is injective per column (shortest-roundtrip double
-  *     strings; full-precision timestamp strings), so string-space
-  *     distinct counts equal native ones — which the DuckDB oracle
-  *     (native `count(DISTINCT)`) re-proves on every run. The 100 TB
-  *     path swaps `approx_count_distinct` in (HLL sketches don't
-  *     hash-match across engines, so the oracle pins the exact form).
+  * ONE pass (round-14; see [[buildProfile]]): a COLUMN-EXPLODED typed-slot
+  * relation feeds a two-level HashAggregate — groupBy(col, value-slots)
+  * then groupBy(col) — from which counts, nulls, exact distincts and
+  * min/max all fall out map-side combined. The naive alternative — 11
+  * `count(DISTINCT c)` in one aggregate — rewrites to an Expand grouped
+  * BY ALL 11 COLUMNS AT ONCE, which plans as SortAggregate over the
+  * 12-field composite key (measured: 36 s at sf0.1 for the sort chain;
+  * this form runs ~2.7 s). Slot grouping is injective per column (native
+  * values, no rendering), so slot-space distinct counts equal native ones
+  * — which the DuckDB oracle (native `count(DISTINCT)`) re-proves on
+  * every run. The 100 TB path swaps `approx_count_distinct` in (HLL
+  * sketches don't hash-match across engines, so the oracle pins the
+  * exact form).
   *
   * min/max portability: floating columns report `min_num`/`max_num` as
   * DOUBLES (bit-exact, order-free); integer/decimal/string columns render
@@ -86,77 +85,107 @@ object Profile {
         })
     }
 
+  // per-slot routing: which typed grouping slot carries each column
+  private def slotKind(dt: DataType): String = dt match {
+    case DoubleType | FloatType                        => "dbl"
+    case _: DecimalType                                => "dec"
+    case ByteType | ShortType | IntegerType | LongType => "int"
+    case StringType                                    => "string"
+    case TimestampType | TimestampNTZType | DateType   => "time"
+    case _                                             => "other"
+  }
+
+  /** Round-14 rewrite (guide §2.3 "narrower keys" + §2.4 "one pass"): the
+    * round-9 shape ran TWO passes — a one-row counts/min-max aggregate,
+    * then a value-exploded distinct over RENDERED STRINGS (every double,
+    * long and timestamp paid a value→string render before hashing).
+    * Measured at sf0.1/local[32] (ProbeR14, min-of-3): pass 1 0.89 s +
+    * pass 2 3.45 s vs 2.69 s for this combined form (−33%).
+    *
+    * One explode carries TYPED slots (c, vl, v2, vd, vs): at most two
+    * slots are non-null per column kind and `c` is in the grouping key, so
+    * grouping the tuple equals grouping the native value — no rendering.
+    * Spark normalizes -0.0/NaN in grouping keys, matching the native
+    * count(DISTINCT) semantics the oracle pins; doubles additionally fold
+    * -0.0 via `x + 0.0` (same expression the rendered form used) and carry
+    * the RAW value in a non-key payload slot so min/max stay bit-identical
+    * to `min(col)` over the unnormalized column. NULL values keep their
+    * (all-slots-null) group, so n_rows / n_null fall out of the same
+    * aggregate and pass 1 disappears. Timestamps split as (epoch-second,
+    * micro remainder) across (vl, v2): the pair is injective on the value
+    * (distinct counts exact) while min/max over vl alone reproduce pass
+    * 1's `min(cast(ts as long))` — floor is monotone, so min of floors is
+    * the floor of the min. */
   private def buildProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
     val cols = (if (columns.nonEmpty) columns else df.columns.toSeq).sorted
-    val kinds = cols.map(c => c -> kind(df.schema(c).dataType)).toMap
+    val sks = cols.map(c => c -> slotKind(df.schema(c).dataType)).toMap
 
-    // pass 1: one HashAggregate for counts and type-routed min/max
-    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
-      val mm = kinds(c) match {
-        case "num" => Seq(
-          min(col(c)).cast("double").as(s"__${c}_mnn"),
-          max(col(c)).cast("double").as(s"__${c}_mxn"),
-          lit(null).cast("string").as(s"__${c}_mns"),
-          lit(null).cast("string").as(s"__${c}_mxs"))
-        case "str" => Seq(
-          lit(null).cast("double").as(s"__${c}_mnn"),
-          lit(null).cast("double").as(s"__${c}_mxn"),
-          min(col(c)).cast("string").as(s"__${c}_mns"),
-          max(col(c)).cast("string").as(s"__${c}_mxs"))
-        case "time" => Seq(
-          lit(null).cast("double").as(s"__${c}_mnn"),
-          lit(null).cast("double").as(s"__${c}_mxn"),
-          min(col(c).cast("timestamp").cast("long")).cast("string")
-            .as(s"__${c}_mns"),
-          max(col(c).cast("timestamp").cast("long")).cast("string")
-            .as(s"__${c}_mxs"))
-        case _ => Seq(
-          lit(null).cast("double").as(s"__${c}_mnn"),
-          lit(null).cast("double").as(s"__${c}_mxn"),
-          lit(null).cast("string").as(s"__${c}_mns"),
-          lit(null).cast("string").as(s"__${c}_mxs"))
-      }
-      count(col(c)).as(s"__${c}_nn") +: mm
-    }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val basic = one.select(explode(array(cols.map { c =>
-      struct(
-        lit(c).as("col_name"),
-        col("__n").as("n_rows"),
-        (col("__n") - col(s"__${c}_nn")).as("n_null"),
-        col(s"__${c}_mnn").as("min_num"),
-        col(s"__${c}_mxn").as("max_num"),
-        col(s"__${c}_mns").as("min_str"),
-        col(s"__${c}_mxs").as("max_str"))
-    }: _*)).as("p")).select("p.*")
-
-    // pass 2: exact per-column distincts over the exploded value relation.
-    // Floating columns normalize BEFORE rendering: native count(DISTINCT)
-    // groups -0.0 with 0.0 and all NaNs together (Spark normalizes both in
-    // grouping keys), but their rendered strings differ — `x + 0.0` folds
-    // -0.0 to +0.0 (IEEE: -0.0 + 0.0 = +0.0, identity elsewhere) and every
-    // NaN payload renders as the one string "NaN", restoring injectivity
-    // on the grouped value space.
-    def render(c: String): Column = df.schema(c).dataType match {
-      case DoubleType | FloatType =>
-        (col(c).cast("double") + lit(0.0)).cast("string")
-      case _ => kinds(c) match {
-        case "time" => col(c).cast("timestamp").cast("string")
-        case _      => col(c).cast("string")
-      }
+    val nL = lit(null).cast("long")
+    val nD = lit(null).cast("double")
+    val nS = lit(null).cast("string")
+    // slots: vl/v2 long, vd double (normalized, grouping), vs string,
+    // vr double payload (NOT a grouping key — raw min/max carrier).
+    // Decimals group by their canonical string render (injective at any
+    // precision; a fixed-width decimal slot would overflow wide decimals
+    // to null and corrupt the distinct count) and take min/max from vr:
+    // decimal→double is monotone, so min over the cast values equals the
+    // cast of the native min — bit-identical to pass 1's
+    // `min(col).cast("double")`.
+    def slotStruct(c: String): Column = sks(c) match {
+      case "dbl" => struct(lit(c).as("c"), nL.as("vl"), nL.as("v2"),
+        (col(c).cast("double") + lit(0.0)).as("vd"), nS.as("vs"),
+        col(c).cast("double").as("vr"))
+      case "dec" => struct(lit(c).as("c"), nL.as("vl"), nL.as("v2"),
+        nD.as("vd"), col(c).cast("string").as("vs"),
+        col(c).cast("double").as("vr"))
+      case "int" => struct(lit(c).as("c"), col(c).cast("long").as("vl"),
+        nL.as("v2"), nD.as("vd"), nS.as("vs"), nD.as("vr"))
+      case "time" => struct(lit(c).as("c"),
+        col(c).cast("timestamp").cast("long").as("vl"),
+        pmod(unix_micros(col(c).cast("timestamp")), lit(1000000L)).as("v2"),
+        nD.as("vd"), nS.as("vs"), nD.as("vr"))
+      case "string" => struct(lit(c).as("c"), nL.as("vl"), nL.as("v2"),
+        nD.as("vd"), col(c).as("vs"), nD.as("vr"))
+      case _ => struct(lit(c).as("c"), nL.as("vl"), nL.as("v2"),
+        nD.as("vd"), col(c).cast("string").as("vs"), nD.as("vr"))
     }
     val vals = df
-      .select(explode(array(cols.map(c =>
-        struct(lit(c).as("c"), render(c).as("v"))): _*)).as("e"))
-      .select(col("e.c").as("c"), col("e.v").as("v"))
-      .where(col("v").isNotNull)
-    val nd = vals.groupBy("c", "v").agg(count(lit(1)).as("__one"))
-      .groupBy("c").agg(count(lit(1)).as("n_distinct"))
-
-    basic.join(broadcast(nd), basic("col_name") === nd("c"), "left")
-      .select(col("col_name"), col("n_rows"), col("n_null"),
+      .select(explode(array(cols.map(slotStruct): _*)).as("e"))
+      .select(col("e.c").as("c"), col("e.vl").as("vl"), col("e.v2").as("v2"),
+        col("e.vd").as("vd"), col("e.vs").as("vs"), col("e.vr").as("vr"))
+    val isNullRow = col("vl").isNull && col("v2").isNull &&
+      col("vd").isNull && col("vs").isNull
+    val lvl1 = vals.groupBy("c", "vl", "v2", "vd", "vs")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("vr")).as("mn_r"), max(col("vr")).as("mx_r"))
+    val lvl2 = lvl1.groupBy("c").agg(
+      sum(col("cnt")).as("n_rows"),
+      coalesce(sum(when(isNullRow, col("cnt"))), lit(0L)).as("n_null"),
+      count(when(!isNullRow, lit(1))).as("n_distinct"),
+      min(col("mn_r")).as("mn_d"), max(col("mx_r")).as("mx_d"),
+      min(col("vl")).as("mn_l"), max(col("vl")).as("mx_l"),
+      min(col("vs")).as("mn_s"), max(col("vs")).as("mx_s"))
+    // report grain comes from the literal column list (left join), so an
+    // empty input still yields one all-zero row per column like pass 1 did
+    import df.sparkSession.implicits._
+    val names = cols.map(c => (c, sks(c))).toDF("col_name", "__k")
+    names.join(broadcast(lvl2), col("col_name") === col("c"), "left")
+      .select(col("col_name"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("n_null"), lit(0L)).as("n_null"),
         coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
-        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+        when(col("__k") === "dbl" || col("__k") === "dec", col("mn_d"))
+          .otherwise(nD).as("min_num"),
+        when(col("__k") === "dbl" || col("__k") === "dec", col("mx_d"))
+          .otherwise(nD).as("max_num"),
+        when(col("__k") === "int", col("mn_l").cast("string"))
+          .when(col("__k") === "time", col("mn_l").cast("string"))
+          .when(col("__k") === "string", col("mn_s"))
+          .otherwise(nS).as("min_str"),
+        when(col("__k") === "int", col("mx_l").cast("string"))
+          .when(col("__k") === "time", col("mx_l").cast("string"))
+          .when(col("__k") === "string", col("mx_s"))
+          .otherwise(nS).as("max_str"))
       .orderBy("col_name")
   }
 

@@ -57,14 +57,26 @@ object BucketedTables {
     val oTable = s"graft_bkt_orders_$t"
     val lTable = s"graft_bkt_lineitem_$t"
     val base = s"/tmp/graft_bucketed/$t"
-    writeBucketed(
+    // The two bucketed writes are independent jobs of `buckets` tasks each;
+    // run them from driver threads so the second write back-fills the
+    // first's task tail instead of queueing behind it (guide §2.6 — round-14
+    // ProbeR14: sequential 1.03 s, overlapped 0.70 s at sf0.1/local[32],
+    // result-identical by construction since each write is unchanged).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val fo = scala.concurrent.Future(writeBucketed(
       Tables.orders(spark, sfDir)
         .select("o_orderkey", "o_orderpriority"),
-      oTable, s"$base/orders", buckets, "o_orderkey")
-    writeBucketed(
+      oTable, s"$base/orders", buckets, "o_orderkey"))
+    val fl = scala.concurrent.Future(writeBucketed(
       Tables.lineitem(spark, sfDir)
         .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"),
-      lTable, s"$base/lineitem", buckets, "l_orderkey")
+      lTable, s"$base/lineitem", buckets, "l_orderkey"))
+    try {
+      scala.concurrent.Await.result(fo, scala.concurrent.duration.Duration.Inf)
+      scala.concurrent.Await.result(fl, scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
     val o = spark.table(oTable)
     val l = spark.table(lTable)
     o.join(l, o("o_orderkey") === l("l_orderkey"))
